@@ -1,0 +1,258 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational core: scans, filters, joins, aggregations, sorts, set ops
+  * (SURVEY §2.1–§2.4, §2.6, §2.7).
+  *
+  * The reference genre computes each of these as one or more hand-written
+  * MapReduce jobs (reduce-side joins with source tags, combiner partial
+  * aggregates, total-order-partitioner sorts — SURVEY §2's "MR formulation"
+  * column). Here each is a single declarative DataFrame plan: Catalyst
+  * supplies predicate pushdown, column pruning, partial aggregation (the
+  * combiner, for free) and join-strategy selection (broadcast vs sort-merge);
+  * at cluster scale AQE re-plans shuffles at runtime. Small dimensions are
+  * broadcast explicitly where the MR genre would have used a replicated
+  * (DistributedCache) map-side join.
+  */
+object Relational {
+
+  // ---- §2.1 scans -------------------------------------------------------
+
+  def qScanProject(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"))
+
+  def qScanCount(s: SparkSession, dir: String): DataFrame = {
+    val counts = graft.Tables.schemas.keys.toSeq.sorted.map { name =>
+      t(s, dir, name).agg(count(lit(1)).as("n"))
+        .select(lit(name).as("table_name"), col("n"))
+    }
+    orderedAll(counts.reduce(_.unionByName(_)))
+  }
+
+  // ---- §2.2 filters / predicates ---------------------------------------
+
+  /** TPC-H Q6 shape: date-range + between + comparison predicates. The
+    * filter reaches the Parquet scan as PushedFilters; at 100 TB this is
+    * the difference between reading 3 columns of 1 year and the whole table. */
+  def qFilterPred(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+        .as("revenue"))
+
+  def qFilterInLike(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "part")
+      .filter((col("p_type").like("PROMO%") ||
+        col("p_brand").isin("Brand#1", "Brand#5", "Brand#10")) &&
+        col("p_size") =!= 7)
+      .select("p_partkey", "p_name", "p_brand", "p_type", "p_size"))
+
+  def qCaseExpr(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "orders")
+      .withColumn("band", when(col("o_totalprice") < 50000, "low")
+        .when(col("o_totalprice") < 150000, "mid").otherwise("high"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")))
+
+  // ---- §2.3 joins -------------------------------------------------------
+
+  def qJoinInner(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment"))
+
+  /** Map-side (replicated) join of the MR genre → explicit broadcast hint. */
+  def qJoinBroadcast(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name", "r_name"))
+
+  def qJoinLeft(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_name")
+      .agg(count(col("o_orderkey")).as("n_orders")))
+
+  /** Full outer over an artificially overlapping key split of orders, so
+    * matched rows and both null sides all appear. */
+  def qJoinFull(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val a = o.filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey").as("ka"), col("o_totalprice").as("price_a"))
+    val b = o.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1500)
+      .select(col("o_orderkey").as("kb"), col("o_totalprice").as("price_b"))
+    orderedAll(a.join(b, col("ka") === col("kb"), "full")
+      .select("ka", "kb", "price_a", "price_b"))
+  }
+
+  def qJoinSemi(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment"))
+
+  def qJoinAnti(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name"))
+
+  /** 3-way join (TPC-H Q3 family), one Spark job — no materialized
+    * intermediates between the two joins, unlike chained MR jobs. */
+  def qJoinMultiway(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("c_mktsegment")
+      .agg(dsumExact(dmoney(col("l_extendedprice")) *
+        dfrac(lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n")))
+
+  /** Equi key + residual range predicate: planned as a hash/sort-merge join
+    * on l_partkey with the l_quantity < p_size residual applied post-match. */
+  def qJoinTheta(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey") &&
+        col("l_quantity") < col("p_size"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total")))
+
+  // ---- §2.4 aggregations ------------------------------------------------
+
+  def qAggGlobal(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      count(lit(1)).as("n"),
+      round(sum(col("l_quantity")), 4).as("sum_qty"),
+      dsum(col("l_extendedprice")).as("sum_price"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"),
+      round(avg(col("l_quantity")), 4).as("avg_qty"),
+      round(avg(col("l_extendedprice")), 4).as("avg_price"))
+
+  /** TPC-H Q1 — the flagship `entry()` query (SURVEY §7.2). */
+  def qAggGroup(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumExact(dmoney(col("l_extendedprice")) *
+          dfrac(lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsumExact(dmoney(col("l_extendedprice")) *
+          dfrac(lit(1.0) - col("l_discount")) *
+          dfrac(lit(1.0) + col("l_tax"))).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order")))
+
+  def qAggHaving(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "customer")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 55))
+
+  def qAggDistinct(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n")))
+
+  /** ROLLUP subtotals; grouping-null disambiguated via coalesce sentinel
+    * (the underlying columns are never null), keeping the oracle
+    * dialect-neutral. */
+  def qAggRollup(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal"))
+      .select(coalesce(col("n_name"), lit("(all)")).as("g_nation"),
+        coalesce(col("c_mktsegment"), lit("(all)")).as("g_segment"),
+        col("n"), col("bal")))
+
+  def qAggCube(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4)
+        .as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("g_flag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("g_status"),
+        col("n"), col("sum_qty")))
+
+  /** GROUPING SETS ((lang),(source),()) — Dataset API has no direct method;
+    * expressed through Spark SQL over a temp view (SURVEY §2.4). */
+  def qAggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents").createOrReplaceTempView("graft_documents_gs")
+    orderedAll(s.sql(
+      """SELECT coalesce(lang, '(all)') AS g_lang,
+        |       coalesce(source, '(all)') AS g_source,
+        |       count(*) AS n, sum(n_chars) AS sum_chars
+        |FROM graft_documents_gs
+        |GROUP BY GROUPING SETS ((lang), (source), ())""".stripMargin))
+  }
+
+  /** HLL++ sketch distinct — partial-mergeable, the 100 TB replacement for
+    * the MR genre's exact two-job distinct. No SQL oracle (estimate is
+    * engine-specific); bounded vs exact in ScalaTest. */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        count(lit(1)).as("n")))
+
+  // ---- §2.6 sorts / top-k ----------------------------------------------
+
+  /** Global top-k: planned as TakeOrderedAndProject (per-partition heaps +
+    * driver merge), never a full sort — the MR genre needed a
+    * TotalOrderPartitioner or single reducer for this. */
+  def qOrderbyLimit(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "lineitem")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .limit(20)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+
+  def qSortMulti(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "n_nationkey"))
+
+  // ---- §2.7 set operations ---------------------------------------------
+
+  private def urgentKeys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+
+  private def bigKeys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_totalprice") > 100000)
+      .select("o_orderkey")
+
+  /** Bag union canonicalized through a per-key multiplicity count. */
+  def qUnionAll(s: SparkSession, dir: String): DataFrame =
+    orderedAll(urgentKeys(s, dir).unionByName(bigKeys(s, dir))
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n")))
+
+  def qUnionDistinct(s: SparkSession, dir: String): DataFrame =
+    orderedAll(urgentKeys(s, dir).union(bigKeys(s, dir)).distinct())
+
+  def qIntersect(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+      .intersect(t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey"))))
+
+  def qExcept(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+      .except(t(s, dir, "orders").select(col("o_custkey").as("custkey"))))
+
+  def qDistinct(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus").distinct())
+}
