@@ -191,5 +191,144 @@ object Oracles {
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY ALL""".stripMargin
+  ) ++ scalarSql ++ windowSql
+
+  // ---- §2.8 scalar functions ----
+  private def scalarSql: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS up, lower(p_type) AS low,
+        |       substring(p_name, 1, 5) AS sub,
+        |       p_brand || '-' || p_type AS cat,
+        |       CAST(length(p_name) AS BIGINT) AS len,
+        |       replace(p_name, ' ', '_') AS rep,
+        |       trim(' ' || p_name || ' ') AS trm,
+        |       CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS BIGINT)
+        |         AS brand_num
+        |FROM part ORDER BY ALL""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |       date_trunc('month', o_orderdate) AS month_start,
+        |       CAST(datediff('day', DATE '1995-01-01',
+        |                     CAST(o_orderdate AS DATE)) AS BIGINT) AS d_since,
+        |       CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS d_plus30,
+        |       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS eom
+        |FROM orders ORDER BY ALL""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(abs(l_extendedprice - 50000), 4) AS ab,
+        |       CAST(ceil(l_quantity) AS BIGINT) AS ce,
+        |       CAST(floor(l_quantity) AS BIGINT) AS fl,
+        |       round(sqrt(l_extendedprice), 4) AS sq,
+        |       round(ln(l_extendedprice + 1), 4) AS logv,
+        |       round(pow(l_discount + 1, 2), 4) AS pw,
+        |       l_orderkey % 7 AS pm
+        |FROM lineitem ORDER BY ALL""".stripMargin,
+    "q_json_funcs" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS sum_k,
+        |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)),
+        |             4) AS avg_k
+        |FROM events GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT doc_id,
+        |       CAST(len(toks) AS BIGINT) AS n_toks,
+        |       list_contains(toks, 'spark') AS has_spark,
+        |       array_to_string(toks[1:3], ' ') AS first3,
+        |       array_to_string(list_sort(toks), ' ') AS sorted_text
+        |FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |      FROM documents) ORDER BY ALL""".stripMargin,
+    "q_explode" ->
+      """SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |FROM documents WHERE doc_id < 50 ORDER BY ALL""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT source, lang, count(*) AS n FROM documents
+        |GROUP BY 1, 2 ORDER BY ALL""".stripMargin
+  )
+
+  // ---- §2.5 windows + §2.9 event-time (epoch_us truncates the ns source
+  // to Spark's µs precision — SURVEY §1.2.1) ----
+  private def windowSql: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |       rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY ALL""".stripMargin,
+    "q_window_topk_per_group" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey)
+        |           AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY ALL""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(sum(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |         AS running
+        |FROM orders ORDER BY ALL""".stripMargin,
+    "q_window_lag" ->
+      """SELECT event_id, user_id,
+        |       us - lag(us) OVER (PARTITION BY user_id
+        |                          ORDER BY us, event_id) AS gap_us
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+        |ORDER BY ALL""".stripMargin,
+    "q_window_range_frame" ->
+      """SELECT event_id, user_id, ts_sec,
+        |       round(avg(value) OVER (
+        |         PARTITION BY user_id ORDER BY ts_sec
+        |         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS avg_1h
+        |FROM (SELECT event_id, user_id, value,
+        |             epoch_us(ts) // 1000000 AS ts_sec FROM events)
+        |ORDER BY ALL""".stripMargin,
+    "q_events_tumbling" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        |       count(*) AS n, round(sum(value), 4) AS sv
+        |FROM events GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+    "q_events_sliding" ->
+      """SELECT epoch_us(win) // 1000000 AS win_s, count(*) AS n FROM (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS win FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts)
+        |         - INTERVAL '30 minutes' FROM events)
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_events_session" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |s AS (SELECT user_id, event_id, us,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |               OR us - lag(us) OVER w > 1800000000
+        |             THEN 1 ELSE 0 END AS new_sess
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |t AS (SELECT user_id, us,
+        |        CAST(sum(new_sess) OVER (
+        |          PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS sess_id
+        |      FROM s)
+        |SELECT user_id, sess_id, count(*) AS n_events,
+        |       min(us) AS start_us, max(us) - min(us) AS dur_us
+        |FROM t GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+    "q_events_late_dedup" ->
+      """SELECT user_id, event_type, event_id, us, value FROM (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_us(ts) DESC,
+        |                                     event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY ALL""".stripMargin,
+    "q_join_asof" ->
+      """SELECT event_id, user_id, event_type,
+        |       max(CASE WHEN event_type = 'signup' THEN us END) OVER (
+        |         PARTITION BY user_id ORDER BY us, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         AS last_signup_us
+        |FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |      FROM events) ORDER BY ALL""".stripMargin
   )
 }

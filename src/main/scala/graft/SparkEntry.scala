@@ -40,6 +40,13 @@ object SparkEntry {
     "q_agg_cube" -> Relational.qAggCube _,
     "q_agg_grouping_sets" -> Relational.qAggGroupingSets _,
     "q_approx_distinct" -> Relational.qApproxDistinct _,
+    "q_join_asof" -> Windows.qJoinAsof _,
+    // §2.5 window functions
+    "q_window_rank" -> Windows.qWindowRank _,
+    "q_window_topk_per_group" -> Windows.qWindowTopkPerGroup _,
+    "q_window_running" -> Windows.qWindowRunning _,
+    "q_window_lag" -> Windows.qWindowLag _,
+    "q_window_range_frame" -> Windows.qWindowRangeFrame _,
     // §2.6 sorts / top-k
     "q_orderby_limit" -> Relational.qOrderbyLimit _,
     "q_sort_multi" -> Relational.qSortMulti _,
@@ -48,7 +55,20 @@ object SparkEntry {
     "q_union_distinct" -> Relational.qUnionDistinct _,
     "q_intersect" -> Relational.qIntersect _,
     "q_except" -> Relational.qExcept _,
-    "q_distinct" -> Relational.qDistinct _
+    "q_distinct" -> Relational.qDistinct _,
+    // §2.8 scalar functions
+    "q_string_funcs" -> Scalars.qStringFuncs _,
+    "q_date_funcs" -> Scalars.qDateFuncs _,
+    "q_math_funcs" -> Scalars.qMathFuncs _,
+    "q_json_funcs" -> Scalars.qJsonFuncs _,
+    "q_array_funcs" -> Scalars.qArrayFuncs _,
+    "q_explode" -> Scalars.qExplode _,
+    "q_map_funcs" -> Scalars.qMapFuncs _,
+    // §2.9 event-time (batch semantics)
+    "q_events_tumbling" -> Windows.qEventsTumbling _,
+    "q_events_sliding" -> Windows.qEventsSliding _,
+    "q_events_session" -> Windows.qEventsSession _,
+    "q_events_late_dedup" -> Windows.qEventsLateDedup _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

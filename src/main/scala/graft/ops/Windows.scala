@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY §2.5) and event-time / streaming-shaped
+  * operators in batch mode (SURVEY §2.9).
+  *
+  * In the MR genre every one of these is the secondary-sort pattern: a
+  * composite (key, order) shuffle key, a grouping comparator, and a
+  * hand-rolled accumulator in the reducer. Here they are declarative
+  * `Window` specs — Spark plans one sort per (partitionBy, orderBy) and
+  * evaluates all frames in a single pass.
+  *
+  * Determinism: window orderings over `events` use epoch-microsecond longs
+  * (unix_micros) with event_id tie-breaks, matching the oracle's epoch_us
+  * truncation of the ns-precision source (SURVEY §1.2.1); raw sub-second
+  * timestamps are never emitted.
+  */
+object Windows {
+
+  // ---- §2.5 window functions -------------------------------------------
+
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orderedAll(t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk")))
+  }
+
+  /** Top-3 per group — the secondary-sort + "emit first k" reducer idiom. */
+  def qWindowTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orderedAll(t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3))
+  }
+
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orderedAll(t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      round(sum(col("o_totalprice")).over(w), 4).as("running")))
+  }
+
+  def qWindowLag(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("us", unix_micros(col("ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    orderedAll(e.select(col("event_id"), col("user_id"),
+      (col("us") - lag(col("us"), 1).over(w)).as("gap_us")))
+  }
+
+  /** RANGE frame (preceding 1h by value, not row count) over epoch seconds. */
+  def qWindowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .withColumn("ts_sec", col("ts").cast("long"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec").asc)
+      .rangeBetween(-3600, Window.currentRow)
+    orderedAll(e.select(col("event_id"), col("user_id"), col("ts_sec"),
+      round(avg(col("value")).over(w), 4).as("avg_1h")))
+  }
+
+  // ---- §2.9 event-time operators (batch semantics) ---------------------
+
+  /** Tumbling 1-day windows via the streaming-shaped window() primitive. */
+  def qEventsTumbling(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+      .select(col("window.start").as("day"),
+        col("event_type"), col("n"), col("sv")))
+
+  /** Sliding 1h/30min windows — each event multi-emits into 2 windows
+    * (the MR multi-emit trick, done by window() natively). */
+  def qEventsSliding(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("win_s"), col("n")))
+
+  /** Sessionization (30-min inactivity gap) via the lag + cumulative-sum
+    * session-id idiom; streaming twin session_window() is unit-test-only. */
+  def qEventsSession(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("us", unix_micros(col("ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val gapUs = 1800L * 1000000L
+    val sess = e
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    orderedAll(sess.groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"),
+        (max(col("us")) - min(col("us"))).as("dur_us")))
+  }
+
+  /** Late-data upsert semantics: keep the latest event per (user, type). */
+  def qEventsLateDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("us", unix_micros(col("ts")))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    orderedAll(e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "us", "value"))
+  }
+
+  /** As-of join (SURVEY §2.3): each event paired with the user's most
+    * recent prior signup. Spark has no native as-of join; expressed as the
+    * union-tag + running-max window idiom — max(signup ts) over all
+    * strictly-preceding rows in (us, event_id) order. One sort, no
+    * self-join, scales as a single window pass per user partition. */
+  def qJoinAsof(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("us", unix_micros(col("ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    orderedAll(e.select(col("event_id"), col("user_id"), col("event_type"),
+      max(when(col("event_type") === "signup", col("us"))).over(w)
+        .as("last_signup_us")))
+  }
+}
