@@ -191,7 +191,117 @@ object Oracles {
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY ALL""".stripMargin
-  ) ++ scalarSql ++ windowSql
+  ) ++ scalarSql ++ windowSql ++ textSql ++ vectorSql
+
+  // ---- §2.10 text + §2.11 dedup ----
+  private def textSql: Map[String, String] = Map(
+    "q_wordcount" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents) WHERE token <> ''
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_doc_freq" ->
+      """SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf FROM (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents) WHERE token <> ''
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_tfidf" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents
+        |              WHERE lang = 'en' AND doc_id < 100),
+        |tok AS (SELECT doc_id, token FROM (
+        |          SELECT doc_id,
+        |                 unnest(string_split(lower(text), ' ')) AS token
+        |          FROM docs) WHERE token <> ''),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs),
+        |r AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |             tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df) AS tfidf_raw,
+        |             row_number() OVER (PARTITION BY tf.doc_id
+        |               ORDER BY tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df)
+        |                 DESC, tf.token) AS rn
+        |      FROM tf JOIN df USING (token) CROSS JOIN nd)
+        |SELECT doc_id, token, tf, df, round(tfidf_raw, 4) AS tfidf
+        |FROM r WHERE rn <= 5 ORDER BY ALL""".stripMargin,
+    "q_ngrams" ->
+      """SELECT * FROM (
+        |  WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |             FROM documents),
+        |  p AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1))
+        |               AS i, toks FROM t)
+        |  SELECT toks[i] || ' ' || toks[i + 1] AS bigram, count(*) AS n
+        |  FROM p GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20)
+        |ORDER BY ALL""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       round(avg(n_chars), 4) AS avg_chars,
+        |       count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS first_doc
+        |FROM documents GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY ALL""".stripMargin,
+    "q_dedup_keep_first" ->
+      """SELECT lang, count(*) AS n_docs FROM (
+        |  SELECT lang, row_number() OVER (PARTITION BY text
+        |           ORDER BY doc_id) AS rn FROM documents)
+        |WHERE rn = 1 GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_dedup_near" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, token FROM (
+        |       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |       FROM documents WHERE lang = 'en') WHERE token <> ''),
+        |sz AS (SELECT doc_id, count(*) AS nt FROM dt GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+        |       FROM dt a JOIN dt b
+        |       ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id, common, sa.nt AS na, sb.nt AS nb
+        |FROM pr JOIN sz sa ON a_id = sa.doc_id
+        |        JOIN sz sb ON b_id = sb.doc_id
+        |WHERE common * 9 >= (sa.nt + sb.nt) * 4 ORDER BY ALL""".stripMargin
+  )
+
+  // ---- §2.12 vectors (64-lane double fold, sequential in both engines) ----
+  // defs, not vals: `sql` above initializes first and would interpolate
+  // null from a not-yet-initialized val (object init order).
+  private def dot64 =
+    "list_sum(list_transform(generate_series(1, 64), i -> " +
+      "CAST(pe[i] AS DOUBLE) * CAST(e[i] AS DOUBLE)))"
+  private def pn64 =
+    "list_sum(list_transform(generate_series(1, 64), i -> " +
+      "CAST(pe[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)))"
+  private def en64 =
+    "list_sum(list_transform(generate_series(1, 64), i -> " +
+      "CAST(e[i] AS DOUBLE) * CAST(e[i] AS DOUBLE)))"
+
+  private def vectorSql: Map[String, String] = Map(
+    "q_knn_cosine" ->
+      s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
+         |           WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nid, embedding AS e FROM embeddings),
+         |s AS (SELECT pid, nid, $dot64 AS dot, $pn64 AS na2, $en64 AS nb2
+         |      FROM p, c WHERE nid <> pid),
+         |r AS (SELECT pid, nid, dot / sqrt(na2 * nb2) AS cos,
+         |             row_number() OVER (PARTITION BY pid
+         |               ORDER BY dot / sqrt(na2 * nb2) DESC, nid) AS rn
+         |      FROM s)
+         |SELECT pid, nid, rn, round(cos, 4) AS sim FROM r WHERE rn <= 5
+         |ORDER BY ALL""".stripMargin,
+    "q_vector_centroid" ->
+      """SELECT label, CAST(i AS BIGINT) AS pos,
+        |       round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS c
+        |FROM embeddings
+        |CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+        |GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+    "q_vector_norm_filter" ->
+      """SELECT label, count(*) AS n, round(avg(norm16), 4) AS avg_n16
+        |FROM (SELECT label,
+        |        sqrt(list_sum(list_transform(generate_series(1, 16), i ->
+        |          CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+        |          AS norm16
+        |      FROM embeddings)
+        |WHERE norm16 >= 0.45 AND norm16 < 0.55
+        |GROUP BY 1 ORDER BY ALL""".stripMargin
+  )
 
   // ---- §2.8 scalar functions ----
   private def scalarSql: Map[String, String] = Map(

@@ -68,7 +68,21 @@ object SparkEntry {
     "q_events_tumbling" -> Windows.qEventsTumbling _,
     "q_events_sliding" -> Windows.qEventsSliding _,
     "q_events_session" -> Windows.qEventsSession _,
-    "q_events_late_dedup" -> Windows.qEventsLateDedup _
+    "q_events_late_dedup" -> Windows.qEventsLateDedup _,
+    // §2.10 text analysis
+    "q_wordcount" -> Text.qWordcount _,
+    "q_doc_freq" -> Text.qDocFreq _,
+    "q_tfidf" -> Text.qTfidf _,
+    "q_ngrams" -> Text.qNgrams _,
+    "q_text_stats" -> Text.qTextStats _,
+    // §2.11 dedup
+    "q_dedup_exact" -> Text.qDedupExact _,
+    "q_dedup_keep_first" -> Text.qDedupKeepFirst _,
+    "q_dedup_near" -> Text.qDedupNear _,
+    // §2.12 similarity search
+    "q_knn_cosine" -> Vectors.qKnnCosine _,
+    "q_vector_centroid" -> Vectors.qVectorCentroid _,
+    "q_vector_norm_filter" -> Vectors.qVectorNormFilter _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

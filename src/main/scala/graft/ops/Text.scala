@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text analysis (SURVEY §2.10) and deduplication (SURVEY §2.11) over the
+  * `documents` table — the LLM-training-data-pipeline operator family.
+  *
+  * MR lineage: wordcount is the genre's hello-world (map emits (token,1),
+  * combiner+reducer sum); doc-freq is the inverted index; TF-IDF is three
+  * chained jobs; dedup is identity-map + identity-reduce. Each is one
+  * declarative plan here, with Catalyst's partial aggregation standing in
+  * for the combiner.
+  *
+  * Scale notes (100 TB): tokenization happens inside the scan projection
+  * (no shuffle); all aggregates are partial-mergeable; the n-gram pipeline
+  * derives bigrams with array lambdas *inside the row* (no posexplode +
+  * per-doc window sort, which would shuffle the full token stream). The
+  * near-dup join is the exact inverted-index prefix algorithm scoped to one
+  * language partition; the 100 TB path swaps it for MinHash-LSH banding
+  * (same output contract, probabilistic recall).
+  */
+object Text {
+
+  /** Non-empty lowercase tokens — the shared tokenizer. */
+  private def tokDf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+
+  def qWordcount(s: SparkSession, dir: String): DataFrame =
+    orderedAll(tokDf(t(s, dir, "documents"))
+      .groupBy("token").agg(count(lit(1)).as("n")))
+
+  /** Inverted-index cardinalities: distinct docs + total occurrences. */
+  def qDocFreq(s: SparkSession, dir: String): DataFrame =
+    orderedAll(tokDf(t(s, dir, "documents"))
+      .groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf")))
+
+  /** Top-5 TF-IDF terms per doc over the (lang='en', doc_id<100) corpus.
+    * MR needed 3 chained jobs (TF, DF, join+rank); here TF and DF are two
+    * aggregates over one token stream, n_docs is a broadcast scalar, and
+    * the rank is a single window. */
+  def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(col("lang") === "en" && col("doc_id") < 100)
+    val tok = tokDf(docs)
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nd = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_raw").desc, col("token").asc)
+    orderedAll(tf.join(df, "token").crossJoin(broadcast(nd))
+      .withColumn("tfidf_raw",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tfidf_raw"), 4).as("tfidf")))
+  }
+
+  /** Top-20 bigrams. Bigrams are built with array lambdas inside the row
+    * (transform + element_at), so the only shuffle is the final count —
+    * the MR formulation needed in-mapper buffering per line. */
+  def qNgrams(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "documents")
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(expr(
+        """filter(
+          |  transform(toks, (x, i) ->
+          |    CASE WHEN i < size(toks) - 1
+          |         THEN concat(x, ' ', toks[i + 1]) END),
+          |  b -> b IS NOT NULL)""".stripMargin)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(20))
+
+  /** Per-language corpus profile (quality-stats family). */
+  def qTextStats(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources")))
+
+  // ---- §2.11 dedup -----------------------------------------------------
+
+  /** Exact-duplicate groups by content hash (empty at SFs with no dups —
+    * a valid, matching empty oracle result). */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n") > 1))
+
+  /** Canonical dedup: keep the min-doc_id row per identical text, count
+    * survivors per language. */
+  def qDedupKeepFirst(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id").asc)
+    orderedAll(t(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs")))
+  }
+
+  /** Near-duplicate pairs by token-set Jaccard ≥ 0.8 within lang='en',
+    * via the exact inverted-index pair join. Threshold in integer
+    * arithmetic (9·common ≥ 4·(|A|+|B|)) — no float compare. */
+  def qDedupNear(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("lang") === "en")
+    val dt = tokDf(docs).distinct()
+    val sz = dt.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    val pairs = dt.as("a")
+      .join(dt.as("b"), col("a.token") === col("b.token") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+    orderedAll(pairs
+      .join(broadcast(sz).withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("nt", "na"), "a_id")
+      .join(broadcast(sz).withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("nt", "nb"), "b_id")
+      .filter(col("common") * 9 >= (col("na") + col("nb")) * 4)
+      .select("a_id", "b_id", "common", "na", "nb"))
+  }
+}

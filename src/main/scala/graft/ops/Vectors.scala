@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY §2.12) — the
+  * vector half of the LLM-pipeline operator family.
+  *
+  * All vector math is built-in higher-order array expressions (zip_with /
+  * transform / aggregate) over ArrayType(Float) — no UDFs, evaluated
+  * per-row inside the projection. Both engines fold the 64 lanes
+  * left-to-right in double precision, so cosine values are bit-identical
+  * and the top-k ranking is deterministic (tie-break: neighbor id).
+  *
+  * Scale path (100 TB): the probe side is broadcast (classic replicated
+  * join — probes are small by construction); the corpus streams through
+  * one projection with no shuffle until the per-probe top-k, which is a
+  * partial top-k (window over pid) after AQE-coalesced exchange. For
+  * billion-vector corpora swap in LSH/IVF bucketing: hash vectors into
+  * buckets, join probes only to their buckets — same output contract.
+  */
+object Vectors {
+
+  /** Σ aᵢ·bᵢ in double, sequential left fold (matches DuckDB list_sum). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+      (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm2(a: Column): Column =
+    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Brute-force k-NN: probes vec_id<10, top-5 cosine neighbors each. */
+  def qKnnCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val pairs = emb.join(broadcast(probes), col("vec_id") =!= col("pid"))
+      .withColumn("cos", dot(col("pe"), col("embedding")) /
+        sqrt(norm2(col("pe")) * norm2(col("embedding"))))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    orderedAll(pairs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("pid"), col("vec_id").as("nid"),
+        col("rn").cast("long").as("rn"), round(col("cos"), 4).as("sim")))
+  }
+
+  /** Per-label centroid, flattened to (label, dim 1..64, mean) rows —
+    * partial-mergeable per (label, pos), the combiner pattern. */
+  def qVectorCentroid(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").cast("double").as("v"))
+      .groupBy("label", "pos")
+      .agg(round(avg(col("v")), 4).as("c")))
+
+  /** Profiling filter on the partial L2 norm of the first 16 dims (the
+    * full-vector norm is ≈1 for every row — unit-normalized corpus). */
+  def qVectorNormFilter(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .withColumn("norm16", sqrt(norm2(slice(col("embedding"), 1, 16))))
+    orderedAll(emb
+      .filter(col("norm16") >= 0.45 && col("norm16") < 0.55)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), round(avg(col("norm16")), 4).as("avg_n16")))
+  }
+}
