@@ -104,24 +104,58 @@ object Text {
       .groupBy("lang").agg(count(lit(1)).as("n_docs")))
   }
 
-  /** Near-duplicate pairs by token-set Jaccard ≥ 0.8 within lang='en',
-    * via the exact inverted-index pair join. Threshold in integer
-    * arithmetic (9·common ≥ 4·(|A|+|B|)) — no float compare. */
+  /** Near-duplicate pairs by token-set Jaccard ≥ 0.8 within lang='en'.
+    * Threshold in integer arithmetic (9·common ≥ 4·(|A|+|B|)) — no float
+    * compare.
+    *
+    * Two physical strategies behind one logical contract:
+    *  - vocabulary ≤ 64 distinct tokens (this corpus: 31): encode each
+    *    doc's token set as a 64-bit mask; common = bit_count(maskA AND
+    *    maskB). The pair join is a broadcast range join over compact
+    *    (doc_id, mask, nt) rows — no token-stream self-join. ~10× faster
+    *    here and the per-pair work is 3 ALU ops.
+    *  - larger vocabularies: exact inverted-index pair join (posting-list
+    *    self-join + pair count). The 100 TB path beyond that is
+    *    MinHash-LSH banding (same output contract, probabilistic recall).
+    * Strategy selection reads one scalar (the dictionary size) up front —
+    * the same kind of stats-driven choice AQE makes at shuffle points.
+    */
   def qDedupNear(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("lang") === "en")
     val dt = tokDf(docs).distinct()
-    val sz = dt.groupBy("doc_id").agg(count(lit(1)).as("nt"))
-    val pairs = dt.as("a")
-      .join(dt.as("b"), col("a.token") === col("b.token") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("common"))
-    orderedAll(pairs
-      .join(broadcast(sz).withColumnRenamed("doc_id", "a_id")
-        .withColumnRenamed("nt", "na"), "a_id")
-      .join(broadcast(sz).withColumnRenamed("doc_id", "b_id")
-        .withColumnRenamed("nt", "nb"), "b_id")
-      .filter(col("common") * 9 >= (col("na") + col("nb")) * 4)
-      .select("a_id", "b_id", "common", "na", "nb"))
+    // Deterministic dense token ids: alphabetical rank (dictionary is tiny
+    // by construction — single-partition window over ≤ |vocab| rows).
+    val dict = dt.select("token").distinct()
+      .withColumn("tok_id",
+        row_number().over(Window.orderBy(col("token"))).cast("int") - 1)
+    if (dict.count() <= 64) {
+      val masks = dt.join(broadcast(dict), "token")
+        .groupBy("doc_id")
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), tok_id))").as("mask"),
+          count(lit(1)).as("nt"))
+      val a = masks.select(col("doc_id").as("a_id"), col("mask").as("ma"),
+        col("nt").as("na"))
+      val b = masks.select(col("doc_id").as("b_id"), col("mask").as("mb"),
+        col("nt").as("nb"))
+      orderedAll(a.join(broadcast(b), col("a_id") < col("b_id"))
+        .withColumn("common",
+          expr("CAST(bit_count(ma & mb) AS BIGINT)"))
+        .filter(col("common") * 9 >= (col("na") + col("nb")) * 4)
+        .select("a_id", "b_id", "common", "na", "nb"))
+    } else {
+      val sz = dt.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val pairs = dt.as("a")
+        .join(dt.as("b"), col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("common"))
+      orderedAll(pairs
+        .join(broadcast(sz).withColumnRenamed("doc_id", "a_id")
+          .withColumnRenamed("nt", "na"), "a_id")
+        .join(broadcast(sz).withColumnRenamed("doc_id", "b_id")
+          .withColumnRenamed("nt", "nb"), "b_id")
+        .filter(col("common") * 9 >= (col("na") + col("nb")) * 4)
+        .select("a_id", "b_id", "common", "na", "nb"))
+    }
   }
 }

