@@ -186,7 +186,8 @@ object Oracles {
       """SELECT * FROM (
         |  SELECT c_custkey AS custkey FROM customer
         |  EXCEPT
-        |  SELECT o_custkey AS custkey FROM orders)
+        |  SELECT o_custkey AS custkey FROM orders
+        |  WHERE o_totalprice > 400000)
         |ORDER BY ALL""".stripMargin,
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem

@@ -248,9 +248,13 @@ object Relational {
       .intersect(t(s, dir, "orders").filter(col("o_orderstatus") === "O")
         .select(col("o_custkey").as("custkey"))))
 
+  /** Custkeys minus custkeys with a >400k order (every customer has SOME
+    * order in this data, so the plain customer∖orders difference is
+    * degenerate-empty at every SF). */
   def qExcept(s: SparkSession, dir: String): DataFrame =
     orderedAll(t(s, dir, "customer").select(col("c_custkey").as("custkey"))
-      .except(t(s, dir, "orders").select(col("o_custkey").as("custkey"))))
+      .except(t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("custkey"))))
 
   def qDistinct(s: SparkSession, dir: String): DataFrame =
     orderedAll(t(s, dir, "lineitem")

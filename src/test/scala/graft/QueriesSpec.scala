@@ -1,0 +1,32 @@
+package graft
+
+/** Smoke layer: every declared query builds, executes, and returns a sane
+  * shape on sf0.001. Queries whose sf0.001 result is legitimately empty
+  * (no duplicate texts exist there; the HAVING threshold is calibrated for
+  * sf0.01) are exempted from the rows>0 check but still must execute. */
+class QueriesSpec extends SparkSpec {
+
+  private val mayBeEmpty = Set("q_dedup_exact", "q_agg_having")
+
+  test("queries and oracleSql keys line up") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
+    val omitted = q.diff(o)
+    assert(omitted == Set("q_approx_distinct"),
+      s"unexpected oracle omissions: $omitted")
+  }
+
+  test("entry() is non-empty") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name executes on sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+}
