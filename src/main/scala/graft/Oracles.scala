@@ -192,7 +192,70 @@ object Oracles {
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY ALL""".stripMargin
-  ) ++ scalarSql ++ windowSql ++ textSql ++ vectorSql
+  ) ++ scalarSql ++ windowSql ++ textSql ++ vectorSql ++ pipelineSql
+
+  // ---- §2.14 pipeline extensions (sketch queries intentionally have no
+  // oracle: they hinge on Spark's xxhash64/murmur3) ----
+  private def pipelineSql: Map[String, String] = Map(
+    "q_lang_score" ->
+      """WITH tok AS (SELECT doc_id, lang, token FROM (
+        |        SELECT doc_id, lang,
+        |               unnest(string_split(lower(text), ' ')) AS token
+        |        FROM documents) WHERE token <> ''),
+        |profile AS (SELECT lang, token, count(*) AS cnt FROM tok
+        |            GROUP BY 1, 2),
+        |tot AS (SELECT lang, count(*) AS tot FROM tok GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT token) AS v FROM tok),
+        |probe AS (SELECT doc_id, token, count(*) AS k FROM tok
+        |          WHERE doc_id < 50 GROUP BY 1, 2)
+        |SELECT probe.doc_id, tot.lang AS cand,
+        |       round(sum(probe.k *
+        |         ln((coalesce(profile.cnt, 0) + 1.0) / (tot.tot + vocab.v))),
+        |         4) AS score
+        |FROM probe CROSS JOIN tot
+        |LEFT JOIN profile ON profile.token = probe.token
+        |                 AND profile.lang = tot.lang
+        |CROSS JOIN vocab
+        |GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id, lang, n_toks, n_distinct, n_chars,
+        |       round(CAST(n_distinct AS DOUBLE) / n_toks, 4) AS ttr,
+        |       round(CAST(n_chars - (n_toks - 1) AS DOUBLE) / n_toks, 4)
+        |         AS avg_tok_len,
+        |       round(ln(n_chars + 1) *
+        |             round(CAST(n_distinct AS DOUBLE) / n_toks, 4), 4)
+        |         AS quality
+        |FROM (SELECT doc_id, lang, n_chars,
+        |        CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+        |          AS n_toks,
+        |        CAST(len(list_distinct(string_split(lower(text), ' ')))
+        |          AS BIGINT) AS n_distinct
+        |      FROM documents) ORDER BY ALL""".stripMargin,
+    "q_token_count" ->
+      """SELECT lang,
+        |       CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+        |       CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT)
+        |         AS subword_tokens,
+        |       round(avg(n_ws), 4) AS avg_ws_tokens
+        |FROM (SELECT lang, n_chars,
+        |        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_ws
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(lower(text), ' '),
+        |             t -> CAST(ascii(t[1]) * 64 + len(t) AS BIGINT))),
+        |         (h, c) -> (h * 1000003 + c) % 2147483647) AS fp
+        |FROM documents WHERE doc_id < 100 ORDER BY ALL""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       lang,
+        |       octet_length(encode(text)) > 200 AS is_large
+        |FROM documents ORDER BY ALL""".stripMargin
+  )
 
   // ---- §2.10 text + §2.11 dedup ----
   private def textSql: Map[String, String] = Map(

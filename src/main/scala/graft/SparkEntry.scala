@@ -82,7 +82,19 @@ object SparkEntry {
     // §2.12 similarity search
     "q_knn_cosine" -> Vectors.qKnnCosine _,
     "q_vector_centroid" -> Vectors.qVectorCentroid _,
-    "q_vector_norm_filter" -> Vectors.qVectorNormFilter _
+    "q_vector_norm_filter" -> Vectors.qVectorNormFilter _,
+    // §2.14 LLM-pipeline extensions: scoring / counting / fingerprints
+    "q_lang_score" -> Pipeline.qLangScore _,
+    "q_quality_score" -> Pipeline.qQualityScore _,
+    "q_token_count" -> Pipeline.qTokenCount _,
+    "q_fingerprint" -> Pipeline.qFingerprint _,
+    // §2.14 sketches (rows-only: Spark-hash-dependent, no SQL oracle)
+    "q_dedup_minhash" -> Sketches.qDedupMinhash _,
+    "q_dedup_simhash" -> Sketches.qDedupSimhash _,
+    "q_ann_lsh" -> Sketches.qAnnLsh _,
+    // §2.14 multimodal columns
+    "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
+    "q_multimodal_features" -> Multimodal.qMultimodalFeatures _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline text scoring (beyond SURVEY §2.10; declared in
+  * SURVEY §2.14): language-ID scoring, quality scoring, token counting,
+  * and document fingerprinting. All built-in expressions, all with DuckDB
+  * oracles.
+  *
+  * Scale shape: the per-doc scores are pure projections (no shuffle); the
+  * language profiles are one small aggregate that would be broadcast on a
+  * cluster exactly as here.
+  */
+object Pipeline {
+
+  /** Additive-smoothed naive-Bayes language scores: for each probe doc
+    * (doc_id<50) and each candidate language, Σ_tokens ln((cnt(tok,lang)+1)
+    * / (tot(lang)+V)). Emits the score matrix, NOT an argmax — the corpus
+    * vocabulary is shared across languages, so scores are near-ties and an
+    * argmax would be FP-ambiguous across engines (SURVEY §5.3 spirit). */
+  def qLangScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val profile = tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val tot = tok.groupBy("lang").agg(count(lit(1)).as("tot"))
+    val vocab = tok.agg(countDistinct(col("token")).as("v"))
+    val probe = tok.filter(col("doc_id") < 50)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("k"))
+      .withColumnRenamed("token", "p_token")
+    val langs = tot.select(col("lang").as("cand"), col("tot"))
+    val prof = profile.select(col("lang").as("pr_lang"),
+      col("token").as("pr_token"), col("cnt"))
+    orderedAll(probe
+      .crossJoin(broadcast(langs))
+      .join(broadcast(prof),
+        col("p_token") === col("pr_token") && col("cand") === col("pr_lang"),
+        "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("contrib", col("k") *
+        log((coalesce(col("cnt"), lit(0L)) + lit(1.0)) /
+          (col("tot") + col("v"))))
+      .groupBy(col("doc_id"), col("cand"))
+      .agg(round(sum(col("contrib")), 4).as("score")))
+  }
+
+  /** Per-doc quality profile: token counts, type-token ratio, average
+    * token length (exact, from single-space-joined text), and a composite
+    * score. Everything derives from integers → cross-engine exact. */
+  def qQualityScore(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        col("n_chars"))
+      .withColumn("ttr",
+        round(col("n_distinct").cast("double") / col("n_toks"), 4))
+      .withColumn("avg_tok_len",
+        round((col("n_chars") - (col("n_toks") - 1)).cast("double") /
+          col("n_toks"), 4))
+      .withColumn("quality", round(log(col("n_chars") + 1) * col("ttr"), 4)))
+
+  /** Token counting two ways per language: whitespace tokens and the
+    * chars/4 subword (BPE-ish) estimate used for LLM budget accounting. */
+  def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "documents")
+      .withColumn("n_ws", size(tokens(col("text"))).cast("long"))
+      .withColumn("n_subword",
+        ceil(col("n_chars").cast("double") / 4.0).cast("long"))
+      .groupBy("lang")
+      .agg(sum(col("n_ws")).as("ws_tokens"),
+        sum(col("n_subword")).as("subword_tokens"),
+        round(avg(col("n_ws")), 4).as("avg_ws_tokens")))
+
+  /** Rabin-Karp-style rolling fingerprint of the token sequence (doc_id <
+    * 100): fold h → (h·1000003 + code(tok)) mod (2³¹−1), where code is an
+    * engine-portable integer image of the token (first-char code and
+    * length). Order-sensitive by construction — permuted docs differ. */
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), expr(
+        """aggregate(toks, CAST(0 AS BIGINT),
+          |  (h, t) -> (h * 1000003L +
+          |             (ascii(substring(t, 1, 1)) * 64 + length(t)))
+          |            % 2147483647L)""".stripMargin).as("fp")))
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sketch-based dedup and ANN (SURVEY §2.14) — the probabilistic scale
+  * paths whose exact twins live in Text/Vectors. No SQL oracles (the
+  * sketches hinge on Spark's xxhash64/murmur3, which DuckDB cannot
+  * reproduce); graded rows-only by the driver and bounded against the
+  * exact algorithms in ScalaTest.
+  *
+  * All sketches are deterministic: fixed-seed hash functions, no rand().
+  * At 100 TB these are the algorithms that matter — signatures are
+  * per-row projections, banding turns the O(n²) pair space into
+  * bucket-local joins, and every aggregate is partial-mergeable.
+  */
+object Sketches {
+
+  /** MinHash + LSH near-dup: 16 minhashes per doc (xxhash64 with the band
+    * index salted into the key), 8 bands × 2 rows, candidate pairs from
+    * band-bucket collisions, then EXACT verification (array_intersect
+    * Jaccard ≥ 0.8) — precision 1.0 vs q_dedup_near, recall governed by
+    * the band scheme (≥ 1−(1−J²)⁸ ≈ 0.9997 at J = 0.8). */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("lang") === "en")
+      .withColumn("toks", array_distinct(tokens(col("text"))))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("nt"))
+    val sigs = docs.withColumn("sig", expr(
+      """transform(sequence(0, 15), j ->
+        |  array_min(transform(toks, t ->
+        |    xxhash64(concat(CAST(j AS STRING), ':', t)))))""".stripMargin))
+    val bands = sigs.select(col("doc_id"), explode(expr(
+      """transform(sequence(0, 7), b ->
+        |  struct(b AS band,
+        |         hash(element_at(sig, 2*b+1), element_at(sig, 2*b+2))
+        |           AS bkey))""".stripMargin)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val da = docs.select(col("doc_id").as("a_id"), col("toks").as("ta"),
+      col("nt").as("na"))
+    val db = docs.select(col("doc_id").as("b_id"), col("toks").as("tb"),
+      col("nt").as("nb"))
+    orderedAll(cand
+      .join(broadcast(da), "a_id").join(broadcast(db), "b_id")
+      .withColumn("common",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(col("common") * 9 >= (col("na") + col("nb")) * 4)
+      .select("a_id", "b_id", "common", "na", "nb"))
+  }
+
+  /** SimHash near-dup: 64-bit signature (bit k set iff the tf-unweighted
+    * ±1 vote of token hashes at bit k is positive), pairs with Hamming
+    * distance ≤ 8 among en docs. */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("lang") === "en")
+      .withColumn("toks", array_distinct(tokens(col("text"))))
+      .withColumn("hs", expr("transform(toks, t -> xxhash64(t))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, k) ->
+          |  acc + IF(aggregate(hs, 0,
+          |             (v, h) -> v + IF((shiftright(h, k) & 1) = 1, 1, -1))
+          |           > 0,
+          |           shiftleft(CAST(1 AS BIGINT), k), CAST(0 AS BIGINT)))"""
+          .stripMargin))
+      .select(col("doc_id"), col("simhash"))
+    val a = docs.select(col("doc_id").as("a_id"), col("simhash").as("sa"))
+    val b = docs.select(col("doc_id").as("b_id"), col("simhash").as("sb"))
+    orderedAll(a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter(col("hamming") <= 8)
+      .select("a_id", "b_id", "hamming"))
+  }
+
+  /** LSH-bucketed approximate nearest neighbours: 8 deterministic
+    * pseudo-hyperplanes (±1 pattern from xxhash64 parity), sign-bit
+    * bucket, probes join only their bucket, cosine top-5 within it.
+    * The brute-force exact twin is q_knn_cosine; recall here is whatever
+    * the 8-bit partition gives (tested, not graded). */
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val bucketExpr = expr(
+      """aggregate(sequence(0, 7), 0, (acc, j) ->
+        |  acc + IF(aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
+        |             (d, i) -> d + element_at(embedding, i + 1) *
+        |               IF(pmod(xxhash64(CAST(j * 64 + i AS STRING)), 2) = 0,
+        |                  CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)))
+        |           > 0,
+        |           shiftleft(1, j), 0))""".stripMargin)
+    val emb = t(s, dir, "embeddings").withColumn("bucket", bucketExpr)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+        col("bucket").as("pbucket"))
+    val pairs = emb.join(broadcast(probes),
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("pid"))
+      .withColumn("cos", Vectors.cosine(col("pe"), col("embedding")))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    orderedAll(pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("pid"), col("vec_id").as("nid"),
+        col("rn").cast("long").as("rn"), round(col("cos"), 4).as("sim")))
+  }
+}

@@ -23,14 +23,18 @@ import org.apache.spark.sql.functions._
 object Vectors {
 
   /** Σ aᵢ·bᵢ in double, sequential left fold (matches DuckDB list_sum). */
-  private def dot(a: Column, b: Column): Column =
+  private[ops] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b,
       (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  private def norm2(a: Column): Column =
+  private[ops] def norm2(a: Column): Column =
     aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity of two ArrayType(Float) columns, in double. */
+  private[ops] def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(norm2(a) * norm2(b))
 
   /** Brute-force k-NN: probes vec_id<10, top-5 cosine neighbors each. */
   def qKnnCosine(s: SparkSession, dir: String): DataFrame = {
@@ -38,8 +42,7 @@ object Vectors {
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("pid"), col("embedding").as("pe"))
     val pairs = emb.join(broadcast(probes), col("vec_id") =!= col("pid"))
-      .withColumn("cos", dot(col("pe"), col("embedding")) /
-        sqrt(norm2(col("pe")) * norm2(col("embedding"))))
+      .withColumn("cos", cosine(col("pe"), col("embedding")))
     val w = Window.partitionBy(col("pid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     orderedAll(pairs

@@ -13,7 +13,8 @@ class QueriesSpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
     val omitted = q.diff(o)
-    assert(omitted == Set("q_approx_distinct"),
+    assert(omitted == Set("q_approx_distinct", "q_dedup_minhash",
+      "q_dedup_simhash", "q_ann_lsh", "q_multimodal_features"),
       s"unexpected oracle omissions: $omitted")
   }
 

@@ -1,0 +1,80 @@
+package graft
+
+/** Bounds for the probabilistic sketch operators (no DuckDB oracle)
+  * against their exact twins. */
+class SketchesSpec extends SparkSpec {
+
+  private def exactPairs: Set[(Long, Long)] =
+    SparkEntry.queries("q_dedup_near")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash-LSH: precision 1.0 vs exact Jaccard, recall >= 0.8") {
+    val exact = exactPairs
+    val got = SparkEntry.queries("q_dedup_minhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), s"false positives: ${got.diff(exact).take(5)}")
+    if (exact.nonEmpty)
+      assert(got.size.toDouble / exact.size >= 0.8,
+        s"recall ${got.size}/${exact.size}")
+  }
+
+  test("simhash: exact-duplicate texts collide at hamming 0") {
+    // identical token sets → identical simhash; verify via a doc joined
+    // to itself through the pair pipeline (a<b filter excludes self, so
+    // check determinism instead: two runs agree bit-for-bit)
+    val r1 = SparkEntry.queries("q_dedup_simhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val r2 = SparkEntry.queries("q_dedup_simhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(r1 == r2)
+    assert(r1.forall { case (a, b, h) => a < b && h >= 0 && h <= 8 })
+  }
+
+  test("ann-lsh: reported sims are the true cosines; ranking consistent") {
+    val emb = Tables.table(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val rows = SparkEntry.queries("q_ann_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (pid, nid, _, sim) =>
+      assert(math.abs(sim - math.rint(cos(emb(pid), emb(nid)) * 1e4) / 1e4)
+        <= 1e-4 + 1e-9)
+    }
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b - 1e-9 })
+    }
+  }
+
+  test("multimodal features: deterministic and consistent with payload") {
+    val feats = SparkEntry.queries("q_multimodal_features")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables.table(spark, sf, "documents").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1).getBytes("UTF-8"), r.getLong(4))).toMap
+    assert(feats.length == docs.size)
+    feats.foreach { case (id, header, n) =>
+      val (bytes, nChars) = docs(id)
+      assert(n == nChars)
+      assert(header == bytes.take(8).foldLeft(0L)((a, b) => a + (b & 0xff)))
+    }
+  }
+
+  test("fingerprint is order-sensitive") {
+    import org.apache.spark.sql.functions._
+    val fps = SparkEntry.queries("q_fingerprint")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(fps.nonEmpty)
+    // distinct texts should overwhelmingly produce distinct fingerprints
+    val docs = Tables.table(spark, sf, "documents")
+      .filter(col("doc_id") < 100).collect()
+      .map(r => r.getString(1)).distinct.length
+    assert(fps.map(_._2).distinct.length >= docs - 2)
+  }
+}
