@@ -27,47 +27,86 @@ object Sketches {
       .withColumn("toks", array_distinct(tokens(col("text"))))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("nt"))
-    val sigs = docs.withColumn("sig", expr(
-      """transform(sequence(0, 15), j ->
-        |  array_min(transform(toks, t ->
-        |    xxhash64(concat(CAST(j AS STRING), ':', t)))))""".stripMargin))
-    val bands = sigs.select(col("doc_id"), explode(expr(
-      """transform(sequence(0, 7), b ->
-        |  struct(b AS band,
-        |         hash(element_at(sig, 2*b+1), element_at(sig, 2*b+2))
-        |           AS bkey))""".stripMargin)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    // Relational signature pipeline instead of per-row array lambdas: the
+    // (doc × hash-index × token) space streams through whole-stage codegen
+    // and the min/band aggregates are partial-mergeable — the shape that
+    // survives a 1000-executor fan-out (interpreted HOF folds don't).
+    val minh = docs
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .select(col("doc_id"), col("token"),
+        explode(expr("sequence(0, 15)")).as("j"))
+      .withColumn("h",
+        expr("xxhash64(concat(CAST(j AS STRING), ':', token))"))
+      .groupBy("doc_id", "j").agg(min(col("h")).as("mh"))
+    val bands = minh
+      .withColumn("band", expr("j div 2"))
+      .groupBy("doc_id", "band")
+      .agg(expr(
+        """xxhash64(concat(
+          |  CAST(min(CASE WHEN j % 2 = 0 THEN mh END) AS STRING), ':',
+          |  CAST(min(CASE WHEN j % 2 = 1 THEN mh END) AS STRING)))"""
+          .stripMargin).as("bkey"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val da = docs.select(col("doc_id").as("a_id"), col("toks").as("ta"),
-      col("nt").as("na"))
-    val db = docs.select(col("doc_id").as("b_id"), col("toks").as("tb"),
-      col("nt").as("nb"))
-    orderedAll(cand
-      .join(broadcast(da), "a_id").join(broadcast(db), "b_id")
-      .withColumn("common",
-        size(array_intersect(col("ta"), col("tb"))).cast("long"))
-      .filter(col("common") * 9 >= (col("na") + col("nb")) * 4)
-      .select("a_id", "b_id", "common", "na", "nb"))
+    // Exact verification of candidates. This corpus is dense (nearly every
+    // en-doc pair clears J=0.8), so the candidate set is ~all pairs —
+    // verify with the 64-bit popcount when the vocabulary fits (3 ALU ops
+    // per pair) and fall back to array_intersect otherwise.
+    val dt = docs.select(col("doc_id"), explode(col("toks")).as("token"))
+    val dict = dt.select("token").distinct()
+      .withColumn("tok_id",
+        row_number().over(Window.orderBy(col("token"))).cast("int") - 1)
+    if (dict.count() <= 64) {
+      val masks = dt.join(broadcast(dict), "token")
+        .groupBy("doc_id")
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), tok_id))").as("mask"),
+          count(lit(1)).as("nt"))
+      val ma = masks.select(col("doc_id").as("a_id"), col("mask").as("xa"),
+        col("nt").as("na"))
+      val mb = masks.select(col("doc_id").as("b_id"), col("mask").as("xb"),
+        col("nt").as("nb"))
+      orderedAll(cand
+        .join(broadcast(ma), "a_id").join(broadcast(mb), "b_id")
+        .withColumn("common", expr("CAST(bit_count(xa & xb) AS BIGINT)"))
+        .filter(col("common") * 9 >= (col("na") + col("nb")) * 4)
+        .select("a_id", "b_id", "common", "na", "nb"))
+    } else {
+      val da = docs.select(col("doc_id").as("a_id"), col("toks").as("ta"),
+        col("nt").as("na"))
+      val db = docs.select(col("doc_id").as("b_id"), col("toks").as("tb"),
+        col("nt").as("nb"))
+      orderedAll(cand
+        .join(broadcast(da), "a_id").join(broadcast(db), "b_id")
+        .withColumn("common",
+          size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .filter(col("common") * 9 >= (col("na") + col("nb")) * 4)
+        .select("a_id", "b_id", "common", "na", "nb"))
+    }
   }
 
   /** SimHash near-dup: 64-bit signature (bit k set iff the tf-unweighted
     * ±1 vote of token hashes at bit k is positive), pairs with Hamming
     * distance ≤ 8 among en docs. */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    // Same relational restructuring as qDedupMinhash: the 64·|tokens| bit
+    // votes stream as rows through codegen'd aggregates instead of nested
+    // interpreted folds (~5× faster here, partial-mergeable at scale).
     val docs = t(s, dir, "documents").filter(col("lang") === "en")
-      .withColumn("toks", array_distinct(tokens(col("text"))))
-      .withColumn("hs", expr("transform(toks, t -> xxhash64(t))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, k) ->
-          |  acc + IF(aggregate(hs, 0,
-          |             (v, h) -> v + IF((shiftright(h, k) & 1) = 1, 1, -1))
-          |           > 0,
-          |           shiftleft(CAST(1 AS BIGINT), k), CAST(0 AS BIGINT)))"""
-          .stripMargin))
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+      .select(col("doc_id"), col("h"),
+        explode(expr("sequence(0, 63)")).as("k"))
+      .withColumn("vote",
+        expr("IF((shiftright(h, k) & 1) = 1, 1, -1)"))
+      .groupBy("doc_id", "k").agg(sum(col("vote")).as("v"))
+      .groupBy("doc_id")
+      .agg(expr(
+        """sum(IF(v > 0, shiftleft(CAST(1 AS BIGINT), k),
+          |       CAST(0 AS BIGINT)))""".stripMargin).as("simhash"))
       .select(col("doc_id"), col("simhash"))
     val a = docs.select(col("doc_id").as("a_id"), col("simhash").as("sa"))
     val b = docs.select(col("doc_id").as("b_id"), col("simhash").as("sb"))
