@@ -1,0 +1,99 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for the vector hot path (SURVEY §2.13/§4.2
+  * stretch: a codegen'd Expression beats interpreted higher-order
+  * functions, which beat UDFs).
+  *
+  * Semantics are pinned to the portable definition used by the oracles:
+  * a sequential left fold over the 64 lanes, each float widened to double
+  * before multiply/accumulate — bit-identical to both the previous
+  * zip_with/aggregate formulation and DuckDB's list_sum(list_transform)
+  * (so swapping these in cannot move a rounded result).
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // internal-only expression: inputs are always ArrayType(FloatType)
+  // columns built by graft.ops.Vectors (no ExpectsInputTypes — the
+  // AbstractDataType hierarchy is sql-package-private in Spark 4)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_fdot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+/** Σ xᵢ² in double — squared L2 norm, same fold discipline as
+  * [[FloatVecDot]]. */
+case class FloatVecNorm2(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_fnorm2"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val v = x.getFloat(i).toDouble
+      s += v * v
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = (double) $a.getFloat($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(c)
+}

@@ -22,15 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Σ aᵢ·bᵢ in double, sequential left fold (matches DuckDB list_sum). */
+  /** Σ aᵢ·bᵢ in double, sequential left fold (matches DuckDB list_sum).
+    * Backed by the codegen'd [[graft.expressions.FloatVecDot]] — same fold
+    * order and widening as the zip_with/aggregate formulation it replaced,
+    * so results are bit-identical; only the execution is a tight generated
+    * loop instead of interpreted lambdas. */
   private[ops] def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b,
-      (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.GraftSql.column(graft.expressions.FloatVecDot(
+      org.apache.spark.sql.GraftSql.expression(a),
+      org.apache.spark.sql.GraftSql.expression(b)))
 
   private[ops] def norm2(a: Column): Column =
-    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.GraftSql.column(graft.expressions.FloatVecNorm2(
+      org.apache.spark.sql.GraftSql.expression(a)))
 
   /** Cosine similarity of two ArrayType(Float) columns, in double. */
   private[ops] def cosine(a: Column, b: Column): Column =

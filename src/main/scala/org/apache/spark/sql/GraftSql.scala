@@ -1,0 +1,19 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Package-placement shim: converting between user-facing Columns and
+  * custom Catalyst Expressions requires sql-package-private API in
+  * Spark 4 (Column wraps a ColumnNode; the bridge lives in
+  * org.apache.spark.sql.classic.ExpressionUtils). This one-object bridge
+  * in org.apache.spark.sql is the standard pattern open-source Spark
+  * extension libraries use. Nothing else in the codebase lives outside
+  * the graft package.
+  */
+object GraftSql {
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+}
