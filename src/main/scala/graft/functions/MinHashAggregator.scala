@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import scala.util.hashing.MurmurHash3
+
+/** Mergeable MinHash sketch as a typed Aggregator — the Spark-native form
+  * of the reference genre's `Reducer.reduce()` custom fold (SURVEY §2.13).
+  *
+  * IN = one token; BUF = OUT = the k running minima. `merge` is
+  * element-wise min, so the sketch is partial-aggregatable: Catalyst runs
+  * it map-side first (the combiner, for free) and the signature of a
+  * 100 TB partition-split corpus equals the single-pass signature. The
+  * estimated Jaccard of two docs is the fraction of agreeing lanes.
+  *
+  * This is the sketch-form twin of the relational MinHash pipeline in
+  * graft.ops.Sketches (which the graded q_dedup_minhash uses); kept as a
+  * first-class library component + spec.
+  */
+class MinHashAggregator(k: Int)
+    extends Aggregator[String, Array[Long], Array[Long]] {
+
+  private def h(j: Int, token: String): Long = {
+    // two independent 32-bit murmur lanes → one 64-bit value per lane j
+    val a = MurmurHash3.stringHash(token, j * 2 + 1)
+    val b = MurmurHash3.stringHash(token, j * 2 + 2)
+    (a.toLong << 32) | (b.toLong & 0xffffffffL)
+  }
+
+  override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+
+  override def reduce(buf: Array[Long], token: String): Array[Long] = {
+    var j = 0
+    while (j < k) {
+      val v = h(j, token)
+      if (v < buf(j)) buf(j) = v
+      j += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < k) {
+      if (b(j) < a(j)) a(j) = b(j)
+      j += 1
+    }
+    a
+  }
+
+  override def finish(r: Array[Long]): Array[Long] = r
+
+  override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+  override def outputEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+}
+
+object MinHashAggregator {
+  /** Estimated Jaccard similarity: fraction of agreeing signature lanes. */
+  def estimate(a: Array[Long], b: Array[Long]): Double = {
+    require(a.length == b.length)
+    a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+  }
+}
