@@ -310,6 +310,37 @@ object Oracles {
         |  SELECT lang, row_number() OVER (PARTITION BY text
         |           ORDER BY doc_id) AS rn FROM documents)
         |WHERE rn = 1 GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents WHERE lang = 'en'),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i,
+        |             toks FROM t),
+        |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS s
+        |       FROM p),
+        |sz AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT a_id, b_id, common, sa.ns AS na, sb.ns AS nb
+        |FROM pr JOIN sz sa ON a_id = sa.doc_id
+        |        JOIN sz sb ON b_id = sb.doc_id
+        |WHERE common * 4 >= sa.ns + sb.ns ORDER BY ALL""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT label, vec_id, embedding FROM embeddings),
+        |n AS (SELECT vec_id, list_sum(list_transform(generate_series(1, 64),
+        |        i -> CAST(embedding[i] AS DOUBLE)
+        |             * CAST(embedding[i] AS DOUBLE))) AS n2 FROM e),
+        |pr AS (SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+        |         list_sum(list_transform(generate_series(1, 64), i ->
+        |           CAST(a.embedding[i] AS DOUBLE)
+        |           * CAST(b.embedding[i] AS DOUBLE)))
+        |         / sqrt(na.n2 * nb.n2) AS cos
+        |       FROM e a JOIN e b ON a.label = b.label
+        |                        AND a.vec_id < b.vec_id
+        |       JOIN n na ON na.vec_id = a.vec_id
+        |       JOIN n nb ON nb.vec_id = b.vec_id)
+        |SELECT label, a_id, b_id, round(cos, 4) AS sim FROM pr
+        |WHERE cos >= 0.3 ORDER BY ALL""".stripMargin,
     "q_dedup_near" ->
       """WITH dt AS (SELECT DISTINCT doc_id, token FROM (
         |       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token

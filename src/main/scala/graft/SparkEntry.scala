@@ -79,6 +79,8 @@ object SparkEntry {
     "q_dedup_exact" -> Text.qDedupExact _,
     "q_dedup_keep_first" -> Text.qDedupKeepFirst _,
     "q_dedup_near" -> Text.qDedupNear _,
+    "q_dedup_ngram" -> Text.qDedupNgram _,
+    "q_dedup_embedding" -> Vectors.qDedupEmbedding _,
     // §2.12 similarity search
     "q_knn_cosine" -> Vectors.qKnnCosine _,
     "q_vector_centroid" -> Vectors.qVectorCentroid _,

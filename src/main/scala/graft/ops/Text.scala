@@ -104,6 +104,38 @@ object Text {
       .groupBy("lang").agg(count(lit(1)).as("n_docs")))
   }
 
+  /** Near-duplicate pairs by bigram-shingle Jaccard ≥ 1/3 within lang='en'
+    * — the n-gram modality of near-dup (SURVEY §2.14): shingles preserve
+    * local word order, so docs sharing vocabulary but not phrasing score
+    * far lower than under token-set Jaccard. Shingle space exceeds 64, so
+    * this is the inverted-index pair join (the bitmask trick no longer
+    * applies); integer-arithmetic threshold 4·common ≥ |A|+|B|. */
+  def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("lang") === "en")
+    val sh = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """filter(
+          |  transform(toks, (x, i) ->
+          |    CASE WHEN i < size(toks) - 1
+          |         THEN concat(x, ' ', toks[i + 1]) END),
+          |  b -> b IS NOT NULL)""".stripMargin)).as("shingle"))
+      .distinct()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+    orderedAll(pairs
+      .join(broadcast(sz).withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("ns", "na"), "a_id")
+      .join(broadcast(sz).withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("ns", "nb"), "b_id")
+      .filter(col("common") * 4 >= col("na") + col("nb"))
+      .select("a_id", "b_id", "common", "na", "nb"))
+  }
+
   /** Near-duplicate pairs by token-set Jaccard ≥ 0.8 within lang='en'.
     * Threshold in integer arithmetic (9·common ≥ 4·(|A|+|B|)) — no float
     * compare.

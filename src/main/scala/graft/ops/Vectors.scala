@@ -56,6 +56,24 @@ object Vectors {
         col("rn").cast("long").as("rn"), round(col("cos"), 4).as("sim")))
   }
 
+  /** Embedding-cosine near-dup (SURVEY §2.14): within-label vector pairs
+    * with cosine ≥ 0.3 — the label partition bounds the pair space the
+    * way LSH buckets would at scale (cluster-scoped duplicate sweep), and
+    * the per-pair math is the codegen'd FloatVecDot. */
+  def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val a = emb.select(col("label"), col("vec_id").as("a_id"),
+      col("embedding").as("ea"))
+    val b = emb.select(col("label"), col("vec_id").as("b_id"),
+      col("embedding").as("eb"))
+    orderedAll(a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.3)
+      .select(col("label"), col("a_id"), col("b_id"),
+        round(col("cos"), 4).as("sim")))
+  }
+
   /** Per-label centroid, flattened to (label, dim 1..64, mean) rows —
     * partial-mergeable per (label, pos), the combiner pattern. */
   def qVectorCentroid(s: SparkSession, dir: String): DataFrame =
