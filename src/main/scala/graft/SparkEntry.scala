@@ -96,7 +96,9 @@ object SparkEntry {
     "q_ann_lsh" -> Sketches.qAnnLsh _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
-    "q_multimodal_features" -> Multimodal.qMultimodalFeatures _
+    "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,
+    "q_multimodal_resize" -> Multimodal.qMultimodalResize _,
+    "q_multimodal_frames" -> Multimodal.qMultimodalFrames _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -45,6 +45,50 @@ object Multimodal {
     (header, payload.length.toLong)
   }
 
+  /** Resize/pad stage: every payload truncated or zero-padded to a fixed
+    * frame size — the byte-level analogue of image resize (the real
+    * resampling kernel would replace the slice, the fixed-output-shape
+    * contract is the point). Emits shape metadata + a content checksum,
+    * never the blob (SURVEY §5.3: no binary in graded output). */
+  def qMultimodalResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val target = 128
+    val resized = media(s, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val out = java.util.Arrays.copyOf(payload, target) // trunc or 0-pad
+        val checksum = out.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff))
+          % 2147483647L)
+        (id, out.length.toLong, math.min(payload.length, target).toLong,
+          checksum)
+      })
+      .toDF("doc_id", "frame_bytes", "content_bytes", "checksum")
+    orderedAll(resized)
+  }
+
+  /** Frame-sampling stage: every k-th 16-byte block of the payload, one
+    * output row per sampled frame (1→N, the video-frame-extraction shape).
+    * Emits per-frame offsets + checksums. */
+  def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val block = 16
+    val stride = 4 // sample every 4th block
+    val frames = media(s, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val nBlocks = payload.length / block
+        (0 until nBlocks by stride).map { b =>
+          val frame = payload.slice(b * block, (b + 1) * block)
+          val checksum = frame.foldLeft(0L)((a, x) => a * 31 + (x & 0xff))
+          (id, b.toLong, checksum)
+        }
+      }
+      .toDF("doc_id", "block_idx", "checksum")
+    orderedAll(frames)
+  }
+
   /** Batch feature extraction over the binary column via mapPartitions —
     * the genuinely imperative per-row stage (SURVEY §2.13 allows RDD-style
     * logic only here). Rows-only graded; determinism tested. */

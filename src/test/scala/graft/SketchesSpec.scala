@@ -66,6 +66,38 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("multimodal resize: fixed frame shape, checksums match payload bytes") {
+    val rows = SparkEntry.queries("q_multimodal_resize")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val docs = Tables.table(spark, sf, "documents").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    assert(rows.nonEmpty && rows.forall(_._2 == 128L))
+    rows.foreach { case (id, _, contentBytes, checksum) =>
+      val out = java.util.Arrays.copyOf(docs(id), 128)
+      assert(contentBytes == math.min(docs(id).length, 128).toLong)
+      assert(checksum == out.foldLeft(0L)((a, b) =>
+        (a * 31 + (b & 0xff)) % 2147483647L))
+    }
+  }
+
+  test("multimodal frames: every 4th 16-byte block, correct checksums") {
+    val rows = SparkEntry.queries("q_multimodal_frames")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables.table(spark, sf, "documents").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_._1)
+    byDoc.foreach { case (id, fs) =>
+      val expectBlocks = (0 until docs(id).length / 16 by 4).map(_.toLong)
+      assert(fs.map(_._2).sorted.toSeq == expectBlocks)
+      fs.foreach { case (_, b, checksum) =>
+        val frame = docs(id).slice(b.toInt * 16, (b.toInt + 1) * 16)
+        assert(checksum == frame.foldLeft(0L)((a, x) => a * 31 + (x & 0xff)))
+      }
+    }
+  }
+
   test("fingerprint is order-sensitive") {
     import org.apache.spark.sql.functions._
     val fps = SparkEntry.queries("q_fingerprint")(spark, sf).collect()
