@@ -122,16 +122,18 @@ object Text {
           |  b -> b IS NOT NULL)""".stripMargin)).as("shingle"))
       .distinct()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
+    // Exact size-ratio pruning (AllPairs-style): common ≤ min(|A|,|B|), so
+    // 4·common ≥ |A|+|B| is impossible when the sizes differ by more than
+    // 3× — filter those pairs inside the posting join, before the
+    // per-pair aggregate ever sees them.
+    val shN = sh.join(broadcast(sz), "doc_id")
+    orderedAll(shN.as("a")
+      .join(shN.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.ns") <= col("b.ns") * 3 && col("b.ns") <= col("a.ns") * 3)
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("common"))
-    orderedAll(pairs
-      .join(broadcast(sz).withColumnRenamed("doc_id", "a_id")
-        .withColumnRenamed("ns", "na"), "a_id")
-      .join(broadcast(sz).withColumnRenamed("doc_id", "b_id")
-        .withColumnRenamed("ns", "nb"), "b_id")
+      .agg(count(lit(1)).as("common"), min(col("a.ns")).as("na"),
+        min(col("b.ns")).as("nb"))
       .filter(col("common") * 4 >= col("na") + col("nb"))
       .select("a_id", "b_id", "common", "na", "nb"))
   }
