@@ -47,7 +47,21 @@ object Tables {
       "embedding" -> ArrayType(FloatType), "label" -> IntegerType)
   )
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  // Plan cache: spark.read.parquet lists the directory and reads footers
+  // on every call; with ~70 queries × several tables each that fixed cost
+  // adds seconds per harness run. DataFrames are immutable logical plans,
+  // so reusing one per (session, dir, table) is safe.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String),
+      DataFrame]()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.computeIfAbsent(
+      (System.identityHashCode(spark).toString, sfDir, name),
+      _ => load(spark, sfDir, name))
+
+  private def load(spark: SparkSession, sfDir: String,
+      name: String): DataFrame = {
     val expected = schemas.getOrElse(name,
       throw new IllegalArgumentException(s"unknown table: $name"))
     // events.ts is Parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
