@@ -150,6 +150,34 @@ object Oracles {
     // q_approx_distinct: intentionally omitted (estimate is engine-specific;
     // bounded vs exact in ScalaTest — SURVEY §2.4).
 
+    "q_pivot" ->
+      """SELECT user_id,
+        |       count(*) FILTER (event_type = 'click') AS click,
+        |       count(*) FILTER (event_type = 'error') AS error,
+        |       count(*) FILTER (event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (event_type = 'signup') AS signup,
+        |       count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_percentile" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_stats" ->
+      """SELECT l_returnflag,
+        |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |       round(corr(l_quantity, l_extendedprice), 4)
+        |         AS corr_qty_price,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_string_agg" ->
+      """SELECT r_name,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |       count(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+
     // ---- §2.6 sorts / top-k ----
     "q_orderby_limit" ->
       """SELECT * FROM (

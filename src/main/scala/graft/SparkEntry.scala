@@ -40,6 +40,10 @@ object SparkEntry {
     "q_agg_cube" -> Relational.qAggCube _,
     "q_agg_grouping_sets" -> Relational.qAggGroupingSets _,
     "q_approx_distinct" -> Relational.qApproxDistinct _,
+    "q_pivot" -> Relational.qPivot _,
+    "q_percentile" -> Relational.qPercentile _,
+    "q_stats" -> Relational.qStats _,
+    "q_string_agg" -> Relational.qStringAgg _,
     "q_join_asof" -> Windows.qJoinAsof _,
     // §2.5 window functions
     "q_window_rank" -> Windows.qWindowRank _,

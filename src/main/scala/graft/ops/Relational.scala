@@ -205,6 +205,49 @@ object Relational {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         count(lit(1)).as("n")))
 
+  /** Pivot: event_type counts widened to one column per type. Spark's
+    * .pivot() with an explicit value list (no extra distinct-scan job);
+    * oracle uses FILTER aggregates — the dialect-neutral spelling. */
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    orderedAll(t(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types))
+  }
+
+  /** Exact interpolated percentiles (median, p90) per order priority —
+    * both engines sort-and-interpolate identically. */
+  def qPercentile(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n")))
+
+  /** Second-moment statistics: stddev / correlation per return flag. */
+  def qStats(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("corr_qty_price"),
+        count(lit(1)).as("n")))
+
+  /** Ordered string aggregation: nation names per region, sorted then
+    * joined — the deterministic listagg (SURVEY §5.3: sort_array before
+    * any collect_list in graded output). */
+  def qStringAgg(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(concat_ws(",", sort_array(collect_list(col("n_name"))))
+        .as("nations"), count(lit(1)).as("n")))
+
   // ---- §2.6 sorts / top-k ----------------------------------------------
 
   /** Global top-k: planned as TakeOrderedAndProject (per-partition heaps +
