@@ -121,19 +121,38 @@ object Text {
           |         THEN concat(x, ' ', toks[i + 1]) END),
           |  b -> b IS NOT NULL)""".stripMargin)).as("shingle"))
       .distinct()
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-    // Exact size-ratio pruning (AllPairs-style): common ≤ min(|A|,|B|), so
-    // 4·common ≥ |A|+|B| is impossible when the sizes differ by more than
-    // 3× — filter those pairs inside the posting join, before the
-    // per-pair aggregate ever sees them.
-    val shN = sh.join(broadcast(sz), "doc_id")
-    orderedAll(shN.as("a")
-      .join(shN.as("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id") &&
-        col("a.ns") <= col("b.ns") * 3 && col("b.ns") <= col("a.ns") * 3)
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("common"), min(col("a.ns")).as("na"),
-        min(col("b.ns")).as("nb"))
+    // Multi-word bitset strategy: the shingle vocabulary (~900 here) does
+    // not fit one 64-bit mask, so each doc carries an array<long> bitmap
+    // and the pair join computes |A∩B| with the codegen popcount-of-AND
+    // expression — W ALU ops per pair instead of a posting-list join over
+    // head-heavy shingle postings (ubiquitous shingles appear in ~half
+    // the docs, so posting self-join cost concentrates in a few keys).
+    // Size-ratio pruning (4·common ≥ |A|+|B| needs sizes within 3×) still
+    // applies in the join condition.
+    val dict = sh.select("shingle").distinct()
+      .withColumn("sid",
+        row_number().over(Window.orderBy(col("shingle"))).cast("int") - 1)
+    val words = (dict.count() / 64 + 1).toInt
+    val bitmaps = sh.join(broadcast(dict), "shingle")
+      .groupBy("doc_id")
+      .agg(collect_list(col("sid")).as("sids"), count(lit(1)).as("ns"))
+      .withColumn("bm", expr(
+        s"""aggregate(sids, array_repeat(CAST(0 AS BIGINT), $words),
+           |  (acc, t) -> transform(acc, (x, i) ->
+           |    IF(i = CAST(t div 64 AS INT),
+           |       x | shiftleft(CAST(1 AS BIGINT), CAST(t % 64 AS INT)),
+           |       x)))""".stripMargin))
+      .select("doc_id", "bm", "ns")
+    val a = bitmaps.select(col("doc_id").as("a_id"), col("bm").as("ba"),
+      col("ns").as("na"))
+    val b = bitmaps.select(col("doc_id").as("b_id"), col("bm").as("bb"),
+      col("ns").as("nb"))
+    orderedAll(a.join(broadcast(b), col("a_id") < col("b_id") &&
+        col("na") <= col("nb") * 3 && col("nb") <= col("na") * 3)
+      .withColumn("common", org.apache.spark.sql.GraftSql.column(
+        graft.expressions.LongVecAndPopcount(
+          org.apache.spark.sql.GraftSql.expression(col("ba")),
+          org.apache.spark.sql.GraftSql.expression(col("bb")))))
       .filter(col("common") * 4 >= col("na") + col("nb"))
       .select("a_id", "b_id", "common", "na", "nb"))
   }
