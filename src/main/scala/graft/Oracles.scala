@@ -40,7 +40,9 @@ object Oracles {
 
     // ---- §2.2 filters ----
     "q_filter_pred" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
+        |                     CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 2)
+        |         AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'

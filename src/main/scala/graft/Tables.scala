@@ -50,15 +50,18 @@ object Tables {
   // Plan cache: spark.read.parquet lists the directory and reads footers
   // on every call; with ~70 queries × several tables each that fixed cost
   // adds seconds per harness run. DataFrames are immutable logical plans,
-  // so reusing one per (session, dir, table) is safe.
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String),
-      DataFrame]()
+  // so reusing one per (session, dir, table) is safe. Keyed weakly on the
+  // session itself (not an identity-hash string, which can collide or be
+  // reused after GC), so plans die with their session.
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cache.computeIfAbsent(
-      (System.identityHashCode(spark).toString, sfDir, name),
-      _ => load(spark, sfDir, name))
+    cache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[(String, String),
+          DataFrame]())
+      .computeIfAbsent((sfDir, name), _ => load(spark, sfDir, name))
 
   private def load(spark: SparkSession, sfDir: String,
       name: String): DataFrame = {

@@ -42,7 +42,7 @@ object Relational {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+      .agg(dsumExact(dmoney(col("l_extendedprice")) * dfrac(col("l_discount")))
         .as("revenue"))
 
   def qFilterInLike(s: SparkSession, dir: String): DataFrame =

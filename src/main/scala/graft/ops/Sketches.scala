@@ -23,8 +23,12 @@ object Sketches {
     * Jaccard ≥ 0.8) — precision 1.0 vs q_dedup_near, recall governed by
     * the band scheme (≥ 1−(1−J²)⁸ ≈ 0.9997 at J = 0.8). */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    // array_remove("") keeps the token universe identical to the exact
+    // contract twin q_dedup_near (Text.tokDf drops empty tokens), so the
+    // Jaccard denominators — and the precision-1.0 guarantee — line up.
     val docs = t(s, dir, "documents").filter(col("lang") === "en")
-      .withColumn("toks", array_distinct(tokens(col("text"))))
+      .withColumn("toks",
+        array_remove(array_distinct(tokens(col("text"))), ""))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("nt"))
     // Relational signature pipeline instead of per-row array lambdas: the
@@ -96,7 +100,8 @@ object Sketches {
     // interpreted folds (~5× faster here, partial-mergeable at scale).
     val docs = t(s, dir, "documents").filter(col("lang") === "en")
       .select(col("doc_id"),
-        explode(array_distinct(tokens(col("text")))).as("token"))
+        explode(array_remove(array_distinct(tokens(col("text"))), ""))
+          .as("token"))
       .withColumn("h", xxhash64(col("token")))
       .select(col("doc_id"), col("h"),
         explode(expr("sequence(0, 63)")).as("k"))

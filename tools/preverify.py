@@ -77,9 +77,10 @@ def main(sf_dir, out_dir):
             continue
         spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
         if name not in oracle:
-            ok.append((name, f"rows-only ({len(spark_df)} rows, no oracle)"))
             if len(spark_df) == 0:
                 bad.append((name, "rows-only check but 0 rows"))
+            else:
+                ok.append((name, f"rows-only ({len(spark_df)} rows, no oracle)"))
             continue
         try:
             duck_df = con.sql(oracle[name]).df()
