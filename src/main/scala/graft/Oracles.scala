@@ -38,6 +38,74 @@ object Oracles {
         .map(n => s"SELECT '$n' AS table_name, count(*) AS n FROM $n")
         .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY ALL"),
 
+    "q_source_orc" ->
+      s"""SELECT s_nationkey, count(*) AS n, ${dsum("s_acctbal")} AS bal
+         |FROM supplier WHERE s_acctbal > 0
+         |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_sink_partitioned" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 4) AS sv,
+        |       max(epoch_us(ts)) AS last_us
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.15 subqueries / recursive CTE / sampling / funnel ----
+    "q_subquery_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 400000)
+        |ORDER BY ALL""".stripMargin,
+    "q_subquery_scalar" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT count(*) FROM orders o2
+        |       WHERE o2.o_orderpriority = o.o_orderpriority)
+        |    > 2 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |           FROM orders o2
+        |           WHERE o2.o_orderpriority = o.o_orderpriority)
+        |ORDER BY ALL""".stripMargin,
+    "q_cte_recursive" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12
+        |)
+        |SELECT m, count(o_orderkey) AS n,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |             AS DOUBLE), 2) AS total
+        |FROM months LEFT JOIN orders ON month(o_orderdate) = m
+        |GROUP BY m ORDER BY ALL""".stripMargin,
+    "q_sample_det" ->
+      s"""SELECT l_returnflag, count(*) AS n, ${dsum("l_extendedprice")} AS total
+         |FROM lineitem
+         |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+         |                 CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'
+         |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_funnel" ->
+      """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS first_signup
+        |           FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT user_id, epoch_us(ts) AS pus
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT s.user_id, s.first_signup, count(p.pus) AS n_purch_7d
+        |FROM s LEFT JOIN p ON p.user_id = s.user_id
+        |  AND p.pus >= s.first_signup
+        |  AND p.pus < s.first_signup + 604800000000
+        |GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+    "q_join_salted" ->
+      s"""SELECT c_mktsegment, count(*) AS n, ${dsum("o_totalprice")} AS total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_join_range" ->
+      s"""SELECT band, count(*) AS n, ${dsum("o_totalprice")} AS total
+         |FROM orders JOIN (VALUES
+         |    (0, 50000, 'b0_lt50k'), (50000, 100000, 'b1_50_100k'),
+         |    (100000, 200000, 'b2_100_200k'), (200000, 300000, 'b3_200_300k'),
+         |    (300000, 400000, 'b4_300_400k'), (400000, 1000000, 'b5_ge400k')
+         |  ) AS b(lo, hi, band)
+         |  ON o_totalprice >= lo AND o_totalprice < hi
+         |GROUP BY 1 ORDER BY ALL""".stripMargin,
+
     // ---- §2.2 filters ----
     "q_filter_pred" ->
       """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
@@ -331,6 +399,18 @@ object Oracles {
         |       round(avg(n_chars), 4) AS avg_chars,
         |       count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_token_entropy" ->
+      """WITH c AS (
+        |  SELECT lang, token, count(*) AS n FROM (
+        |    SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+        |    FROM documents) WHERE token <> '' GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.lang,
+        |       round(-sum((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) *
+        |                  log2(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 4)
+        |         AS entropy,
+        |       count(DISTINCT token) AS vocab
+        |FROM c JOIN tot USING (lang) GROUP BY 1 ORDER BY ALL""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS first_doc
         |FROM documents GROUP BY 1 HAVING count(*) > 1
@@ -417,6 +497,15 @@ object Oracles {
         |FROM embeddings
         |CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
         |GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+    "q_vector_quantize" ->
+      """WITH u AS (
+        |  SELECT vec_id,
+        |         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings WHERE vec_id < 50),
+        |m AS (SELECT vec_id, max(abs(v)) AS mx FROM u GROUP BY 1)
+        |SELECT u.vec_id, u.pos, CAST(floor(v * 127.0 / mx) AS INT) AS q
+        |FROM u JOIN m USING (vec_id) ORDER BY ALL""".stripMargin,
     "q_vector_norm_filter" ->
       """SELECT label, count(*) AS n, round(avg(norm16), 4) AS avg_n16
         |FROM (SELECT label,
@@ -513,6 +602,26 @@ object Oracles {
         |       us - lag(us) OVER (PARTITION BY user_id
         |                          ORDER BY us, event_id) AS gap_us
         |FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+        |ORDER BY ALL""".stripMargin,
+    "q_window_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY ALL""".stripMargin,
+    "q_window_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |       first_value(o_orderkey) OVER w AS first_ok,
+        |       last_value(o_orderkey) OVER w AS last_ok,
+        |       nth_value(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND UNBOUNDED FOLLOWING)
         |ORDER BY ALL""".stripMargin,
     "q_window_range_frame" ->
       """SELECT event_id, user_id, ts_sec,

@@ -15,9 +15,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §2.1 scans
+    // §2.1 scans / sources / sinks
     "q_scan_project" -> Relational.qScanProject _,
     "q_scan_count" -> Relational.qScanCount _,
+    "q_source_orc" -> graft.sources.FileFormats.qSourceOrc _,
+    "q_sink_partitioned" -> graft.sources.FileFormats.qSinkPartitioned _,
     // §2.2 filters / predicates
     "q_filter_pred" -> Relational.qFilterPred _,
     "q_filter_in_like" -> Relational.qFilterInLike _,
@@ -31,6 +33,14 @@ object SparkEntry {
     "q_join_anti" -> Relational.qJoinAnti _,
     "q_join_multiway" -> Relational.qJoinMultiway _,
     "q_join_theta" -> Relational.qJoinTheta _,
+    "q_join_salted" -> Advanced.qJoinSalted _,
+    "q_join_range" -> Advanced.qJoinRange _,
+    // §2.15 subqueries / recursive CTE / sampling / funnel
+    "q_subquery_exists" -> Advanced.qSubqueryExists _,
+    "q_subquery_scalar" -> Advanced.qSubqueryScalar _,
+    "q_cte_recursive" -> Advanced.qCteRecursive _,
+    "q_sample_det" -> Advanced.qSampleDet _,
+    "q_funnel" -> Advanced.qFunnel _,
     // §2.4 aggregations
     "q_agg_global" -> Relational.qAggGlobal _,
     "q_agg_group" -> Relational.qAggGroup _,
@@ -51,6 +61,8 @@ object SparkEntry {
     "q_window_running" -> Windows.qWindowRunning _,
     "q_window_lag" -> Windows.qWindowLag _,
     "q_window_range_frame" -> Windows.qWindowRangeFrame _,
+    "q_window_ntile" -> Windows.qWindowNtile _,
+    "q_window_first_last" -> Windows.qWindowFirstLast _,
     // §2.6 sorts / top-k
     "q_orderby_limit" -> Relational.qOrderbyLimit _,
     "q_sort_multi" -> Relational.qSortMulti _,
@@ -79,6 +91,7 @@ object SparkEntry {
     "q_tfidf" -> Text.qTfidf _,
     "q_ngrams" -> Text.qNgrams _,
     "q_text_stats" -> Text.qTextStats _,
+    "q_token_entropy" -> Text.qTokenEntropy _,
     // §2.11 dedup
     "q_dedup_exact" -> Text.qDedupExact _,
     "q_dedup_keep_first" -> Text.qDedupKeepFirst _,
@@ -89,6 +102,8 @@ object SparkEntry {
     "q_knn_cosine" -> Vectors.qKnnCosine _,
     "q_vector_centroid" -> Vectors.qVectorCentroid _,
     "q_vector_norm_filter" -> Vectors.qVectorNormFilter _,
+    "q_vector_quantize" -> Vectors.qVectorQuantize _,
+    "q_ann_ivf" -> Vectors.qAnnIvf _,
     // §2.14 LLM-pipeline extensions: scoring / counting / fingerprints
     "q_lang_score" -> Pipeline.qLangScore _,
     "q_quality_score" -> Pipeline.qQualityScore _,

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Advanced relational surface (SURVEY §2.15, round 2): correlated
+  * subqueries, recursive CTEs, deterministic sampling, a conversion
+  * funnel, and the two scale-critical join strategies — skew salting and
+  * non-equi range joins.
+  *
+  * The MR genre cannot express correlated subqueries at all (each becomes
+  * a hand-scheduled extra job feeding a DistributedCache lookup); here
+  * Catalyst de-correlates EXISTS into semi/anti joins and scalar
+  * subqueries into aggregate-then-join — visible in `.explain`, no manual
+  * staging.
+  */
+object Advanced {
+
+  private def sql(s: SparkSession, dir: String, q: String): DataFrame = {
+    graft.Catalog.registerTables(s, dir)
+    s.sql(q)
+  }
+
+  /** Correlated EXISTS / NOT EXISTS — planned as one semi + one anti join
+    * (no per-row probing; both scale as shuffled hash joins). */
+  def qSubqueryExists(s: SparkSession, dir: String): DataFrame =
+    orderedAll(sql(s, dir,
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 400000)""".stripMargin))
+
+  /** Correlated scalar subqueries (per-priority sum and count), compared
+    * in exact decimal/integer arithmetic: `price·n > 2·Σprice` avoids the
+    * FP-average boundary a naive `price > 2·avg(price)` would flap on.
+    * Catalyst de-correlates both subqueries into one aggregate join. */
+  def qSubqueryScalar(s: SparkSession, dir: String): DataFrame =
+    orderedAll(sql(s, dir,
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT count(*) FROM orders o2
+        |       WHERE o2.o_orderpriority = o.o_orderpriority)
+        |    > 2 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |           FROM orders o2
+        |           WHERE o2.o_orderpriority = o.o_orderpriority)""".stripMargin))
+
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): a generated month spine
+    * LEFT-joined to orders — the relational replacement for driver-side
+    * calendar loops. */
+  def qCteRecursive(s: SparkSession, dir: String): DataFrame =
+    orderedAll(sql(s, dir,
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12
+        |)
+        |SELECT m, count(o_orderkey) AS n,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |             AS DOUBLE), 2) AS total
+        |FROM months LEFT JOIN orders ON month(o_orderdate) = m
+        |GROUP BY m""".stripMargin))
+
+  /** Deterministic hash sample (1/16 of lineitem): md5 of the composite
+    * key, engine-independent — unlike TABLESAMPLE/rand(), identical on any
+    * cluster size, any partitioning, both engines. The scale idiom for
+    * train/eval splits over 100 TB. */
+  def qSampleDet(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "lineitem")
+      .filter(substring(md5(concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string"))), 1, 1) === "0")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total")))
+
+  /** Conversion funnel: each user's first signup, then purchases within
+    * the following 7 days — a time-bounded self-join on events, the bread
+    * and butter of product/training-data analytics. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("us", unix_micros(col("ts")))
+    val signups = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("us")).as("first_signup"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("pus"))
+    orderedAll(signups.join(purchases,
+        purchases("user_id") === signups("user_id") &&
+          col("pus") >= col("first_signup") &&
+          col("pus") < col("first_signup") + lit(7L * 86400L * 1000000L),
+        "left")
+      .groupBy(signups("user_id").as("user_id"), col("first_signup"))
+      .agg(count(col("pus")).as("n_purch_7d")))
+  }
+
+  /** Skew-salted join: the dimension side is replicated ×8 with a salt
+    * column and the fact side picks a deterministic salt, so one hot key
+    * spreads over 8 reducers instead of stalling one — same result as the
+    * plain join (the oracle IS the plain join). At 100 TB this (or AQE
+    * skew-join, which handles it adaptively) is what survives power-law
+    * keys. */
+  def qJoinSalted(s: SparkSession, dir: String): DataFrame = {
+    val nSalt = 8
+    val dim = t(s, dir, "customer")
+      .withColumn("salt", explode(lit((0 until nSalt).toArray)))
+    val fact = t(s, dir, "orders")
+      .withColumn("salt", pmod(col("o_orderkey"), lit(nSalt)).cast("int"))
+    orderedAll(fact.join(dim,
+        col("o_custkey") === col("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")))
+  }
+
+  /** Non-equi range (band) join: orders bucketed into price bands from a
+    * tiny bands dimension. No equi key → Spark plans a broadcast
+    * nested-loop join; with 6 bands that is 6 comparisons per row,
+    * embarrassingly parallel at any scale. */
+  def qJoinRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (0, 50000, "b0_lt50k"), (50000, 100000, "b1_50_100k"),
+      (100000, 200000, "b2_100_200k"), (200000, 300000, "b3_200_300k"),
+      (300000, 400000, "b4_300_400k"), (400000, 1000000, "b5_ge400k"))
+      .toDF("lo", "hi", "band")
+    orderedAll(t(s, dir, "orders").join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")))
+  }
+}

@@ -211,4 +211,21 @@ object Text {
         .select("a_id", "b_id", "common", "na", "nb"))
     }
   }
+
+  /** Shannon entropy of the token distribution per language — a corpus
+    * diversity signal (low entropy ⇒ repetitive/boilerplate text). Two
+    * partial-mergeable aggregations; the ~|vocab| p·log₂p addends are far
+    * below the package's 10k raw-double-sum threshold (ops/package.scala). */
+  def qTokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("lang").agg(sum(col("n")).as("tot"))
+    orderedAll(counts.join(totals, "lang")
+      .withColumn("p", col("n") / col("tot"))
+      .groupBy("lang")
+      .agg(round(-sum(col("p") * log2(col("p"))), 4).as("entropy"),
+        countDistinct(col("token")).as("vocab")))
+  }
 }

@@ -84,6 +84,64 @@ object Vectors {
       .groupBy("label", "pos")
       .agg(round(avg(col("v")), 4).as("c")))
 
+  /** Int8 scalar quantization (the 4× memory cut every billion-vector ANN
+    * index starts with): per-vector scale 127/max|xᵢ|, floor to int. All
+    * inputs are exact (max is order-independent, the per-lane double math
+    * is identical in both engines), so the oracle matches bit-for-bit. */
+  def qVectorQuantize(s: SparkSession, dir: String): DataFrame = {
+    val lanes = t(s, dir, "embeddings").filter(col("vec_id") < 50)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").cast("double").as("v"))
+    val scales = lanes.groupBy("vec_id").agg(max(abs(col("v"))).as("mx"))
+    orderedAll(lanes.join(scales, "vec_id")
+      .select(col("vec_id"), col("pos"),
+        floor(col("v") * 127.0 / col("mx")).cast("int").as("q")))
+  }
+
+  /** IVF (inverted-file) ANN — the cluster-prune scale path next to the
+    * hyperplane-LSH variant (Sketches.qAnnLsh). 16 fixed seed vectors act
+    * as centroids (deterministic stand-in for a k-means pass, which would
+    * be run offline at scale); every vector is assigned to its nearest
+    * centroid (the inverted lists), and probes search only their
+    * `nprobe = 2` nearest lists — at 1B vectors that is 1/8 of the corpus
+    * touched per query instead of all of it. Rows-only (approximate by
+    * design); recall vs the exact q_knn_cosine is asserted in ScalaTest. */
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") % 125 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // Inverted lists: nearest centroid per vector (16-way broadcast probe).
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val assigned = emb.join(broadcast(cents), lit(true))
+      .withColumn("csim", cosine(col("ce"), col("embedding")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    // Probes: the 2 nearest lists each (nprobe=2).
+    val wProbe = Window.partitionBy(col("pid"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probeLists = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("csim", cosine(col("ce"), col("pe")))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= 2)
+      .select(col("pid"), col("pe"), col("cid"))
+    // Search only the probed lists; exact cosine top-5 within them.
+    val wTop = Window.partitionBy(col("pid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    orderedAll(assigned.join(broadcast(probeLists),
+        assigned("cid") === probeLists("cid") &&
+          col("vec_id") =!= col("pid"))
+      .withColumn("cos", cosine(col("pe"), col("embedding")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5)
+      .select(col("pid"), col("vec_id").as("nid"),
+        col("rn").cast("long").as("rn"), round(col("cos"), 4).as("sim")))
+  }
+
   /** Profiling filter on the partial L2 norm of the first 16 dims (the
     * full-vector norm is ≈1 for every row — unit-normalized corpus). */
   def qVectorNormFilter(s: SparkSession, dir: String): DataFrame = {

@@ -68,6 +68,32 @@ object Windows {
       round(avg(col("value")).over(w), 4).as("avg_1h")))
   }
 
+  /** Distribution window functions: ntile / percent_rank / cume_dist per
+    * priority class. The rank orderings are made total with the orderkey
+    * tie-break so both engines assign identical bucket boundaries. */
+  def qWindowNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orderedAll(t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderpriority"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cdist")))
+  }
+
+  /** Frame-positional window functions: first / last / 2nd order per
+    * customer over the full-partition frame. */
+  def qWindowFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orderedAll(t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      first(col("o_orderkey")).over(w).as("first_ok"),
+      last(col("o_orderkey")).over(w).as("last_ok"),
+      nth_value(col("o_orderkey"), 2).over(w).as("second_ok")))
+  }
+
   // ---- §2.9 event-time operators (batch semantics) ---------------------
 
   /** Tumbling 1-day windows via the streaming-shaped window() primitive. */

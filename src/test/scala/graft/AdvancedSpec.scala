@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavior checks for the round-2 operators (subqueries, salting, IVF,
+  * quantization, deterministic sampling, partitioned sink). */
+class AdvancedSpec extends SparkSpec {
+
+  test("q_join_salted equals the unsalted join") {
+    import graft.ops._
+    val plain = t(spark, sf, "orders")
+      .join(t(spark, sf, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val salted = SparkEntry.queries("q_join_salted")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("q_sample_det is deterministic and near the 1/16 rate") {
+    val a = SparkEntry.queries("q_sample_det")(spark, sf).collect().toSeq
+    val b = SparkEntry.queries("q_sample_det")(spark, sf).collect().toSeq
+    assert(a == b)
+    val sampled = a.map(_.getLong(1)).sum.toDouble
+    val total = Tables.table(spark, sf, "lineitem").count().toDouble
+    val rate = sampled / total
+    assert(rate > 1.0 / 32 && rate < 1.0 / 8, s"sample rate $rate")
+  }
+
+  test("q_cte_recursive spans exactly months 1..12") {
+    val rows = SparkEntry.queries("q_cte_recursive")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 12))
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.table(spark, sf, "orders").count())
+  }
+
+  test("q_vector_quantize: int8 range, max lane hits ±127") {
+    val rows = SparkEntry.queries("q_vector_quantize")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2)))
+    assert(rows.forall { case (_, q) => q >= -128 && q <= 127 })
+    // the max-|v| lane of each vector quantizes to ±127 (|v| == mx; the
+    // extreme lane may be negative)
+    val perVec = rows.groupBy(_._1)
+      .map { case (_, qs) => qs.map(q => math.abs(q._2)).max }
+    assert(perVec.forall(_ == 127))
+  }
+
+  test("q_ann_ivf: true cosines, and decent recall vs exact knn") {
+    val exact = SparkEntry.queries("q_knn_cosine")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("q_ann_ivf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    info(s"IVF recall@5 = $recall")
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("q_sink_partitioned prunes to the purchase partition") {
+    // inputFiles lists the relation's files BEFORE pruning; the partition
+    // filter lives on the physical scan node.
+    val df = SparkEntry.queries("q_sink_partitioned")(spark, sf)
+    val scans = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.partitionFilters.exists(
+      _.toString.contains("event_type"))),
+      s"no partition filter on scan: ${scans.map(_.metadata.get("PartitionFilters")).mkString(";")}")
+  }
+
+  test("q_subquery_exists equals semi-minus-anti set") {
+    import graft.ops._
+    val c = t(spark, sf, "customer")
+    val o = t(spark, sf, "orders")
+    val urgent = c.join(o.filter(col("o_orderpriority") === "1-URGENT"),
+      col("c_custkey") === col("o_custkey"), "left_semi")
+    val expected = urgent.join(o.filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val got = SparkEntry.queries("q_subquery_exists")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+}
