@@ -17,6 +17,15 @@ import org.apache.spark.sql.types._
   * exactly-once sinks come from the engine instead of hand-rolled
   * bookkeeping.
   */
+/** A closed user session emitted by [[EventStreams.sessionize]].
+  * Top-level (not nested in the object): the state/output encoders
+  * codegen field accessors that fail on nested classes. */
+case class Session(user_id: Long, start_us: Long, end_us: Long,
+  n_events: Long)
+
+/** Open-session state carried across micro-batches by [[EventStreams.sessionize]]. */
+case class SessState(start: Long, end: Long, n: Long)
+
 object EventStreams {
 
   /** Schema for streaming reads: ts as raw ns long (file streams need an
@@ -43,6 +52,61 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
       .select(col("window.start").as("day"), col("event_type"),
         col("n"), col("sv"))
+
+  /** Custom-state sessionization (SURVEY §2.9): per-user inactivity-gap
+    * sessions via `flatMapGroupsWithState` with an event-time timeout —
+    * the arbitrary-state API the engine offers where `session_window()`'s
+    * fixed semantics don't fit. A session closes (and is emitted, append
+    * mode) when a later event for the user starts a new one, or when the
+    * watermark passes `end + gap` and the state times out. State is
+    * per-key and mergeable across micro-batches; at scale this shards by
+    * user_id over the state store exactly like the batch window shards by
+    * partition key. */
+  def sessionize(events: DataFrame,
+      gapMinutes: Int = 30): org.apache.spark.sql.Dataset[Session] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    // keep the watermarked ts column in the Dataset — the event-time
+    // timeout checker requires it to survive into the stateful operator
+    events.withWatermark("ts", "1 hour")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, it, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(uid, s.start, s.end, s.n))
+          } else {
+            // Within a micro-batch events arrive unordered; sort them.
+            // Cross-batch disorder beyond the watermark is dropped by the
+            // engine — same contract as every watermarked operator.
+            val evs = it.map(_._2).toArray.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            for (us <- evs) cur match {
+              case Some(s) if us <= s.end + gapUs =>
+                cur = Some(SessState(math.min(s.start, us),
+                  math.max(s.end, us), s.n + 1))
+              case Some(s) =>
+                closed ::= Session(uid, s.start, s.end, s.n)
+                cur = Some(SessState(us, us, 1))
+              case None =>
+                cur = Some(SessState(us, us, 1))
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout fires once the event-time watermark passes end+gap
+              state.setTimeoutTimestamp((s.end + gapUs) / 1000L)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
 
   /** Run a pipeline to a parquet sink, processing everything currently in
     * the source directory, then stop (AvailableNow: batch-like execution

@@ -41,4 +41,41 @@ class FileStreamSpec extends SparkSpec {
     val missingDays = batch.diff(streamed).map(_._1).toSeq.distinct
     assert(missingDays.size <= 1, s"too many open windows: $missingDays")
   }
+
+  test("flatMapGroupsWithState sessionization matches batch sessions") {
+    val base = Files.createTempDirectory("graft_sess")
+    val srcDir = Files.createDirectory(base.resolve("src"))
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val sessions = EventStreams.sessionize(
+      EventStreams.source(spark, srcDir.toString))
+    EventStreams.runToParquet(sessions.toDF(), s"$base/out", s"$base/chk")
+
+    val streamed = spark.read.parquet(s"$base/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    // batch twin: the lag + cumulative-sum sessionization
+    // (columns: user_id, sess_id, n_events, start_us, dur_us)
+    val batch = SparkEntry.queries("q_events_session")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(3) + r.getLong(4),
+        r.getLong(2))) // (user, start_us, end_us, n)
+      .toSet
+
+    assert(streamed.nonEmpty, "no sessions emitted")
+    // every emitted (closed) session must exactly match a batch session
+    assert(streamed.subsetOf(batch),
+      s"streamed-not-in-batch: ${streamed.diff(batch).take(3)}")
+    // sessions whose timeout cleared the final watermark must ALL emit:
+    // wm = max(ts) - 1h; closed sessions end before end+gap < wm
+    val gapUs = 30L * 60 * 1000000
+    val wmUs = Tables.table(spark, sf, "events")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.unix_micros(col("ts"))))
+      .head().getLong(0) - 3600L * 1000000
+    val mustEmit = batch.filter { case (_, _, end, _) => end + gapUs < wmUs }
+    assert(mustEmit.subsetOf(streamed),
+      s"closed-but-unemitted: ${mustEmit.diff(streamed).take(3)}")
+  }
 }
