@@ -50,6 +50,7 @@ object SparkEntry {
     "q_agg_cube" -> Relational.qAggCube _,
     "q_agg_grouping_sets" -> Relational.qAggGroupingSets _,
     "q_approx_distinct" -> Relational.qApproxDistinct _,
+    "q_hll_custom" -> Relational.qHllCustom _,
     "q_pivot" -> Relational.qPivot _,
     "q_percentile" -> Relational.qPercentile _,
     "q_stats" -> Relational.qStats _,

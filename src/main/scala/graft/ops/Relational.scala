@@ -205,6 +205,17 @@ object Relational {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         count(lit(1)).as("n")))
 
+  /** The same distinct sketch through our OWN native TypedImperativeAggregate
+    * (graft.functions.HyperLogLog) — the custom-aggregate extension path,
+    * exercised as a first-class query. Rows-only (estimate is sketch-
+    * layout-specific); bounded vs exact and proven partition-order-
+    * independent in HyperLogLogSpec. */
+  def qHllCustom(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(graft.functions.HyperLogLog.approxDistinct(col("user_id"))
+        .as("hll_users"), count(lit(1)).as("n")))
+
   /** Pivot: event_type counts widened to one column per type. Spark's
     * .pivot() with an explicit value list (no extra distinct-scan job);
     * oracle uses FILTER aggregates — the dialect-neutral spelling. */
