@@ -42,6 +42,14 @@ object Oracles {
       s"""SELECT s_nationkey, count(*) AS n, ${dsum("s_acctbal")} AS bal
          |FROM supplier WHERE s_acctbal > 0
          |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_source_csv" ->
+      """SELECT r_name, count(*) AS n, max(n_name) AS max_nation
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_join_bucketed" ->
+      s"""SELECT c_nationkey, count(*) AS n, ${dsum("o_totalprice")} AS total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY ALL""".stripMargin,
     "q_sink_partitioned" ->
       """SELECT user_id, count(*) AS n, round(sum(value), 4) AS sv,
         |       max(epoch_us(ts)) AS last_us

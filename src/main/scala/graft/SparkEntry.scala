@@ -19,7 +19,9 @@ object SparkEntry {
     "q_scan_project" -> Relational.qScanProject _,
     "q_scan_count" -> Relational.qScanCount _,
     "q_source_orc" -> graft.sources.FileFormats.qSourceOrc _,
+    "q_source_csv" -> graft.sources.FileFormats.qSourceCsv _,
     "q_sink_partitioned" -> graft.sources.FileFormats.qSinkPartitioned _,
+    "q_join_bucketed" -> graft.sources.FileFormats.qJoinBucketed _,
     // §2.2 filters / predicates
     "q_filter_pred" -> Relational.qFilterPred _,
     "q_filter_in_like" -> Relational.qFilterInLike _,

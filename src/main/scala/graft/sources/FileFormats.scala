@@ -42,6 +42,45 @@ object FileFormats {
       .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("bal")))
   }
 
+  /** CSV sink + source: nation round-tripped through a header CSV with an
+    * explicit schema-on-read (the reference genre's delimited-text I/O,
+    * Spark-first), then the standard region join-agg. */
+  def qSourceCsv(s: SparkSession, dir: String): DataFrame = {
+    val path = materialize(graft.Tables.table(s, dir, "nation"),
+      s"csv:$dir") { (df, p) => TextTables.writeCsv(df, p) }
+    val nation = TextTables.readCsv(s, path, graft.Tables.schemas("nation"))
+    orderedAll(nation
+      .join(broadcast(graft.Tables.table(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n"), max(col("n_name")).as("max_nation")))
+  }
+
+  /** Bucketed join: orders and customer written ONCE as tables bucketed
+    * by the join key (8 buckets, sorted), then joined — the physical plan
+    * has NO shuffle exchange on either side (asserted in AdvancedSpec).
+    * This is THE 100 TB co-location strategy: pay the shuffle once at
+    * ingest, then every keyed join/aggregate on the bucket key is
+    * exchange-free forever. Oracle = the plain join on the originals. */
+  def qJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val (ot, ct) = (s"graft_orders_b$tag", s"graft_customer_b$tag")
+    if (written.add(s"bucketed:$dir")) {
+      graft.Tables.table(s, dir, "orders")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
+      graft.Tables.table(s, dir, "customer")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+    }
+    // MERGE hint: without it the tiny test-SF customer side would be
+    // auto-broadcast and never exercise the bucketed (exchange-free) path
+    orderedAll(s.table(ot).hint("merge")
+      .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")))
+  }
+
   /** Partitioned Parquet sink (`partitionBy(event_type)`) + pruned
     * re-read: the `event_type = 'purchase'` filter prunes to one
     * directory — at 100 TB the difference between scanning one partition

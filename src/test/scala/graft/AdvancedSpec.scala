@@ -70,6 +70,19 @@ class AdvancedSpec extends SparkSpec {
       s"no partition filter on scan: ${scans.map(_.metadata.get("PartitionFilters")).mkString(";")}")
   }
 
+  test("q_join_bucketed: no shuffle exchange below the join") {
+    val df = SparkEntry.queries("q_join_bucketed")(spark, sf)
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(joins.nonEmpty, "expected a sort-merge join over bucketed tables")
+    val exchangesBelow = joins.flatMap(_.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    })
+    assert(exchangesBelow.isEmpty,
+      s"bucketed join still shuffles: ${exchangesBelow.mkString(";")}")
+  }
+
   test("q_subquery_exists equals semi-minus-anti set") {
     import graft.ops._
     val c = t(spark, sf, "customer")
