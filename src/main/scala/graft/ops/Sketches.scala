@@ -50,18 +50,41 @@ object Sketches {
           |  CAST(min(CASE WHEN j % 2 = 0 THEN mh END) AS STRING), ':',
           |  CAST(min(CASE WHEN j % 2 = 1 THEN mh END) AS STRING)))"""
           .stripMargin).as("bkey"))
-    // A pair colliding in k of the 8 bands appears k times; dedup on a
-    // single packed long (a_id << 32 | b_id) — half the hash/shuffle bytes
-    // of a two-column distinct, and the map-side partial aggregate halves
-    // the 8× blowup before it ever hits the exchange.
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select((shiftleft(col("x.doc_id"), 32)
-        .bitwiseOR(col("y.doc_id"))).as("pk"))
-      .distinct()
-      .select(shiftright(col("pk"), 32).as("a_id"),
-        col("pk").bitwiseAND(lit(0xffffffffL)).as("b_id"))
+    // Candidate generation, stats-driven (same pattern as the vocab≤64
+    // bitmask choice below): a pair is a candidate iff SOME band key
+    // matches — identical set under either physical strategy.
+    //  * small corpus: per-doc 8-slot signature rows, pair join under a
+    //    broadcast nested-loop with a codegen'd 8-term positional-equality
+    //    OR. No bucket explosion (a dense corpus makes every bucket
+    //    ~everything: 8·n²/2 joined rows + a 25M-row distinct at sf0.1),
+    //    no shuffle, no dedup — each pair is tested exactly once.
+    //  * large corpus: the classic band-bucket equi-join — the only shape
+    //    that scales to 1B docs, where buckets are small and the pair
+    //    space must never be enumerated. Pairs dedup on one packed long
+    //    (a_id<<32 | b_id), half the shuffle bytes of a 2-column distinct.
+    val nDocs = docs.count()
+    val cand = if (nDocs <= 20000) {
+      val sigs = bands.groupBy("doc_id")
+        .agg(expr("transform(array_sort(collect_list(struct(band, bkey)))," +
+          " x -> x.bkey)").as("sig"))
+      val sa = sigs.select(col("doc_id").as("a_id"), col("sig").as("siga"))
+      val sb = sigs.select(col("doc_id").as("b_id"), col("sig").as("sigb"))
+      val anyBand = (0 until 8)
+        .map(i => col("siga").getItem(i) === col("sigb").getItem(i))
+        .reduce(_ || _)
+      sa.join(broadcast(sb), col("a_id") < col("b_id") && anyBand)
+        .select("a_id", "b_id")
+    } else {
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select((shiftleft(col("x.doc_id"), 32)
+          .bitwiseOR(col("y.doc_id"))).as("pk"))
+        .distinct()
+        .select(shiftright(col("pk"), 32).as("a_id"),
+          col("pk").bitwiseAND(lit(0xffffffffL)).as("b_id"))
+    }
     // Exact verification of candidates. This corpus is dense (nearly every
     // en-doc pair clears J=0.8), so the candidate set is ~all pairs —
     // verify with the 64-bit popcount when the vocabulary fits (3 ALU ops

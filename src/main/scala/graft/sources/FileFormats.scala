@@ -65,7 +65,24 @@ object FileFormats {
   def qJoinBucketed(s: SparkSession, dir: String): DataFrame = {
     val tag = java.lang.Integer.toHexString(dir.hashCode)
     val (ot, ct) = (s"graft_orders_b$tag", s"graft_customer_b$tag")
+    // The in-memory catalog dies with the JVM but the warehouse directory
+    // survives; a fresh session must clear BOTH or saveAsTable fails with
+    // LOCATION_ALREADY_EXISTS.
+    def reset(name: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
+      val loc = new java.io.File(
+        if (wh.getScheme == "file") new java.io.File(wh).toString
+        else wh.getPath, name)
+      if (loc.isDirectory) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc.toPath).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+    }
     if (written.add(s"bucketed:$dir")) {
+      reset(ot); reset(ct)
       graft.Tables.table(s, dir, "orders")
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
