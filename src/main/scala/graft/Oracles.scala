@@ -46,6 +46,10 @@ object Oracles {
       """SELECT r_name, count(*) AS n, max(n_name) AS max_nation
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_source_json" ->
+      s"""SELECT p_brand, count(*) AS n, ${dsum("p_retailprice")} AS total
+         |FROM part WHERE p_size >= 10
+         |GROUP BY 1 ORDER BY ALL""".stripMargin,
     "q_join_bucketed" ->
       s"""SELECT c_nationkey, count(*) AS n, ${dsum("o_totalprice")} AS total
          |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -20,6 +20,7 @@ object SparkEntry {
     "q_scan_count" -> Relational.qScanCount _,
     "q_source_orc" -> graft.sources.FileFormats.qSourceOrc _,
     "q_source_csv" -> graft.sources.FileFormats.qSourceCsv _,
+    "q_source_json" -> graft.sources.FileFormats.qSourceJson _,
     "q_sink_partitioned" -> graft.sources.FileFormats.qSinkPartitioned _,
     "q_join_bucketed" -> graft.sources.FileFormats.qJoinBucketed _,
     // §2.2 filters / predicates

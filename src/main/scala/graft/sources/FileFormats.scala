@@ -56,6 +56,19 @@ object FileFormats {
       .agg(count(lit(1)).as("n"), max(col("n_name")).as("max_nation")))
   }
 
+  /** JSON-lines sink + source: part round-tripped through newline-
+    * delimited JSON with explicit schema-on-read (doubles survive exactly:
+    * the writer emits shortest-round-trip literals), then a brand roll-up. */
+  def qSourceJson(s: SparkSession, dir: String): DataFrame = {
+    val path = materialize(graft.Tables.table(s, dir, "part"),
+      s"json:$dir") { (df, p) => TextTables.writeJson(df, p) }
+    val part = TextTables.readJson(s, path, graft.Tables.schemas("part"))
+    orderedAll(part
+      .filter(col("p_size") >= 10)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("total")))
+  }
+
   /** Bucketed join: orders and customer written ONCE as tables bucketed
     * by the join key (8 buckets, sorted), then joined — the physical plan
     * has NO shuffle exchange on either side (asserted in AdvancedSpec).

@@ -16,4 +16,17 @@ object GraftSql {
 
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Build the optimizer rules a SparkSessionExtensions registrar would
+    * inject (buildOptimizerRules is sql-package-private) — lets the test
+    * suite verify registration without constructing a second session. */
+  def optimizerRules(spark: SparkSession,
+      register: SparkSessionExtensions => Unit)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] = {
+    val e = new SparkSessionExtensions
+    register(e)
+    e.buildOptimizerRules(spark.asInstanceOf[
+      org.apache.spark.sql.classic.SparkSession])
+  }
 }
