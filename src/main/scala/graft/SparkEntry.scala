@@ -102,6 +102,7 @@ object SparkEntry {
     "q_dedup_near" -> Text.qDedupNear _,
     "q_dedup_ngram" -> Text.qDedupNgram _,
     "q_dedup_embedding" -> Vectors.qDedupEmbedding _,
+    "q_dedup_clusters" -> Text.qDedupClusters _,
     // §2.12 similarity search
     "q_knn_cosine" -> Vectors.qKnnCosine _,
     "q_vector_centroid" -> Vectors.qVectorCentroid _,

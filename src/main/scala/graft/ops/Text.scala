@@ -212,6 +212,54 @@ object Text {
     }
   }
 
+  /** Duplicate CLUSTERING: connected components over the exact near-dup
+    * pair graph (q_dedup_near's contract), by iterative min-label
+    * propagation to a fixpoint — the step after pair finding in every
+    * dedup pipeline: pick one canonical doc (the min doc_id of the
+    * component) and mark the rest for dropping.
+    *
+    * Driver-side iteration, distributed steps: each round joins labels to
+    * the edge list in both directions and takes the per-node min — the
+    * standard Spark shape for label propagation (rounds = graph diameter,
+    * typically 2–4 for near-dup clusters; each round is one shuffle).
+    * Deterministic output. No SQL oracle (iterative fixpoint); exact
+    * union-find cross-check in `AdvancedSpec`.
+    */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupNear(s, dir).select("a_id", "b_id")
+    // Undirected edges, both directions. Loop state is materialized with
+    // eager localCheckpoint, which BOTH pins the data (no re-derivation of
+    // the pair join each round) AND truncates the logical plan — with
+    // cache() alone the lineage grows every round and Catalyst re-analyzes
+    // the whole accumulated plan per iteration (measurably superlinear).
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+    var labels = nodes.withColumn("label", col("doc_id")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val nbrMin = edges
+        .join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val stepped = labels.withColumnRenamed("label", "old")
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("old"), coalesce(col("nbr_label"), col("old")))
+            .as("label"))
+        .localCheckpoint(true)
+      changed = stepped.filter(col("label") =!= col("old")).count()
+      labels = stepped.select("doc_id", "label")
+      rounds += 1
+    }
+    val out = orderedAll(labels
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("keep")))
+    out
+  }
+
   /** Shannon entropy of the token distribution per language — a corpus
     * diversity signal (low entropy ⇒ repetitive/boilerplate text). Two
     * partial-mergeable aggregations; the ~|vocab| p·log₂p addends are far

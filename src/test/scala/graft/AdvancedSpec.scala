@@ -83,6 +83,29 @@ class AdvancedSpec extends SparkSpec {
       s"bucketed join still shuffles: ${exchangesBelow.mkString(";")}")
   }
 
+  test("q_dedup_clusters matches driver-side union-find components") {
+    val pairs = SparkEntry.queries("q_dedup_near")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    val got = SparkEntry.queries("q_dedup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+    assert(got.nonEmpty)
+    assert(got.map(_._1).toSet == expected.keySet)
+    got.foreach { case (doc, (cluster, keep)) =>
+      assert(cluster == expected(doc), s"doc $doc")
+      assert(keep == (doc == cluster))
+    }
+  }
+
   test("q_subquery_exists equals semi-minus-anti set") {
     import graft.ops._
     val c = t(spark, sf, "customer")
