@@ -411,6 +411,17 @@ object Oracles {
         |       round(avg(n_chars), 4) AS avg_chars,
         |       count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_stopword_stem" ->
+      """SELECT stem, count(*) AS n, count(DISTINCT token) AS n_forms FROM (
+        |  SELECT token,
+        |         regexp_replace(token, '(ing|ed|ly|es|s)$', '') AS stem
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |        FROM documents)
+        |  WHERE token <> '' AND token NOT IN
+        |    ('the','a','an','of','to','and','in','is','it','for','on',
+        |     'with','as','at','by','or'))
+        |WHERE stem <> ''
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
     "q_token_entropy" ->
       """WITH c AS (
         |  SELECT lang, token, count(*) AS n FROM (

@@ -56,6 +56,7 @@ object SparkEntry {
     "q_hll_custom" -> Relational.qHllCustom _,
     "q_pivot" -> Relational.qPivot _,
     "q_percentile" -> Relational.qPercentile _,
+    "q_approx_percentile" -> Relational.qApproxPercentile _,
     "q_stats" -> Relational.qStats _,
     "q_string_agg" -> Relational.qStringAgg _,
     "q_join_asof" -> Windows.qJoinAsof _,
@@ -96,6 +97,7 @@ object SparkEntry {
     "q_ngrams" -> Text.qNgrams _,
     "q_text_stats" -> Text.qTextStats _,
     "q_token_entropy" -> Text.qTokenEntropy _,
+    "q_stopword_stem" -> Text.qStopwordStem _,
     // §2.11 dedup
     "q_dedup_exact" -> Text.qDedupExact _,
     "q_dedup_keep_first" -> Text.qDedupKeepFirst _,

@@ -238,6 +238,19 @@ object Relational {
         round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
         count(lit(1)).as("n")))
 
+  /** t-digest-family approximate percentiles (percentile_approx) — the
+    * sketch twin of the exact q_percentile, mergeable at any scale where
+    * the exact sort-and-interpolate would need a full shuffle of the
+    * column. Rows-only (sketch layout is engine-specific); bounded vs the
+    * exact percentile in AdvancedSpec. */
+  def qApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap50"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("ap90"),
+        count(lit(1)).as("n")))
+
   /** Second-moment statistics: stddev / correlation per return flag. */
   def qStats(s: SparkSession, dir: String): DataFrame =
     orderedAll(t(s, dir, "lineitem")

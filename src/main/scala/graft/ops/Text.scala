@@ -260,6 +260,24 @@ object Text {
     out
   }
 
+  /** Stopword removal + suffix stemming (normalization ahead of counting
+    * in every text pipeline): drop the closed-class words, strip one
+    * English suffix (ing|ed|ly|es|s — anchored, so exactly one match site
+    * and Java regex and RE2 agree on it), count surviving stems.
+    * Tokens that BECOME empty after stemming ("es" → "") are dropped. */
+  def qStopwordStem(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it",
+      "for", "on", "with", "as", "at", "by", "or")
+    orderedAll(tokDf(t(s, dir, "documents"))
+      .filter(!col("token").isin(stop: _*))
+      .withColumn("stem",
+        regexp_replace(col("token"), "(ing|ed|ly|es|s)$", ""))
+      .filter(col("stem") =!= "")
+      .groupBy("stem")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("token")).as("n_forms")))
+  }
+
   /** Shannon entropy of the token distribution per language — a corpus
     * diversity signal (low entropy ⇒ repetitive/boilerplate text). Two
     * partial-mergeable aggregations; the ~|vocab| p·log₂p addends are far

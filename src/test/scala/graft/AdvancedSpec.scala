@@ -83,6 +83,19 @@ class AdvancedSpec extends SparkSpec {
       s"bucketed join still shuffles: ${exchangesBelow.mkString(";")}")
   }
 
+  test("q_approx_percentile within 2% of exact percentiles") {
+    val exact = SparkEntry.queries("q_percentile")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = SparkEntry.queries("q_approx_percentile")(spark, sf)
+      .collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (p50, p90) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - p50) / p50 < 0.02)
+      assert(math.abs(r.getDouble(2) - p90) / p90 < 0.02)
+    }
+  }
+
   test("q_dedup_clusters matches driver-side union-find components") {
     val pairs = SparkEntry.queries("q_dedup_near")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
