@@ -88,6 +88,22 @@ object Oracles {
         |             AS DOUBLE), 2) AS total
         |FROM months LEFT JOIN orders ON month(o_orderdate) = m
         |GROUP BY m ORDER BY ALL""".stripMargin,
+    "q_null_funcs" ->
+      """SELECT o_orderkey,
+        |       nullif(o_orderstatus, 'O') AS st_nulled,
+        |       coalesce(nullif(o_orderstatus, 'O'), 'open') AS st_filled,
+        |       (nullif(o_orderstatus, 'O') IS DISTINCT FROM 'F')
+        |         AS not_final,
+        |       greatest(o_totalprice, 100000.0) AS hi,
+        |       least(o_totalprice, 100000.0) AS lo
+        |FROM orders ORDER BY ALL""".stripMargin,
+    "q_lateral_topk" ->
+      """SELECT r_name, ln.n_name
+        |FROM region,
+        |LATERAL (SELECT n_name FROM nation
+        |         WHERE n_regionkey = r_regionkey
+        |         ORDER BY n_name LIMIT 2) AS ln
+        |ORDER BY ALL""".stripMargin,
     "q_sample_det" ->
       s"""SELECT l_returnflag, count(*) AS n, ${dsum("l_extendedprice")} AS total
          |FROM lineitem

@@ -42,6 +42,8 @@ object SparkEntry {
     "q_subquery_exists" -> Advanced.qSubqueryExists _,
     "q_subquery_scalar" -> Advanced.qSubqueryScalar _,
     "q_cte_recursive" -> Advanced.qCteRecursive _,
+    "q_null_funcs" -> Advanced.qNullFuncs _,
+    "q_lateral_topk" -> Advanced.qLateralTopk _,
     "q_sample_det" -> Advanced.qSampleDet _,
     "q_funnel" -> Advanced.qFunnel _,
     // §2.4 aggregations

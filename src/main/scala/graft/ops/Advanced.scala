@@ -61,6 +61,33 @@ object Advanced {
         |FROM months LEFT JOIN orders ON month(o_orderdate) = m
         |GROUP BY m""".stripMargin))
 
+  /** Null-semantics surface: NULLIF / COALESCE / IS DISTINCT FROM /
+    * greatest-least — three-valued logic pinned identically in both
+    * engines (the source tables carry no NULLs, so they are introduced
+    * deterministically via NULLIF). */
+  def qNullFuncs(s: SparkSession, dir: String): DataFrame =
+    orderedAll(sql(s, dir,
+      """SELECT o_orderkey,
+        |       nullif(o_orderstatus, 'O') AS st_nulled,
+        |       coalesce(nullif(o_orderstatus, 'O'), 'open') AS st_filled,
+        |       (nullif(o_orderstatus, 'O') IS DISTINCT FROM 'F')
+        |         AS not_final,
+        |       greatest(o_totalprice, 100000.0) AS hi,
+        |       least(o_totalprice, 100000.0) AS lo
+        |FROM orders""".stripMargin))
+
+  /** LATERAL correlated subquery with ORDER BY + LIMIT (top-2 nations per
+    * region) — Catalyst de-correlates the per-row limit into a
+    * window/rank under the hood; the declarative spelling a reference
+    * user would reach for. */
+  def qLateralTopk(s: SparkSession, dir: String): DataFrame =
+    orderedAll(sql(s, dir,
+      """SELECT r_name, ln.n_name
+        |FROM region,
+        |LATERAL (SELECT n_name FROM nation
+        |         WHERE n_regionkey = r_regionkey
+        |         ORDER BY n_name LIMIT 2) AS ln""".stripMargin))
+
   /** Deterministic hash sample (1/16 of lineitem): md5 of the composite
     * key, engine-independent — unlike TABLESAMPLE/rand(), identical on any
     * cluster size, any partitioning, both engines. The scale idiom for

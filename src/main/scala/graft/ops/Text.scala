@@ -235,8 +235,14 @@ object Text {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint(true)
-    val nodes = edges.select(col("src").as("doc_id")).distinct()
-    var labels = nodes.withColumn("label", col("doc_id")).localCheckpoint(true)
+    // Round 0 fused into initialization: with labels starting at the node
+    // id, the first propagation is just min(id, min neighbor id) — one
+    // groupBy over the edge list, no join (every node appears as dst
+    // because edges carry both directions).
+    var labels = edges
+      .groupBy(col("dst").as("doc_id")).agg(min(col("src")).as("nbr"))
+      .select(col("doc_id"), least(col("doc_id"), col("nbr")).as("label"))
+      .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
