@@ -108,6 +108,27 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream inner join (SURVEY §2.9): purchases within 1 hour of a
+    * signup by the same user, both sides watermarked so the join state is
+    * bounded — the engine keeps only events younger than watermark+range
+    * per side, the hand-rolled cache the MR genre could never expire
+    * safely. Inner-join matches emit as soon as both sides arrive. */
+  def signupPurchaseJoin(events: DataFrame): DataFrame = {
+    val signups = events.withWatermark("ts", "1 hour")
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val purchases = events.withWatermark("ts", "1 hour")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    purchases.join(signups,
+        col("p_user") === col("s_user") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"),
+        unix_micros(col("s_ts")).as("s_us"),
+        unix_micros(col("p_ts")).as("p_us"))
+  }
+
   /** Run a pipeline to a parquet sink, processing everything currently in
     * the source directory, then stop (AvailableNow: batch-like execution
     * with streaming semantics — state, watermark, exactly-once sink). */
