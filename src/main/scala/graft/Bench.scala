@@ -44,7 +44,11 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    // total covers EVERY query; the per-query map lists only the 30
+    // slowest — 96 full-precision entries (~2.2 KB) overflow the driver's
+    // bounded tail capture and the whole line becomes unparseable.
+    val qs = results.sortBy(-_._2).take(30)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfLabel = new java.io.File(sfDir).getName
