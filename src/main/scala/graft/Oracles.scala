@@ -88,6 +88,33 @@ object Oracles {
         |             AS DOUBLE), 2) AS total
         |FROM months LEFT JOIN orders ON month(o_orderdate) = m
         |GROUP BY m ORDER BY ALL""".stripMargin,
+    "q_grouping_id" ->
+      """SELECT coalesce(n_name, '(all)') AS g_nation,
+        |       coalesce(c_mktsegment, '(all)') AS g_segment,
+        |       CAST(GROUPING(n_name, c_mktsegment) AS BIGINT) AS gid,
+        |       count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment) ORDER BY ALL""".stripMargin,
+    "q_union_by_name" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice AS price FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, o_orderpriority AS prio FROM orders
+        |  WHERE o_totalprice > 300000)
+        |ORDER BY ALL""".stripMargin,
+    "q_hof_funcs" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> length(x) > 3)) AS BIGINT)
+        |    AS n_long,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+        |    (a, b) -> a + b) AS sum_len,
+        |  len(list_filter(toks, x -> length(x) > 6)) > 0 AS has_long,
+        |  len(list_filter(toks, x -> length(x) < 1)) = 0 AS all_nonempty
+        |FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |      FROM documents)
+        |ORDER BY ALL""".stripMargin,
     "q_null_funcs" ->
       """SELECT o_orderkey,
         |       nullif(o_orderstatus, 'O') AS st_nulled,

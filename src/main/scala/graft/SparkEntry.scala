@@ -52,6 +52,7 @@ object SparkEntry {
     "q_agg_having" -> Relational.qAggHaving _,
     "q_agg_distinct" -> Relational.qAggDistinct _,
     "q_agg_rollup" -> Relational.qAggRollup _,
+    "q_grouping_id" -> Relational.qGroupingId _,
     "q_agg_cube" -> Relational.qAggCube _,
     "q_agg_grouping_sets" -> Relational.qAggGroupingSets _,
     "q_approx_distinct" -> Relational.qApproxDistinct _,
@@ -76,6 +77,7 @@ object SparkEntry {
     // §2.7 set operations
     "q_union_all" -> Relational.qUnionAll _,
     "q_union_distinct" -> Relational.qUnionDistinct _,
+    "q_union_by_name" -> Relational.qUnionByName _,
     "q_intersect" -> Relational.qIntersect _,
     "q_except" -> Relational.qExcept _,
     "q_distinct" -> Relational.qDistinct _,
@@ -87,6 +89,7 @@ object SparkEntry {
     "q_array_funcs" -> Scalars.qArrayFuncs _,
     "q_explode" -> Scalars.qExplode _,
     "q_map_funcs" -> Scalars.qMapFuncs _,
+    "q_hof_funcs" -> Scalars.qHofFuncs _,
     // §2.9 event-time (batch semantics)
     "q_events_tumbling" -> Windows.qEventsTumbling _,
     "q_events_sliding" -> Windows.qEventsSliding _,

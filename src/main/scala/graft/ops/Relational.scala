@@ -175,6 +175,29 @@ object Relational {
         coalesce(col("c_mktsegment"), lit("(all)")).as("g_segment"),
         col("n"), col("bal")))
 
+  /** grouping_id(): the bit-encoded subtotal level that disambiguates a
+    * rollup NULL from a data NULL — emitted alongside the coalesce
+    * sentinels (DuckDB twin: GROUPING(cols…), same bit order). */
+  def qGroupingId(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+      .select(coalesce(col("n_name"), lit("(all)")).as("g_nation"),
+        coalesce(col("c_mktsegment"), lit("(all)")).as("g_segment"),
+        col("gid"), col("n")))
+
+  /** unionByName with missing columns — the schema-evolution append: rows
+    * from either side carry NULL for the columns they lack. */
+  def qUnionByName(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val a = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_totalprice").as("price"))
+    val b = o.filter(col("o_totalprice") > 300000)
+      .select(col("o_orderkey"), col("o_orderpriority").as("prio"))
+    orderedAll(a.unionByName(b, allowMissingColumns = true))
+  }
+
   def qAggCube(s: SparkSession, dir: String): DataFrame =
     orderedAll(t(s, dir, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))

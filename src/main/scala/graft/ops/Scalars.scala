@@ -75,6 +75,24 @@ object Scalars {
         concat_ws(" ", sort_array(col("toks"))).as("sorted_text")))
 
   /** 1→N generation — the map phase itself in MR terms; Catalyst Generator. */
+  /** Higher-order array functions — transform / filter / aggregate /
+    * exists / forall over the token list, 64-bit pinned (DuckDB twins:
+    * list_transform / list_filter / list_reduce). These are the in-row
+    * lambdas of SURVEY §2.8; the codegen'd relational forms are preferred
+    * on hot paths (see Sketches), but the HOF surface itself is part of
+    * the contract. */
+  def qHofFuncs(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "documents")
+      .withColumn("toks", graft.ops.tokens(col("text")))
+      .select(
+        col("doc_id"),
+        expr("CAST(size(filter(toks, x -> length(x) > 3)) AS BIGINT)")
+          .as("n_long"),
+        expr("aggregate(toks, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))")
+          .as("sum_len"),
+        expr("exists(toks, x -> length(x) > 6)").as("has_long"),
+        expr("forall(toks, x -> length(x) >= 1)").as("all_nonempty")))
+
   def qExplode(s: SparkSession, dir: String): DataFrame =
     orderedAll(t(s, dir, "documents")
       .filter(col("doc_id") < 50)
