@@ -88,6 +88,18 @@ object Oracles {
         |             AS DOUBLE), 2) AS total
         |FROM months LEFT JOIN orders ON month(o_orderdate) = m
         |GROUP BY m ORDER BY ALL""".stripMargin,
+    "q_calendar_spine" ->
+      s"""SELECT month_start, count(o_orderkey) AS n,
+         |       ${dsum("o_totalprice")} AS total
+         |FROM (SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+         |               TIMESTAMP '1996-12-01', INTERVAL 1 MONTH))
+         |        AS month_start)
+         |LEFT JOIN orders ON date_trunc('month', o_orderdate) = month_start
+         |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_struct_funcs" ->
+      """SELECT s_suppkey, s_nationkey AS nk, s_acctbal AS bal,
+        |       (s_nationkey = 3) AS is_nation3
+        |FROM supplier ORDER BY ALL""".stripMargin,
     "q_grouping_id" ->
       """SELECT coalesce(n_name, '(all)') AS g_nation,
         |       coalesce(c_mktsegment, '(all)') AS g_segment,

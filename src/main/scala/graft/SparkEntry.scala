@@ -90,6 +90,8 @@ object SparkEntry {
     "q_explode" -> Scalars.qExplode _,
     "q_map_funcs" -> Scalars.qMapFuncs _,
     "q_hof_funcs" -> Scalars.qHofFuncs _,
+    "q_calendar_spine" -> Scalars.qCalendarSpine _,
+    "q_struct_funcs" -> Scalars.qStructFuncs _,
     // §2.9 event-time (batch semantics)
     "q_events_tumbling" -> Windows.qEventsTumbling _,
     "q_events_sliding" -> Windows.qEventsSliding _,

@@ -93,6 +93,35 @@ object Scalars {
         expr("exists(toks, x -> length(x) > 6)").as("has_long"),
         expr("forall(toks, x -> length(x) >= 1)").as("all_nonempty")))
 
+  /** Generated calendar spine (sequence + explode) LEFT-joined to orders —
+    * the practical date-dimension pattern (the recursive-CTE twin is
+    * q_cte_recursive); months with no orders survive with zero counts. */
+  def qCalendarSpine(s: SparkSession, dir: String): DataFrame = {
+    val spine = s.range(1).select(explode(expr(
+      """sequence(TIMESTAMP '1995-01-01', TIMESTAMP '1996-12-01',
+        |         INTERVAL 1 MONTH)""".stripMargin)).as("month_start"))
+    orderedAll(spine.join(
+        t(s, dir, "orders")
+          .withColumn("m", date_trunc("month", col("o_orderdate"))),
+        col("m") === col("month_start"), "left")
+      .groupBy("month_start")
+      .agg(count(col("o_orderkey")).as("n"),
+        dsum(col("o_totalprice")).as("total")))
+  }
+
+  /** Struct create/access: named_struct built in-row, fields projected
+    * back out plus a struct-comparison flag (structs compare field-wise). */
+  def qStructFuncs(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "supplier")
+      .withColumn("sb", struct(col("s_nationkey").as("nk"),
+        col("s_acctbal").as("bal")))
+      .select(
+        col("s_suppkey"),
+        col("sb.nk").as("nk"),
+        col("sb.bal").as("bal"),
+        (col("sb") === struct(lit(3).as("nk"), col("s_acctbal").as("bal")))
+          .as("is_nation3")))
+
   def qExplode(s: SparkSession, dir: String): DataFrame =
     orderedAll(t(s, dir, "documents")
       .filter(col("doc_id") < 50)
