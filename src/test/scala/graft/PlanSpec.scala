@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+
+/** Physical-plan regression tests for the PLANS.md claims: the plans we
+  * rely on at scale stay the plans Catalyst actually picks. Asserted on
+  * the pre-AQE sparkPlan, where scans and join strategies are visible. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    p.collect { case f: FileSourceScanExec => f }
+
+  test("q_filter_pred pushes all predicates into the parquet scan") {
+    val sc = scans(plan("q_filter_pred"))
+    assert(sc.nonEmpty)
+    val pushed = sc.head.metadata.getOrElse("PushedFilters", "")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"$c not pushed: $pushed")
+    // column pruning: 4 of 11 lineitem columns read
+    val readSchema = sc.head.requiredSchema.fieldNames.toSet
+    assert(readSchema == Set("l_shipdate", "l_discount", "l_quantity",
+      "l_extendedprice"), s"over-read: $readSchema")
+  }
+
+  test("q_scan_project reads only the projected columns") {
+    val sc = scans(plan("q_scan_project"))
+    assert(sc.head.requiredSchema.fieldNames.toSet ==
+      Set("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"))
+  }
+
+  test("q_join_broadcast plans a broadcast hash join") {
+    assert(plan("q_join_broadcast").collect {
+      case j: BroadcastHashJoinExec => j
+    }.nonEmpty)
+  }
+
+  test("q_join_range plans a broadcast nested-loop join (no equi key)") {
+    assert(plan("q_join_range").collect {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.nonEmpty)
+  }
+
+  test("q_orderby_limit plans TakeOrderedAndProject, not a global sort") {
+    val p = SparkEntry.queries("q_orderby_limit")(spark, sf)
+    // the operator sits under the orderedAll determinism sort; find it
+    assert(p.queryExecution.sparkPlan.collect {
+      case t: TakeOrderedAndProjectExec => t
+    }.nonEmpty)
+  }
+
+  test("subqueries de-correlate to joins (no per-row subplans)") {
+    val p = plan("q_subquery_exists").toString
+    assert(!p.contains("Subquery"), s"correlated subplan survived:\n$p")
+  }
+}
