@@ -48,14 +48,22 @@ object Tables {
   )
 
   // Plan cache: spark.read.parquet lists the directory and reads footers
-  // on every call; with ~70 queries × several tables each that fixed cost
+  // on every call; with ~100 queries × several tables each that fixed cost
   // adds seconds per harness run. DataFrames are immutable logical plans,
-  // so reusing one per (session, dir, table) is safe. Keyed weakly on the
-  // session itself (not an identity-hash string, which can collide or be
-  // reused after GC), so plans die with their session.
+  // so reusing one per (session, dir, table) is safe. Keyed on the session
+  // instance with a small LRU bound: a WeakHashMap would never collect
+  // here (the cached DataFrames strongly reference their session — the
+  // documented WeakHashMap value→key caveat), so a hard cap is what
+  // actually keeps dead sessions' plans from accumulating.
   private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+    new java.util.LinkedHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession,
+            java.util.concurrent.ConcurrentHashMap[(String, String),
+              DataFrame]]): Boolean = size() > 8
+    })
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.computeIfAbsent(spark,

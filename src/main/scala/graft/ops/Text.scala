@@ -243,9 +243,13 @@ object Text {
       .groupBy(col("dst").as("doc_id")).agg(min(col("src")).as("nbr"))
       .select(col("doc_id"), least(col("doc_id"), col("nbr")).as("label"))
       .localCheckpoint(true)
+    // Superseded per-round checkpoints are reclaimed asynchronously by the
+    // ContextCleaner once the loop drops its reference — no manual
+    // unpersist handle exists for localCheckpoint blocks.
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    val maxRounds = 64 // propagation rounds = component diameter
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst").as("doc_id"))
@@ -260,6 +264,11 @@ object Text {
       labels = stepped.select("doc_id", "label")
       rounds += 1
     }
+    // Fail loudly rather than return unconverged (wrong) cluster labels:
+    // a component with diameter > maxRounds would otherwise silently emit
+    // multiple keep=true docs inside one true component.
+    require(changed == 0,
+      s"label propagation did not converge in $maxRounds rounds")
     val out = orderedAll(labels
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).as("keep")))

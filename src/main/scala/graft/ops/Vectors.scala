@@ -100,26 +100,47 @@ object Vectors {
   }
 
   /** IVF (inverted-file) ANN — the cluster-prune scale path next to the
-    * hyperplane-LSH variant (Sketches.qAnnLsh). 16 fixed seed vectors act
-    * as centroids (deterministic stand-in for a k-means pass, which would
-    * be run offline at scale); every vector is assigned to its nearest
-    * centroid (the inverted lists), and probes search only their
-    * `nprobe = 2` nearest lists — at 1B vectors that is 1/8 of the corpus
-    * touched per query instead of all of it. Rows-only (approximate by
-    * design); recall vs the exact q_knn_cosine is asserted in ScalaTest. */
+    * hyperplane-LSH variant (Sketches.qAnnLsh). EXACTLY 16 seed vectors
+    * act as centroids, chosen by deterministic hash rank over vec_id — a
+    * FIXED centroid count regardless of corpus size (a `vec_id % k`
+    * filter would grow the centroid set, and the assignment cross-join,
+    * linearly with N), standing in for an offline k-means pass. Every
+    * vector is assigned to its nearest centroid (the inverted lists), and
+    * probes search only their `nprobe = 3` nearest lists — ~3/16 of the
+    * corpus touched per query instead of all of it. Rows-only
+    * (approximate by design); recall vs the exact q_knn_cosine is
+    * asserted in ScalaTest. */
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val cents = emb.filter(col("vec_id") % 125 === 0)
+    val seeds = emb
+      .withColumn("hr", xxhash64(col("vec_id")))
+      .orderBy(col("hr"), col("vec_id")).limit(16)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    // Inverted lists: nearest centroid per vector (16-way broadcast probe).
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid").asc)
-    val assigned = emb.join(broadcast(cents), lit(true))
-      .withColumn("csim", cosine(col("ce"), col("embedding")))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
-    // Probes: the 2 nearest lists each (nprobe=2).
+    def assign(cs: DataFrame): DataFrame =
+      emb.join(broadcast(cs), lit(true))
+        .withColumn("csim", cosine(col("ce"), col("embedding")))
+        .withColumn("crn", row_number().over(wAssign))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+    // One deterministic Lloyd refinement of the random seeds (random seed
+    // vectors cluster poorly; a single mean step recovers most of the
+    // quality an offline k-means would give). The per-lane mean goes
+    // through an exact DECIMAL sum so the centroid is identical under any
+    // partitioning — a raw double avg would make this rows-only query
+    // nondeterministic at assignment ties.
+    val cents = assign(seeds)
+      .select(col("cid"), posexplode(col("embedding")))
+      .groupBy("cid", "pos")
+      .agg(expr("""CAST(CAST(sum(CAST(col AS DECIMAL(27,10))) / count(1)
+                   AS DOUBLE) AS FLOAT)""").as("m"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m)))," +
+        " x -> x.m)").as("ce"))
+    // Inverted lists: nearest refined centroid per vector.
+    val assigned = assign(cents)
+    // Probes: the 3 nearest lists each (nprobe=3 → ~3/16 of the corpus).
     val wProbe = Window.partitionBy(col("pid"))
       .orderBy(col("csim").desc, col("cid").asc)
     val probeLists = emb.filter(col("vec_id") < 10)
@@ -127,7 +148,7 @@ object Vectors {
       .join(broadcast(cents), lit(true))
       .withColumn("csim", cosine(col("ce"), col("pe")))
       .withColumn("crn", row_number().over(wProbe))
-      .filter(col("crn") <= 2)
+      .filter(col("crn") <= 3)
       .select(col("pid"), col("pe"), col("cid"))
     // Search only the probed lists; exact cosine top-5 within them.
     val wTop = Window.partitionBy(col("pid"))

@@ -19,13 +19,22 @@ object FileFormats {
 
   private val written = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Materialize `df` at a deterministic tmp path once per JVM. */
+  /** Materialize `df` at a deterministic tmp path once per JVM. The key is
+    * recorded only AFTER the write succeeds — marking first would poison
+    * the JVM on a transient write failure (every later call would read a
+    * partial directory instead of retrying; overwrite mode makes the
+    * retry safe). */
   private def materialize(df: => DataFrame, key: String)
       (write: (DataFrame, String) => Unit): String = {
     val path = new java.io.File(
       sys.props("java.io.tmpdir"),
       "graft_fmt_" + java.lang.Integer.toHexString(key.hashCode)).toString
-    if (written.add(path)) write(df, path)
+    written.synchronized {
+      if (!written.contains(path)) {
+        write(df, path)
+        written.add(path)
+      }
+    }
     path
   }
 
@@ -94,14 +103,19 @@ object FileFormats {
           .iterator().asScala.foreach(java.nio.file.Files.delete)
       }
     }
-    if (written.add(s"bucketed:$dir")) {
-      reset(ot); reset(ct)
-      graft.Tables.table(s, dir, "orders")
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
-      graft.Tables.table(s, dir, "customer")
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+    // Guard on the SESSION catalog, not a JVM-global flag: saveAsTable
+    // registers per-session, so a second session in the same JVM must
+    // rebuild (its catalog is empty even though the warehouse dir is not).
+    written.synchronized {
+      if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(ct)) {
+        reset(ot); reset(ct)
+        graft.Tables.table(s, dir, "orders")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
+        graft.Tables.table(s, dir, "customer")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+      }
     }
     // MERGE hint: without it the tiny test-SF customer side would be
     // auto-broadcast and never exercise the bucketed (exchange-free) path

@@ -23,8 +23,11 @@ import org.apache.spark.sql.types._
 case class Session(user_id: Long, start_us: Long, end_us: Long,
   n_events: Long)
 
-/** Open-session state carried across micro-batches by [[EventStreams.sessionize]]. */
+/** One open session interval carried by [[EventStreams.sessionize]]. */
 case class SessState(start: Long, end: Long, n: Long)
+
+/** Per-user backlog of open sessions (sorted, pairwise gap-separated). */
+case class SessBacklog(sessions: Seq[SessState])
 
 object EventStreams {
 
@@ -56,12 +59,19 @@ object EventStreams {
   /** Custom-state sessionization (SURVEY §2.9): per-user inactivity-gap
     * sessions via `flatMapGroupsWithState` with an event-time timeout —
     * the arbitrary-state API the engine offers where `session_window()`'s
-    * fixed semantics don't fit. A session closes (and is emitted, append
-    * mode) when a later event for the user starts a new one, or when the
-    * watermark passes `end + gap` and the state times out. State is
-    * per-key and mergeable across micro-batches; at scale this shards by
-    * user_id over the state store exactly like the batch window shards by
-    * partition key. */
+    * fixed semantics don't fit.
+    *
+    * State is the user's full backlog of open session INTERVALS, merged
+    * exactly like the batch sessionizer would over the same event
+    * multiset — so an out-of-order (but within-watermark) event that
+    * belongs to an OLDER session extends that session instead of being
+    * glued onto the newest one (a single-interval state gets this wrong).
+    * Emission policy (append mode): a user's sessions emit together when
+    * the watermark passes `newest end + gap` — at that point no
+    * non-late event can extend ANY of them, so the whole backlog is
+    * provably closed. State is per-key and mergeable across
+    * micro-batches; at scale this shards by user_id over the state store
+    * exactly like the batch window shards by partition key. */
   def sessionize(events: DataFrame,
       gapMinutes: Int = 30): org.apache.spark.sql.Dataset[Session] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -74,36 +84,34 @@ object EventStreams {
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("ts"))
       .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessState, Session](
+      .flatMapGroupsWithState[SessBacklog, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid, it, state) =>
           if (state.hasTimedOut) {
-            val s = state.get
+            val out = state.get.sessions.sortBy(s => (s.start, s.end))
+              .map(s => Session(uid, s.start, s.end, s.n))
             state.remove()
-            Iterator.single(Session(uid, s.start, s.end, s.n))
+            out.iterator
           } else {
-            // Within a micro-batch events arrive unordered; sort them.
-            // Cross-batch disorder beyond the watermark is dropped by the
-            // engine — same contract as every watermarked operator.
-            val evs = it.map(_._2).toArray.sorted
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            for (us <- evs) cur match {
-              case Some(s) if us <= s.end + gapUs =>
-                cur = Some(SessState(math.min(s.start, us),
-                  math.max(s.end, us), s.n + 1))
-              case Some(s) =>
-                closed ::= Session(uid, s.start, s.end, s.n)
-                cur = Some(SessState(us, us, 1))
-              case None =>
-                cur = Some(SessState(us, us, 1))
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // timeout fires once the event-time watermark passes end+gap
-              state.setTimeoutTimestamp((s.end + gapUs) / 1000L)
-            }
-            closed.reverse.iterator
+            // Merge new events into the backlog exactly as the batch
+            // sessionizer would: every event is a singleton interval;
+            // sort; fuse neighbours within the gap.
+            val prev = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+            val all = (prev ++ it.map(t => SessState(t._2, t._2, 1)))
+              .sortBy(s => (s.start, s.end))
+            val merged = all.foldLeft(List.empty[SessState]) {
+              case (h :: rest, cur) if cur.start <= h.end + gapUs =>
+                SessState(h.start, math.max(h.end, cur.end),
+                  h.n + cur.n) :: rest
+              case (acc, cur) => cur :: acc
+            }.reverse
+            state.update(SessBacklog(merged))
+            // fire once no session in the backlog can still grow; the
+            // max() guards against a backlog already behind the watermark
+            state.setTimeoutTimestamp(math.max(
+              (merged.map(_.end).max + gapUs) / 1000L,
+              state.getCurrentWatermarkMs + 1))
+            Iterator.empty
           }
       }
   }

@@ -99,14 +99,20 @@ class FileStreamSpec extends SparkSpec {
     // every emitted (closed) session must exactly match a batch session
     assert(streamed.subsetOf(batch),
       s"streamed-not-in-batch: ${streamed.diff(batch).take(3)}")
-    // sessions whose timeout cleared the final watermark must ALL emit:
-    // wm = max(ts) - 1h; closed sessions end before end+gap < wm
+    // emission policy: a user's backlog drains together once the
+    // watermark clears their NEWEST session's close window — so every
+    // session of every such user must emit
     val gapUs = 30L * 60 * 1000000
     val wmUs = Tables.table(spark, sf, "events")
       .agg(org.apache.spark.sql.functions.max(
         org.apache.spark.sql.functions.unix_micros(col("ts"))))
       .head().getLong(0) - 3600L * 1000000
-    val mustEmit = batch.filter { case (_, _, end, _) => end + gapUs < wmUs }
+    val newestEnd = batch.groupBy(_._1).map { case (u, ss) =>
+      u -> ss.map(_._3).max
+    }
+    val mustEmit = batch.filter { case (u, _, _, _) =>
+      newestEnd(u) + gapUs < wmUs
+    }
     assert(mustEmit.subsetOf(streamed),
       s"closed-but-unemitted: ${mustEmit.diff(streamed).take(3)}")
   }
