@@ -173,7 +173,14 @@ object Text {
     * Strategy selection reads one scalar (the dictionary size) up front —
     * the same kind of stats-driven choice AQE makes at shuffle points.
     */
-  def qDedupNear(s: SparkSession, dir: String): DataFrame = {
+  def qDedupNear(s: SparkSession, dir: String): DataFrame =
+    orderedAll(nearPairs(s, dir))
+
+  /** The near-dup pair computation WITHOUT the total-order output sort —
+    * shared by qDedupNear (which adds the oracle's ordering contract) and
+    * qDedupClusters (which only consumes the pair SET and shouldn't pay a
+    * single-partition sort of ~500k rows). */
+  private def nearPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("lang") === "en")
     val dt = tokDf(docs).distinct()
     // Deterministic dense token ids: alphabetical rank (dictionary is tiny
@@ -190,11 +197,11 @@ object Text {
         col("nt").as("na"))
       val b = masks.select(col("doc_id").as("b_id"), col("mask").as("mb"),
         col("nt").as("nb"))
-      orderedAll(a.join(broadcast(b), col("a_id") < col("b_id"))
+      a.join(broadcast(b), col("a_id") < col("b_id"))
         .withColumn("common",
           expr("CAST(bit_count(ma & mb) AS BIGINT)"))
         .filter(col("common") * 9 >= (col("na") + col("nb")) * 4)
-        .select("a_id", "b_id", "common", "na", "nb"))
+        .select("a_id", "b_id", "common", "na", "nb")
     } else {
       val sz = dt.groupBy("doc_id").agg(count(lit(1)).as("nt"))
       val pairs = dt.as("a")
@@ -202,13 +209,13 @@ object Text {
           col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .agg(count(lit(1)).as("common"))
-      orderedAll(pairs
+      pairs
         .join(broadcast(sz).withColumnRenamed("doc_id", "a_id")
           .withColumnRenamed("nt", "na"), "a_id")
         .join(broadcast(sz).withColumnRenamed("doc_id", "b_id")
           .withColumnRenamed("nt", "nb"), "b_id")
         .filter(col("common") * 9 >= (col("na") + col("nb")) * 4)
-        .select("a_id", "b_id", "common", "na", "nb"))
+        .select("a_id", "b_id", "common", "na", "nb")
     }
   }
 
@@ -226,12 +233,15 @@ object Text {
     * union-find cross-check in `AdvancedSpec`.
     */
   def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = qDedupNear(s, dir).select("a_id", "b_id")
-    // Undirected edges, both directions. Loop state is materialized with
-    // eager localCheckpoint, which BOTH pins the data (no re-derivation of
-    // the pair join each round) AND truncates the logical plan — with
-    // cache() alone the lineage grows every round and Catalyst re-analyzes
-    // the whole accumulated plan per iteration (measurably superlinear).
+    // Checkpoint the pair list BEFORE mirroring it: the union references
+    // it twice, and an unmaterialized plan would run the whole near-dup
+    // pipeline twice. Loop state below is likewise materialized with
+    // eager localCheckpoint, which BOTH pins the data (no re-derivation
+    // each round) AND truncates the logical plan — with cache() alone the
+    // lineage grows every round and Catalyst re-analyzes the whole
+    // accumulated plan per iteration (measurably superlinear).
+    val pairs = nearPairs(s, dir).select("a_id", "b_id")
+      .localCheckpoint(true)
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint(true)
