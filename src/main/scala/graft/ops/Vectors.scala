@@ -138,6 +138,9 @@ object Vectors {
       .groupBy("cid")
       .agg(expr("transform(array_sort(collect_list(struct(pos, m)))," +
         " x -> x.m)").as("ce"))
+      // 16 rows, referenced by both the list build and the probes —
+      // materialize once or the seed-assignment pass runs twice more
+      .localCheckpoint(true)
     // Inverted lists: nearest refined centroid per vector.
     val assigned = assign(cents)
     // Probes: the 3 nearest lists each (nprobe=3 → ~3/16 of the corpus).
