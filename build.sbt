@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness captures a bounded tail of stdout and parses the
+// final JSON line. sbt's default output strategy prefixes every forked-JVM
+// stdout line with "[info] " and appends a "[success] Total time" line after
+// the run, both of which defeat a trailing-JSON parse. Pass the forked
+// process's stdout through verbatim and drop the success banner.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

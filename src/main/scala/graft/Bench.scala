@@ -23,7 +23,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the deliberate tiny single-partition dictionary
+    // windows (Text.scala) emit dozens of WindowExec WARN lines that can
+    // push the JSON line out of the driver's bounded tail capture.
+    spark.sparkContext.setLogLevel("ERROR")
 
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {

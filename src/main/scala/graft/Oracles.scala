@@ -490,7 +490,9 @@ object Oracles {
         |       count(DISTINCT token) AS vocab
         |FROM c JOIN tot USING (lang) GROUP BY 1 ORDER BY ALL""".stripMargin,
     "q_dedup_exact" ->
-      """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS first_doc
+      """SELECT md5(array_to_string(
+        |         list_slice(string_split(lower(text), ' '), 1, 8), ' ')) AS h,
+        |       count(*) AS n, min(doc_id) AS first_doc
         |FROM documents GROUP BY 1 HAVING count(*) > 1
         |ORDER BY ALL""".stripMargin,
     "q_dedup_keep_first" ->

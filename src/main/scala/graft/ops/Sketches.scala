@@ -62,7 +62,9 @@ object Sketches {
     //    that scales to 1B docs, where buckets are small and the pair
     //    space must never be enumerated. Pairs dedup on one packed long
     //    (a_id<<32 | b_id), half the shuffle bytes of a 2-column distinct.
-    val nDocs = docs.count()
+    val stats = docs.agg(count(lit(1)), max(col("doc_id"))).head
+    val nDocs = stats.getLong(0)
+    val maxId = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     val cand = if (nDocs <= 20000) {
       val sigs = bands.groupBy("doc_id")
         .agg(expr("transform(array_sort(collect_list(struct(band, bkey)))," +
@@ -75,15 +77,27 @@ object Sketches {
       sa.join(broadcast(sb), col("a_id") < col("b_id") && anyBand)
         .select("a_id", "b_id")
     } else {
-      bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") &&
-            col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select((shiftleft(col("x.doc_id"), 32)
-          .bitwiseOR(col("y.doc_id"))).as("pk"))
-        .distinct()
-        .select(shiftright(col("pk"), 32).as("a_id"),
-          col("pk").bitwiseAND(lit(0xffffffffL)).as("b_id"))
+      val collisions = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      // The packed-long dedup assumes both ids fit unsigned 32 bits; the
+      // maxId guard makes that explicit and falls back to the 2-column
+      // distinct (same set, double the shuffle key bytes) otherwise.
+      // Unpack with an UNSIGNED shift — an arithmetic >> would
+      // sign-extend any a_id ≥ 2^31.
+      if (maxId < (1L << 32)) {
+        collisions
+          .select((shiftleft(col("x.doc_id"), 32)
+            .bitwiseOR(col("y.doc_id"))).as("pk"))
+          .distinct()
+          .select(shiftrightunsigned(col("pk"), 32).as("a_id"),
+            col("pk").bitwiseAND(lit(0xffffffffL)).as("b_id"))
+      } else {
+        collisions
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+      }
     }
     // Exact verification of candidates. This corpus is dense (nearly every
     // en-doc pair clears J=0.8), so the candidate set is ~all pairs —
@@ -145,14 +159,32 @@ object Sketches {
         """sum(IF(v > 0, shiftleft(CAST(1 AS BIGINT), k),
           |       CAST(0 AS BIGINT)))""".stripMargin).as("simhash"))
       .select(col("doc_id"), col("simhash"))
-    val a = docs.select(col("doc_id").as("a_id"), col("simhash").as("sa"))
-    val b = docs.select(col("doc_id").as("b_id"), col("simhash").as("sb"))
+    // Pigeonhole banding instead of the all-pairs O(n²) NLJ: split the
+    // 64-bit signature into 9 disjoint segments (8×7 bits + 1×8 bits).
+    // Hamming ≤ 8 means at most 8 bits differ, so at least one of the 9
+    // segments matches EXACTLY — candidates come from a bucket-local
+    // equi-join on (segment index, segment value), the same structure as
+    // the minhash band join. Exact (not probabilistic): the guarantee is
+    // combinatorial, so the output set is identical to all-pairs.
+    val segs = docs.select(col("doc_id"), col("simhash"),
+        explode(expr("sequence(0, 8)")).as("seg"))
+      .withColumn("sval", expr(
+        "shiftrightunsigned(simhash, seg * 7) & IF(seg = 8, 255L, 127L)"))
+    val x = segs.select(col("doc_id").as("a_id"), col("simhash").as("sa"),
+      col("seg"), col("sval"))
+    val y = segs.select(col("doc_id").as("b_id"), col("simhash").as("sb"),
+      col("seg"), col("sval"))
+    // A qualifying pair can collide in up to 9 segments → verify the cheap
+    // popcount on each collision, then distinct the survivors (hamming is
+    // functionally determined by the pair, so it rides along).
     // Rows-only: deterministic set, no total-order sort needed.
-    a.join(broadcast(b), col("a_id") < col("b_id"))
+    x.join(y, Seq("seg", "sval"))
+      .filter(col("a_id") < col("b_id"))
       .withColumn("hamming",
         expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
       .filter(col("hamming") <= 8)
       .select("a_id", "b_id", "hamming")
+      .distinct()
   }
 
   /** LSH-bucketed approximate nearest neighbours: 8 deterministic

@@ -45,6 +45,12 @@ class PlanSpec extends SparkSpec {
     }.nonEmpty)
   }
 
+  test("q_dedup_simhash pairs via banded equi-join, not nested-loop") {
+    assert(plan("q_dedup_simhash").collect {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.isEmpty, "simhash pair search fell back to an all-pairs NLJ")
+  }
+
   test("q_orderby_limit plans TakeOrderedAndProject, not a global sort") {
     val p = SparkEntry.queries("q_orderby_limit")(spark, sf)
     // the operator sits under the orderedAll determinism sort; find it

@@ -6,7 +6,7 @@ package graft
   * sf0.01) are exempted from the rows>0 check but still must execute. */
 class QueriesSpec extends SparkSpec {
 
-  private val mayBeEmpty = Set("q_dedup_exact", "q_agg_having")
+  private val mayBeEmpty = Set("q_agg_having")
 
   test("queries and oracleSql keys line up") {
     val q = SparkEntry.queries.keySet

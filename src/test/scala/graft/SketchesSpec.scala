@@ -30,6 +30,37 @@ class SketchesSpec extends SparkSpec {
     assert(r1.forall { case (a, b, h) => a < b && h >= 0 && h <= 8 })
   }
 
+  test("simhash banding: identical pair set to brute-force all-pairs") {
+    // Independent driver-side reimplementation: signature from first
+    // principles (xxhash64 votes), then O(n²) hamming over all pairs.
+    // The 9-segment pigeonhole join must produce EXACTLY this set — the
+    // banding guarantee is combinatorial, not probabilistic.
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val docs = Tables.table(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").distinct.filter(_.nonEmpty))
+    val sigs = docs.map { case (id, toks) =>
+      val votes = new Array[Int](64)
+      toks.foreach { tk =>
+        val h = new XxHash64(Seq(Literal.create(tk))).eval(null)
+          .asInstanceOf[Long]
+        for (k <- 0 until 64)
+          votes(k) += (if (((h >>> k) & 1L) == 1L) 1 else -1)
+      }
+      id -> (0 until 64).map(k =>
+        if (votes(k) > 0) 1L << k else 0L).reduce(_ | _)
+    }
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 8
+    } yield (a, b, h.toLong)).toSet
+    val got = SparkEntry.queries("q_dedup_simhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"missing: ${expected.diff(got).take(5)} extra: ${got.diff(expected).take(5)}")
+  }
+
   test("ann-lsh: reported sims are the true cosines; ranking consistent") {
     val emb = Tables.table(spark, sf, "embeddings").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
