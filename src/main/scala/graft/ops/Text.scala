@@ -206,21 +206,28 @@ object Text {
           expr("CAST(bit_count(ma & mb) AS BIGINT)"))
         .filter(col("common") * 9 >= (col("na") + col("nb")) * 4)
         .select("a_id", "b_id", "common", "na", "nb")
-    } else {
-      val sz = dt.groupBy("doc_id").agg(count(lit(1)).as("nt"))
-      val pairs = dt.as("a")
-        .join(dt.as("b"), col("a.token") === col("b.token") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("common"))
-      pairs
-        .join(broadcast(sz).withColumnRenamed("doc_id", "a_id")
-          .withColumnRenamed("nt", "na"), "a_id")
-        .join(broadcast(sz).withColumnRenamed("doc_id", "b_id")
-          .withColumnRenamed("nt", "nb"), "b_id")
-        .filter(col("common") * 9 >= (col("na") + col("nb")) * 4)
-        .select("a_id", "b_id", "common", "na", "nb")
-    }
+    } else invertedPairs(dt)
+  }
+
+  /** Inverted-index Jaccard pair join over (doc_id, token) DISTINCT
+    * postings — the >64-vocab strategy of [[nearPairs]], exposed for
+    * direct testing. Per-doc set sizes ride ON the posting rows (one
+    * window shuffle by doc_id) and come out of the pair aggregation as
+    * min() — constant within a group, so min() just reads it back. The
+    * former shape broadcast the per-doc size table twice, which
+    * replicates an N-row relation to every executor: fine at 5k docs, an
+    * OOM at 10⁸. This shape broadcasts nothing corpus-sized. */
+  private[graft] def invertedPairs(dt: DataFrame): DataFrame = {
+    val post = dt.withColumn("nt",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    post.as("a")
+      .join(post.as("b"), col("a.token") === col("b.token") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"),
+        min(col("a.nt")).as("na"), min(col("b.nt")).as("nb"))
+      .filter(col("common") * 9 >= (col("na") + col("nb")) * 4)
+      .select("a_id", "b_id", "common", "na", "nb")
   }
 
   /** Duplicate CLUSTERING: connected components over the exact near-dup

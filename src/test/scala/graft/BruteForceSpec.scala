@@ -56,6 +56,36 @@ class BruteForceSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("invertedPairs (>64-vocab strategy) matches O(n^2) over shingles") {
+    // Drive the inverted-index branch directly on the bigram-shingle
+    // space (~900 distinct shingles — far past the 64-bit mask limit),
+    // where the graded corpus can't reach it (token vocab is 31).
+    import org.apache.spark.sql.functions._
+    val docs = Tables.table(spark, sf, "documents").filter("lang = 'en'")
+    val dt = docs.select(col("doc_id"),
+        explode(expr("""filter(
+          |  transform(split(lower(text), ' '), (x, i) ->
+          |    CASE WHEN i < size(split(lower(text), ' ')) - 1
+          |         THEN concat(x, ' ', split(lower(text), ' ')[i + 1]) END),
+          |  b -> b IS NOT NULL)""".stripMargin)).as("token"))
+      .distinct()
+    val got = ops.Text.invertedPairs(dt).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val local = docs.collect().map { r =>
+      val toks = r.getString(1).toLowerCase.split(" ")
+      r.getLong(0) -> toks.zip(toks.tail).map { case (a, b) => s"$a $b" }.toSet
+    }.sortBy(_._1)
+    val expected = (for {
+      i <- local.indices; j <- (i + 1) until local.length
+      (a, ta) = local(i); (b, tb) = local(j)
+      common = ta.intersect(tb).size
+      if 9 * common >= 4 * (ta.size + tb.size)
+    } yield (a, b, common.toLong, ta.size.toLong, tb.size.toLong)).toSet
+    assert(got == expected,
+      s"missing: ${expected.diff(got).take(3)} extra: ${got.diff(expected).take(3)}")
+  }
+
   test("q_approx_distinct within 5% of exact") {
     val exact = Tables.table(spark, sf, "events")
       .groupBy("event_type").agg(

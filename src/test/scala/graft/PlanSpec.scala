@@ -51,6 +51,14 @@ class PlanSpec extends SparkSpec {
     }.isEmpty, "simhash pair search fell back to an all-pairs NLJ")
   }
 
+  test("q_ann_ivf assigns centroids in a projection, not a window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val ws = plan("q_ann_ivf").collect { case w: WindowExec => w }
+    assert(ws.forall(w =>
+      !w.partitionSpec.exists(_.toString.contains("vec_id"))),
+      "centroid assignment still shuffles 16N rows through a vec_id window")
+  }
+
   test("q_orderby_limit plans TakeOrderedAndProject, not a global sort") {
     val p = SparkEntry.queries("q_orderby_limit")(spark, sf)
     // the operator sits under the orderedAll determinism sort; find it
