@@ -54,6 +54,12 @@ object Oracles {
       s"""SELECT c_nationkey, count(*) AS n, ${dsum("o_totalprice")} AS total
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_source_partitioned" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users,
+        |       count(*) AS n, max(epoch_us(ts)) AS last_us
+        |FROM events WHERE event_type IN ('click', 'view')
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+
     "q_sink_partitioned" ->
       """SELECT user_id, count(*) AS n, round(sum(value), 4) AS sv,
         |       max(epoch_us(ts)) AS last_us

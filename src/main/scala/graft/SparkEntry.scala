@@ -22,6 +22,7 @@ object SparkEntry {
     "q_source_csv" -> graft.sources.FileFormats.qSourceCsv _,
     "q_source_json" -> graft.sources.FileFormats.qSourceJson _,
     "q_sink_partitioned" -> graft.sources.FileFormats.qSinkPartitioned _,
+    "q_source_partitioned" -> graft.sources.FileFormats.qSourcePartitioned _,
     "q_join_bucketed" -> graft.sources.FileFormats.qJoinBucketed _,
     // §2.2 filters / predicates
     "q_filter_pred" -> Relational.qFilterPred _,
@@ -125,6 +126,7 @@ object SparkEntry {
     "q_fingerprint" -> Pipeline.qFingerprint _,
     // §2.14 sketches (rows-only: Spark-hash-dependent, no SQL oracle)
     "q_dedup_minhash" -> Sketches.qDedupMinhash _,
+    "q_dedup_minhash_agg" -> Sketches.qDedupMinhashAgg _,
     "q_dedup_simhash" -> Sketches.qDedupSimhash _,
     "q_ann_lsh" -> Sketches.qAnnLsh _,
     // §2.14 multimodal columns

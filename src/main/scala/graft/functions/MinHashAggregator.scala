@@ -51,7 +51,11 @@ class MinHashAggregator(k: Int)
   override def finish(r: Array[Long]): Array[Long] = r
 
   override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
-  override def outputEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+  // Expression encoder (not kryo): the finished signature surfaces as a
+  // real ArrayType(Long) column that downstream SQL (banding, lane
+  // comparison) can operate on — a kryo blob would be opaque binary.
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }
 
 object MinHashAggregator {

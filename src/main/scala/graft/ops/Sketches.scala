@@ -137,6 +137,43 @@ object Sketches {
     }
   }
 
+  /** MinHash near-dup through the TYPED Aggregator tier (SURVEY §2.13):
+    * per-doc signatures come from [[graft.functions.MinHashAggregator]] —
+    * a mergeable `Aggregator[String, Array[Long], Array[Long]]` whose
+    * partial-merge Catalyst runs map-side, so a 100 TB partition-split
+    * corpus yields the same signature as a single pass. Candidates from
+    * an 8-band × 2-row band-bucket equi-join over the signature column
+    * (the same structure as the relational q_dedup_minhash), kept when
+    * ≥ 12 of 16 lanes agree (estimated Jaccard ≥ 0.75). Rows-only:
+    * murmur-lane-layout-specific, no SQL oracle; precision bounds in
+    * ScalaTest. */
+  def qDedupMinhashAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents").filter(col("lang") === "en")
+      .select(col("doc_id"),
+        explode(array_remove(array_distinct(tokens(col("text"))), ""))
+          .as("token"))
+      .as[(Long, String)]
+    val sigs = toks.groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.MinHashAggregator(16).toColumn.name("sig"))
+      .toDF("doc_id", "sig")
+    val bands = sigs.select(col("doc_id"), col("sig"),
+        explode(expr("sequence(0, 7)")).as("band"))
+      .withColumn("bkey",
+        expr("xxhash64(band, sig[band * 2], sig[band * 2 + 1])"))
+    val x = bands.select(col("doc_id").as("a_id"), col("sig").as("sa"),
+      col("band"), col("bkey"))
+    val y = bands.select(col("doc_id").as("b_id"), col("sig").as("sb"),
+      col("band"), col("bkey"))
+    x.join(y, Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("lanes_eq", expr(
+        "CAST(size(filter(zip_with(sa, sb, (p, q) -> p = q), v -> v)) AS BIGINT)"))
+      .filter(col("lanes_eq") >= 12)
+      .select("a_id", "b_id", "lanes_eq")
+      .distinct()
+  }
+
   /** SimHash near-dup: 64-bit signature (bit k set iff the tf-unweighted
     * ±1 vote of token hashes at bit k is positive), pairs with Hamming
     * distance ≤ 8 among en docs. */

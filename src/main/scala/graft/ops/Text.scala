@@ -243,27 +243,45 @@ object Text {
     * Deterministic output. No SQL oracle (iterative fixpoint); exact
     * union-find cross-check in `AdvancedSpec`.
     */
+  /** Materialize iterative loop state, truncating lineage. Default:
+    * eager `localCheckpoint` — blocks live in executor storage, fast, but
+    * they DIE WITH THE EXECUTOR; correct on local[n], lossy on a real
+    * cluster under executor churn. Cluster mode sets
+    * `spark.graft.reliableCheckpoint=true` to write state to the
+    * fault-tolerant checkpoint dir (`spark.graft.checkpointDir`, default
+    * tmp; on a cluster point it at DFS) via reliable `checkpoint()` —
+    * same lineage truncation, survives executor loss. */
+  private def pin(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    if (s.conf.getOption("spark.graft.reliableCheckpoint").contains("true")) {
+      if (s.sparkContext.getCheckpointDir.isEmpty)
+        s.sparkContext.setCheckpointDir(
+          s.conf.getOption("spark.graft.checkpointDir").getOrElse(
+            new java.io.File(sys.props("java.io.tmpdir"),
+              "graft_ckpt").toString))
+      df.checkpoint(eager = true)
+    } else df.localCheckpoint(true)
+  }
+
   def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
     // Checkpoint the pair list BEFORE mirroring it: the union references
     // it twice, and an unmaterialized plan would run the whole near-dup
-    // pipeline twice. Loop state below is likewise materialized with
-    // eager localCheckpoint, which BOTH pins the data (no re-derivation
-    // each round) AND truncates the logical plan — with cache() alone the
-    // lineage grows every round and Catalyst re-analyzes the whole
-    // accumulated plan per iteration (measurably superlinear).
-    val pairs = nearPairs(s, dir).select("a_id", "b_id")
-      .localCheckpoint(true)
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint(true)
+    // pipeline twice. Loop state below is likewise materialized eagerly,
+    // which BOTH pins the data (no re-derivation each round) AND
+    // truncates the logical plan — with cache() alone the lineage grows
+    // every round and Catalyst re-analyzes the whole accumulated plan per
+    // iteration (measurably superlinear).
+    val pairs = pin(nearPairs(s, dir).select("a_id", "b_id"))
+    val edges = pin(pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
     // Round 0 fused into initialization: with labels starting at the node
     // id, the first propagation is just min(id, min neighbor id) — one
     // groupBy over the edge list, no join (every node appears as dst
     // because edges carry both directions).
-    var labels = edges
+    var labels = pin(edges
       .groupBy(col("dst").as("doc_id")).agg(min(col("src")).as("nbr"))
-      .select(col("doc_id"), least(col("doc_id"), col("nbr")).as("label"))
-      .localCheckpoint(true)
+      .select(col("doc_id"), least(col("doc_id"), col("nbr")).as("label")))
     // Superseded per-round checkpoints are reclaimed asynchronously by the
     // ContextCleaner once the loop drops its reference — no manual
     // unpersist handle exists for localCheckpoint blocks.
@@ -275,12 +293,11 @@ object Text {
         .join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("label")).as("nbr_label"))
-      val stepped = labels.withColumnRenamed("label", "old")
+      val stepped = pin(labels.withColumnRenamed("label", "old")
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("old"),
           least(col("old"), coalesce(col("nbr_label"), col("old")))
-            .as("label"))
-        .localCheckpoint(true)
+            .as("label")))
       changed = stepped.filter(col("label") =!= col("old")).count()
       labels = stepped.select("doc_id", "label")
       rounds += 1

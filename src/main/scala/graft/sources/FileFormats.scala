@@ -26,9 +26,14 @@ object FileFormats {
     * retry safe). */
   private def materialize(df: => DataFrame, key: String)
       (write: (DataFrame, String) => Unit): String = {
+    // Full 128-bit MD5 of the key, not String.hashCode: two distinct
+    // (format, sfDir) keys colliding on a 32-bit hash would silently
+    // read each other's materialized data.
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val path = new java.io.File(
       sys.props("java.io.tmpdir"),
-      "graft_fmt_" + java.lang.Integer.toHexString(key.hashCode)).toString
+      "graft_fmt_" + digest.take(16)).toString
     written.synchronized {
       if (!written.contains(path)) {
         write(df, path)
@@ -123,6 +128,31 @@ object FileFormats {
       .join(s.table(ct), col("o_custkey") === col("c_custkey"))
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")))
+  }
+
+  /** Multi-file partitioned INPUT scan — the read-side-first shape of the
+    * 100 TB reality: the primary table of the query is a Hive-layout
+    * directory tree (one dir per event_type, FOUR files per dir via a
+    * user_id repartition at write time), so the scan exercises file
+    * listing, split planning, and partition pruning over many files. The
+    * `event_type IN (...)` filter must prune at the DIRECTORY level —
+    * asserted in PlanSpec; at scale that's reading 2 partitions instead
+    * of the table. Setup (the one-time partitioned write) is ingest, like
+    * the bucketed-join tables; the graded query is the pruned multi-file
+    * read. Oracle = same aggregate on the original single-file table. */
+  def qSourcePartitioned(s: SparkSession, dir: String): DataFrame = {
+    val path = materialize(
+      graft.Tables.table(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts"))).drop("ts")
+        .repartition(4, col("user_id")),
+      s"part_multi:$dir") { (df, p) =>
+        df.write.mode("overwrite").partitionBy("event_type").parquet(p)
+      }
+    orderedAll(s.read.parquet(path)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("users"),
+        count(lit(1)).as("n"), max(col("us")).as("last_us")))
   }
 
   /** Partitioned Parquet sink (`partitionBy(event_type)`) + pruned

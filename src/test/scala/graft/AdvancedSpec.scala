@@ -124,6 +124,21 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_clusters: reliable checkpoint mode gives identical output") {
+    // Cluster-durable variant: loop state goes through reliable
+    // checkpoint() (survives executor loss) instead of localCheckpoint
+    // (executor-storage blocks). Same lineage truncation, same result.
+    val default = SparkEntry.queries("q_dedup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try {
+      val reliable = SparkEntry.queries("q_dedup_clusters")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(reliable.sameElements(default))
+      assert(spark.sparkContext.getCheckpointDir.nonEmpty)
+    } finally spark.conf.unset("spark.graft.reliableCheckpoint")
+  }
+
   test("q_subquery_exists equals semi-minus-anti set") {
     import graft.ops._
     val c = t(spark, sf, "customer")

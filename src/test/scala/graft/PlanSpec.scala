@@ -51,6 +51,18 @@ class PlanSpec extends SparkSpec {
     }.isEmpty, "simhash pair search fell back to an all-pairs NLJ")
   }
 
+  test("q_source_partitioned: multi-file input, directory-level pruning") {
+    val df = SparkEntry.queries("q_source_partitioned")(spark, sf)
+    // the relation is genuinely multi-file (4 files × event_type dirs)...
+    assert(df.inputFiles.length > 4, s"only ${df.inputFiles.length} files")
+    // ...and the IN filter prunes partitions on the scan node
+    val sc = scans(df.queryExecution.sparkPlan)
+    assert(sc.nonEmpty)
+    assert(sc.forall(_.partitionFilters.exists(
+      _.toString.contains("event_type"))),
+      s"no partition filter: ${sc.map(_.metadata.get("PartitionFilters"))}")
+  }
+
   test("q_ann_ivf assigns centroids in a projection, not a window") {
     import org.apache.spark.sql.execution.window.WindowExec
     val ws = plan("q_ann_ivf").collect { case w: WindowExec => w }

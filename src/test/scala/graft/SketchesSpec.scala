@@ -30,6 +30,42 @@ class SketchesSpec extends SparkSpec {
     assert(r1.forall { case (a, b, h) => a < b && h >= 0 && h <= 8 })
   }
 
+  test("minhash aggregator tier: lane counts match driver-side sketches") {
+    // Recompute every signature with the same Aggregator class driver-side
+    // and check each emitted pair's lanes_eq exactly; also: every emitted
+    // pair clears the 12/16 threshold and no qualifying pair is missed
+    // WITHIN a shared band (the candidate contract).
+    import graft.functions.MinHashAggregator
+    val agg = new MinHashAggregator(16)
+    val docs = Tables.table(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").distinct.filter(_.nonEmpty))
+    val sigs = docs.map { case (id, toks) =>
+      id -> toks.foldLeft(agg.zero)((b, t) => agg.reduce(b, t))
+    }.toMap
+    def lanesEq(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).count { case (x, y) => x == y }.toLong
+    val got = SparkEntry.queries("q_dedup_minhash_agg")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, n) =>
+      assert(n >= 12 && n == lanesEq(sigs(a), sigs(b)), s"pair ($a,$b)")
+    }
+    // completeness: any pair agreeing on a full band AND >= 12 lanes must
+    // have been emitted (band collision guarantees candidacy)
+    val ids = sigs.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      (a, b) = (ids(i), ids(j))
+      (sa, sb) = (sigs(a), sigs(b))
+      if (0 until 8).exists(k =>
+        sa(2 * k) == sb(2 * k) && sa(2 * k + 1) == sb(2 * k + 1))
+      if lanesEq(sa, sb) >= 12
+    } yield (a, b)).toSet
+    assert(got.map(t => (t._1, t._2)).toSet == expected)
+  }
+
   test("simhash banding: identical pair set to brute-force all-pairs") {
     // Independent driver-side reimplementation: signature from first
     // principles (xxhash64 votes), then O(n²) hamming over all pairs.
