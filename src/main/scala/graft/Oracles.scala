@@ -759,6 +759,60 @@ object Oracles {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |         AS last_signup_us
         |FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
-        |      FROM events) ORDER BY ALL""".stripMargin
+        |      FROM events) ORDER BY ALL""".stripMargin,
+
+    // ---- §2.16 round-3 extensions --------------------------------------
+    "q_agg_argmax" ->
+      """SELECT c_nationkey,
+        |  arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT)
+        |                  * 1000000000 + c_custkey) AS top_name,
+        |  arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT)
+        |                  * 1000000000 + c_custkey) AS bottom_name,
+        |  max(c_acctbal) AS max_bal, count(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_histogram" ->
+      """SELECT event_type,
+        |       CAST(least(floor("value" / 50.0), 10) AS BIGINT) AS bucket,
+        |       count(*) AS n, max("value") AS mx
+        |FROM events GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+    "q_join_time_window" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |           FROM events)
+        |SELECT p.user_id, count(*) AS n_pairs,
+        |       min(abs(c.us - p.us)) AS min_gap_us
+        |FROM e p JOIN e c ON c.user_id = p.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND abs(c.us - p.us) <= 1800000000
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_tfidf_cosine" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents WHERE lang = 'en' AND doc_id < 100),
+        |tok AS (SELECT doc_id, t AS token
+        |        FROM d, unnest(toks) AS u(t) WHERE t <> ''),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM d),
+        |w AS (SELECT doc_id, token,
+        |             tf * ln((SELECT n FROM nd)::DOUBLE / df) AS wt
+        |      FROM tf JOIN dfr USING (token)),
+        |nrm AS (SELECT doc_id, sum(wt * wt) AS nn FROM w GROUP BY 1),
+        |dot AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |               sum(a.wt * b.wt) AS dp
+        |        FROM w a JOIN w b
+        |          ON a.token = b.token AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2)
+        |SELECT a_id, b_id, round(dp / sqrt(na.nn * nb.nn), 4) AS cos
+        |FROM dot JOIN nrm na ON na.doc_id = a_id
+        |         JOIN nrm nb ON nb.doc_id = b_id
+        |WHERE round(dp / sqrt(na.nn * nb.nn), 4) >= 0.5
+        |ORDER BY ALL""".stripMargin,
+    "q_mix_sources" ->
+      """SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 2) <=
+        |  CASE CAST(substr(source, 4) AS INT) % 4
+        |    WHEN 0 THEN '1f' WHEN 1 THEN '3f' WHEN 2 THEN '7f'
+        |    ELSE 'ff' END
+        |GROUP BY 1 ORDER BY ALL""".stripMargin
   )
 }

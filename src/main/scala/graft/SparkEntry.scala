@@ -62,8 +62,11 @@ object SparkEntry {
     "q_percentile" -> Relational.qPercentile _,
     "q_approx_percentile" -> Relational.qApproxPercentile _,
     "q_stats" -> Relational.qStats _,
+    "q_agg_argmax" -> Relational.qAggArgmax _,
+    "q_histogram" -> Relational.qHistogram _,
     "q_string_agg" -> Relational.qStringAgg _,
     "q_join_asof" -> Windows.qJoinAsof _,
+    "q_join_time_window" -> Windows.qJoinTimeWindow _,
     // §2.5 window functions
     "q_window_rank" -> Windows.qWindowRank _,
     "q_window_topk_per_group" -> Windows.qWindowTopkPerGroup _,
@@ -102,6 +105,7 @@ object SparkEntry {
     "q_wordcount" -> Text.qWordcount _,
     "q_doc_freq" -> Text.qDocFreq _,
     "q_tfidf" -> Text.qTfidf _,
+    "q_tfidf_cosine" -> Text.qTfidfCosine _,
     "q_ngrams" -> Text.qNgrams _,
     "q_text_stats" -> Text.qTextStats _,
     "q_token_entropy" -> Text.qTokenEntropy _,
@@ -124,6 +128,7 @@ object SparkEntry {
     "q_quality_score" -> Pipeline.qQualityScore _,
     "q_token_count" -> Pipeline.qTokenCount _,
     "q_fingerprint" -> Pipeline.qFingerprint _,
+    "q_mix_sources" -> Pipeline.qMixSources _,
     // §2.14 sketches (rows-only: Spark-hash-dependent, no SQL oracle)
     "q_dedup_minhash" -> Sketches.qDedupMinhash _,
     "q_dedup_minhash_agg" -> Sketches.qDedupMinhashAgg _,

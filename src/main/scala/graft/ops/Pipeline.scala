@@ -75,6 +75,25 @@ object Pipeline {
         sum(col("n_subword")).as("subword_tokens"),
         round(avg(col("n_ws")), 4).as("avg_ws_tokens")))
 
+  /** Corpus mixing (§2.16): deterministic per-source downsampling to
+    * target weights — the data-mixing step of every LLM training-data
+    * pipeline (upweight rare/high-quality sources, downweight crawl).
+    * Weights by source tier (src# mod 4 → 1/8, 1/4, 1/2, keep-all); the
+    * keep decision compares two lowercase hex chars of md5(doc_id+salt)
+    * LEXICOGRAPHICALLY — fixed-length lowercase hex sorts numerically, so
+    * both engines agree exactly and the sample is identical on any
+    * cluster size/partitioning (same idiom as q_sample_det, weighted).
+    * Pure projection + filter + mergeable agg: scan-shaped at 100 TB. */
+  def qMixSources(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "documents")
+      .withColumn("wh", expr(
+        "element_at(array('1f','3f','7f','ff'), " +
+          "CAST(substring(source, 4) AS INT) % 4 + 1)"))
+      .filter(expr(
+        "substring(md5(concat(CAST(doc_id AS STRING), ':mix')), 1, 2) <= wh"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept")))
+
   /** Rabin-Karp-style rolling fingerprint of the token sequence (doc_id <
     * 100): fold h → (h·1000003 + code(tok)) mod (2³¹−1), where code is an
     * engine-portable integer image of the token (first-char code and

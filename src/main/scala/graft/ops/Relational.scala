@@ -295,6 +295,35 @@ object Relational {
       .agg(concat_ws(",", sort_array(collect_list(col("n_name"))))
         .as("nations"), count(lit(1)).as("n")))
 
+  /** Argmax/argmin aggregates (§2.16): the top and bottom customer per
+    * nation by account balance — `max_by`/`min_by`, the aggregate-form
+    * top-1 that replaces a window + filter (one partial-mergeable agg, no
+    * row_number shuffle; at 100 TB the difference between one combine
+    * tree and sorting every group). Tie-safe across engines: the ordering
+    * key is an exact composite BIGINT (cents × 10⁹ + custkey), so there
+    * is exactly one max even if balances tie. */
+  def qAggArgmax(s: SparkSession, dir: String): DataFrame = {
+    val key = "CAST(round(c_acctbal * 100) AS BIGINT) * " +
+      "CAST(1000000000 AS BIGINT) + c_custkey"
+    orderedAll(t(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(expr(s"max_by(c_name, $key)").as("top_name"),
+        expr(s"min_by(c_name, $key)").as("bottom_name"),
+        max(col("c_acctbal")).as("max_bal"),
+        count(lit(1)).as("n")))
+  }
+
+  /** Fixed-width histogram (§2.16): event values bucketed at width 50,
+    * capped at bucket 10 — the profiling primitive for any numeric column
+    * at scale (one mergeable groupBy; bucket id computed in the scan
+    * projection, no shuffle beyond the count). */
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "events")
+      .groupBy(col("event_type"),
+        least(floor(col("value") / 50.0), lit(10.0)).cast("long")
+          .as("bucket"))
+      .agg(count(lit(1)).as("n"), max(col("value")).as("mx")))
+
   // ---- §2.6 sorts / top-k ----------------------------------------------
 
   /** Global top-k: planned as TakeOrderedAndProject (per-partition heaps +

@@ -157,21 +157,48 @@ object Sketches {
     val sigs = toks.groupByKey(_._1).mapValues(_._2)
       .agg(new graft.functions.MinHashAggregator(16).toColumn.name("sig"))
       .toDF("doc_id", "sig")
-    val bands = sigs.select(col("doc_id"), col("sig"),
-        explode(expr("sequence(0, 7)")).as("band"))
-      .withColumn("bkey",
-        expr("xxhash64(band, sig[band * 2], sig[band * 2 + 1])"))
-    val x = bands.select(col("doc_id").as("a_id"), col("sig").as("sa"),
-      col("band"), col("bkey"))
-    val y = bands.select(col("doc_id").as("b_id"), col("sig").as("sb"),
-      col("band"), col("bkey"))
-    x.join(y, Seq("band", "bkey"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("lanes_eq", expr(
-        "CAST(size(filter(zip_with(sa, sb, (p, q) -> p = q), v -> v)) AS BIGINT)"))
-      .filter(col("lanes_eq") >= 12)
-      .select("a_id", "b_id", "lanes_eq")
-      .distinct()
+    val sa = sigs.select(col("doc_id").as("a_id"), col("sig").as("sa"))
+    val sb = sigs.select(col("doc_id").as("b_id"), col("sig").as("sb"))
+    // lanes_eq as a codegen'd 16-term indicator sum — an interpreted
+    // zip_with lambda here costs ~10× on dense corpora where most
+    // collision rows reach the verify.
+    val lanesEq = (0 until 16).map(i =>
+      when(col("sa").getItem(i) === col("sb").getItem(i), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    // Same stats-driven candidate strategy as the relational twin
+    // (qDedupMinhash above): a DENSE small corpus makes band buckets
+    // ~everything (the equi-join enumerates 8·n²/2 rows and drags the
+    // signature payload through the shuffle); under 20k docs a broadcast
+    // NLJ with a codegen'd 8-term positional band-equality OR tests each
+    // pair exactly once. The band-bucket equi-join (sigs stripped, pairs
+    // dedup'd, signatures re-joined for the verify) is the ≥20k-doc path
+    // — the only shape at 10⁹ docs.
+    val nDocs = sigs.count()
+    if (nDocs <= 20000) {
+      val anyBand = (0 until 8).map(k =>
+        col("sa").getItem(2 * k) === col("sb").getItem(2 * k) &&
+          col("sa").getItem(2 * k + 1) === col("sb").getItem(2 * k + 1))
+        .reduce(_ || _)
+      sa.join(broadcast(sb), col("a_id") < col("b_id") && anyBand)
+        .withColumn("lanes_eq", lanesEq)
+        .filter(col("lanes_eq") >= 12)
+        .select("a_id", "b_id", "lanes_eq")
+    } else {
+      val bands = sigs.select(col("doc_id"),
+          explode(expr("sequence(0, 7)")).as("band"))
+        .withColumn("bkey", expr(
+          "xxhash64(band, sig[band * 2], sig[band * 2 + 1])"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      cand.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("lanes_eq", lanesEq)
+        .filter(col("lanes_eq") >= 12)
+        .select("a_id", "b_id", "lanes_eq")
+    }
   }
 
   /** SimHash near-dup: 64-bit signature (bit k set iff the tf-unweighted

@@ -313,6 +313,42 @@ object Text {
     out
   }
 
+  /** TF-IDF cosine near-dup (§2.16): document-pair cosine over LEARNED
+    * sparse vectors — the lexical-weighted cousin of q_dedup_near (raw
+    * Jaccard) and q_dedup_embedding (dense vectors). Weights are
+    * tf·ln(N/df); the pair dot product is a sparse inverted-index join
+    * over shared tokens only (never materializing dense vectors), norms
+    * are one mergeable agg, and the output keeps pairs with rounded
+    * cosine ≥ 0.5. Scale: identical join topology to invertedPairs —
+    * posting self-join, partial-mergeable sums, no broadcast of anything
+    * corpus-sized. Float policy: sums are dozens of addends per group,
+    * far under the 10k raw-double threshold; round(…,4) on the only
+    * emitted float. */
+  def qTfidfCosine(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(col("lang") === "en" && col("doc_id") < 100)
+    val tf = tokDf(docs).groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nd = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = tf.join(dfr, "token").crossJoin(broadcast(nd))
+      .withColumn("wt",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .select("doc_id", "token", "wt")
+    val nrm = w.groupBy("doc_id").agg(sum(col("wt") * col("wt")).as("nn"))
+    val dot = w.as("a")
+      .join(w.as("b"), col("a.token") === col("b.token") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(sum(col("a.wt") * col("b.wt")).as("dp"))
+    orderedAll(dot
+      .join(nrm.select(col("doc_id").as("a_id"), col("nn").as("na")), "a_id")
+      .join(nrm.select(col("doc_id").as("b_id"), col("nn").as("nb")), "b_id")
+      .withColumn("cos", round(col("dp") / sqrt(col("na") * col("nb")), 4))
+      .filter(col("cos") >= 0.5)
+      .select("a_id", "b_id", "cos"))
+  }
+
   /** Stopword removal + suffix stemming (normalization ahead of counting
     * in every text pipeline): drop the closed-class words, strip one
     * English suffix (ing|ed|ly|es|s — anchored, so exactly one match site

@@ -141,6 +141,36 @@ object Windows {
       .select("user_id", "event_type", "event_id", "us", "value"))
   }
 
+  /** Binned interval join (§2.16): every (purchase, click) pair by the
+    * same user within ±30 min. The naive formulation is a non-equi time
+    * predicate — an O(n·m) nested-loop at scale. Binning makes it an
+    * EQUI-join: clicks land in their 30-min bin, purchases probe their
+    * own bin ± 1 (|Δt| ≤ W ⇒ the click's bin is one of those three), the
+    * join key is (user, bin), and the exact |Δt| ≤ W predicate verifies
+    * inside the bucket. Each pair matches exactly once (a click has ONE
+    * bin), so no distinct is needed. This is the standard range-join
+    * optimization: shuffle-local work proportional to true matches, not
+    * |purchases|×|clicks|. Plan shape (no BNLJ) asserted in PlanSpec. */
+  def qJoinTimeWindow(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 1800L * 1000000L
+    val e = t(s, dir, "events").withColumn("us", unix_micros(col("ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("us").as("cus"))
+      .withColumn("bin", expr(s"cus div $winUs"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("pus"))
+      .withColumn("bin", explode(array(
+        expr(s"pus div $winUs - 1"), expr(s"pus div $winUs"),
+        expr(s"pus div $winUs + 1"))))
+    orderedAll(purchases.join(clicks,
+        purchases("user_id") === clicks("cu") &&
+          purchases("bin") === clicks("bin") &&
+          abs(col("cus") - col("pus")) <= winUs)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("cus") - col("pus"))).as("min_gap_us")))
+  }
+
   /** As-of join (SURVEY §2.3): each event paired with the user's most
     * recent prior signup. Spark has no native as-of join; expressed as the
     * union-tag + running-max window idiom — max(signup ts) over all

@@ -45,6 +45,12 @@ class PlanSpec extends SparkSpec {
     }.nonEmpty)
   }
 
+  test("q_join_time_window: binned interval join is an equi-join") {
+    assert(plan("q_join_time_window").collect {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.isEmpty, "interval join fell back to an all-pairs NLJ")
+  }
+
   test("q_dedup_simhash pairs via banded equi-join, not nested-loop") {
     assert(plan("q_dedup_simhash").collect {
       case j: BroadcastNestedLoopJoinExec => j
