@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** Corpus-size cutoff between the dense-small-corpus broadcast-NLJ
+    * candidate strategy and the band-bucket equi-join (the at-scale
+    * shape). Overridable so tests can drive the large-corpus branch on
+    * the small fixtures. */
+  private def nljMaxDocs(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.sketchNljMaxDocs")
+      .map(_.toLong).getOrElse(20000L)
+
   /** MinHash + LSH near-dup: 16 minhashes per doc (xxhash64 with the band
     * index salted into the key), 8 bands × 2 rows, candidate pairs from
     * band-bucket collisions, then EXACT verification (array_intersect
@@ -65,7 +73,7 @@ object Sketches {
     val stats = docs.agg(count(lit(1)), max(col("doc_id"))).head
     val nDocs = stats.getLong(0)
     val maxId = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-    val cand = if (nDocs <= 20000) {
+    val cand = if (nDocs <= nljMaxDocs(s)) {
       val sigs = bands.groupBy("doc_id")
         .agg(expr("transform(array_sort(collect_list(struct(band, bkey)))," +
           " x -> x.bkey)").as("sig"))
@@ -173,8 +181,10 @@ object Sketches {
     // pair exactly once. The band-bucket equi-join (sigs stripped, pairs
     // dedup'd, signatures re-joined for the verify) is the ≥20k-doc path
     // — the only shape at 10⁹ docs.
-    val nDocs = sigs.count()
-    if (nDocs <= 20000) {
+    // Stats probe on the CHEAP base relation — counting via `sigs` would
+    // execute the whole typed aggregation pipeline a second time.
+    val nDocs = t(s, dir, "documents").filter(col("lang") === "en").count()
+    if (nDocs <= nljMaxDocs(s)) {
       val anyBand = (0 until 8).map(k =>
         col("sa").getItem(2 * k) === col("sb").getItem(2 * k) &&
           col("sa").getItem(2 * k + 1) === col("sb").getItem(2 * k + 1))
@@ -184,10 +194,11 @@ object Sketches {
         .filter(col("lanes_eq") >= 12)
         .select("a_id", "b_id", "lanes_eq")
     } else {
-      val bands = sigs.select(col("doc_id"),
+      val bands = sigs.select(col("doc_id"), col("sig"),
           explode(expr("sequence(0, 7)")).as("band"))
         .withColumn("bkey", expr(
           "xxhash64(band, sig[band * 2], sig[band * 2 + 1])"))
+        .select("doc_id", "band", "bkey")
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") &&
             col("x.bkey") === col("y.bkey") &&

@@ -247,19 +247,26 @@ object Text {
     * eager `localCheckpoint` — blocks live in executor storage, fast, but
     * they DIE WITH THE EXECUTOR; correct on local[n], lossy on a real
     * cluster under executor churn. Cluster mode sets
-    * `spark.graft.reliableCheckpoint=true` to write state to the
-    * fault-tolerant checkpoint dir (`spark.graft.checkpointDir`, default
-    * tmp; on a cluster point it at DFS) via reliable `checkpoint()` —
-    * same lineage truncation, survives executor loss. */
-  private def pin(df: DataFrame): DataFrame = {
+    * `spark.graft.reliableCheckpoint=true` to write state through
+    * fault-tolerant storage instead (`spark.graft.checkpointDir`, default
+    * tmp; on a cluster point it at DFS): an explicit parquet write to a
+    * NAMED SLOT under the dir, read back as the new lineage root. Named
+    * slots (not RDD `checkpoint()`) because slot names can be REUSED —
+    * round r+2 overwrites round r's slot, which is safe (round r's data
+    * is only read while materializing round r+1, already on disk) and
+    * bounds the footprint at ~4 slots regardless of round count. RDD
+    * `checkpoint()` files, by contrast, are only ever deleted when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` was set at
+    * context startup — the default leaks one full state copy per round.
+    */
+  private def pin(df: DataFrame, slot: String): DataFrame = {
     val s = df.sparkSession
     if (s.conf.getOption("spark.graft.reliableCheckpoint").contains("true")) {
-      if (s.sparkContext.getCheckpointDir.isEmpty)
-        s.sparkContext.setCheckpointDir(
-          s.conf.getOption("spark.graft.checkpointDir").getOrElse(
-            new java.io.File(sys.props("java.io.tmpdir"),
-              "graft_ckpt").toString))
-      df.checkpoint(eager = true)
+      val base = s.conf.getOption("spark.graft.checkpointDir").getOrElse(
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_ckpt").toString)
+      val path = s"$base/${System.identityHashCode(s)}/$slot"
+      df.write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
     } else df.localCheckpoint(true)
   }
 
@@ -271,20 +278,23 @@ object Text {
     // truncates the logical plan — with cache() alone the lineage grows
     // every round and Catalyst re-analyzes the whole accumulated plan per
     // iteration (measurably superlinear).
-    val pairs = pin(nearPairs(s, dir).select("a_id", "b_id"))
+    val pairs = pin(nearPairs(s, dir).select("a_id", "b_id"), "pairs")
     val edges = pin(pairs
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))),
+      "edges")
     // Round 0 fused into initialization: with labels starting at the node
     // id, the first propagation is just min(id, min neighbor id) — one
     // groupBy over the edge list, no join (every node appears as dst
     // because edges carry both directions).
     var labels = pin(edges
       .groupBy(col("dst").as("doc_id")).agg(min(col("src")).as("nbr"))
-      .select(col("doc_id"), least(col("doc_id"), col("nbr")).as("label")))
-    // Superseded per-round checkpoints are reclaimed asynchronously by the
-    // ContextCleaner once the loop drops its reference — no manual
-    // unpersist handle exists for localCheckpoint blocks.
+      .select(col("doc_id"), least(col("doc_id"), col("nbr")).as("label")),
+      "labels_0")
+    // Default mode: superseded per-round localCheckpoint blocks are
+    // reclaimed asynchronously by the ContextCleaner once the loop drops
+    // its reference. Reliable mode: rounds alternate between two named
+    // slots, so disk stays bounded with no cleaner dependency.
     var changed = 1L
     var rounds = 0
     val maxRounds = 64 // propagation rounds = component diameter
@@ -297,7 +307,8 @@ object Text {
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("old"),
           least(col("old"), coalesce(col("nbr_label"), col("old")))
-            .as("label")))
+            .as("label")),
+        s"labels_${rounds % 2 + 1}")
       changed = stepped.filter(col("label") =!= col("old")).count()
       labels = stepped.select("doc_id", "label")
       rounds += 1

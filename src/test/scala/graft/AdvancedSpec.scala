@@ -135,7 +135,11 @@ class AdvancedSpec extends SparkSpec {
       val reliable = SparkEntry.queries("q_dedup_clusters")(spark, sf)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
       assert(reliable.sameElements(default))
-      assert(spark.sparkContext.getCheckpointDir.nonEmpty)
+      // loop state went through named parquet slots under the ckpt dir
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ckpt/${System.identityHashCode(spark)}")
+      val slots = Option(base.list()).map(_.toSet).getOrElse(Set.empty)
+      assert(Set("pairs", "edges", "labels_0").subsetOf(slots), s"$slots")
     } finally spark.conf.unset("spark.graft.reliableCheckpoint")
   }
 

@@ -66,6 +66,21 @@ class SketchesSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2)).toSet == expected)
   }
 
+  test("large-corpus band-join branches equal the small-corpus NLJ paths") {
+    // Force the >nljMaxDocs strategy on the small fixture: candidate sets
+    // must be identical under either physical plan (a pair is a candidate
+    // iff SOME band matches — same logical contract).
+    def run(q: String) = SparkEntry.queries(q)(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val defMh = run("q_dedup_minhash")
+    val defAgg = run("q_dedup_minhash_agg")
+    spark.conf.set("spark.graft.sketchNljMaxDocs", "0")
+    try {
+      assert(run("q_dedup_minhash") == defMh)
+      assert(run("q_dedup_minhash_agg") == defAgg)
+    } finally spark.conf.unset("spark.graft.sketchNljMaxDocs")
+  }
+
   test("simhash banding: identical pair set to brute-force all-pairs") {
     // Independent driver-side reimplementation: signature from first
     // principles (xxhash64 votes), then O(n²) hamming over all pairs.
