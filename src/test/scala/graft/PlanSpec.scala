@@ -57,6 +57,15 @@ class PlanSpec extends SparkSpec {
     }.isEmpty, "simhash pair search fell back to an all-pairs NLJ")
   }
 
+  test("q_source_orc: predicate pushdown reaches the ORC scan") {
+    val sc = scans(plan("q_source_orc"))
+    assert(sc.nonEmpty)
+    val pushed = sc.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("s_acctbal"), s"not pushed: $pushed")
+    assert(sc.head.requiredSchema.fieldNames.toSet ==
+      Set("s_acctbal", "s_nationkey"), "over-read on the ORC source")
+  }
+
   test("q_source_partitioned: multi-file input, directory-level pruning") {
     val df = SparkEntry.queries("q_source_partitioned")(spark, sf)
     // the relation is genuinely multi-file (4 files × event_type dirs)...
