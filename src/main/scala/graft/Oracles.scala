@@ -806,6 +806,25 @@ object Oracles {
         |         JOIN nrm nb ON nb.doc_id = b_id
         |WHERE round(dp / sqrt(na.nn * nb.nn), 4) >= 0.5
         |ORDER BY ALL""".stripMargin,
+    "q_unpivot" ->
+      """SELECT metric, count(*) AS n, round(avg(val), 4) AS avg_val,
+        |       min(val) AS min_val, max(val) AS max_val
+        |FROM (SELECT * FROM (SELECT p_partkey,
+        |                            CAST(p_size AS DOUBLE) AS size,
+        |                            CAST(p_retailprice AS DOUBLE)
+        |                              AS retailprice
+        |                     FROM part)
+        |      UNPIVOT (val FOR metric IN (size, retailprice)))
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_events_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |                   epoch_us(ts) // 604800000000 AS wk
+        |            FROM events)
+        |SELECT a.wk, count(DISTINCT a.user_id) AS n_active,
+        |       count(DISTINCT b.user_id) AS n_retained
+        |FROM wk a LEFT JOIN wk b
+        |  ON b.user_id = a.user_id AND b.wk = a.wk + 1
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
     "q_mix_sources" ->
       """SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept
         |FROM documents

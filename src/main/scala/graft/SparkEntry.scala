@@ -64,9 +64,11 @@ object SparkEntry {
     "q_stats" -> Relational.qStats _,
     "q_agg_argmax" -> Relational.qAggArgmax _,
     "q_histogram" -> Relational.qHistogram _,
+    "q_unpivot" -> Relational.qUnpivot _,
     "q_string_agg" -> Relational.qStringAgg _,
     "q_join_asof" -> Windows.qJoinAsof _,
     "q_join_time_window" -> Windows.qJoinTimeWindow _,
+    "q_events_retention" -> Windows.qEventsRetention _,
     // §2.5 window functions
     "q_window_rank" -> Windows.qWindowRank _,
     "q_window_topk_per_group" -> Windows.qWindowTopkPerGroup _,

@@ -324,6 +324,21 @@ object Relational {
           .as("bucket"))
       .agg(count(lit(1)).as("n"), max(col("value")).as("mx")))
 
+  /** Unpivot / melt (§2.16): wide→long reshape of two part measures, then
+    * a per-metric profile — the inverse of q_pivot. `unpivot` is a
+    * Generate (1→N projection) in the plan: no shuffle until the final
+    * aggregate, so it streams at any scale. */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "part").select(col("p_partkey"),
+      col("p_size").cast("double").as("size"),
+      col("p_retailprice").cast("double").as("retailprice"))
+    orderedAll(base.unpivot(Array(col("p_partkey")),
+        Array(col("size"), col("retailprice")), "metric", "val")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), round(avg(col("val")), 4).as("avg_val"),
+        min(col("val")).as("min_val"), max(col("val")).as("max_val")))
+  }
+
   // ---- §2.6 sorts / top-k ----------------------------------------------
 
   /** Global top-k: planned as TakeOrderedAndProject (per-partition heaps +

@@ -141,6 +141,25 @@ object Windows {
       .select("user_id", "event_type", "event_id", "us", "value"))
   }
 
+  /** Weekly cohort retention (§2.16): per week, distinct active users and
+    * how many are also active the FOLLOWING week — the cohort self-join
+    * that product and training-data freshness analytics run constantly.
+    * Active-set dedup first (distinct (user, week) — one mergeable
+    * aggregate), then the week-shifted equi self-join; both sides are the
+    * compact distinct sets, never raw events. */
+  def qEventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val wk = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("wk"))
+      .distinct()
+    val nxt = wk.select(col("user_id").as("u2"), col("wk").as("wk2"))
+    orderedAll(wk.join(nxt,
+        col("u2") === col("user_id") && col("wk2") === col("wk") + 1, "left")
+      .groupBy("wk")
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        countDistinct(col("u2")).as("n_retained")))
+  }
+
   /** Binned interval join (§2.16): every (purchase, click) pair by the
     * same user within ±30 min. The naive formulation is a non-equi time
     * predicate — an O(n·m) nested-loop at scale. Binning makes it an
