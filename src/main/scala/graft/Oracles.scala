@@ -806,6 +806,19 @@ object Oracles {
         |         JOIN nrm nb ON nb.doc_id = b_id
         |WHERE round(dp / sqrt(na.nn * nb.nn), 4) >= 0.5
         |ORDER BY ALL""".stripMargin,
+    "q_window_percent_rank" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  round(percent_rank() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY o_totalprice, o_orderkey), 4) AS pr,
+        |  round(cume_dist() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY o_totalprice, o_orderkey), 4) AS cd
+        |FROM orders WHERE o_orderkey < 100 ORDER BY ALL""".stripMargin,
+    "q_fuzzy_match" ->
+      """SELECT a.n_name AS name_a, b.n_name AS name_b,
+        |       CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS d
+        |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+        |WHERE levenshtein(a.n_name, b.n_name) <= 5
+        |ORDER BY ALL""".stripMargin,
     "q_unpivot" ->
       """SELECT metric, count(*) AS n, round(avg(val), 4) AS avg_val,
         |       min(val) AS min_val, max(val) AS max_val

@@ -76,6 +76,7 @@ object SparkEntry {
     "q_window_lag" -> Windows.qWindowLag _,
     "q_window_range_frame" -> Windows.qWindowRangeFrame _,
     "q_window_ntile" -> Windows.qWindowNtile _,
+    "q_window_percent_rank" -> Windows.qWindowPercentRank _,
     "q_window_first_last" -> Windows.qWindowFirstLast _,
     // §2.6 sorts / top-k
     "q_orderby_limit" -> Relational.qOrderbyLimit _,
@@ -89,6 +90,7 @@ object SparkEntry {
     "q_distinct" -> Relational.qDistinct _,
     // §2.8 scalar functions
     "q_string_funcs" -> Scalars.qStringFuncs _,
+    "q_fuzzy_match" -> Scalars.qFuzzyMatch _,
     "q_date_funcs" -> Scalars.qDateFuncs _,
     "q_math_funcs" -> Scalars.qMathFuncs _,
     "q_json_funcs" -> Scalars.qJsonFuncs _,

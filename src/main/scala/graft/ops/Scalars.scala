@@ -17,6 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object Scalars {
 
+  /** Fuzzy string matching (§2.16): nation-name pairs within edit
+    * distance 5 — entity-resolution's workhorse predicate. Tiny dim here
+    * (broadcast all-pairs is correct); at corpus scale the same contract
+    * runs behind a length/prefix band (|len(a)−len(b)| ≤ d prunes first),
+    * the standard edit-distance blocking scheme. */
+  def qFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "nation")
+      .select(col("n_nationkey").as("ak"), col("n_name").as("name_a"))
+    val b = t(s, dir, "nation")
+      .select(col("n_nationkey").as("bk"), col("n_name").as("name_b"))
+    orderedAll(a.join(broadcast(b), col("ak") < col("bk"))
+      .withColumn("d", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("d") <= 5)
+      .select("name_a", "name_b", "d"))
+  }
+
   def qStringFuncs(s: SparkSession, dir: String): DataFrame =
     orderedAll(t(s, dir, "part").select(
       col("p_partkey"),

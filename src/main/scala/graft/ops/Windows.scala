@@ -141,6 +141,19 @@ object Windows {
       .select("user_id", "event_type", "event_id", "us", "value"))
   }
 
+  /** Relative-position window functions (§2.16): percent_rank + cume_dist
+    * per priority — the normalized-rank pair next to rank/ntile. Unique
+    * tie-break (totalprice, orderkey) so both ranks are deterministic;
+    * round(…,4) on the only emitted floats. */
+  def qWindowPercentRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    orderedAll(t(s, dir, "orders").filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(percent_rank().over(w), 4).as("pr"),
+        round(cume_dist().over(w), 4).as("cd")))
+  }
+
   /** Weekly cohort retention (§2.16): per week, distinct active users and
     * how many are also active the FOLLOWING week — the cohort self-join
     * that product and training-data freshness analytics run constantly.
