@@ -817,7 +817,7 @@ object Oracles {
       """SELECT a.n_name AS name_a, b.n_name AS name_b,
         |       CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS d
         |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
-        |WHERE levenshtein(a.n_name, b.n_name) <= 5
+        |WHERE levenshtein(a.n_name, b.n_name) <= 1
         |ORDER BY ALL""".stripMargin,
     "q_unpivot" ->
       """SELECT metric, count(*) AS n, round(avg(val), 4) AS avg_val,

@@ -58,6 +58,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_source_orc: predicate pushdown reaches the ORC scan") {
+    // PushedFilters on a v1 FileSourceScanExec is the format-independent
+    // filter translation; the ORC reader only applies the SARG when
+    // spark.sql.orc.filterPushdown is on — assert BOTH so a disabled conf
+    // (or a default change) can't leave this test vacuously green.
+    assert(spark.conf.get("spark.sql.orc.filterPushdown") == "true",
+      "ORC SARG pushdown disabled — PushedFilters alone proves nothing")
     val sc = scans(plan("q_source_orc"))
     assert(sc.nonEmpty)
     val pushed = sc.head.metadata.getOrElse("PushedFilters", "")
