@@ -287,20 +287,53 @@ object Text {
     // id, the first propagation is just min(id, min neighbor id) — one
     // groupBy over the edge list, no join (every node appears as dst
     // because edges carry both directions).
-    var labels = pin(edges
+    val labels0 = pin(edges
       .groupBy(col("dst").as("doc_id")).agg(min(col("src")).as("nbr"))
       .select(col("doc_id"), least(col("doc_id"), col("nbr")).as("label")),
       "labels_0")
+    // GRAPH CONTRACTION before iterating: near-dup components are
+    // overwhelmingly cliques or near-cliques, so the init round already
+    // collapses most of each component onto one label. The fixpoint loop
+    // therefore runs on the CONTRACTED label graph — distinct
+    // (label(src), label(dst)) pairs, a few hundred rows here — instead
+    // of re-joining the full |E| edge list every round. Contraction
+    // preserves connectivity, and the global min node id m of a component
+    // satisfies labels0(m) = m, so the contracted fixpoint composed with
+    // labels0 gives exactly the per-component min — the same answer the
+    // uncontracted loop computed, at component-scale (not corpus-scale)
+    // cost per round. At 100 TB: one |E|-sized pass builds the contracted
+    // graph, and every iteration after touches only |components|-sized
+    // state.
+    val l1 = labels0.select(col("doc_id").as("n1"), col("label").as("la"))
+    val l2 = labels0.select(col("doc_id").as("n2"), col("label").as("lb"))
+    val cedges0 = edges
+      .join(l1, col("src") === col("n1"))
+      .join(l2, col("dst") === col("n2"))
+      .filter(col("la") =!= col("lb"))
+      .select(least(col("la"), col("lb")).as("a"),
+        greatest(col("la"), col("lb")).as("b"))
+      .distinct()
+    val cedges = pin(cedges0
+      .select(col("a").as("src"), col("b").as("dst"))
+      .union(cedges0.select(col("b").as("src"), col("a").as("dst"))),
+      "cedges")
+    // Min-label fixpoint over the contracted graph (same loop shape as
+    // the direct version, on tiny data). Labels start at the contracted
+    // node id; nodes absent from cedges are whole components already.
+    var labels = pin(cedges
+      .groupBy(col("dst").as("doc_id")).agg(min(col("src")).as("nbr"))
+      .select(col("doc_id"), least(col("doc_id"), col("nbr")).as("label")),
+      "labels_1")
     // Default mode: superseded per-round localCheckpoint blocks are
     // reclaimed asynchronously by the ContextCleaner once the loop drops
     // its reference. Reliable mode: rounds alternate between two named
     // slots, so disk stays bounded with no cleaner dependency.
     var changed = 1L
     var rounds = 0
-    val maxRounds = 64 // propagation rounds = component diameter
+    val maxRounds = 64 // propagation rounds = contracted-graph diameter
     while (changed > 0 && rounds < maxRounds) {
-      val nbrMin = edges
-        .join(labels, edges("src") === labels("doc_id"))
+      val nbrMin = cedges
+        .join(labels, cedges("src") === labels("doc_id"))
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("label")).as("nbr_label"))
       val stepped = pin(labels.withColumnRenamed("label", "old")
@@ -308,7 +341,7 @@ object Text {
         .select(col("doc_id"), col("old"),
           least(col("old"), coalesce(col("nbr_label"), col("old")))
             .as("label")),
-        s"labels_${rounds % 2 + 1}")
+        s"labels_${rounds % 2 + 2}")
       changed = stepped.filter(col("label") =!= col("old")).count()
       labels = stepped.select("doc_id", "label")
       rounds += 1
@@ -318,9 +351,15 @@ object Text {
     // multiple keep=true docs inside one true component.
     require(changed == 0,
       s"label propagation did not converge in $maxRounds rounds")
-    val out = orderedAll(labels
-      .select(col("doc_id"), col("label").as("cluster_id"),
-        (col("doc_id") === col("label")).as("keep")))
+    // Compose: node → init label → contracted fixpoint label (identity
+    // for labels whose component was already collapsed at init).
+    val fix = labels.select(col("doc_id").as("lnode"),
+      col("label").as("final_label"))
+    val out = orderedAll(labels0
+      .join(fix, col("label") === col("lnode"), "left")
+      .select(col("doc_id"),
+        coalesce(col("final_label"), col("label")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id")))
     out
   }
 
