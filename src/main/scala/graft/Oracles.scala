@@ -838,6 +838,18 @@ object Oracles {
         |FROM wk a LEFT JOIN wk b
         |  ON b.user_id = a.user_id AND b.wk = a.wk + 1
         |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents WHERE doc_id < 50),
+        |c AS (SELECT doc_id, toks,
+        |             unnest(generate_series(0, len(toks) - 1, 8)) AS start
+        |      FROM d)
+        |SELECT doc_id, start // 8 AS chunk_id,
+        |       CAST(len(list_slice(toks, start + 1, start + 16)) AS BIGINT)
+        |         AS n_toks,
+        |       array_to_string(list_slice(toks, start + 1, start + 16), ' ')
+        |         AS chunk_text
+        |FROM c ORDER BY ALL""".stripMargin,
     "q_mix_sources" ->
       """SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept
         |FROM documents

@@ -114,6 +114,7 @@ object SparkEntry {
     "q_text_stats" -> Text.qTextStats _,
     "q_token_entropy" -> Text.qTokenEntropy _,
     "q_stopword_stem" -> Text.qStopwordStem _,
+    "q_chunk_docs" -> Text.qChunkDocs _,
     // §2.11 dedup
     "q_dedup_exact" -> Text.qDedupExact _,
     "q_dedup_keep_first" -> Text.qDedupKeepFirst _,

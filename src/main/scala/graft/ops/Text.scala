@@ -399,6 +399,23 @@ object Text {
       .select("a_id", "b_id", "cos"))
   }
 
+  /** Document chunking (§2.16): overlapping token windows (16 tokens,
+    * stride 8) per doc — the RAG / context-window-packing primitive of
+    * every LLM data pipeline. Chunk starts come from an in-row
+    * `sequence(0, n−1, 8)` explode and each chunk is an in-row `slice`:
+    * no token-stream shuffle, the only wide op is the (tiny) output sort.
+    * Scan-shaped at 100 TB — chunking parallelizes per document. */
+  def qChunkDocs(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "documents").filter(col("doc_id") < 50)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0, size(toks) - 1, 8)")).as("start"))
+      .select(col("doc_id"),
+        expr("CAST(start div 8 AS BIGINT)").as("chunk_id"),
+        expr("CAST(size(slice(toks, start + 1, 16)) AS BIGINT)")
+          .as("n_toks"),
+        expr("concat_ws(' ', slice(toks, start + 1, 16))").as("chunk_text")))
+
   /** Stopword removal + suffix stemming (normalization ahead of counting
     * in every text pipeline): drop the closed-class words, strip one
     * English suffix (ing|ed|ly|es|s — anchored, so exactly one match site
