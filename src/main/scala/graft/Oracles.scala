@@ -829,6 +829,18 @@ object Oracles {
         |                     FROM part)
         |      UNPIVOT (val FOR metric IN (size, retailprice)))
         |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_upsert" ->
+      """WITH changes AS (SELECT o_orderkey AS k, 'U' AS new_status,
+        |                        round(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |                              CAST(1.10 AS DECIMAL(4,2)), 2)
+        |                          AS new_price
+        |                 FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT coalesce(new_status, o_orderstatus) AS status,
+        |       count(*) AS n,
+        |       round(CAST(sum(CAST(coalesce(new_price, o_totalprice)
+        |             AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders FULL JOIN changes ON o_orderkey = k
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
     "q_events_retention" ->
       """WITH wk AS (SELECT DISTINCT user_id,
         |                   epoch_us(ts) // 604800000000 AS wk

@@ -65,6 +65,7 @@ object SparkEntry {
     "q_agg_argmax" -> Relational.qAggArgmax _,
     "q_histogram" -> Relational.qHistogram _,
     "q_unpivot" -> Relational.qUnpivot _,
+    "q_upsert" -> Relational.qUpsert _,
     "q_string_agg" -> Relational.qStringAgg _,
     "q_join_asof" -> Windows.qJoinAsof _,
     "q_join_time_window" -> Windows.qJoinTimeWindow _,

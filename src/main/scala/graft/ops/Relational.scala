@@ -339,6 +339,34 @@ object Relational {
         min(col("val")).as("min_val"), max(col("val")).as("max_val")))
   }
 
+  /** Batch upsert (§2.16): SCD-1 snapshot merge — the base table overlaid
+    * with a changes set (simulated: every 10th order re-priced +10%,
+    * status 'U'), changes winning per key; summarized per resulting
+    * status. The batch twin of MERGE INTO: one full outer join on the
+    * key + coalesce, which at 100 TB is a single co-partitioned shuffle
+    * (or exchange-free entirely on bucketed snapshots — see
+    * q_join_bucketed for that ingest pattern). */
+  def qUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val changes = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("k"), lit("U").as("new_status"),
+        // re-price in EXACT decimal: round(double*1.1, 2) lands on true
+        // decimal .XX5 ties whose resolution differs between engines;
+        // DECIMAL(18,2) × DECIMAL(4,2) is exact and round() is
+        // ties-away-from-zero in both engines for positive values
+        round(col("o_totalprice").cast("decimal(18,2)") *
+          expr("CAST(1.10 AS DECIMAL(4,2))"), 2).as("new_price"))
+    orderedAll(base
+      .join(changes, col("o_orderkey") === col("k"), "full")
+      .select(
+        coalesce(col("new_status"), col("o_orderstatus")).as("status"),
+        coalesce(col("new_price"), col("o_totalprice")).as("price"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), dsum(col("price")).as("total")))
+  }
+
   // ---- §2.6 sorts / top-k ----------------------------------------------
 
   /** Global top-k: planned as TakeOrderedAndProject (per-partition heaps +
