@@ -254,7 +254,9 @@ object Text {
     * slots (not RDD `checkpoint()`) because slot names can be REUSED —
     * round r+2 overwrites round r's slot, which is safe (round r's data
     * is only read while materializing round r+1, already on disk) and
-    * bounds the footprint at ~4 slots regardless of round count. RDD
+    * bounds the footprint at the 7 fixed slots qDedupClusters names
+    * (pairs, edges, labels_0, cedges, labels_1..3 — the loop alternates
+    * the last two) regardless of round count. RDD
     * `checkpoint()` files, by contrast, are only ever deleted when
     * `spark.cleaner.referenceTracking.cleanCheckpoints` was set at
     * context startup — the default leaks one full state copy per round.
@@ -278,19 +280,23 @@ object Text {
     // truncates the logical plan — with cache() alone the lineage grows
     // every round and Catalyst re-analyzes the whole accumulated plan per
     // iteration (measurably superlinear).
+    // Both-directions mirror + fused init round (min over self and
+    // direct neighbors), shared by the full graph and its contraction.
+    def mirror(df: DataFrame): DataFrame = df
+      .select(col("a").as("src"), col("b").as("dst"))
+      .union(df.select(col("b").as("src"), col("a").as("dst")))
+    def initLabels(g: DataFrame, slot: String): DataFrame = pin(g
+      .groupBy(col("dst").as("doc_id")).agg(min(col("src")).as("nbr"))
+      .select(col("doc_id"), least(col("doc_id"), col("nbr")).as("label")),
+      slot)
     val pairs = pin(nearPairs(s, dir).select("a_id", "b_id"), "pairs")
-    val edges = pin(pairs
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))),
-      "edges")
+    val edges = pin(mirror(pairs.select(col("a_id").as("a"),
+      col("b_id").as("b"))), "edges")
     // Round 0 fused into initialization: with labels starting at the node
     // id, the first propagation is just min(id, min neighbor id) — one
     // groupBy over the edge list, no join (every node appears as dst
     // because edges carry both directions).
-    val labels0 = pin(edges
-      .groupBy(col("dst").as("doc_id")).agg(min(col("src")).as("nbr"))
-      .select(col("doc_id"), least(col("doc_id"), col("nbr")).as("label")),
-      "labels_0")
+    val labels0 = initLabels(edges, "labels_0")
     // GRAPH CONTRACTION before iterating: near-dup components are
     // overwhelmingly cliques or near-cliques, so the init round already
     // collapses most of each component onto one label. The fixpoint loop
@@ -313,17 +319,11 @@ object Text {
       .select(least(col("la"), col("lb")).as("a"),
         greatest(col("la"), col("lb")).as("b"))
       .distinct()
-    val cedges = pin(cedges0
-      .select(col("a").as("src"), col("b").as("dst"))
-      .union(cedges0.select(col("b").as("src"), col("a").as("dst"))),
-      "cedges")
+    val cedges = pin(mirror(cedges0), "cedges")
     // Min-label fixpoint over the contracted graph (same loop shape as
     // the direct version, on tiny data). Labels start at the contracted
     // node id; nodes absent from cedges are whole components already.
-    var labels = pin(cedges
-      .groupBy(col("dst").as("doc_id")).agg(min(col("src")).as("nbr"))
-      .select(col("doc_id"), least(col("doc_id"), col("nbr")).as("label")),
-      "labels_1")
+    var labels = initLabels(cedges, "labels_1")
     // Default mode: superseded per-round localCheckpoint blocks are
     // reclaimed asynchronously by the ContextCleaner once the loop drops
     // its reference. Reliable mode: rounds alternate between two named
