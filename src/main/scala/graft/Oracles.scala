@@ -863,7 +863,8 @@ object Oracles {
         |         AS chunk_text
         |FROM c ORDER BY ALL""".stripMargin,
     "q_mix_sources" ->
-      """SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept
+      """SELECT source, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
         |FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 2) <=
         |  CASE CAST(substr(source, 4) AS INT) % 4
