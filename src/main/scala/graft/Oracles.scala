@@ -870,6 +870,117 @@ object Oracles {
         |  CASE CAST(substr(source, 4) AS INT) % 4
         |    WHEN 0 THEN '1f' WHEN 1 THEN '3f' WHEN 2 THEN '7f'
         |    ELSE 'ff' END
-        |GROUP BY 1 ORDER BY ALL""".stripMargin
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.17 round-4 extensions --------------------------------------
+    "q_bm25" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '),
+        |                         x -> x <> '') AS toks
+        |           FROM documents WHERE lang = 'en' AND doc_id < 100),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1,2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |sc AS (SELECT tf.doc_id, tf.token, tf.tf, dfr.df,
+        |         ln((nd.n_docs - dfr.df + 0.5) / (dfr.df + 0.5) + 1) *
+        |         (tf.tf * 2.2) /
+        |         (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / nd.avgdl)) AS raw
+        |       FROM tf CROSS JOIN nd
+        |       JOIN dfr ON tf.token = dfr.token
+        |       JOIN dl ON tf.doc_id = dl.doc_id),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY raw DESC, token) AS rn FROM sc)
+        |SELECT doc_id, token, tf, df, round(raw, 4) AS bm25
+        |FROM rk WHERE rn <= 5 ORDER BY ALL""".stripMargin,
+    "q_repetition_ratio" ->
+      """WITH tok AS (SELECT doc_id,
+        |               unnest(list_filter(string_split(lower(text), ' '),
+        |                                  x -> x <> '')) AS token
+        |             FROM documents WHERE doc_id < 200),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1,2),
+        |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+        |          max(tf) AS max_tf FROM tf GROUP BY 1)
+        |SELECT doc_id, n_toks, max_tf,
+        |       round(CAST(max_tf AS DOUBLE) / n_toks, 4) AS rep_ratio,
+        |       (max_tf * 5 >= n_toks) AS repetitive
+        |FROM agg ORDER BY ALL""".stripMargin,
+    "q_graph_degree" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, token FROM (
+        |       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |       FROM documents WHERE lang = 'en') WHERE token <> ''),
+        |sz AS (SELECT doc_id, count(*) AS nt FROM dt GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+        |       FROM dt a JOIN dt b
+        |       ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id
+        |          FROM pr JOIN sz sa ON a_id = sa.doc_id
+        |                  JOIN sz sb ON b_id = sb.doc_id
+        |          WHERE common * 9 >= (sa.nt + sb.nt) * 4),
+        |ends AS (SELECT a_id AS doc_id FROM pairs
+        |         UNION ALL SELECT b_id FROM pairs),
+        |degs AS (SELECT doc_id, count(*) AS degree FROM ends GROUP BY 1)
+        |SELECT degree, count(*) AS n_docs, CAST(min(doc_id) AS BIGINT)
+        |  AS min_doc
+        |FROM degs GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_pack_chunks" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |               len(list_filter(string_split(lower(text), ' '),
+        |                               x -> x <> '')) AS n_toks
+        |             FROM documents),
+        |cum AS (SELECT source, doc_id, n_toks,
+        |          sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |            AS before_toks
+        |        FROM tok)
+        |SELECT source, CAST(coalesce(before_toks, 0) // 500 AS BIGINT)
+        |         AS shard,
+        |       count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tot_toks
+        |FROM cum GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |tgt AS (SELECT min(n) AS m FROM cnt),
+        |thr AS (SELECT lang, (4294967296 * m) // n AS thr FROM cnt, tgt),
+        |kept AS (SELECT d.lang, d.n_chars
+        |         FROM documents d JOIN thr ON d.lang = thr.lang
+        |         WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+        |                 || ':strat'), 1, 8))::BIGINT < thr.thr)
+        |SELECT lang, count(*) AS n_kept,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM kept GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_vector_pq" ->
+      """WITH cb AS (SELECT vec_id AS cid, embedding AS ce
+        |            FROM embeddings WHERE vec_id < 16),
+        |blocks AS (SELECT unnest(generate_series(0, 7)) AS b),
+        |dist AS (SELECT e.vec_id, b.b, cb.cid,
+        |           list_sum(list_transform(generate_series(1, 8), i ->
+        |             (CAST(e.embedding[b.b * 8 + i] AS DOUBLE) -
+        |              CAST(cb.ce[b.b * 8 + i] AS DOUBLE)) *
+        |             (CAST(e.embedding[b.b * 8 + i] AS DOUBLE) -
+        |              CAST(cb.ce[b.b * 8 + i] AS DOUBLE)))) AS d2
+        |         FROM embeddings e CROSS JOIN blocks b CROSS JOIN cb),
+        |rk AS (SELECT vec_id, b, cid, row_number() OVER (
+        |         PARTITION BY vec_id, b ORDER BY d2, cid) AS rn FROM dist)
+        |SELECT vec_id, CAST(b AS BIGINT) AS block, CAST(cid AS BIGINT)
+        |  AS code
+        |FROM rk WHERE rn = 1 ORDER BY ALL""".stripMargin,
+    "q_events_anomaly" ->
+      """WITH m AS (SELECT event_type,
+        |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |               AS s1,
+        |             CAST(sum(CAST(value AS DECIMAL(18,2)) *
+        |                      CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |               AS s2,
+        |             count(*) AS n
+        |           FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       round((e.value - m.s1 / m.n) /
+        |             sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n)), 4)
+        |         AS z
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |WHERE abs((e.value - m.s1 / m.n) /
+        |          sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n))) > 2.5
+        |ORDER BY ALL""".stripMargin
   )
 }

@@ -140,6 +140,14 @@ object SparkEntry {
     "q_dedup_minhash_agg" -> Sketches.qDedupMinhashAgg _,
     "q_dedup_simhash" -> Sketches.qDedupSimhash _,
     "q_ann_lsh" -> Sketches.qAnnLsh _,
+    // §2.17 round-4 extensions
+    "q_bm25" -> Text.qBm25 _,
+    "q_repetition_ratio" -> Text.qRepetitionRatio _,
+    "q_graph_degree" -> Text.qGraphDegree _,
+    "q_pack_chunks" -> Text.qPackChunks _,
+    "q_sample_stratified" -> Pipeline.qSampleStratified _,
+    "q_vector_pq" -> Vectors.qVectorPq _,
+    "q_events_anomaly" -> Windows.qEventsAnomaly _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

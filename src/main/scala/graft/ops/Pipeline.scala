@@ -94,6 +94,33 @@ object Pipeline {
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept")))
 
+  /** Stratified downsampling to the smallest stratum (§2.17): every
+    * language is sampled down to (approximately) the size of the rarest
+    * one — the language-rebalancing step of multilingual corpus curation,
+    * and the data-DEPENDENT cousin of qMixSources' fixed tier weights.
+    * Per-stratum keep thresholds are computed from the stratum counts in
+    * integer arithmetic (2³²·min_count div count — exact in both
+    * engines), and the keep decision compares the first 32 md5 bits of
+    * the doc id (as an integer) against the stratum threshold. Topology:
+    * one tiny agg (|langs| rows) broadcast back onto a scan-shaped
+    * filter — two jobs, no corpus-sized shuffle, deterministic under any
+    * partitioning. */
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val cnt = d.groupBy("lang").agg(count(lit(1)).as("n"))
+    val thr = cnt.crossJoin(broadcast(cnt.agg(min(col("n")).as("m"))))
+      .select(col("lang"),
+        expr("(4294967296L * m) div n").as("thr"))
+    orderedAll(d.join(broadcast(thr), "lang")
+      .filter(expr(
+        """CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),
+          |  ':strat')), 1, 8), 16, 10) AS BIGINT)""".stripMargin)
+        < col("thr"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("chars_kept")))
+  }
+
   /** Rabin-Karp-style rolling fingerprint of the token sequence (doc_id <
     * 100): fold h → (h·1000003 + code(tok)) mod (2³¹−1), where code is an
     * engine-portable integer image of the token (first-char code and

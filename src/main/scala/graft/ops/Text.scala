@@ -450,4 +450,87 @@ object Text {
       .agg(round(-sum(col("p") * log2(col("p"))), 4).as("entropy"),
         countDistinct(col("token")).as("vocab")))
   }
+
+  // ---- §2.17 round-4 extensions ---------------------------------------
+
+  /** BM25 top-5 terms per doc (k1=1.2, b=0.75) over the (lang='en',
+    * doc_id<100) corpus — the retrieval-grade term weighting next to raw
+    * TF-IDF (`qTfidf`): the tf saturation term and the length
+    * normalization are what production retrieval stacks actually rank by.
+    * Same topology as qTfidf: two mergeable aggregates over one token
+    * stream, a broadcast (n_docs, avgdl) scalar pair, one window for the
+    * per-doc top-k. Float parity: the score expression is mirrored
+    * token-for-token in the oracle (same operator tree, so IEEE ops land
+    * identically); ranking ties break on the token string. */
+  def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(col("lang") === "en" && col("doc_id") < 100)
+    val tok = tokDf(docs)
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfr = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nd = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("raw").desc, col("token").asc)
+    orderedAll(tf.join(dfr, "token").join(dl, "doc_id")
+      .crossJoin(broadcast(nd))
+      .withColumn("raw",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+          (col("tf") * 2.2) /
+          (col("tf") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("raw"), 4).as("bm25")))
+  }
+
+  /** Repetition ratio per doc (doc_id<200): max term frequency over total
+    * tokens — the boilerplate/spam signal every pretraining quality filter
+    * computes (a doc where one token is ≥20% of the text is template
+    * noise). The keep/drop decision is integer arithmetic (5·max_tf ≥
+    * n_toks), so the flag has no float boundary; the reported ratio is
+    * informational. Two partial-mergeable aggregations, no joins. */
+  def qRepetitionRatio(s: SparkSession, dir: String): DataFrame =
+    orderedAll(tokDf(t(s, dir, "documents").filter(col("doc_id") < 200))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_toks"), max(col("tf")).as("max_tf"))
+      .select(col("doc_id"), col("n_toks"), col("max_tf"),
+        round(col("max_tf").cast("double") / col("n_toks"), 4)
+          .as("rep_ratio"),
+        (col("max_tf") * 5 >= col("n_toks")).as("repetitive")))
+
+  /** Degree histogram of the near-dup pair graph — the dedup planning
+    * stat: the degree distribution says whether components are chains or
+    * cliques (it decided qDedupClusters' contraction strategy). Endpoint
+    * stream comes from ONE pass over the pair set via an in-row 1→2
+    * explode (a union of two selects would re-derive the pair join
+    * twice); two mergeable aggs follow. */
+  def qGraphDegree(s: SparkSession, dir: String): DataFrame =
+    orderedAll(nearPairs(s, dir)
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc")))
+
+  /** Greedy sequence packing: per source, docs in doc_id order fill
+    * 500-token shards — the context-window packing step that turns a
+    * curated corpus into fixed-budget training sequences. The shard id is
+    * the running token count BEFORE each doc, integer-divided by the
+    * budget: one window (partitioned by source — parallel across sources,
+    * which is the 100 TB sharding axis) and one mergeable agg. */
+  def qPackChunks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    orderedAll(t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("size(filter(split(lower(text), ' '), x -> x != ''))")
+          .cast("long").as("n_toks"))
+      .withColumn("before",
+        coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .groupBy(col("source"),
+        expr("CAST(before div 500 AS BIGINT)").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tot_toks")))
+  }
 }

@@ -187,4 +187,43 @@ object Vectors {
       .groupBy("label")
       .agg(count(lit(1)).as("n"), round(avg(col("norm16")), 4).as("avg_n16")))
   }
+
+  /** Product quantization codes (§2.17): each 64-d vector compressed to 8
+    * sub-space code ids — the memory layout behind billion-scale ANN
+    * (PQ/IVF-PQ): 64 floats → 8 bytes, distances later come from
+    * per-block lookup tables. The codebook here is the first 16 vectors'
+    * sub-vectors (a fixed deterministic codebook — production PQ k-means
+    * trains it offline; assignment, the per-row scan-shaped part this
+    * query exercises, is identical either way). Assignment mirrors
+    * qAnnIvf's shape: 16 codebook rows collected driver-side, folded in
+    * as literals, per-block argmin via greatest() over (−dist², −cid)
+    * structs in ONE projection — no candidate explode, no window. The
+    * 1→8 block explode emits the RESULT rows (8 codes per vector are the
+    * output), not candidates to prune. Distances fold the 8 lanes
+    * left-to-right in double — bit-identical to the oracle's list_sum,
+    * so the integer codes match exactly (ties break to the lower cid). */
+  def qVectorPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def d2(ce: Array[Float]): Column = {
+      val ceLit = array(ce.map(f => lit(f.toDouble)).toIndexedSeq: _*)
+      aggregate(sequence(lit(1), lit(8)), lit(0.0), (acc, i) => {
+        val idx = (col("block") * 8 + i).cast("int")
+        val diff = element_at(col("embedding"), idx).cast("double") -
+          element_at(ceLit, idx)
+        acc + diff * diff
+      })
+    }
+    val best = greatest(cb.map { case (cid, ce) =>
+      struct((d2(ce) * -1).as("nd2"), lit(-cid).as("ncid"))
+    }.toIndexedSeq: _*)
+    orderedAll(emb
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(7))).as("block"))
+      .withColumn("best", best)
+      .select(col("vec_id"), col("block").cast("long").as("block"),
+        (col("best.ncid") * -1).as("code")))
+  }
 }

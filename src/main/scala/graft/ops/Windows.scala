@@ -217,4 +217,30 @@ object Windows {
       max(when(col("event_type") === "signup", col("us"))).over(w)
         .as("last_signup_us")))
   }
+
+  /** Z-score outliers (§2.17): events whose value is > 2.5σ from the
+    * per-type mean — the metric-anomaly sweep of every event pipeline.
+    * The moments go through EXACT decimal sums (value is a 2-dp column,
+    * so value and value² are exact in DECIMAL; the double images of the
+    * sums are then bit-identical in both engines under any partitioning),
+    * and the z expression mirrors the oracle operator-for-operator, so
+    * even the |z| > 2.5 boundary decision is deterministic — a raw
+    * double-sum mean would flap rows near the threshold. Topology: one
+    * tiny per-type agg broadcast back onto the scan. */
+  def qEventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val dv = col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val m = e.groupBy("event_type").agg(
+      sum(dv).cast("double").as("s1"),
+      sum(dv * dv).cast("double").as("s2"),
+      count(lit(1)).as("n"))
+    val mean = col("s1") / col("n")
+    val z = (col("value") - mean) /
+      sqrt(col("s2") / col("n") - mean * mean)
+    orderedAll(e.join(broadcast(m), "event_type")
+      .withColumn("z", z)
+      .filter(abs(col("z")) > 2.5)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 4).as("z")))
+  }
 }
