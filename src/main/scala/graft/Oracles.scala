@@ -979,7 +979,8 @@ object Oracles {
         |             sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n)), 4)
         |         AS z
         |FROM events e JOIN m ON e.event_type = m.event_type
-        |WHERE abs((e.value - m.s1 / m.n) /
+        |WHERE m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n) > 0
+        |  AND abs((e.value - m.s1 / m.n) /
         |          sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n))) > 2.5
         |ORDER BY ALL""".stripMargin
   )

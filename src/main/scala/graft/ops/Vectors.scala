@@ -207,6 +207,11 @@ object Vectors {
     val cb: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < 16)
       .select(col("vec_id"), col("embedding"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // The oracle assumes exactly the 16 vec_id<16 codebook rows; a short
+    // codebook would silently degrade (or make greatest() throw at 0
+    // args) — fail loudly instead so both engines see the same contract.
+    require(cb.length == 16,
+      s"PQ codebook needs the 16 vec_id<16 rows, found ${cb.length}")
     def d2(ce: Array[Float]): Column = {
       val ceLit = array(ce.map(f => lit(f.toDouble)).toIndexedSeq: _*)
       aggregate(sequence(lit(1), lit(8)), lit(0.0), (acc, i) => {

@@ -225,8 +225,12 @@ object Windows {
     * sums are then bit-identical in both engines under any partitioning),
     * and the z expression mirrors the oracle operator-for-operator, so
     * even the |z| > 2.5 boundary decision is deterministic — a raw
-    * double-sum mean would flap rows near the threshold. Topology: one
-    * tiny per-type agg broadcast back onto the scan. */
+    * double-sum mean would flap rows near the threshold. Near-constant
+    * types could make s2/n − mean² a tiny NEGATIVE double (float
+    * cancellation): Spark sqrt(neg) = NaN (rows silently drop) but
+    * DuckDB sqrt(neg) raises, so both sides filter to variance > 0 —
+    * the moments are bit-identical doubles, hence so is that decision.
+    * Topology: one tiny per-type agg broadcast back onto the scan. */
   def qEventsAnomaly(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
     val dv = col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
@@ -235,9 +239,10 @@ object Windows {
       sum(dv * dv).cast("double").as("s2"),
       count(lit(1)).as("n"))
     val mean = col("s1") / col("n")
-    val z = (col("value") - mean) /
-      sqrt(col("s2") / col("n") - mean * mean)
+    val variance = col("s2") / col("n") - mean * mean
+    val z = (col("value") - mean) / sqrt(variance)
     orderedAll(e.join(broadcast(m), "event_type")
+      .filter(variance > 0d)
       .withColumn("z", z)
       .filter(abs(col("z")) > 2.5)
       .select(col("event_id"), col("event_type"), col("value"),

@@ -90,8 +90,11 @@ class Round4Spec extends SparkSpec {
   test("q_bm25 emits 5 terms per covered doc, scores ordered") {
     val rows = run("q_bm25").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(4)))
-    for ((_, terms) <- rows.groupBy(_._1))
-      assert(terms.length == 5)
+    // rn <= 5 legitimately emits fewer than 5 terms for docs with under
+    // 5 distinct tokens; require the cap, and that the cap is reached.
+    val perDoc = rows.groupBy(_._1).values.map(_.length)
+    assert(perDoc.forall(n => n >= 1 && n <= 5))
+    assert(perDoc.exists(_ == 5), "no doc reached the 5-term cap")
     assert(rows.map(_._3).exists(_ > 0))
   }
 

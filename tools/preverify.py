@@ -91,12 +91,14 @@ def main(sf_dir, out_dir):
         if list(s.columns) != list(d.columns):
             bad.append((name, f"schema mismatch: spark={list(s.columns)} duck={list(d.columns)}"))
             continue
-        # int-vs-float dtype skew (e.g. DuckDB sum(BIGINT)->HUGEINT->float64)
-        # hash-mismatches on the driver even when values compare equal here.
+        # Numeric dtype-kind skew (e.g. DuckDB sum(BIGINT)->HUGEINT which
+        # pandas may materialize as float64, object, or unsigned) hash-
+        # mismatches on the driver even when values compare equal here.
         kind_skew = [c for c in s.columns
-                     if {s[c].dtype.kind, d[c].dtype.kind} == {"i", "f"}]
+                     if s[c].dtype.kind != d[c].dtype.kind
+                     and ({s[c].dtype.kind, d[c].dtype.kind} & {"i", "u", "f", "O"})]
         if kind_skew:
-            bad.append((name, f"dtype kind mismatch (int vs float) in {kind_skew}: "
+            bad.append((name, f"dtype kind mismatch (numeric skew) in {kind_skew}: "
                         f"spark={[str(s[c].dtype) for c in kind_skew]} "
                         f"duck={[str(d[c].dtype) for c in kind_skew]} — cast the oracle"))
             continue
