@@ -982,6 +982,112 @@ object Oracles {
         |WHERE m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n) > 0
         |  AND abs((e.value - m.s1 / m.n) /
         |          sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n))) > 2.5
+        |ORDER BY ALL""".stripMargin,
+    // §2.17 round-5 extensions
+    "q_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |         toks[i+3] || ' ' || toks[i+4] AS shingle
+        |       FROM (SELECT doc_id,
+        |               unnest(generate_series(1, len(toks) - 4)) AS i,
+        |               toks FROM t)),
+        |tr AS (SELECT doc_id AS train_doc, shingle FROM sh
+        |       WHERE doc_id % 2 = 0),
+        |ev AS (SELECT doc_id AS eval_doc, shingle FROM sh
+        |       WHERE doc_id % 2 = 1)
+        |SELECT train_doc, count(DISTINCT shingle) AS n_shingles,
+        |       count(DISTINCT eval_doc) AS n_eval_docs,
+        |       count(*) AS n_hits
+        |FROM tr JOIN ev USING (shingle)
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_ngram_lm" ->
+      """WITH t AS (SELECT string_split(lower(text), ' ') AS toks
+        |           FROM documents WHERE lang = 'en'),
+        |p AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+        |      FROM (SELECT unnest(generate_series(1, len(toks) - 1)) AS i,
+        |              toks FROM t)),
+        |c2 AS (SELECT w1, w2, count(*) AS n_pair FROM p GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_ctx
+        |       FROM c2 GROUP BY 1),
+        |r AS (SELECT c2.w1 AS w1, w2, n_pair, n_ctx,
+        |        row_number() OVER (PARTITION BY c2.w1
+        |                           ORDER BY n_pair DESC, w2 ASC) AS rn
+        |      FROM c2 JOIN c1 ON c2.w1 = c1.w1)
+        |SELECT w1, w2, n_pair, n_ctx,
+        |       round(CAST(n_pair AS DOUBLE) / n_ctx, 4) AS prob
+        |FROM r WHERE rn <= 3 ORDER BY ALL""".stripMargin,
+    "q_cooccur_pmi" ->
+      """WITH docs AS (SELECT * FROM documents WHERE lang = 'en'),
+        |dt AS (SELECT DISTINCT doc_id, token FROM (
+        |         SELECT doc_id, unnest(string_split(lower(text), ' '))
+        |           AS token FROM docs) WHERE token <> ''),
+        |nd AS (SELECT count(*) AS n_docs FROM docs),
+        |dfr AS (SELECT token, count(*) AS df FROM dt GROUP BY 1),
+        |pairs AS (SELECT a.token AS t1, b.token AS t2, count(*) AS n_ab
+        |          FROM dt a JOIN dt b
+        |            ON a.doc_id = b.doc_id AND a.token < b.token
+        |          GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT t1, t2, n_ab, d1.df AS df1, d2.df AS df2,
+        |       round(ln(CAST(n_ab AS DOUBLE) * n_docs /
+        |                (d1.df * d2.df)), 4) AS pmi
+        |FROM pairs JOIN dfr d1 ON pairs.t1 = d1.token
+        |           JOIN dfr d2 ON pairs.t2 = d2.token
+        |           CROSS JOIN nd
+        |ORDER BY ALL""".stripMargin,
+    "q_kmeans_iter" ->
+      """WITH cb AS (SELECT vec_id AS cid, embedding AS ce
+        |            FROM embeddings WHERE vec_id < 16),
+        |dist AS (SELECT e.vec_id, cb.cid,
+        |           list_sum(list_transform(generate_series(1, 64), i ->
+        |             (CAST(e.embedding[i] AS DOUBLE) -
+        |              CAST(cb.ce[i] AS DOUBLE)) *
+        |             (CAST(e.embedding[i] AS DOUBLE) -
+        |              CAST(cb.ce[i] AS DOUBLE)))) AS d2
+        |         FROM embeddings e CROSS JOIN cb),
+        |rk AS (SELECT vec_id, cid, row_number() OVER (
+        |         PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist),
+        |asg AS (SELECT vec_id, cid FROM rk WHERE rn = 1),
+        |sizes AS (SELECT cid, count(*) AS n_members FROM asg GROUP BY 1),
+        |lanes AS (SELECT a.cid, p.i AS pos,
+        |            CAST(e.embedding[p.i] AS DOUBLE) AS v
+        |          FROM asg a JOIN embeddings e USING (vec_id),
+        |               (SELECT unnest(generate_series(1, 64)) AS i) p),
+        |means AS (SELECT cid, CAST(pos AS BIGINT) AS pos,
+        |            round(avg(v), 4) AS c
+        |          FROM lanes GROUP BY 1, 2)
+        |SELECT m.cid, m.pos, m.c, s.n_members
+        |FROM means m JOIN sizes s USING (cid)
+        |ORDER BY ALL""".stripMargin,
+    "q_anomaly_mad" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |             CAST(value AS DECIMAL(18,2)) AS dv FROM events),
+        |d1 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |                   ORDER BY value, event_id) AS rn,
+        |              count(*) OVER (PARTITION BY event_type) AS n
+        |       FROM e),
+        |med AS (SELECT event_type,
+        |          sum(dv) * (CASE WHEN max(n) % 2 = 1 THEN 2 ELSE 1 END)
+        |            AS med2
+        |        FROM d1 WHERE 2*rn BETWEEN n AND n+2 GROUP BY 1),
+        |wm AS (SELECT e.*, med.med2, abs(2*e.dv - med.med2) AS ad2
+        |       FROM e JOIN med USING (event_type)),
+        |d2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |                   ORDER BY ad2, event_id) AS rn,
+        |              count(*) OVER (PARTITION BY event_type) AS n
+        |       FROM wm),
+        |mad AS (SELECT event_type,
+        |          sum(ad2) * (CASE WHEN max(n) % 2 = 1 THEN 2 ELSE 1 END)
+        |            AS mad22
+        |        FROM d2 WHERE 2*rn BETWEEN n AND n+2 GROUP BY 1)
+        |SELECT wm.event_id, wm.event_type, wm.value,
+        |       CAST(wm.med2 AS DOUBLE) / 2 AS med,
+        |       CAST(mad.mad22 AS DOUBLE) / 4 AS mad,
+        |       round(2 * CAST(wm.ad2 AS DOUBLE) /
+        |             (1.4826 * CAST(mad.mad22 AS DOUBLE)), 4) AS robust_z
+        |FROM wm JOIN mad USING (event_type)
+        |WHERE mad.mad22 > 0 AND 2*wm.ad2 > 4.4478 * mad.mad22
         |ORDER BY ALL""".stripMargin
   )
 }

@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: run one named query, print wall time (cold + warm) and the
-  * formatted physical plan. Usage: RunOne <name> [sfDir] [--explain]. */
+  * formatted physical plan. Usage:
+  * RunOne <name> [sfDir] [--explain] [--warm] — --warm first runs the
+  * query once at sf0.001, emulating Bench's untimed warmup pass, so run 1
+  * shows what the timed bench pass will actually pay. */
 object RunOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
@@ -11,6 +14,7 @@ object RunOne {
       if (args.length > 1 && !args(1).startsWith("--")) args(1)
       else "/root/testdata/sf0.1"
     val explain = args.contains("--explain")
+    val warm = args.contains("--warm")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,6 +25,11 @@ object RunOne {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     if (explain) fn(spark, sfDir).explain("formatted")
+    if (warm) {
+      val t0 = System.nanoTime()
+      fn(spark, "/root/testdata/sf0.001").count()
+      println(f"warm pass (sf0.001): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

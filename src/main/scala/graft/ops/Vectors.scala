@@ -231,4 +231,48 @@ object Vectors {
       .select(col("vec_id"), col("block").cast("long").as("block"),
         (col("best.ncid") * -1).as("code")))
   }
+
+  /** One Lloyd (k-means) iteration (§2.17): assign every vector to the
+    * nearest of 16 seed centroids (the vec_id<16 rows — deterministic
+    * seeding; production uses k-means‖ offline), then recompute each
+    * centroid as the per-dimension mean of its members. Assignment reuses
+    * the qAnnIvf/qVectorPq shape: 16 collected codebook rows folded into
+    * ONE projection as literals, argmin via greatest() over (−d², −cid)
+    * structs — no candidate explode, no shuffle; the only exchanges are
+    * the two mergeable aggregates (sizes, per-(cid,dim) means). That is
+    * exactly the distributed k-means step: broadcast K centroids, map-side
+    * assign, combiner-reduce the sums — iteration count is the driver
+    * loop, each round one scan. L2 distances fold the 64 lanes
+    * left-to-right in double (bit-identical to the oracle's list_sum);
+    * ties break to the lower cid; means follow the qVectorCentroid
+    * round-4 policy. */
+  def qKmeansIter(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    require(cb.length == 16,
+      s"k-means seeding needs the 16 vec_id<16 rows, found ${cb.length}")
+    def d2(ce: Array[Float]): Column = {
+      val ceLit = array(ce.map(f => lit(f.toDouble)).toIndexedSeq: _*)
+      aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) => {
+        val diff = element_at(col("embedding"), i.cast("int")).cast("double") -
+          element_at(ceLit, i.cast("int"))
+        acc + diff * diff
+      })
+    }
+    val best = greatest(cb.map { case (cid, ce) =>
+      struct((d2(ce) * -1).as("nd2"), lit(-cid).as("ncid"))
+    }.toIndexedSeq: _*)
+    val asg = emb
+      .withColumn("cid", best.getField("ncid") * -1)
+      .select(col("vec_id"), col("cid"), col("embedding"))
+    val sizes = asg.groupBy("cid").agg(count(lit(1)).as("n_members"))
+    orderedAll(asg
+      .select(col("cid"), posexplode(col("embedding")))
+      .select(col("cid"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").cast("double").as("v"))
+      .groupBy("cid", "pos").agg(round(avg(col("v")), 4).as("c"))
+      .join(sizes, "cid"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -247,5 +247,54 @@ object Windows {
       .filter(abs(col("z")) > 2.5)
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("z"), 4).as("z")))
+  }
+
+  /** Robust (MAD) outliers (§2.17): events whose |value − median| exceeds
+    * 3 × 1.4826 × MAD per event_type — the robust twin of
+    * [[qEventsAnomaly]]: the z-score sweep breaks when the outliers
+    * themselves inflate σ; median/MAD does not.
+    *
+    * The entire keep/drop decision is EXACT integer-scaled decimal
+    * arithmetic — no float boundary can flap a row. value is a 2-dp
+    * column, so everything is carried ×2 (then ×4 for the MAD level) in
+    * DECIMAL: the rank-selected median of n values is sum(selected)×
+    * (1 or 2) — the rows with 2·rn ∈ [n, n+2] are the middle one (n odd)
+    * or two (n even) — giving med2 = 2·median exactly; absolute
+    * deviations ad2 = |2v − med2| stay 2-dp; the same selection on ad2
+    * gives mad22 = 4·MAD; and the cut |v−med| > 3·1.4826·MAD becomes
+    * 2·ad2 > 4.4478·mad22 in pure decimal. Two sorted window passes per
+    * event_type partition (the exact-median cost); at 100 TB the same
+    * query swaps in approx_percentile sketches, trading the exactness
+    * this oracle check is for. */
+  def qAnomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("value").cast(dec).as("dv"))
+    val wc = Window.partitionBy(col("event_type"))
+    def mid2(df: DataFrame, ord: Column, v: Column): DataFrame = {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(ord.asc, col("event_id").asc)
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wc))
+        .filter(col("rn") * 2 >= col("n") && col("rn") * 2 <= col("n") + 2)
+        .groupBy("event_type")
+        .agg((sum(v) * when(max(col("n")) % 2 === 1, 2).otherwise(1))
+          .as("m2"))
+    }
+    val med = mid2(e, col("value"), col("dv"))
+      .withColumnRenamed("m2", "med2")
+    val wm = e.join(broadcast(med), "event_type")
+      .withColumn("ad2", abs(col("dv") * 2 - col("med2")))
+    val mad = mid2(wm, col("ad2"), col("ad2"))
+      .withColumnRenamed("m2", "mad22")
+    orderedAll(wm.join(broadcast(mad), "event_type")
+      .filter(col("mad22") > 0 &&
+        col("ad2") * 2 > expr("CAST(4.4478 AS DECIMAL(5,4))") * col("mad22"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        (col("med2").cast("double") / 2).as("med"),
+        (col("mad22").cast("double") / 4).as("mad"),
+        round(col("ad2").cast("double") * 2 /
+          (lit(1.4826) * col("mad22").cast("double")), 4).as("robust_z")))
   }
 }
