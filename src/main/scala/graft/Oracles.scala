@@ -1088,6 +1088,84 @@ object Oracles {
         |             (1.4826 * CAST(mad.mad22 AS DOUBLE)), 4) AS robust_z
         |FROM wm JOIN mad USING (event_type)
         |WHERE mad.mad22 > 0 AND 2*wm.ad2 > 4.4478 * mad.mad22
+        |ORDER BY ALL""".stripMargin,
+    "q_corr_matrix" ->
+      """WITH m AS (SELECT
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sq,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE)
+        |    AS sp,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(15,2))) AS DOUBLE) AS sd,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(15,2)) *
+        |           CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sqq,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
+        |           CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE)
+        |    AS spp,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(15,2)) *
+        |           CAST(l_discount AS DECIMAL(15,2))) AS DOUBLE) AS sdd,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(15,2)) *
+        |           CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE)
+        |    AS sqp,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(15,2)) *
+        |           CAST(l_discount AS DECIMAL(15,2))) AS DOUBLE) AS sqd,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
+        |           CAST(l_discount AS DECIMAL(15,2))) AS DOUBLE) AS spd
+        |FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'qty_price' AS pair,
+        |         round((n*sqp - sq*sp) /
+        |               (sqrt(n*sqq - sq*sq) * sqrt(n*spp - sp*sp)), 4)
+        |           AS corr FROM m
+        |  UNION ALL
+        |  SELECT 'qty_disc' AS pair,
+        |         round((n*sqd - sq*sd) /
+        |               (sqrt(n*sqq - sq*sq) * sqrt(n*sdd - sd*sd)), 4)
+        |           AS corr FROM m
+        |  UNION ALL
+        |  SELECT 'price_disc' AS pair,
+        |         round((n*spd - sp*sd) /
+        |               (sqrt(n*spp - sp*sp) * sqrt(n*sdd - sd*sd)), 4)
+        |           AS corr FROM m)
+        |ORDER BY ALL""".stripMargin,
+    "q_split_manifest" ->
+      """WITH d AS (SELECT *,
+        |    substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2)
+        |      AS h2 FROM documents),
+        |s AS (SELECT *,
+        |    CASE WHEN h2 < '1a' THEN 'val'
+        |         WHEN h2 < '34' THEN 'test' ELSE 'train' END AS split,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        x -> x <> '')) AS n_toks
+        |  FROM d)
+        |SELECT split, lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS tot_chars,
+        |       CAST(sum(n_toks) AS BIGINT) AS tot_toks,
+        |       count(DISTINCT source) AS n_sources
+        |FROM s GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+    "q_pagerank" ->
+      """WITH base AS (SELECT DISTINCT o_custkey * 2 AS c,
+        |                l_suppkey * 2 + 1 AS sp
+        |              FROM lineitem JOIN orders
+        |                ON l_orderkey = o_orderkey),
+        |edges AS (SELECT c AS src, sp AS dst FROM base
+        |          UNION ALL SELECT sp AS src, c AS dst FROM base),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r
+        |       FROM deg),
+        |i1 AS (SELECT e.dst AS node,
+        |         CAST(150000 + (85 * sum(r.r // d.deg)) // 100 AS BIGINT)
+        |           AS r
+        |       FROM edges e JOIN r0 r ON e.src = r.node
+        |                    JOIN deg d ON e.src = d.src
+        |       GROUP BY 1),
+        |i2 AS (SELECT e.dst AS node,
+        |         CAST(150000 + (85 * sum(r.r // d.deg)) // 100 AS BIGINT)
+        |           AS r
+        |       FROM edges e JOIN i1 r ON e.src = r.node
+        |                    JOIN deg d ON e.src = d.src
+        |       GROUP BY 1)
+        |SELECT n.node, n.node % 2 = 1 AS is_supp, d.deg, n.r
+        |FROM i2 n JOIN deg d ON n.node = d.src
         |ORDER BY ALL""".stripMargin
   )
 }

@@ -154,6 +154,9 @@ object SparkEntry {
     "q_cooccur_pmi" -> Text.qCooccurPmi _,
     "q_kmeans_iter" -> Vectors.qKmeansIter _,
     "q_anomaly_mad" -> Windows.qAnomalyMad _,
+    "q_corr_matrix" -> Relational.qCorrMatrix _,
+    "q_split_manifest" -> Pipeline.qSplitManifest _,
+    "q_pagerank" -> Advanced.qPagerank _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

@@ -151,4 +151,43 @@ object Advanced {
       .groupBy("band")
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")))
   }
+
+  /** Integer fixed-point PageRank, two unrolled iterations (§2.17), over
+    * the undirected customer–supplier trade graph (distinct
+    * (o_custkey, l_suppkey) pairs from orders⋈lineitem; node id = 2·key
+    * + side bit). Ranks are scaled integers (r₀ = 10⁶; update r′ =
+    * 0.15·10⁶ + 0.85·Σ r/deg with every division an integer floor-div),
+    * so the fixpoint arithmetic is EXACT in both engines — the classic
+    * float PageRank would accumulate order-dependent double sums across
+    * variable-degree neighborhoods and could never hash-match. Each
+    * iteration is one edges⋈ranks join (rank table is node-sized —
+    * broadcast here; at 100 TB both sides hash-partition by node and the
+    * edge list is the reused, pre-partitioned invariant) plus one
+    * mergeable aggregate — the standard distributed-PageRank round.
+    * Iteration count is a driver-side constant: unrolling is the Spark
+    * idiom (qDedupClusters holds the data-dependent-fixpoint flag). */
+  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+    val edges = base.select(col("c").as("src"), col("sp").as("dst"))
+      .union(base.select(col("sp").as("src"), col("c").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val r0 = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    def step(r: DataFrame): DataFrame =
+      edges
+        .join(broadcast(r.withColumnRenamed("node", "src")), "src")
+        .join(broadcast(deg), "src")
+        .select(col("dst").as("node"), expr("r div deg").as("contrib"))
+        .groupBy("node")
+        .agg((lit(150000L) + expr("(85 * sum(contrib)) div 100")).as("r"))
+    val r2 = step(step(r0))
+    orderedAll(r2
+      .join(deg.withColumnRenamed("src", "node"), "node")
+      .select(col("node"), (col("node") % 2 === 1).as("is_supp"),
+        col("deg"), col("r")))
+  }
 }

@@ -134,4 +134,32 @@ object Pipeline {
           |  (h, t) -> (h * 1000003L +
           |             (ascii(substring(t, 1, 1)) * 64 + length(t)))
           |            % 2147483647L)""".stripMargin).as("fp")))
+
+  /** Train/val/test split manifest (§2.17): every doc assigned to a split
+    * by its md5 hash (first two hex chars: <'1a' → val ≈10%, <'34' →
+    * test ≈10%, else train), with per-(split, lang) corpus accounting —
+    * the split-assignment + manifest step that precedes any training run.
+    * The assignment is content-addressed and salt-keyed, so it is stable
+    * under re-partitioning, re-ingestion, and corpus growth (a doc never
+    * changes split when other docs arrive) — the property that keeps
+    * eval sets honest at 100 TB. Lexicographic compare of fixed-length
+    * lowercase hex is numeric in both engines (q_mix_sources idiom);
+    * all emitted stats are exact integers. Scan-shaped: projection +
+    * one mergeable aggregate. */
+  def qSplitManifest(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "documents")
+      .withColumn("h2", expr(
+        "substring(md5(concat(CAST(doc_id AS STRING), ':split')), 1, 2)"))
+      .withColumn("split",
+        when(col("h2") < "1a", "val")
+          .when(col("h2") < "34", "test")
+          .otherwise("train"))
+      .withColumn("n_toks",
+        expr("size(filter(split(lower(text), ' '), x -> x != ''))")
+          .cast("long"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("tot_chars"),
+        sum(col("n_toks")).as("tot_toks"),
+        countDistinct(col("source")).as("n_sources")))
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Relational core: scans, filters, joins, aggregations, sorts, set ops
@@ -421,4 +421,43 @@ object Relational {
   def qDistinct(s: SparkSession, dir: String): DataFrame =
     orderedAll(t(s, dir, "lineitem")
       .select("l_returnflag", "l_linestatus").distinct())
+
+  /** Full-table Pearson correlation matrix (§2.17) over (quantity,
+    * extendedprice, discount) — the feature-correlation sweep of any
+    * profiling pass, and the global cousin of [[qStats]]' grouped corr.
+    * Unlike the built-in streaming corr (order-dependent double updates),
+    * every moment here is an EXACT decimal sum — quantity is integral,
+    * price/discount are 2-dp, so x, x², and x·y are all exactly
+    * representable — and the Pearson formula is then evaluated once in
+    * double, operator-for-operator identical to the oracle. ONE scan,
+    * one 9-moment partial-mergeable aggregate, three result rows. */
+  def qCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(15, 2)
+    val q = col("l_quantity").cast(dec)
+    val p = col("l_extendedprice").cast(dec)
+    val d = col("l_discount").cast(dec)
+    val m = t(s, dir, "lineitem").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(q).cast("double").as("sq"),
+      sum(p).cast("double").as("sp"),
+      sum(d).cast("double").as("sd"),
+      sum(q * q).cast("double").as("sqq"),
+      sum(p * p).cast("double").as("spp"),
+      sum(d * d).cast("double").as("sdd"),
+      sum(q * p).cast("double").as("sqp"),
+      sum(q * d).cast("double").as("sqd"),
+      sum(p * d).cast("double").as("spd"))
+    def pearson(sx: String, sy: String, sxy: String,
+                sxx: String, syy: String): Column =
+      round((col("n") * col(sxy) - col(sx) * col(sy)) /
+        (sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
+          sqrt(col("n") * col(syy) - col(sy) * col(sy))), 4)
+    orderedAll(m
+      .withColumn("c_qp", pearson("sq", "sp", "sqp", "sqq", "spp"))
+      .withColumn("c_qd", pearson("sq", "sd", "sqd", "sqq", "sdd"))
+      .withColumn("c_pd", pearson("sp", "sd", "spd", "spp", "sdd"))
+      .selectExpr(
+        """stack(3, 'qty_price', c_qp, 'qty_disc', c_qd,
+          |         'price_disc', c_pd) AS (pair, corr)""".stripMargin))
+  }
 }

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Round-5 (§2.17) operator checks: non-vacuity of every discriminating
+  * predicate, independent in-memory cross-checks of the exact-arithmetic
+  * claims, and plan-shape assertions for the scale notes. */
+class Round5Spec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+  private def plan(name: String): SparkPlan =
+    run(name).queryExecution.sparkPlan
+
+  test("q_contamination: splits are disjoint and hits are consistent") {
+    val rows = run("q_contamination").collect()
+    assert(rows.nonEmpty, "no contaminated docs at test SF — vacuous")
+    for (r <- rows) {
+      assert(r.getLong(0) % 2 == 0, s"train_doc ${r.getLong(0)} is odd")
+      val (nSh, nEv, nHits) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nSh >= 1 && nEv >= 1)
+      assert(nHits >= nSh && nHits >= nEv,
+        s"pair count $nHits below distinct counts ($nSh, $nEv)")
+    }
+    val all = ops.t(spark, sf, "documents")
+      .filter("doc_id % 2 = 0").count()
+    assert(rows.length < all, "every train doc contaminated — vacuous")
+  }
+
+  test("q_ngram_lm: top-3 per context, probabilities bounded") {
+    val rows = run("q_ngram_lm").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    for ((_, grp) <- rows.groupBy(_._1)) {
+      assert(grp.length <= 3)
+      for ((_, _, nPair, nCtx, prob) <- grp) {
+        assert(nPair <= nCtx)
+        assert(prob > 0 && prob <= 1)
+      }
+    }
+    assert(rows.map(_._1).distinct.length > 10, "too few contexts")
+  }
+
+  test("q_cooccur_pmi: support filter discriminates, df bounds hold") {
+    val rows = run("q_cooccur_pmi").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((t1, t2, nAb, df1, df2) <- rows) {
+      assert(t1 < t2, s"unordered pair ($t1, $t2)")
+      assert(nAb >= 5 && nAb <= df1 && nAb <= df2)
+    }
+  }
+
+  test("q_kmeans_iter: members partition the corpus, means are bounded") {
+    val rows = run("q_kmeans_iter").collect()
+    val nVec = ops.t(spark, sf, "embeddings").count()
+    val byCid = rows.groupBy(_.getLong(0))
+    assert(byCid.keySet.forall(c => c >= 0 && c < 16))
+    // each emitted centroid has all 64 dims and one consistent size
+    for ((cid, rs) <- byCid) {
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to 64L),
+        s"centroid $cid missing dims")
+      assert(rs.map(_.getLong(3)).distinct.length == 1)
+    }
+    assert(byCid.map { case (_, rs) => rs.head.getLong(3) }.sum == nVec,
+      "cluster sizes do not partition the corpus")
+    assert(byCid.size > 4, s"only ${byCid.size} clusters non-empty")
+  }
+
+  test("q_kmeans_iter plan: assignment is in-projection (no window)") {
+    assert(plan("q_kmeans_iter").collect {
+      case w: WindowExec => w
+    }.isEmpty, "nearest-centroid must be argmin in a projection")
+  }
+
+  test("q_anomaly_mad: all kept rows clear the 3-sigma-equivalent cut") {
+    val rows = run("q_anomaly_mad").collect()
+    assert(rows.nonEmpty, "no MAD outliers at test SF — vacuous")
+    val all = ops.t(spark, sf, "events").count()
+    assert(rows.length < all / 10, "threshold too loose")
+    for (r <- rows) {
+      assert(r.getDouble(4) > 0, "MAD must be positive for kept rows")
+      assert(r.getDouble(5) > 3.0,
+        s"robust_z ${r.getDouble(5)} not above the cut")
+    }
+  }
+
+  test("q_anomaly_mad medians match an in-memory exact computation") {
+    val vals = ops.t(spark, sf, "events")
+      .select("event_type", "value", "event_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2)
+      else (BigDecimal(s(n / 2 - 1)) + BigDecimal(s(n / 2))).toDouble / 2
+    }
+    val want = vals.groupBy(_._1).map { case (t, vs) =>
+      t -> med(vs.map(_._2).toIndexedSeq)
+    }
+    val got = run("q_anomaly_mad").collect()
+      .map(r => r.getString(1) -> r.getDouble(3)).toMap
+    for ((t, m) <- got)
+      assert(math.abs(m - want(t)) < 1e-9,
+        s"median for $t: got $m want ${want(t)}")
+  }
+
+  test("q_corr_matrix agrees with built-in corr to 4 decimals") {
+    import org.apache.spark.sql.functions.corr
+    val li = ops.t(spark, sf, "lineitem")
+    val ref = li.agg(
+      corr("l_quantity", "l_extendedprice"),
+      corr("l_quantity", "l_discount"),
+      corr("l_extendedprice", "l_discount")).head()
+    val want = Map("qty_price" -> ref.getDouble(0),
+      "qty_disc" -> ref.getDouble(1), "price_disc" -> ref.getDouble(2))
+    val got = run("q_corr_matrix").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet)
+    for ((k, v) <- got) {
+      assert(math.abs(v) <= 1.0)
+      assert(math.abs(v - want(k)) < 1e-3,
+        s"$k: exact-moment $v vs streaming ${want(k)}")
+    }
+  }
+
+  test("q_split_manifest: partitions all docs, train dominates") {
+    val rows = run("q_split_manifest").collect()
+    val splits = rows.map(_.getString(0)).distinct.toSet
+    assert(splits == Set("train", "val", "test"),
+      s"unexpected splits $splits")
+    val byKey = rows.groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getLong(2)).sum }
+    assert(byKey.values.sum == ops.t(spark, sf, "documents").count())
+    assert(byKey("train") > byKey("val") && byKey("train") > byKey("test"))
+  }
+
+  test("q_pagerank: mass is conserved up to floor-div loss") {
+    val rows = run("q_pagerank").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    for ((node, isSupp, deg, r) <- rows) {
+      assert(isSupp == (node % 2 == 1))
+      assert(deg >= 1)
+      assert(r >= 150000L, s"rank $r below the teleport floor")
+    }
+    val n = rows.length.toLong
+    val total = rows.map(_._4).sum
+    // each iteration loses < 1 unit per (edge, node) to floor division;
+    // total mass stays within a few percent of n * 1e6
+    assert(total <= n * 1000000L)
+    assert(total > n * 900000L, s"mass $total too low for $n nodes")
+    // suppliers are rarer and therefore hubs: the max supplier rank
+    // should exceed the max customer rank
+    val supMax = rows.filter(_._2).map(_._4).max
+    val cusMax = rows.filterNot(_._2).map(_._4).max
+    assert(supMax > cusMax, "supplier hubs should out-rank customers")
+  }
+
+  test("q_pagerank plan: per-iteration rank joins broadcast") {
+    val bhj = plan("q_pagerank").collect {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(bhj.length >= 4,
+      s"expected rank+degree broadcasts per iteration, got ${bhj.length}")
+  }
+}
