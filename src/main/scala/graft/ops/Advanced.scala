@@ -173,8 +173,15 @@ object Advanced {
       .select((col("o_custkey") * 2).as("c"),
         (col("l_suppkey") * 2 + 1).as("sp"))
       .distinct()
-    val edges = base.select(col("c").as("src"), col("sp").as("dst"))
-      .union(base.select(col("sp").as("src"), col("c").as("dst")))
+    // The edge list is the loop invariant every downstream job reuses
+    // (degrees, both iterations, the output join) — pin it once instead
+    // of re-running the orders⋈lineitem distinct per consumer. Same
+    // pattern (and the same cluster-durability caveat + reliable-
+    // checkpoint alternative) as qDedupClusters.
+    val edges = Text.pin(
+      base.select(col("c").as("src"), col("sp").as("dst"))
+        .union(base.select(col("sp").as("src"), col("c").as("dst"))),
+      "pagerank_edges")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val r0 = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     def step(r: DataFrame): DataFrame =

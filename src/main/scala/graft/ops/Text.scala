@@ -261,7 +261,7 @@ object Text {
     * `spark.cleaner.referenceTracking.cleanCheckpoints` was set at
     * context startup — the default leaks one full state copy per round.
     */
-  private def pin(df: DataFrame, slot: String): DataFrame = {
+  private[ops] def pin(df: DataFrame, slot: String): DataFrame = {
     val s = df.sparkSession
     if (s.conf.getOption("spark.graft.reliableCheckpoint").contains("true")) {
       val base = s.conf.getOption("spark.graft.checkpointDir").getOrElse(
