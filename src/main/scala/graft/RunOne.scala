@@ -26,9 +26,14 @@ object RunOne {
     val fn = SparkEntry.queries(name)
     if (explain) fn(spark, sfDir).explain("formatted")
     if (warm) {
-      val t0 = System.nanoTime()
-      fn(spark, "/root/testdata/sf0.001").count()
-      println(f"warm pass (sf0.001): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val warmDir = "/root/testdata/sf0.001"
+      if (new java.io.File(warmDir).isDirectory) {
+        val t0 = System.nanoTime()
+        try fn(spark, warmDir).count()
+        catch { case e: Throwable => println(s"warm pass failed: $e") }
+        println(
+          f"warm pass (sf0.001): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } else println(s"warm pass skipped: $warmDir missing")
     }
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()

@@ -254,9 +254,10 @@ object Text {
     * slots (not RDD `checkpoint()`) because slot names can be REUSED —
     * round r+2 overwrites round r's slot, which is safe (round r's data
     * is only read while materializing round r+1, already on disk) and
-    * bounds the footprint at the 7 fixed slots qDedupClusters names
-    * (pairs, edges, labels_0, cedges, labels_1..3 — the loop alternates
-    * the last two) regardless of round count. RDD
+    * bounds the footprint at the FIXED set of named slots (qDedupClusters'
+    * pairs, edges, labels_0, cedges, labels_1..3 — the loop alternates
+    * the last two — plus qPagerank's pagerank_edges) regardless of round
+    * count. RDD
     * `checkpoint()` files, by contrast, are only ever deleted when
     * `spark.cleaner.referenceTracking.cleanCheckpoints` was set at
     * context startup — the default leaks one full state copy per round.

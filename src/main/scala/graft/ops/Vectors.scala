@@ -202,16 +202,31 @@ object Vectors {
     * output), not candidates to prune. Distances fold the 8 lanes
     * left-to-right in double — bit-identical to the oracle's list_sum,
     * so the integer codes match exactly (ties break to the lower cid). */
-  def qVectorPq(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val cb: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < 16)
+  /** The 16 vec_id<16 codebook rows, collected driver-side (a 16-row
+    * stats probe, the qAnnIvf pattern). The oracles assume exactly 16; a
+    * short codebook would silently degrade (or make greatest() throw at
+    * 0 args) — fail loudly so both engines see the same contract. */
+  private def codebook16(emb: DataFrame): Array[(Long, Array[Float])] = {
+    val cb = emb.filter(col("vec_id") < 16)
       .select(col("vec_id"), col("embedding"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-    // The oracle assumes exactly the 16 vec_id<16 codebook rows; a short
-    // codebook would silently degrade (or make greatest() throw at 0
-    // args) — fail loudly instead so both engines see the same contract.
     require(cb.length == 16,
-      s"PQ codebook needs the 16 vec_id<16 rows, found ${cb.length}")
+      s"codebook needs the 16 vec_id<16 rows, found ${cb.length}")
+    cb
+  }
+
+  /** Nearest-centroid id in ONE projection: argmin over the codebook via
+    * greatest() on (−d², −cid) structs — ties to the lower cid; no
+    * candidate explode, no window (the qAnnIvf/qVectorPq shape). */
+  private def argminCid(cb: Array[(Long, Array[Float])])
+                       (d2: Array[Float] => Column): Column =
+    greatest(cb.map { case (cid, ce) =>
+      struct((d2(ce) * -1).as("nd2"), lit(-cid).as("ncid"))
+    }.toIndexedSeq: _*).getField("ncid") * -1
+
+  def qVectorPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = codebook16(emb)
     def d2(ce: Array[Float]): Column = {
       val ceLit = array(ce.map(f => lit(f.toDouble)).toIndexedSeq: _*)
       aggregate(sequence(lit(1), lit(8)), lit(0.0), (acc, i) => {
@@ -221,15 +236,12 @@ object Vectors {
         acc + diff * diff
       })
     }
-    val best = greatest(cb.map { case (cid, ce) =>
-      struct((d2(ce) * -1).as("nd2"), lit(-cid).as("ncid"))
-    }.toIndexedSeq: _*)
     orderedAll(emb
       .select(col("vec_id"), col("embedding"),
         explode(sequence(lit(0), lit(7))).as("block"))
-      .withColumn("best", best)
+      .withColumn("code", argminCid(cb)(d2))
       .select(col("vec_id"), col("block").cast("long").as("block"),
-        (col("best.ncid") * -1).as("code")))
+        col("code")))
   }
 
   /** One Lloyd (k-means) iteration (§2.17): assign every vector to the
@@ -248,11 +260,7 @@ object Vectors {
     * round-4 policy. */
   def qKmeansIter(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val cb: Array[(Long, Array[Float])] = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id"), col("embedding"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-    require(cb.length == 16,
-      s"k-means seeding needs the 16 vec_id<16 rows, found ${cb.length}")
+    val cb = codebook16(emb)
     def d2(ce: Array[Float]): Column = {
       val ceLit = array(ce.map(f => lit(f.toDouble)).toIndexedSeq: _*)
       aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) => {
@@ -261,11 +269,8 @@ object Vectors {
         acc + diff * diff
       })
     }
-    val best = greatest(cb.map { case (cid, ce) =>
-      struct((d2(ce) * -1).as("nd2"), lit(-cid).as("ncid"))
-    }.toIndexedSeq: _*)
     val asg = emb
-      .withColumn("cid", best.getField("ncid") * -1)
+      .withColumn("cid", argminCid(cb)(d2))
       .select(col("vec_id"), col("cid"), col("embedding"))
     val sizes = asg.groupBy("cid").agg(count(lit(1)).as("n_members"))
     orderedAll(asg

@@ -272,23 +272,31 @@ object Windows {
       .select(col("event_id"), col("event_type"), col("value"),
         col("value").cast(dec).as("dv"))
     val wc = Window.partitionBy(col("event_type"))
-    def mid2(df: DataFrame, ord: Column, v: Column): DataFrame = {
+    // asc_nulls_last: DuckDB's ORDER BY default is NULLS LAST — a NULL
+    // value would otherwise shift every rank in the partition and
+    // silently de-sync the median-row selection (orderedAll precedent).
+    def ranked(df: DataFrame, ord: Column): DataFrame = {
       val w = Window.partitionBy(col("event_type"))
-        .orderBy(ord.asc, col("event_id").asc)
+        .orderBy(ord.asc_nulls_last, col("event_id").asc)
       df.withColumn("rn", row_number().over(w))
         .withColumn("n", count(lit(1)).over(wc))
-        .filter(col("rn") * 2 >= col("n") && col("rn") * 2 <= col("n") + 2)
-        .groupBy("event_type")
-        .agg((sum(v) * when(max(col("n")) % 2 === 1, 2).otherwise(1))
-          .as("m2"))
     }
-    val med = mid2(e, col("value"), col("dv"))
+    def mid2(r: DataFrame, v: Column): DataFrame = r
+      .filter(col("rn") * 2 >= col("n") && col("rn") * 2 <= col("n") + 2)
+      .groupBy("event_type")
+      .agg((sum(v) * when(max(col("n")) % 2 === 1, 2).otherwise(1))
+        .as("m2"))
+    val med = mid2(ranked(e, col("value")), col("dv"))
       .withColumnRenamed("m2", "med2")
     val wm = e.join(broadcast(med), "event_type")
       .withColumn("ad2", abs(col("dv") * 2 - col("med2")))
-    val mad = mid2(wm, col("ad2"), col("ad2"))
+    // Both the MAD aggregate and the output rows hang off the SAME
+    // ranked(wm) subplan, so the events scan + med join shuffle is
+    // planned once and exchange-reused, not re-derived per consumer.
+    val wmR = ranked(wm, col("ad2"))
+    val mad = mid2(wmR, col("ad2"))
       .withColumnRenamed("m2", "mad22")
-    orderedAll(wm.join(broadcast(mad), "event_type")
+    orderedAll(wmR.drop("rn", "n").join(broadcast(mad), "event_type")
       .filter(col("mad22") > 0 &&
         col("ad2") * 2 > expr("CAST(4.4478 AS DECIMAL(5,4))") * col("mad22"))
       .select(col("event_id"), col("event_type"), col("value"),
