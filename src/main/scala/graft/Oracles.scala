@@ -1127,6 +1127,19 @@ object Oracles {
         |               (sqrt(n*spp - sp*sp) * sqrt(n*sdd - sd*sd)), 4)
         |           AS corr FROM m)
         |ORDER BY ALL""".stripMargin,
+    "q_skyline" ->
+      """WITH p AS (SELECT p_partkey, p_size,
+        |             CAST(round(p_retailprice * 100) AS BIGINT) AS pc
+        |           FROM part),
+        |w AS (SELECT *,
+        |        max(p_size) OVER (ORDER BY pc
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS m_lt,
+        |        max(p_size) OVER (PARTITION BY pc) AS m_eq
+        |      FROM p)
+        |SELECT p_partkey, pc, p_size FROM w
+        |WHERE (m_lt IS NULL OR p_size > m_lt) AND p_size = m_eq
+        |ORDER BY ALL""".stripMargin,
     "q_split_manifest" ->
       """WITH d AS (SELECT *,
         |    substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2)

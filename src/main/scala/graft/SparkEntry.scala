@@ -155,6 +155,7 @@ object SparkEntry {
     "q_kmeans_iter" -> Vectors.qKmeansIter _,
     "q_anomaly_mad" -> Windows.qAnomalyMad _,
     "q_corr_matrix" -> Relational.qCorrMatrix _,
+    "q_skyline" -> Relational.qSkyline _,
     "q_split_manifest" -> Pipeline.qSplitManifest _,
     "q_pagerank" -> Advanced.qPagerank _,
     // §2.14 multimodal columns

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational core: scans, filters, joins, aggregations, sorts, set ops
@@ -459,5 +460,30 @@ object Relational {
       .selectExpr(
         """stack(3, 'qty_price', c_qp, 'qty_disc', c_qd,
           |         'price_disc', c_pd) AS (pair, corr)""".stripMargin))
+  }
+
+  /** Skyline / Pareto frontier (§2.18): parts not dominated on
+    * (cheaper-or-equal price, larger-or-equal size, one strict) — the
+    * classic multi-criteria OLAP operator (Börzsönyi et al.'s SKYLINE
+    * OF). NOT the naive quadratic NOT-EXISTS self-join: sorting by
+    * integer-cents price, a part is on the frontier iff its size beats
+    * the running max over all STRICTLY cheaper rows (range frame to
+    * −1 cent) and it holds the max within its own price point — one
+    * window pass, O(n log n), and the range frame is exact integer
+    * arithmetic in both engines. At 100 TB: locally skyline each
+    * partition (the filter is a monotone contraction), then one tiny
+    * global re-sweep over the surviving candidates. */
+  def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_size"),
+      expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("pc"))
+    val cheaper = Window.orderBy(col("pc").asc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val samePc = Window.partitionBy(col("pc"))
+    orderedAll(p
+      .withColumn("m_lt", max(col("p_size")).over(cheaper))
+      .withColumn("m_eq", max(col("p_size")).over(samePc))
+      .filter((col("m_lt").isNull || col("p_size") > col("m_lt")) &&
+        col("p_size") === col("m_eq"))
+      .select(col("p_partkey"), col("pc"), col("p_size")))
   }
 }

@@ -291,8 +291,9 @@ object Windows {
     val wm = e.join(broadcast(med), "event_type")
       .withColumn("ad2", abs(col("dv") * 2 - col("med2")))
     // Both the MAD aggregate and the output rows hang off the SAME
-    // ranked(wm) subplan, so the events scan + med join shuffle is
-    // planned once and exchange-reused, not re-derived per consumer.
+    // ranked(wm) lineage; Catalyst column-prunes the unused rn/n off the
+    // output branch, so only the MAD branch pays the second window sort —
+    // the output rows are a plain scan ⋈ med ⋈ mad.
     val wmR = ranked(wm, col("ad2"))
     val mad = mid2(wmR, col("ad2"))
       .withColumnRenamed("m2", "mad22")

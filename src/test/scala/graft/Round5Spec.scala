@@ -159,6 +159,22 @@ class Round5Spec extends SparkSpec {
     assert(supMax > cusMax, "supplier hubs should out-rank customers")
   }
 
+  test("q_skyline matches brute-force Pareto dominance") {
+    val parts = ops.t(spark, sf, "part")
+      .select("p_partkey", "p_size", "p_retailprice").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        math.round(r.getDouble(2) * 100)))
+    val want = parts.filter { case (_, sz, pc) =>
+      !parts.exists { case (_, sz2, pc2) =>
+        pc2 <= pc && sz2 >= sz && (pc2 < pc || sz2 > sz)
+      }
+    }.map(_._1).toSet
+    val got = run("q_skyline").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"skyline mismatch: got $got want $want")
+    assert(got.nonEmpty && got.size < parts.length / 10,
+      "frontier should be a small strict subset")
+  }
+
   test("q_pagerank plan: per-iteration rank joins broadcast") {
     val bhj = plan("q_pagerank").collect {
       case j: BroadcastHashJoinExec => j
