@@ -1127,6 +1127,34 @@ object Oracles {
         |               (sqrt(n*spp - sp*sp) * sqrt(n*sdd - sd*sd)), 4)
         |           AS corr FROM m)
         |ORDER BY ALL""".stripMargin,
+    "q_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |             epoch_us(ts) // 86400000000 AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |          AS rn FROM d),
+        |i AS (SELECT user_id, day - rn AS grp, min(day) AS start_day,
+        |        count(*) AS len
+        |      FROM r GROUP BY 1, 2)
+        |SELECT user_id, start_day, len FROM i
+        |WHERE len >= 7 ORDER BY ALL""".stripMargin,
+    "q_gini" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS sp
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT c.c_mktsegment, s.sp,
+        |        CAST(row_number() OVER (PARTITION BY c.c_mktsegment
+        |          ORDER BY s.sp, s.o_custkey) AS BIGINT) AS i
+        |      FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+        |g AS (SELECT c_mktsegment, count(*) AS n,
+        |        CAST(sum(sp) AS BIGINT) AS tot,
+        |        CAST(sum(i * sp) AS BIGINT) AS ws
+        |      FROM r GROUP BY 1)
+        |SELECT c_mktsegment, n, tot,
+        |       round(CAST(ws * 2 - (n + 1) * tot AS DOUBLE) /
+        |             CAST(n * tot AS DOUBLE), 6) AS gini
+        |FROM g ORDER BY ALL""".stripMargin,
     "q_skyline" ->
       """WITH p AS (SELECT p_partkey, p_size,
         |             CAST(round(p_retailprice * 100) AS BIGINT) AS pc

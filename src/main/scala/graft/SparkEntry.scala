@@ -156,6 +156,8 @@ object SparkEntry {
     "q_anomaly_mad" -> Windows.qAnomalyMad _,
     "q_corr_matrix" -> Relational.qCorrMatrix _,
     "q_skyline" -> Relational.qSkyline _,
+    "q_islands" -> Windows.qIslands _,
+    "q_gini" -> Advanced.qGini _,
     "q_split_manifest" -> Pipeline.qSplitManifest _,
     "q_pagerank" -> Advanced.qPagerank _,
     // §2.14 multimodal columns

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Advanced relational surface (SURVEY §2.15, round 2): correlated
@@ -196,5 +197,37 @@ object Advanced {
       .join(deg.withColumnRenamed("src", "node"), "node")
       .select(col("node"), (col("node") % 2 === 1).as("is_supp"),
         col("deg"), col("r")))
+  }
+
+  /** Gini concentration of customer spend per market segment (§2.18) —
+    * the inequality metric of corpus-mix and revenue-concentration
+    * diagnostics (for an LLM corpus: how skewed is the source
+    * distribution). Spend is exact integer cents; the Lorenz rank is a
+    * per-segment window over (spend, custkey) — a mirrored total order —
+    * and G = (2·Σi·sᵢ − (N+1)·Σsᵢ) / (N·Σsᵢ) keeps numerator and
+    * denominator in exact BIGINT before ONE double division (< 2⁵³, so
+    * the double images are exact in both engines). Topology: one
+    * aggregate, one customer-keyed equi-join (both sides are
+    * customer-cardinality — Catalyst broadcasts at this size, a
+    * co-partitioned shuffle join at 100 TB), one segment-partitioned
+    * window, one mergeable agg — no global sort. */
+  def qGini(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("o_custkey").agg(sum(col("cents")).as("sp"))
+    val seg = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("sp").asc, col("o_custkey").asc)
+    orderedAll(spend
+      .join(seg, col("o_custkey") === col("c_custkey"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(col("sp")).as("tot"),
+        sum(col("i") * col("sp")).as("ws"))
+      .select(col("c_mktsegment"), col("n"), col("tot"),
+        round((col("ws") * 2 - (col("n") + 1) * col("tot")).cast("double") /
+          (col("n") * col("tot")).cast("double"), 6).as("gini")))
   }
 }

@@ -306,4 +306,27 @@ object Windows {
         round(col("ad2").cast("double") * 2 /
           (lit(1.4826) * col("mad22").cast("double")), 4).as("robust_z")))
   }
+
+  /** Gaps-and-islands (§2.18): runs of CONSECUTIVE active days per user
+    * (streaks ≥ 7 days) — the classic sequential-SQL pattern behind
+    * engagement streaks and SLA-window analysis, and a different shape
+    * from [[qEventsSession]]'s gap-based sessionization: islands group by
+    * the day−row_number invariant (constant within a consecutive run),
+    * so the whole detection is one window + one aggregate with pure
+    * integer day indexes (epoch-µs floor-div — exact in both engines,
+    * no calendar/timezone surface). Partitioned by user: the 100 TB
+    * sharding axis, no global sort anywhere. */
+  def qIslands(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+    orderedAll(d
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(min(col("day")).as("start_day"), count(lit(1)).as("len"))
+      .filter(col("len") >= 7)
+      .select(col("user_id"), col("start_day"), col("len")))
+  }
 }

@@ -175,6 +175,62 @@ class Round5Spec extends SparkSpec {
       "frontier should be a small strict subset")
   }
 
+  test("q_islands: streaks are maximal, disjoint, and discriminating") {
+    val rows = run("q_islands").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "no >=7-day streaks at test SF — vacuous")
+    for ((_, grp) <- rows.groupBy(_._1)) {
+      val sorted = grp.sortBy(_._2)
+      for (Array((_, s1, l1), (_, s2, _)) <- sorted.sliding(2)
+             .map(_.toArray).filter(_.length == 2)) {
+        assert(s1 + l1 < s2, "islands overlap or touch — not maximal")
+      }
+    }
+    // independent in-memory islands: the >=7 filter must reject SOME
+    // island, and the kept ones must match exactly
+    val days = ops.t(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) div 86400000000 AS day")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = days.groupBy(_._1).toSeq.flatMap { case (u, ds) =>
+      val sorted = ds.map(_._2).distinct.sorted
+      sorted.foldLeft(List.empty[(Long, Long, Long)]) {
+        case ((su, st, ln) :: rest, d) if d == st + ln =>
+          (su, st, ln + 1) :: rest
+        case (acc, d) => (u, d, 1L) :: acc
+      }
+    }
+    assert(rows.toSet == want.filter(_._3 >= 7).toSet,
+      "islands disagree with in-memory computation")
+    assert(want.exists(_._3 < 7),
+      "no short island exists — the >=7 filter is vacuous")
+  }
+
+  test("q_gini matches an in-memory Lorenz computation per segment") {
+    val spend = ops.t(spark, sf, "orders")
+      .selectExpr("o_custkey", "CAST(round(o_totalprice*100) AS BIGINT) c")
+      .groupBy("o_custkey").sum("c").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seg = ops.t(spark, sf, "customer")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = spend.toSeq.map { case (ck, sp) => (seg(ck), ck, sp) }
+      .groupBy(_._1).map { case (sg, xs) =>
+        val s = xs.sortBy(x => (x._3, x._2)).map(_._3)
+        val n = s.length.toLong
+        val tot = s.sum
+        val ws = s.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum
+        sg -> BigDecimal((2 * ws - (n + 1) * tot).toDouble / (n * tot))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    val got = run("q_gini").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got.keySet == want.keySet)
+    for ((sg, g) <- got) {
+      assert(g >= 0.0 && g < 1.0, s"$sg gini $g out of range")
+      assert(math.abs(g - want(sg)) < 1e-9, s"$sg: got $g want ${want(sg)}")
+    }
+  }
+
   test("q_pagerank plan: per-iteration rank joins broadcast") {
     val bhj = plan("q_pagerank").collect {
       case j: BroadcastHashJoinExec => j
