@@ -1127,6 +1127,29 @@ object Oracles {
         |               (sqrt(n*spp - sp*sp) * sqrt(n*sdd - sd*sd)), 4)
         |           AS corr FROM m)
         |ORDER BY ALL""".stripMargin,
+    "q_autocorr" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      AS dv
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type, a.dv AS x, b.dv AS y
+        |      FROM daily a JOIN daily b
+        |        ON a.event_type = b.event_type AND b.day = a.day + 1),
+        |m AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |        CAST(sum(x) AS DOUBLE) AS sx,
+        |        CAST(sum(y) AS DOUBLE) AS sy,
+        |        CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |        CAST(sum(y * y) AS DOUBLE) AS syy,
+        |        CAST(sum(x * y) AS DOUBLE) AS sxy
+        |      FROM p GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+        |       round((n*sxy - sx*sy) /
+        |             (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 4)
+        |         AS autocorr
+        |FROM m
+        |WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        |ORDER BY ALL""".stripMargin,
     "q_islands" ->
       """WITH d AS (SELECT DISTINCT user_id,
         |             epoch_us(ts) // 86400000000 AS day FROM events),

@@ -329,4 +329,45 @@ object Windows {
       .filter(col("len") >= 7)
       .select(col("user_id"), col("start_day"), col("len")))
   }
+
+  /** Lag-1 autocorrelation of the daily value series per event_type
+    * (§2.18) — the first time-series diagnostic of any metrics pipeline
+    * (is today predictive of tomorrow?). Daily totals stay in EXACT
+    * DECIMAL (value is 2-dp), consecutive days pair through one integer
+    * equi-join (day+1 — no window, no sort), and all five Pearson
+    * moments over the pairs are exact decimal sums; the formula is then
+    * one mirrored double expression, so the correlation is
+    * bit-deterministic under any partitioning. Scan → mergeable daily
+    * agg → tiny self-join → mergeable moment agg. */
+  def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(col("value").cast(dec)).as("dv"))
+    val a = daily.select(col("event_type"), col("day"),
+      col("dv").cast(dec).as("x"))
+    val b = daily.select(col("event_type"), (col("day") - 1).as("day"),
+      col("dv").cast(dec).as("y"))
+    val m = a.join(b, Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+    orderedAll(m
+      // same sqrt-of-cancellation-residue guard as qEventsAnomaly: the
+      // variance terms are identical doubles in both engines, so this
+      // decision is deterministic; without it Spark NaN-drops where
+      // DuckDB raises.
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0d &&
+        col("n") * col("syy") - col("sy") * col("sy") > 0d)
+      .select(col("event_type"), col("n").cast("long").as("n_pairs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4)
+          .as("autocorr")))
+  }
 }

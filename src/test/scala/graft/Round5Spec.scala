@@ -231,6 +231,19 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("q_autocorr: bounded correlations over the full day range") {
+    val rows = run("q_autocorr").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val nDays = ops.t(spark, sf, "events")
+      .selectExpr("unix_micros(ts) div 86400000000 AS d")
+      .distinct().count()
+    for ((t, n, r) <- rows) {
+      assert(r >= -1.0 && r <= 1.0, s"$t autocorr $r out of range")
+      assert(n >= 1 && n < nDays, s"$t pair count $n vs $nDays days")
+    }
+  }
+
   test("q_pagerank plan: per-iteration rank joins broadcast") {
     val bhj = plan("q_pagerank").collect {
       case j: BroadcastHashJoinExec => j
