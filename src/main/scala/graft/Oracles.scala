@@ -1150,6 +1150,21 @@ object Oracles {
         |FROM m
         |WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
         |ORDER BY ALL""".stripMargin,
+    "q_markov" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |             event_id FROM events),
+        |l AS (SELECT event_type AS from_type,
+        |        lead(event_type, 1) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id) AS to_type
+        |      FROM e),
+        |tr AS (SELECT from_type, to_type, count(*) AS n FROM l
+        |       WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+        |        FROM tr GROUP BY 1)
+        |SELECT tr.from_type, tr.to_type, tr.n, tot.tot,
+        |       round(CAST(tr.n AS DOUBLE) / tot.tot, 4) AS p
+        |FROM tr JOIN tot ON tr.from_type = tot.from_type
+        |ORDER BY ALL""".stripMargin,
     "q_islands" ->
       """WITH d AS (SELECT DISTINCT user_id,
         |             epoch_us(ts) // 86400000000 AS day FROM events),

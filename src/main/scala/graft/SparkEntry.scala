@@ -159,6 +159,7 @@ object SparkEntry {
     "q_islands" -> Windows.qIslands _,
     "q_gini" -> Advanced.qGini _,
     "q_autocorr" -> Windows.qAutocorr _,
+    "q_markov" -> Windows.qMarkov _,
     "q_split_manifest" -> Pipeline.qSplitManifest _,
     "q_pagerank" -> Advanced.qPagerank _,
     // §2.14 multimodal columns

@@ -370,4 +370,28 @@ object Windows {
             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4)
           .as("autocorr")))
   }
+
+  /** Event-type transition matrix (§2.18): P(next | current) over each
+    * user's time-ordered event sequence — the first-order Markov model
+    * of behavioral analytics (and the event-stream cousin of
+    * [[graft.ops.Text.qNgramLm]]'s text bigrams). The sequence order is
+    * the library's standard deterministic secondary sort (epoch-µs +
+    * event_id tie-break); transition counts are integers and the
+    * probability is one int/int division. One user-partitioned lag
+    * window (the sharding axis) + two mergeable aggregates. */
+  def qMarkov(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val tr = e.withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy("from_type").agg(sum(col("n")).as("tot"))
+    orderedAll(tr.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("tot"),
+        round(col("n").cast("double") / col("tot"), 4).as("p")))
+  }
 }

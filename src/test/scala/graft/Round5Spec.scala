@@ -244,6 +244,35 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("q_markov: rows form a stochastic matrix") {
+    val rows = run("q_markov").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    for ((from, grp) <- rows.groupBy(_._1)) {
+      assert(grp.map(_._3).sum == grp.head._4,
+        s"$from transition counts don't sum to the total")
+      val p = grp.map(_._5).sum
+      assert(math.abs(p - 1.0) < 1e-3, s"$from row sums to $p")
+    }
+  }
+
+  test("q_contamination plan: shingle-keyed equi-join, no nested loop") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val p = plan("q_contamination")
+    assert(p.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }.isEmpty, "cross-split overlap must be an equi-join on the shingle")
+  }
+
+  test("q_autocorr plan: day pairing is a join, not a window") {
+    assert(plan("q_autocorr").collect {
+      case w: WindowExec => w
+    }.isEmpty, "lag-1 pairing should be the day+1 equi-join")
+  }
+
   test("q_pagerank plan: per-iteration rank joins broadcast") {
     val bhj = plan("q_pagerank").collect {
       case j: BroadcastHashJoinExec => j
