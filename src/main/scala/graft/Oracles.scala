@@ -1187,11 +1187,11 @@ object Oracles {
         |      FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
         |g AS (SELECT c_mktsegment, count(*) AS n,
         |        CAST(sum(sp) AS BIGINT) AS tot,
-        |        CAST(sum(i * sp) AS BIGINT) AS ws
+        |        sum(CAST(i AS HUGEINT) * sp) AS ws
         |      FROM r GROUP BY 1)
         |SELECT c_mktsegment, n, tot,
         |       round(CAST(ws * 2 - (n + 1) * tot AS DOUBLE) /
-        |             CAST(n * tot AS DOUBLE), 6) AS gini
+        |             CAST(CAST(n AS HUGEINT) * tot AS DOUBLE), 6) AS gini
         |FROM g ORDER BY ALL""".stripMargin,
     "q_skyline" ->
       """WITH p AS (SELECT p_partkey, p_size,

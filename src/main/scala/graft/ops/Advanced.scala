@@ -204,11 +204,13 @@ object Advanced {
     * diagnostics (for an LLM corpus: how skewed is the source
     * distribution). Spend is exact integer cents; the Lorenz rank is a
     * per-segment window over (spend, custkey) — a mirrored total order —
-    * and G = (2·Σi·sᵢ − (N+1)·Σsᵢ) / (N·Σsᵢ) keeps numerator and
-    * denominator in exact BIGINT before ONE double division (< 2⁵³, so
-    * the double images are exact in both engines). Topology: one
-    * aggregate, one customer-keyed equi-join (both sides are
-    * customer-cardinality — Catalyst broadcasts at this size, a
+    * and G = (2·Σi·sᵢ − (N+1)·Σsᵢ) / (N·Σsᵢ) carries numerator and
+    * denominator in exact wide-integer arithmetic (DECIMAL(38,0) here,
+    * HUGEINT in the oracle — a 64-bit Σi·sᵢ would silently wrap around
+    * sf100 while the oracle errors loudly) before ONE double division;
+    * both engines round the same exact integers to the same doubles.
+    * Topology: one aggregate, one customer-keyed equi-join (both sides
+    * are customer-cardinality — Catalyst broadcasts at this size, a
     * co-partitioned shuffle join at 100 TB), one segment-partitioned
     * window, one mergeable agg — no global sort. */
   def qGini(s: SparkSession, dir: String): DataFrame = {
@@ -220,14 +222,16 @@ object Advanced {
       .select(col("c_custkey"), col("c_mktsegment"))
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("sp").asc, col("o_custkey").asc)
+    val dec0 = org.apache.spark.sql.types.DecimalType(20, 0)
     orderedAll(spend
       .join(seg, col("o_custkey") === col("c_custkey"))
       .withColumn("i", row_number().over(w).cast("long"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"), sum(col("sp")).as("tot"),
-        sum(col("i") * col("sp")).as("ws"))
+        sum(col("i").cast(dec0) * col("sp").cast(dec0)).as("ws"))
       .select(col("c_mktsegment"), col("n"), col("tot"),
         round((col("ws") * 2 - (col("n") + 1) * col("tot")).cast("double") /
-          (col("n") * col("tot")).cast("double"), 6).as("gini")))
+          (col("n").cast(dec0) * col("tot").cast(dec0)).cast("double"), 6)
+          .as("gini")))
   }
 }
