@@ -57,4 +57,85 @@ class PropertySpec extends SparkSpec {
       l.union(r).count() == l.count() + r.count()
     })
   }
+
+  // ---- round-5 algorithmic kernels over generated frames ----
+
+  test("skyline window sweep equals brute-force Pareto dominance") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pts = Gen.listOfN(25, Gen.zip(Gen.choose(0, 15), Gen.choose(1, 8)))
+    holds(forAll(pts) { xs =>
+      val arr = xs.zipWithIndex.map { case ((pc, sz), i) =>
+        (i.toLong, pc.toLong, sz)
+      }
+      val df = arr.toDF("id", "pc", "sz")
+      val cheaper = Window.orderBy(col("pc").asc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val got = df
+        .withColumn("mlt", max(col("sz")).over(cheaper))
+        .withColumn("meq", max(col("sz")).over(Window.partitionBy("pc")))
+        .filter((col("mlt").isNull || col("sz") > col("mlt")) &&
+          col("sz") === col("meq"))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = arr.filter { case (_, pc, sz) =>
+        !arr.exists { case (_, pc2, sz2) =>
+          pc2 <= pc && sz2 >= sz && (pc2 < pc || sz2 > sz)
+        }
+      }.map(_._1).toSet
+      got == want
+    })
+  }
+
+  test("rank-selected doubled median is exactly 2x the true median") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vals = Gen.nonEmptyListOf(Gen.choose(0, 9999)).map(_.take(21))
+    holds(forAll(vals) { cents =>
+      val df = cents.zipWithIndex
+        .map { case (c, i) => (i.toLong, BigDecimal(c) / 100) }
+        .toDF("id", "v")
+        .select(col("id"), col("v").cast(
+          org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
+      val w = Window.orderBy(col("v").asc_nulls_last, col("id").asc)
+      val med2 = df
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(lit(1))))
+        .filter(col("rn") * 2 >= col("n") && col("rn") * 2 <= col("n") + 2)
+        .agg((sum(col("v")) *
+          when(max(col("n")) % 2 === 1, 2).otherwise(1)).as("m2"))
+        .head().getDecimal(0)
+      val sorted = cents.sorted.map(BigDecimal(_) / 100)
+      val n = sorted.length
+      val want =
+        if (n % 2 == 1) sorted(n / 2) * 2
+        else sorted(n / 2 - 1) + sorted(n / 2)
+      BigDecimal(med2).compare(want) == 0
+    })
+  }
+
+  test("islands via day-minus-rank equal a sequential fold") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val days = Gen.listOfN(18, Gen.zip(Gen.choose(0, 2), Gen.choose(0, 12)))
+    holds(forAll(days) { ud =>
+      val dd = ud.map { case (u, d) => (u.toLong, d.toLong) }.distinct
+      val w = Window.partitionBy("u").orderBy(col("d").asc)
+      val got = dd.toDF("u", "d")
+        .withColumn("grp", col("d") - row_number().over(w))
+        .groupBy("u", "grp")
+        .agg(min(col("d")).as("start"), count(lit(1)).as("len"))
+        .select("u", "start", "len").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = dd.groupBy(_._1).toSeq.flatMap { case (u, xs) =>
+        xs.map(_._2).distinct.sorted
+          .foldLeft(List.empty[(Long, Long, Long)]) {
+            case ((uu, st, ln) :: rest, d) if d == st + ln =>
+              (uu, st, ln + 1) :: rest
+            case (acc, d) => (u, d, 1L) :: acc
+          }
+      }.toSet
+      got == want
+    })
+  }
 }
