@@ -1150,6 +1150,45 @@ object Oracles {
         |FROM m
         |WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
         |ORDER BY ALL""".stripMargin,
+    "q_tpch_q3" ->
+      s"""SELECT * FROM (
+         |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |         ${dsumExact(discPrice)} AS revenue
+         |  FROM customer JOIN orders ON c_custkey = o_custkey
+         |                JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE c_mktsegment = 'BUILDING'
+         |    AND o_orderdate < TIMESTAMP '1995-03-15'
+         |    AND l_shipdate > TIMESTAMP '1995-03-15'
+         |  GROUP BY 1, 2, 3
+         |  ORDER BY revenue DESC, l_orderkey LIMIT 10)
+         |ORDER BY ALL""".stripMargin,
+    "q_tpch_q5" ->
+      s"""SELECT n_name, ${dsumExact(discPrice)} AS revenue
+         |FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |                AND c_nationkey = s_nationkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_tpch_q10" ->
+      s"""SELECT * FROM (
+         |  SELECT c_custkey, c_name, c_acctbal, n_name,
+         |         ${dsumExact(discPrice)} AS revenue
+         |  FROM lineitem
+         |    JOIN orders ON l_orderkey = o_orderkey
+         |    JOIN customer ON o_custkey = c_custkey
+         |    JOIN nation ON c_nationkey = n_nationkey
+         |  WHERE l_returnflag = 'R'
+         |    AND o_orderdate >= TIMESTAMP '1995-10-01'
+         |    AND o_orderdate < TIMESTAMP '1996-01-01'
+         |  GROUP BY 1, 2, 3, 4
+         |  ORDER BY revenue DESC, c_custkey LIMIT 20)
+         |ORDER BY ALL""".stripMargin,
     "q_markov" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
         |             event_id FROM events),

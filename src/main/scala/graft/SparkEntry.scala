@@ -160,6 +160,10 @@ object SparkEntry {
     "q_gini" -> Advanced.qGini _,
     "q_autocorr" -> Windows.qAutocorr _,
     "q_markov" -> Windows.qMarkov _,
+    // §2.19 composite TPC-H report twins
+    "q_tpch_q3" -> Reports.qTpchQ3 _,
+    "q_tpch_q5" -> Reports.qTpchQ5 _,
+    "q_tpch_q10" -> Reports.qTpchQ10 _,
     "q_split_manifest" -> Pipeline.qSplitManifest _,
     "q_pagerank" -> Advanced.qPagerank _,
     // §2.14 multimodal columns

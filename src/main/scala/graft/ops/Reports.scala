@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Composite TPC-H report twins (SURVEY §2.19) — the end-to-end queries a
+  * user of the reference's report layer actually runs, assembled from the
+  * operator families §2 grades individually (selective dim filters,
+  * multiway fact joins, decimal-exact revenue aggregation, deterministic
+  * top-k). The synthetic tables carry the TPC-H 1995–2001 date range and
+  * canonical flag/segment domains, so the classic predicates apply
+  * unmodified (o_shippriority/address columns don't exist in the fixture;
+  * Q3/Q10 substitute o_orderpriority / drop the address columns — same
+  * plan shape, same operator mix).
+  *
+  * Scale notes: each query filters dims BEFORE joining (the filters reach
+  * the scans — PushedFilters), joins facts on their keys (shuffle only on
+  * orderkey/custkey), aggregates with partial merge, and takes the top-k
+  * via TakeOrderedAndProject (no global sort materialization). Revenue
+  * follows the [[ops.dsumExact]] decimal policy, so the ranking ties are
+  * engine-independent and broken by explicit keys.
+  */
+object Reports {
+
+  private def revenue: org.apache.spark.sql.Column =
+    dsumExact(dmoney(col("l_extendedprice")) *
+      dfrac(lit(1.0) - col("l_discount"))).as("revenue")
+
+  /** TPC-H Q3 (shipping priority): top-10 unshipped-revenue orders for
+    * one segment at the 1995-03-15 cutover. */
+  def qTpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1995-03-15").cast("timestamp")
+    val c = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    orderedAll(l
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(revenue)
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10))
+  }
+
+  /** TPC-H Q5 (local supplier volume): revenue per nation where customer
+    * and supplier share the nation, one region, one year. */
+  def qTpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val nations = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    orderedAll(li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(revenue))
+  }
+
+  /** TPC-H Q10 (returned items): top-20 customers by lost revenue on
+    * returned lineitems for one quarter of orders. */
+  def qTpchQ10(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1995-10-01").cast("timestamp")
+    val hi = lit("1996-01-01").cast("timestamp")
+    val c = t(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+    orderedAll(l
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(revenue)
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20))
+  }
+}

@@ -273,6 +273,19 @@ class Round5Spec extends SparkSpec {
     }.isEmpty, "lag-1 pairing should be the day+1 equi-join")
   }
 
+  test("TPC-H twins: top-k plans use TakeOrderedAndProject, revenue ranked") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    for (q <- Seq("q_tpch_q3", "q_tpch_q10")) {
+      assert(plan(q).collect {
+        case e: TakeOrderedAndProjectExec => e
+      }.nonEmpty, s"$q should take its top-k without a full global sort")
+      val rev = run(q).collect().map(_.getAs[Double]("revenue")).toSeq
+      assert(rev.nonEmpty && rev.forall(_ > 0))
+    }
+    val q5 = run("q_tpch_q5").collect()
+    assert(q5.length >= 1 && q5.forall(_.getAs[Double]("revenue") > 0))
+  }
+
   test("q_pagerank plan: per-iteration rank joins broadcast") {
     val bhj = plan("q_pagerank").collect {
       case j: BroadcastHashJoinExec => j
