@@ -1150,6 +1150,12 @@ object Oracles {
         |FROM m
         |WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
         |ORDER BY ALL""".stripMargin,
+    "q_heavy_hitters" ->
+      """SELECT event_type AS token, count(*) AS c
+        |FROM events
+        |GROUP BY 1
+        |HAVING count(*) > (SELECT count(*) FROM events) // 17
+        |ORDER BY ALL""".stripMargin,
     "q_tpch_q3" ->
       s"""SELECT * FROM (
          |  SELECT l_orderkey, o_orderdate, o_orderpriority,

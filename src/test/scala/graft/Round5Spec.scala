@@ -273,6 +273,29 @@ class Round5Spec extends SparkSpec {
     }.isEmpty, "lag-1 pairing should be the day+1 equi-join")
   }
 
+  test("Misra-Gries guarantee holds in the lossy regime (>k distinct)") {
+    val s = spark; import s.implicits._
+    // zipf-ish skew over 40 distinct tokens, well beyond k=16 counters
+    val data = (1 to 40).flatMap(i => Seq.fill(1200 / i)(s"t$i"))
+    val got = data.toDF("tok").repartition(8)
+      .agg(functions.MisraGries.heavyHitters(org.apache.spark.sql
+        .functions.col("tok"), 16).as("hh"))
+      .selectExpr("explode(hh) AS e")
+      .selectExpr("e.token", "e.c").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = data.groupBy(identity).map { case (t, xs) =>
+      t -> xs.size.toLong
+    }
+    val n = data.size.toLong
+    // every item above TWICE the threshold must be recovered, and no
+    // reported counter may exceed the true frequency
+    for ((t, f) <- exact if f > 2 * n / 17)
+      assert(got.contains(t), s"guaranteed hitter $t (f=$f) missing")
+    for ((t, c) <- got)
+      assert(c <= exact(t), s"$t counter $c exceeds true ${exact(t)}")
+    assert(got.nonEmpty && got.size <= 16)
+  }
+
   test("TPC-H twins: top-k plans use TakeOrderedAndProject, revenue ranked") {
     import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
     for (q <- Seq("q_tpch_q3", "q_tpch_q10")) {
