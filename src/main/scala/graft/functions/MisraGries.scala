@@ -53,12 +53,12 @@ case class MisraGries(
         case Some(c) => buf.counts.update(key, c + 1)
         case None if buf.counts.size < k => buf.counts.update(key, 1L)
         case None =>
-          // decrement-all; drop exhausted counters
-          val dead = mutable.ArrayBuffer.empty[String]
-          for ((t, c) <- buf.counts) {
-            if (c == 1L) dead += t else buf.counts.update(t, c - 1)
+          // decrement-all; drop exhausted counters (iterate a snapshot —
+          // mutating a mutable.HashMap mid-iteration is undefined)
+          for ((t, c) <- buf.counts.toArray) {
+            if (c == 1L) buf.counts.remove(t)
+            else buf.counts.update(t, c - 1)
           }
-          dead.foreach(buf.counts.remove)
       }
     }
     buf
@@ -70,11 +70,10 @@ case class MisraGries(
     a.n += b.n
     if (a.counts.size > k) {
       val cut = a.counts.values.toArray.sorted(Ordering[Long].reverse)(k)
-      val dead = mutable.ArrayBuffer.empty[String]
-      for ((t, c) <- a.counts) {
-        if (c <= cut) dead += t else a.counts.update(t, c - cut)
+      for ((t, c) <- a.counts.toArray) {
+        if (c <= cut) a.counts.remove(t)
+        else a.counts.update(t, c - cut)
       }
-      dead.foreach(a.counts.remove)
     }
     a
   }
