@@ -1153,8 +1153,9 @@ object Oracles {
     "q_heavy_hitters" ->
       """SELECT event_type AS token, count(*) AS c
         |FROM events
+        |WHERE event_type IS NOT NULL
         |GROUP BY 1
-        |HAVING count(*) > (SELECT count(*) FROM events) // 17
+        |HAVING count(*) > (SELECT count(event_type) FROM events) // 17
         |ORDER BY ALL""".stripMargin,
     "q_tpch_q3" ->
       s"""SELECT * FROM (

@@ -25,12 +25,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * k·partitions entries, independent of row count, which is the whole
   * point versus an exact groupBy top-k.
   *
-  * Deterministic: counters depend on arrival multiset only through the
-  * decrement schedule; the EMITTED set is made order-independent by
-  * thresholding at n/(k+1) (the guarantee boundary) rather than dumping
-  * the raw counter table, and ties sort (count desc, token asc). The
-  * graded query is rows-only (the summary layout has no SQL twin); the
-  * spec asserts the recovery guarantee against exact counts.
+  * Determinism: in the LOSSY regime (>k distinct values) the emitted
+  * set is partition-DEPENDENT for items whose true frequency falls in
+  * (n/(k+1), 2n/(k+1)] — the guarantee bounds the counter, not the
+  * emission decision, so such borderline items can flap with the
+  * decrement schedule. Items above 2n/(k+1) are always emitted and
+  * counters never exceed truth (spec-asserted on a skewed stream). The
+  * graded query therefore applies the aggregate to a ≤k-distinct column,
+  * where counters are exact under any partitioning and the emission
+  * threshold mirrors in SQL — which is what lets q_heavy_hitters be
+  * ORACLE-checked rather than rows-only. Nulls are skipped and excluded
+  * from n, matching the oracle's count(event_type).
   */
 case class MisraGries(
     child: Expression,
@@ -94,7 +99,14 @@ case class MisraGries(
     val out = new java.io.DataOutputStream(bos)
     out.writeLong(buf.n)
     out.writeInt(buf.counts.size)
-    for ((t, c) <- buf.counts) { out.writeUTF(t); out.writeLong(c) }
+    // length-prefixed raw UTF-8, not writeUTF: writeUTF throws on tokens
+    // over 64 KiB and this is a public entry point over any column
+    for ((t, c) <- buf.counts) {
+      val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -106,7 +118,14 @@ case class MisraGries(
     val size = in.readInt()
     val m = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < size) { m.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < size) {
+      val len = in.readInt()
+      val tb = new Array[Byte](len)
+      in.readFully(tb)
+      m.update(new String(tb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     new Buffer(m, n)
   }
 

@@ -111,8 +111,7 @@ object Relational {
       .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
       .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .groupBy("c_mktsegment")
-      .agg(dsumExact(dmoney(col("l_extendedprice")) *
-        dfrac(lit(1.0) - col("l_discount"))).as("revenue"),
+      .agg(dsumExact(discPrice).as("revenue"),
         count(lit(1)).as("n")))
 
   /** Equi key + residual range predicate: planned as a hash/sort-merge join
@@ -143,10 +142,8 @@ object Relational {
       .agg(
         round(sum(col("l_quantity")), 4).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsumExact(dmoney(col("l_extendedprice")) *
-          dfrac(lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-        dsumExact(dmoney(col("l_extendedprice")) *
-          dfrac(lit(1.0) - col("l_discount")) *
+        dsumExact(discPrice).as("sum_disc_price"),
+        dsumExact(discPrice *
           dfrac(lit(1.0) + col("l_tax"))).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),

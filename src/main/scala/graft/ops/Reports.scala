@@ -23,8 +23,7 @@ import org.apache.spark.sql.functions._
 object Reports {
 
   private def revenue: org.apache.spark.sql.Column =
-    dsumExact(dmoney(col("l_extendedprice")) *
-      dfrac(lit(1.0) - col("l_discount"))).as("revenue")
+    dsumExact(discPrice).as("revenue")
 
   /** TPC-H Q3 (shipping priority): top-10 unshipped-revenue orders for
     * one segment at the 1995-03-15 cutover. */

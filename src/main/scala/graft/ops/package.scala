@@ -57,6 +57,13 @@ package object ops {
   /** Order-independent sum of an already-decimal product, emitted double. */
   def dsumExact(c: Column): Column = round(sum(c).cast("double"), 2)
 
+  /** The TPC-H discounted price `l_extendedprice * (1 − l_discount)` as an
+    * exact decimal product (oracle twin: `Oracles.discPrice`) — the one
+    * revenue expression every report query shares, hoisted so a precision
+    * policy change happens in exactly one place per engine. */
+  def discPrice: Column =
+    dmoney(col("l_extendedprice")) * dfrac(lit(1.0) - col("l_discount"))
+
   /** Lower-cased whitespace tokens of a documents.text column. */
   def tokens(c: Column): Column = split(lower(c), " ")
 }
