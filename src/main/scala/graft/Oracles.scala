@@ -1150,6 +1150,12 @@ object Oracles {
         |FROM m
         |WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
         |ORDER BY ALL""".stripMargin,
+    "q_topk_custom" ->
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events) WHERE rn <= 3 ORDER BY ALL""".stripMargin,
     "q_heavy_hitters" ->
       """SELECT event_type AS token, count(*) AS c
         |FROM events

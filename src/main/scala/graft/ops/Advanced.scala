@@ -199,6 +199,31 @@ object Advanced {
         col("deg"), col("r")))
   }
 
+  /** Top-3 events by value per event_type through the CUSTOM whole-plan
+    * operator [[graft.plans.TopKPerGroup]] (§2.13's deepest extension
+    * tier: logical node + strategy + physical exec). The built-in window
+    * spelling sorts every group's full row set; the custom exec keeps a
+    * 3-bounded heap per group after a hash exchange — O(n log k), no
+    * sort, nothing to spill (see the operator's scaladoc for the 100 TB
+    * argument). The strategy is injected into the live session via
+    * `experimental.extraStrategies` (idempotently), the same hook
+    * `SparkSessionExtensions.injectPlannerStrategy` uses; output
+    * contract — rank by (value DESC, event_id ASC) — mirrors the
+    * standard row_number oracle exactly. */
+  def qTopkCustom(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{TopKPerGroup, TopKStrategy}
+    if (!s.experimental.extraStrategies.contains(TopKStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ TopKStrategy
+    val base = t(s, dir, "events")
+      .select("event_type", "event_id", "value")
+    val analyzed = base.queryExecution.analyzed
+    def attr(n: String) = analyzed.output.find(_.name == n).get
+    orderedAll(org.apache.spark.sql.GraftSql.ofRows(s,
+      TopKPerGroup(Seq(attr("event_type")), attr("value"),
+        attr("event_id"), 3, analyzed)))
+  }
+
   /** Gini concentration of customer spend per market segment (§2.18) —
     * the inequality metric of corpus-mix and revenue-concentration
     * diagnostics (for an LLM corpus: how skewed is the source

@@ -17,6 +17,15 @@ object GraftSql {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** DataFrame over a hand-built logical plan (Dataset.ofRows is
+    * sql-package-private in Spark 4) — the entry point for custom
+    * whole-operator nodes like graft.plans.TopKPerGroup. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Build the optimizer rules a SparkSessionExtensions registrar would
     * inject (buildOptimizerRules is sql-package-private) — lets the test
     * suite verify registration without constructing a second session. */

@@ -273,6 +273,29 @@ class Round5Spec extends SparkSpec {
     }.isEmpty, "lag-1 pairing should be the day+1 equi-join")
   }
 
+  test("q_topk_custom: custom exec planned, no window/sort, matches window spelling") {
+    val p = plan("q_topk_custom")
+    assert(p.collect {
+      case e: graft.plans.TopKPerGroupExec => e
+    }.nonEmpty, "TopKStrategy should plan the custom operator")
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "custom top-k must not fall back to a window")
+    // equivalence against the built-in window spelling
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    val want = ops.t(spark, sf, "events")
+      .select("event_type", "event_id", "value")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val got = run("q_topk_custom").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, "custom exec disagrees with the window spelling")
+  }
+
   test("Misra-Gries guarantee holds in the lossy regime (>k distinct)") {
     val s = spark; import s.implicits._
     // zipf-ish skew over 40 distinct tokens, well beyond k=16 counters
