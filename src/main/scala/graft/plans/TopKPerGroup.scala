@@ -81,8 +81,17 @@ case class TopKPerGroupExec(
         val row = it.next()
         val v = orderB.eval(row).asInstanceOf[Double]
         val t = tieB.eval(row).asInstanceOf[Long]
-        val q = heaps.getOrElseUpdate(keyProj(row).copy(),
-          mutable.PriorityQueue.empty(evictFirst))
+        // probe with the projection's reused buffer; copy the key only
+        // when a new group is first seen
+        val probe = keyProj(row)
+        val q = heaps.get(probe) match {
+          case Some(existing) => existing
+          case None =>
+            val fresh = mutable.PriorityQueue.empty[
+              (Double, Long, InternalRow)](evictFirst)
+            heaps.put(probe.copy(), fresh)
+            fresh
+        }
         if (q.size < k) q.enqueue((v, t, row.copy()))
         else {
           val (wv, wt, _) = q.head
