@@ -24,6 +24,7 @@ object SparkEntry {
     "q_sink_partitioned" -> graft.sources.FileFormats.qSinkPartitioned _,
     "q_source_partitioned" -> graft.sources.FileFormats.qSourcePartitioned _,
     "q_join_bucketed" -> graft.sources.FileFormats.qJoinBucketed _,
+    "q_source_binary" -> graft.sources.FileFormats.qSourceBinary _,
     // §2.2 filters / predicates
     "q_filter_pred" -> Relational.qFilterPred _,
     "q_filter_in_like" -> Relational.qFilterInLike _,

@@ -174,4 +174,23 @@ object FileFormats {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"),
         max(col("us")).as("last_us")))
   }
+
+  /** Raw binary-file ingest (§2.14/§2.18): the `binaryFile` source reads
+    * whole files as (path, length, content) rows — the ingest path every
+    * multimodal pipeline starts from (images/audio arrive as FILES, not
+    * rows; cf. ops/Multimodal.scala for the downstream blob operators).
+    * Output is the file manifest: basename, byte length, md5 digest —
+    * the integrity/accounting pass run before any decode. Rows-only by
+    * necessity (file-level digests are not derivable from the oracle's
+    * table views); FileStreamSpec-style exactness comes from the spec,
+    * which recomputes every digest from java.nio ground truth. At
+    * 100 TB: listing parallelizes over the directory tree, files split
+    * across tasks by `maxPartitionBytes`, and real pipelines project
+    * blob-free metadata before any shuffle — the tiny file-count output
+    * here is already metadata-only. */
+  def qSourceBinary(s: SparkSession, dir: String): DataFrame =
+    orderedAll(s.read.format("binaryFile").load(dir + "/*.parquet")
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        length(col("content")).cast("long").as("bytes"),
+        md5(col("content")).as("digest")))
 }

@@ -273,6 +273,21 @@ class Round5Spec extends SparkSpec {
     }.isEmpty, "lag-1 pairing should be the day+1 equi-join")
   }
 
+  test("q_source_binary digests match java.nio ground truth") {
+    val got = SparkEntry.queries("q_source_binary")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    val dirFiles = new java.io.File(sf).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(dirFiles.nonEmpty && got.size == dirFiles.length)
+    for (f <- dirFiles) {
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val digest = md.digest(bytes).map("%02x".format(_)).mkString
+      assert(got(f.getName) == (bytes.length.toLong, digest),
+        s"${f.getName}: ${got(f.getName)} vs (${bytes.length}, $digest)")
+    }
+  }
+
   test("q_topk_custom: custom exec planned, no window/sort, matches window spelling") {
     val p = plan("q_topk_custom")
     assert(p.collect {
