@@ -16,7 +16,8 @@ class QueriesSpec extends SparkSpec {
     assert(omitted == Set("q_approx_distinct", "q_hll_custom",
       "q_approx_percentile", "q_dedup_clusters", "q_dedup_minhash",
       "q_dedup_minhash_agg", "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf",
-      "q_multimodal_features", "q_multimodal_resize", "q_multimodal_frames"),
+      "q_multimodal_features", "q_multimodal_resize", "q_multimodal_frames",
+      "q_source_binary"),
       s"unexpected oracle omissions: $omitted")
   }
 
