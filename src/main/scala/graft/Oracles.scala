@@ -548,7 +548,37 @@ object Oracles {
         |SELECT a_id, b_id, common, sa.nt AS na, sb.nt AS nb
         |FROM pr JOIN sz sa ON a_id = sa.doc_id
         |        JOIN sz sb ON b_id = sb.doc_id
-        |WHERE common * 9 >= (sa.nt + sb.nt) * 4 ORDER BY ALL""".stripMargin
+        |WHERE common * 9 >= (sa.nt + sb.nt) * 4 ORDER BY ALL""".stripMargin,
+    // The iterative connected-components operator, oracle-checked via a
+    // recursive-CTE transitive closure over the SAME pair predicate as
+    // q_dedup_near: reach(node, r) enumerates per-component reachability
+    // (Σ c² rows — fine at the graded SF; the Spark side's contracted
+    // min-label fixpoint is the shape that scales), then cluster_id =
+    // min over the reachable set. Exact: set-valued, no floats.
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE dt AS (SELECT DISTINCT doc_id, token FROM (
+        |       SELECT doc_id, unnest(string_split(lower(text), ' '))
+        |         AS token
+        |       FROM documents WHERE lang = 'en') WHERE token <> ''),
+        |sz AS (SELECT doc_id, count(*) AS nt FROM dt GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         count(*) AS common
+        |       FROM dt a JOIN dt b
+        |       ON a.token = b.token AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM pr
+        |          JOIN sz sa ON a_id = sa.doc_id
+        |          JOIN sz sb ON b_id = sb.doc_id
+        |          WHERE common * 9 >= (sa.nt + sb.nt) * 4),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |      UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node)
+        |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
+        |       node = min(r) AS keep
+        |FROM reach GROUP BY 1 ORDER BY ALL""".stripMargin
   )
 
   // ---- §2.12 vectors (64-lane double fold, sequential in both engines) ----

@@ -14,7 +14,7 @@ class QueriesSpec extends SparkSpec {
     assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
     val omitted = q.diff(o)
     assert(omitted == Set("q_approx_distinct", "q_hll_custom",
-      "q_approx_percentile", "q_dedup_clusters", "q_dedup_minhash",
+      "q_approx_percentile", "q_dedup_minhash",
       "q_dedup_minhash_agg", "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf",
       "q_multimodal_features", "q_multimodal_resize", "q_multimodal_frames",
       "q_source_binary"),
