@@ -66,21 +66,42 @@ case class TopKPerGroupExec(
     ClusteredDistribution(groupExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
+    // local copies: the closure must not capture `this` (which would
+    // serialize the whole plan subtree to every task)
     val childOutput = child.output
+    val groupL = groupExprs
+    val orderL = order
+    val tieL = tie
+    val kL = k
     child.execute().mapPartitions { it =>
-      val keyProj = UnsafeProjection.create(groupExprs, childOutput)
-      val orderB = BindReferences.bindReference(order, childOutput)
-      val tieB = BindReferences.bindReference(tie, childOutput)
+      val keyProj = UnsafeProjection.create(groupL, childOutput)
+      val orderB = BindReferences.bindReference(orderL, childOutput)
+      val tieB = BindReferences.bindReference(tieL, childOutput)
       // head of each queue = the currently WORST kept row (smallest
-      // value; among equals, largest tie id) — the eviction candidate
-      val evictFirst: Ordering[(Double, Long, InternalRow)] =
-        Ordering.by { case (v, t, _) => (-v, t) }
+      // value; among equals, largest tie id) — the eviction candidate.
+      // Double.compare is the TOTAL order (NaN greatest, −0.0 < 0.0),
+      // matching both Spark's and DuckDB's DESC sort semantics; using it
+      // for BOTH the heap and the replacement test keeps the two
+      // decisions consistent (primitive ==/> would diverge on NaN/−0.0).
+      val evictFirst = new Ordering[(Double, Long, InternalRow)] {
+        override def compare(a: (Double, Long, InternalRow),
+                             b: (Double, Long, InternalRow)): Int = {
+          val c = java.lang.Double.compare(b._1, a._1)
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+        }
+      }
       val heaps = mutable.HashMap.empty[
         InternalRow, mutable.PriorityQueue[(Double, Long, InternalRow)]]
       while (it.hasNext) {
         val row = it.next()
-        val v = orderB.eval(row).asInstanceOf[Double]
-        val t = tieB.eval(row).asInstanceOf[Long]
+        val vAny = orderB.eval(row)
+        val tAny = tieB.eval(row)
+        // fail fast on contract drift: a null silently unboxes to 0.0/0L
+        // and would rank mid-pack where both engines rank nulls last
+        require(vAny != null && tAny != null,
+          "TopKPerGroup requires non-null order and tie values")
+        val v = vAny.asInstanceOf[Double]
+        val t = tAny.asInstanceOf[Long]
         // probe with the projection's reused buffer; copy the key only
         // when a new group is first seen
         val probe = keyProj(row)
@@ -92,10 +113,11 @@ case class TopKPerGroupExec(
             heaps.put(probe.copy(), fresh)
             fresh
         }
-        if (q.size < k) q.enqueue((v, t, row.copy()))
+        if (q.size < kL) q.enqueue((v, t, row.copy()))
         else {
           val (wv, wt, _) = q.head
-          if (v > wv || (v == wv && t < wt)) {
+          val c = java.lang.Double.compare(v, wv)
+          if (c > 0 || (c == 0 && t < wt)) {
             q.dequeue(); q.enqueue((v, t, row.copy()))
           }
         }

@@ -184,10 +184,13 @@ object FileFormats {
     * necessity (file-level digests are not derivable from the oracle's
     * table views); FileStreamSpec-style exactness comes from the spec,
     * which recomputes every digest from java.nio ground truth. At
-    * 100 TB: listing parallelizes over the directory tree, files split
-    * across tasks by `maxPartitionBytes`, and real pipelines project
-    * blob-free metadata before any shuffle — the tiny file-count output
-    * here is already metadata-only. */
+    * 100 TB: listing parallelizes over the directory tree and small
+    * files pack into shared tasks via `maxPartitionBytes`, but the
+    * source is NON-SPLITTABLE (one file = one task's whole-row content,
+    * hard-capped at 2 GB/file) — oversized media must be chunked
+    * upstream; real pipelines project blob-free metadata before any
+    * shuffle, and the tiny file-count output here is already
+    * metadata-only. */
   def qSourceBinary(s: SparkSession, dir: String): DataFrame =
     orderedAll(s.read.format("binaryFile").load(dir + "/*.parquet")
       .select(element_at(split(col("path"), "/"), -1).as("file"),
