@@ -1180,6 +1180,17 @@ object Oracles {
         |FROM m
         |WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
         |ORDER BY ALL""".stripMargin,
+    "q_matmul" ->
+      """WITH a AS (SELECT l_orderkey % 50 AS i, l_partkey % 40 AS j,
+        |             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |               AS va
+        |           FROM lineitem GROUP BY 1, 2),
+        |b AS (SELECT l_partkey % 40 AS j, l_suppkey % 30 AS kk,
+        |        CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS vb
+        |      FROM lineitem GROUP BY 1, 2)
+        |SELECT a.i, b.kk, CAST(sum(a.va * b.vb) AS BIGINT) AS v
+        |FROM a JOIN b ON a.j = b.j
+        |GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
     "q_topk_custom" ->
       """SELECT event_type, event_id, value FROM (
         |  SELECT event_type, event_id, value,

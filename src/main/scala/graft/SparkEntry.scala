@@ -163,6 +163,7 @@ object SparkEntry {
     "q_markov" -> Windows.qMarkov _,
     "q_heavy_hitters" -> Sketches.qHeavyHitters _,
     "q_topk_custom" -> Advanced.qTopkCustom _,
+    "q_matmul" -> Advanced.qMatmul _,
     // §2.19 composite TPC-H report twins
     "q_tpch_q3" -> Reports.qTpchQ3 _,
     "q_tpch_q5" -> Reports.qTpchQ5 _,

@@ -199,6 +199,31 @@ object Advanced {
         col("deg"), col("r")))
   }
 
+  /** Sparse matrix multiply (§2.18) — THE canonical MR-course exercise
+    * (two chained jobs: map A by column / B by row, join-reduce on the
+    * inner dimension, then re-key and sum by output cell), expressed as
+    * one declarative plan: equi-join on the inner dimension j, then one
+    * mergeable aggregate over (i, k). Matrices are sparse COO derived
+    * deterministically from lineitem (integer cells, duplicate entries
+    * pre-summed), so every product and sum is exact BIGINT in both
+    * engines. Scale: the two shuffles ARE the algorithm (by j, then by
+    * (i,k)); density-skewed inner dimensions salt exactly like
+    * q_join_salted. */
+  def qMatmul(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val a = li.select((col("l_orderkey") % 50).as("i"),
+        (col("l_partkey") % 40).as("j"),
+        col("l_quantity").cast("long").as("v"))
+      .groupBy("i", "j").agg(sum(col("v")).as("va"))
+    val b = li.select((col("l_partkey") % 40).as("j"),
+        (col("l_suppkey") % 30).as("kk"),
+        col("l_linenumber").cast("long").as("w"))
+      .groupBy("j", "kk").agg(sum(col("w")).as("vb"))
+    orderedAll(a.join(b, "j")
+      .groupBy("i", "kk")
+      .agg(sum(col("va") * col("vb")).as("v")))
+  }
+
   /** Top-3 events by value per event_type through the CUSTOM whole-plan
     * operator [[graft.plans.TopKPerGroup]] (§2.13's deepest extension
     * tier: logical node + strategy + physical exec). The built-in window

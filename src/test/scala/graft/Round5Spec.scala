@@ -273,6 +273,28 @@ class Round5Spec extends SparkSpec {
     }.isEmpty, "lag-1 pairing should be the day+1 equi-join")
   }
 
+  test("q_matmul matches an in-memory dense multiply") {
+    val li = ops.t(spark, sf, "lineitem")
+      .selectExpr("l_orderkey % 50 AS i", "l_partkey % 40 AS j",
+        "CAST(l_quantity AS BIGINT) AS v",
+        "l_suppkey % 30 AS kk", "CAST(l_linenumber AS BIGINT) AS w")
+      .collect()
+    val a = Array.ofDim[Long](50, 40)
+    val b = Array.ofDim[Long](40, 30)
+    for (r <- li) {
+      a(r.getLong(0).toInt)(r.getLong(1).toInt) += r.getLong(2)
+      b(r.getLong(1).toInt)(r.getLong(3).toInt) += r.getLong(4)
+    }
+    val want = (for {
+      i <- 0 until 50; kk <- 0 until 30
+      v = (0 until 40).map(j => a(i)(j) * b(j)(kk)).sum
+      if v != 0
+    } yield (i.toLong, kk.toLong) -> v).toMap
+    val got = run("q_matmul").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want, "sparse join-multiply disagrees with dense truth")
+  }
+
   test("q_source_binary digests match java.nio ground truth") {
     val got = SparkEntry.queries("q_source_binary")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
