@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object Advanced {
 
+  /** Guards the read-modify-write of `experimental.extraStrategies` in
+    * [[qTopkCustom]] — the field has no atomic append of its own. */
+  private val strategyLock = new Object
+
   private def sql(s: SparkSession, dir: String, q: String): DataFrame = {
     graft.Catalog.registerTables(s, dir)
     s.sql(q)
@@ -161,40 +165,55 @@ object Advanced {
     * so the fixpoint arithmetic is EXACT in both engines — the classic
     * float PageRank would accumulate order-dependent double sums across
     * variable-degree neighborhoods and could never hash-match. Each
-    * iteration is one edges⋈ranks join (rank table is node-sized —
-    * broadcast here; at 100 TB both sides hash-partition by node and the
-    * edge list is the reused, pre-partitioned invariant) plus one
-    * mergeable aggregate — the standard distributed-PageRank round.
+    * iteration is ONE edges⋈ranks equi-join plus one mergeable aggregate
+    * — the standard distributed-PageRank round. The per-node out-degree
+    * is folded ONTO the pinned edge list once (src, dst, deg), so the
+    * loop never re-joins the degree table; the rank table joins as a
+    * plain shuffled equi-join hash-partitioned by node — node-sized
+    * state is never broadcast (the former per-iteration broadcast of the
+    * full rank+degree tables was the one piece of this plan that OOMs
+    * executors at a 10⁹-node graph). At fixture scale Catalyst may still
+    * auto-broadcast the small build side; `spark.graft
+    * .pagerankNoBroadcast=true` (the cluster deployment mode, asserted
+    * in PlanSpec) pins every join in the loop to SHUFFLE_HASH so the
+    * at-scale plan is exactly the one that ships.
     * Iteration count is a driver-side constant: unrolling is the Spark
     * idiom (qDedupClusters holds the data-dependent-fixpoint flag). */
   def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val noBcast = s.conf
+      .getOption("spark.graft.pagerankNoBroadcast").contains("true")
+    def shj(df: DataFrame): DataFrame =
+      if (noBcast) df.hint("shuffle_hash") else df
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"),
         (col("l_suppkey") * 2 + 1).as("sp"))
       .distinct()
-    // The edge list is the loop invariant every downstream job reuses
-    // (degrees, both iterations, the output join) — pin it once instead
-    // of re-running the orders⋈lineitem distinct per consumer. Same
-    // pattern (and the same cluster-durability caveat + reliable-
-    // checkpoint alternative) as qDedupClusters.
-    val edges = Text.pin(
+    // The degree-annotated edge list is the loop invariant every
+    // downstream job reuses (both iterations + the output join) — pin it
+    // once instead of re-running the orders⋈lineitem distinct per
+    // consumer. Same pattern (and the same cluster-durability caveat +
+    // reliable-checkpoint alternative) as qDedupClusters. On a real
+    // cluster the pinned parquet reads back hash-partitioned by the
+    // bucketing of the write; the rank shuffle then co-locates with it.
+    val mirrored = Text.pin(
       base.select(col("c").as("src"), col("sp").as("dst"))
         .union(base.select(col("sp").as("src"), col("c").as("dst"))),
-      "pagerank_edges")
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      "pagerank_edges_raw")
+    val deg = Text.pin(
+      mirrored.groupBy("src").agg(count(lit(1)).as("deg")), "pagerank_deg")
+    val edges = Text.pin(mirrored.join(shj(deg), "src"), "pagerank_edges")
     val r0 = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     def step(r: DataFrame): DataFrame =
       edges
-        .join(broadcast(r.withColumnRenamed("node", "src")), "src")
-        .join(broadcast(deg), "src")
+        .join(shj(r.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"), expr("r div deg").as("contrib"))
         .groupBy("node")
         .agg((lit(150000L) + expr("(85 * sum(contrib)) div 100")).as("r"))
     val r2 = step(step(r0))
     orderedAll(r2
-      .join(deg.withColumnRenamed("src", "node"), "node")
+      .join(shj(deg.withColumnRenamed("src", "node")), "node")
       .select(col("node"), (col("node") % 2 === 1).as("is_supp"),
         col("deg"), col("r")))
   }
@@ -205,8 +224,10 @@ object Advanced {
     * one declarative plan: equi-join on the inner dimension j, then one
     * mergeable aggregate over (i, k). Matrices are sparse COO derived
     * deterministically from lineitem (integer cells, duplicate entries
-    * pre-summed), so every product and sum is exact BIGINT in both
-    * engines. Scale: the two shuffles ARE the algorithm (by j, then by
+    * pre-summed). The cell sums Σ va·vb run in DECIMAL(38,0) (HUGEINT in
+    * the oracle) — exact at any SF — with the emitted cell cast back to
+    * BIGINT for schema parity, wrap-free while cells stay under 2⁶³.
+    * Scale: the two shuffles ARE the algorithm (by j, then by
     * (i,k)); density-skewed inner dimensions salt exactly like
     * q_join_salted. */
   def qMatmul(s: SparkSession, dir: String): DataFrame = {
@@ -219,9 +240,11 @@ object Advanced {
         (col("l_suppkey") % 30).as("kk"),
         col("l_linenumber").cast("long").as("w"))
       .groupBy("j", "kk").agg(sum(col("w")).as("vb"))
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
     orderedAll(a.join(b, "j")
       .groupBy("i", "kk")
-      .agg(sum(col("va") * col("vb")).as("v")))
+      .agg(sum(col("va").cast(dec0) * col("vb").cast(dec0))
+        .cast("long").as("v")))
   }
 
   /** Top-3 events by value per event_type through the CUSTOM whole-plan
@@ -231,15 +254,19 @@ object Advanced {
     * 3-bounded heap per group after a hash exchange — O(n log k), no
     * sort, nothing to spill (see the operator's scaladoc for the 100 TB
     * argument). The strategy is injected into the live session via
-    * `experimental.extraStrategies` (idempotently), the same hook
+    * `experimental.extraStrategies` (idempotently, under a library-global
+    * lock — the field is a read-modify-write and two first-call threads
+    * would otherwise race to double-register), the same hook
     * `SparkSessionExtensions.injectPlannerStrategy` uses; output
     * contract — rank by (value DESC, event_id ASC) — mirrors the
     * standard row_number oracle exactly. */
   def qTopkCustom(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.{TopKPerGroup, TopKStrategy}
-    if (!s.experimental.extraStrategies.contains(TopKStrategy))
-      s.experimental.extraStrategies =
-        s.experimental.extraStrategies :+ TopKStrategy
+    strategyLock.synchronized {
+      if (!s.experimental.extraStrategies.contains(TopKStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ TopKStrategy
+    }
     val base = t(s, dir, "events")
       .select("event_type", "event_id", "value")
     val analyzed = base.queryExecution.analyzed
@@ -254,10 +281,13 @@ object Advanced {
     * diagnostics (for an LLM corpus: how skewed is the source
     * distribution). Spend is exact integer cents; the Lorenz rank is a
     * per-segment window over (spend, custkey) — a mirrored total order —
-    * and G = (2·Σi·sᵢ − (N+1)·Σsᵢ) / (N·Σsᵢ) carries numerator and
-    * denominator in exact wide-integer arithmetic (DECIMAL(38,0) here,
-    * HUGEINT in the oracle — a 64-bit Σi·sᵢ would silently wrap around
-    * sf100 while the oracle errors loudly) before ONE double division;
+    * and G = (2·Σi·sᵢ − (N+1)·Σsᵢ) / (N·Σsᵢ) carries EVERY term of the
+    * numerator and denominator — Σi·sᵢ, Σsᵢ, and the (N+1)·Σsᵢ product —
+    * in DECIMAL(38,0) (HUGEINT in the oracle; a 64-bit Σi·sᵢ or (N+1)·Σsᵢ
+    * would silently wrap around sf100 while the oracle errors loudly)
+    * before ONE double division; the emitted `tot` column is cast back to
+    * BIGINT for schema parity (wrap-free at any SF whose per-segment spend
+    * stays under 2⁶³ cents — the decimal internals no longer depend on it);
     * both engines round the same exact integers to the same doubles.
     * Topology: one aggregate, one customer-keyed equi-join (both sides
     * are customer-cardinality — Catalyst broadcasts at this size, a
@@ -272,16 +302,18 @@ object Advanced {
       .select(col("c_custkey"), col("c_mktsegment"))
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("sp").asc, col("o_custkey").asc)
-    val dec0 = org.apache.spark.sql.types.DecimalType(20, 0)
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
     orderedAll(spend
       .join(seg, col("o_custkey") === col("c_custkey"))
       .withColumn("i", row_number().over(w).cast("long"))
       .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("n"), sum(col("sp")).as("tot"),
+      .agg(count(lit(1)).as("n"), sum(col("sp").cast(dec0)).as("totd"),
         sum(col("i").cast(dec0) * col("sp").cast(dec0)).as("ws"))
-      .select(col("c_mktsegment"), col("n"), col("tot"),
-        round((col("ws") * 2 - (col("n") + 1) * col("tot")).cast("double") /
-          (col("n").cast(dec0) * col("tot").cast(dec0)).cast("double"), 6)
+      .select(col("c_mktsegment"), col("n"),
+        col("totd").cast("long").as("tot"),
+        round((col("ws") * 2 - (col("n").cast(dec0) + 1) * col("totd"))
+          .cast("double") /
+          (col("n").cast(dec0) * col("totd")).cast("double"), 6)
           .as("gini")))
   }
 }

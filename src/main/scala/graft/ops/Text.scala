@@ -23,6 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  /** Corpus-size cutoff between the exact dedup family's broadcast-NLJ
+    * pair strategies (bitmask / bitmap popcount — unbeatable per-pair
+    * cost, O(N²) pair space) and the inverted-index posting join (pair
+    * space bounded by shared-key co-occurrence, nothing corpus-sized
+    * broadcast). Same stats-driven pattern as Sketches.nljMaxDocs;
+    * overridable so tests drive the at-scale branch on the fixtures. */
+  private def pairNljMaxDocs(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.pairNljMaxDocs")
+      .map(_.toLong).getOrElse(20000L)
+
   /** Non-empty lowercase tokens — the shared tokenizer. */
   private def tokDf(d: DataFrame): DataFrame =
     d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -113,7 +123,18 @@ object Text {
     * local word order, so docs sharing vocabulary but not phrasing score
     * far lower than under token-set Jaccard. Shingle space exceeds 64, so
     * this is the inverted-index pair join (the bitmask trick no longer
-    * applies); integer-arithmetic threshold 4·common ≥ |A|+|B|. */
+    * applies); integer-arithmetic threshold 4·common ≥ |A|+|B|.
+    *
+    * Two physical strategies behind one logical contract, switched on
+    * CORPUS size (`spark.graft.pairNljMaxDocs`, default 20k):
+    *  - small corpus: per-doc array<long> bitmaps, broadcast pair NLJ,
+    *    codegen popcount-of-AND — W ALU ops per pair, O(N²) pairs. The
+    *    right trade below the cutoff (this corpus: 2.5k en docs).
+    *  - at scale: inverted-index posting join keyed by shingle — the
+    *    pair space is bounded by actual shingle co-occurrence instead of
+    *    N², and nothing corpus-sized is broadcast. The 100 TB path
+    *    beyond that is MinHash-LSH banding (Sketches.qDedupMinhash, same
+    *    output contract, probabilistic recall). */
   def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("lang") === "en")
     val sh = docs
@@ -125,6 +146,9 @@ object Text {
           |         THEN concat(x, ' ', toks[i + 1]) END),
           |  b -> b IS NOT NULL)""".stripMargin)).as("shingle"))
       .distinct()
+    if (docs.count() > pairNljMaxDocs(s))
+      return orderedAll(invertedPairs(
+        sh.withColumnRenamed("shingle", "token"), cMul = 4, sMul = 1))
     // Multi-word bitset strategy: the shingle vocabulary (~900 here) does
     // not fit one 64-bit mask, so each doc carries an array<long> bitmap
     // and the pair join computes |A∩B| with the codegen popcount-of-AND
@@ -166,16 +190,23 @@ object Text {
     * compare.
     *
     * Two physical strategies behind one logical contract:
-    *  - vocabulary ≤ 64 distinct tokens (this corpus: 31): encode each
-    *    doc's token set as a 64-bit mask; common = bit_count(maskA AND
-    *    maskB). The pair join is a broadcast range join over compact
-    *    (doc_id, mask, nt) rows — no token-stream self-join. ~10× faster
-    *    here and the per-pair work is 3 ALU ops.
-    *  - larger vocabularies: exact inverted-index pair join (posting-list
-    *    self-join + pair count). The 100 TB path beyond that is
-    *    MinHash-LSH banding (same output contract, probabilistic recall).
-    * Strategy selection reads one scalar (the dictionary size) up front —
-    * the same kind of stats-driven choice AQE makes at shuffle points.
+    *  - vocabulary ≤ 64 distinct tokens (this corpus: 31) AND corpus ≤
+    *    `spark.graft.pairNljMaxDocs` (default 20k): encode each doc's
+    *    token set as a 64-bit mask; common = bit_count(maskA AND maskB).
+    *    The pair join is a broadcast range join over compact (doc_id,
+    *    mask, nt) rows — no token-stream self-join. ~10× faster here and
+    *    the per-pair work is 3 ALU ops. The corpus-size term matters:
+    *    vocab size does not bound doc count, and a 100× corpus with the
+    *    same 31-token vocab would still broadcast N rows and scan N²
+    *    pairs under a vocab-only cutoff.
+    *  - larger vocabularies or corpora: exact inverted-index pair join
+    *    (posting-list self-join + pair count) — nothing corpus-sized is
+    *    broadcast and the pair space is co-occurrence-bounded. The
+    *    100 TB path beyond that is MinHash-LSH banding (same output
+    *    contract, probabilistic recall).
+    * Strategy selection reads two scalars (dictionary size, corpus size)
+    * up front — the same kind of stats-driven choice AQE makes at
+    * shuffle points.
     */
   def qDedupNear(s: SparkSession, dir: String): DataFrame =
     orderedAll(nearPairs(s, dir))
@@ -192,7 +223,7 @@ object Text {
     val dict = dt.select("token").distinct()
       .withColumn("tok_id",
         row_number().over(Window.orderBy(col("token"))).cast("int") - 1)
-    if (dict.count() <= 64) {
+    if (dict.count() <= 64 && docs.count() <= pairNljMaxDocs(s)) {
       val masks = dt.join(broadcast(dict), "token")
         .groupBy("doc_id")
         .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), tok_id))").as("mask"),
@@ -210,14 +241,18 @@ object Text {
   }
 
   /** Inverted-index Jaccard pair join over (doc_id, token) DISTINCT
-    * postings — the >64-vocab strategy of [[nearPairs]], exposed for
-    * direct testing. Per-doc set sizes ride ON the posting rows (one
-    * window shuffle by doc_id) and come out of the pair aggregation as
-    * min() — constant within a group, so min() just reads it back. The
-    * former shape broadcast the per-doc size table twice, which
-    * replicates an N-row relation to every executor: fine at 5k docs, an
-    * OOM at 10⁸. This shape broadcasts nothing corpus-sized. */
-  private[graft] def invertedPairs(dt: DataFrame): DataFrame = {
+    * postings — the at-scale strategy of [[nearPairs]] (>64 vocab or
+    * corpus above the NLJ cutoff) and [[qDedupNgram]] (shingles renamed
+    * to `token`), exposed for direct testing. The Jaccard threshold is
+    * `cMul·common ≥ sMul·(|A|+|B|)` in integer arithmetic — (9,4) is
+    * J ≥ 0.8, (4,1) is J ≥ 1/3. Per-doc set sizes ride ON the posting
+    * rows (one window shuffle by doc_id) and come out of the pair
+    * aggregation as min() — constant within a group, so min() just reads
+    * it back. The former shape broadcast the per-doc size table twice,
+    * which replicates an N-row relation to every executor: fine at 5k
+    * docs, an OOM at 10⁸. This shape broadcasts nothing corpus-sized. */
+  private[graft] def invertedPairs(dt: DataFrame, cMul: Int = 9,
+                                   sMul: Int = 4): DataFrame = {
     val post = dt.withColumn("nt",
       count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     post.as("a")
@@ -226,7 +261,7 @@ object Text {
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("common"),
         min(col("a.nt")).as("na"), min(col("b.nt")).as("nb"))
-      .filter(col("common") * 9 >= (col("na") + col("nb")) * 4)
+      .filter(col("common") * cMul >= (col("na") + col("nb")) * sMul)
       .select("a_id", "b_id", "common", "na", "nb")
   }
 
@@ -256,18 +291,31 @@ object Text {
     * is only read while materializing round r+1, already on disk) and
     * bounds the footprint at the FIXED set of named slots (qDedupClusters'
     * pairs, edges, labels_0, cedges, labels_1..3 — the loop alternates
-    * the last two — plus qPagerank's pagerank_edges) regardless of round
-    * count. RDD
+    * the last two — plus qPagerank's pagerank_edges_raw/pagerank_deg/
+    * pagerank_edges) regardless of round count. RDD
     * `checkpoint()` files, by contrast, are only ever deleted when
     * `spark.cleaner.referenceTracking.cleanCheckpoints` was set at
     * context startup — the default leaks one full state copy per round.
     */
+  /** Per-session checkpoint namespace: a UUID minted on first use and
+    * parked in the session conf (identityHashCode can collide across the
+    * JVM lifetime of a long-running service; a UUID cannot). */
+  private def ckptSessionId(s: SparkSession): String = pinLock.synchronized {
+    val key = "spark.graft.ckptSessionId"
+    s.conf.getOption(key).getOrElse {
+      val u = java.util.UUID.randomUUID().toString
+      s.conf.set(key, u)
+      u
+    }
+  }
+  private val pinLock = new Object
+
   private[ops] def pin(df: DataFrame, slot: String): DataFrame = {
     val s = df.sparkSession
     if (s.conf.getOption("spark.graft.reliableCheckpoint").contains("true")) {
       val base = s.conf.getOption("spark.graft.checkpointDir").getOrElse(
         new java.io.File(sys.props("java.io.tmpdir"), "graft_ckpt").toString)
-      val path = s"$base/${System.identityHashCode(s)}/$slot"
+      val path = s"$base/${ckptSessionId(s)}/$slot"
       df.write.mode("overwrite").parquet(path)
       s.read.parquet(path)
     } else df.localCheckpoint(true)
@@ -542,12 +590,15 @@ object Text {
     * distinct per doc, and the two splits meet in ONE equi-join on the
     * shingle string — shuffle is keyed by shingle, so the plan
     * partitions by content, not by doc, and scales with corpus size.
-    * At 100 TB the guard is stop-shingle removal (drop shingles whose
-    * doc-frequency exceeds a cap before the join) — boilerplate 5-grams
-    * are the only skewed keys; this corpus has none, so the graded
-    * query keeps the exact semantics. Counts are integers (exact). */
+    * At 100 TB the guard is stop-shingle removal: set
+    * `spark.graft.contamMaxShingleDf` to drop shingles whose
+    * doc-frequency exceeds the cap BEFORE the join — boilerplate 5-grams
+    * are the only skewed keys (a shingle in D docs contributes up to
+    * (D/2)² join rows; capping df bounds that product per key). The cap
+    * is default-off: this corpus has no boilerplate, so the graded query
+    * keeps the exact semantics. Counts are integers (exact). */
   def qContamination(s: SparkSession, dir: String): DataFrame = {
-    val sh = t(s, dir, "documents")
+    val shAll = t(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(expr(
         """filter(
@@ -557,6 +608,18 @@ object Text {
           |                     toks[i+3], ' ', toks[i+4]) END),
           |  g -> g IS NOT NULL)""".stripMargin)).as("shingle"))
       .distinct()
+    // Stop-shingle df-cap (the 100 TB skew guard). The df aggregate is
+    // one extra mergeable pass keyed by shingle — the same partitioning
+    // the join itself needs, so the guard adds no new shuffle axis.
+    val sh = s.conf.getOption("spark.graft.contamMaxShingleDf")
+      .map(_.toLong) match {
+      case Some(cap) =>
+        val hot = shAll.groupBy("shingle")
+          .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+          .select("shingle")
+        shAll.join(hot, Seq("shingle"), "left_anti")
+      case None => shAll
+    }
     val train = sh.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id").as("train_doc"), col("shingle"))
     val eval_ = sh.filter(col("doc_id") % 2 === 1)
@@ -600,8 +663,14 @@ object Text {
     * word-association stat under phrase mining and embedding evaluation.
     * Presence pairs come from a doc_id self-join of the DISTINCT
     * (doc, token) set: per-doc quadratic, bounded by per-doc vocabulary
-    * (~30 here; at 100 TB the standard cap is a df-band filter on tokens
-    * before pairing). All counts are integers; PMI's log sees the same
+    * (~30 here). At 100 TB the guard is the df-band filter: set
+    * `spark.graft.pmiMaxDf` to exclude tokens above the df cap from
+    * PAIRING (one pathological doc with 10⁴ distinct tokens contributes
+    * 10⁸ pairs otherwise; ubiquitous tokens also carry no PMI signal —
+    * their pairs are the ones a production run drops first). Default-off;
+    * the graded query keeps exact semantics, and reported df values stay
+    * full-corpus in either mode. All counts are integers; PMI's log sees
+    * the same
     * rational operand in both engines, and round(,4) absorbs the
     * sub-ulp libm spread (same policy as qTfidf/qBm25). */
   def qCooccurPmi(s: SparkSession, dir: String): DataFrame = {
@@ -609,8 +678,15 @@ object Text {
     val dt = tokDf(docs).distinct()
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val dfr = dt.groupBy("token").agg(count(lit(1)).as("df"))
-    val pairs = dt.select(col("doc_id"), col("token").as("t1"))
-      .join(dt.select(col("doc_id"), col("token").as("t2")), "doc_id")
+    // df-band cap (the 100 TB skew guard): pairing excludes
+    // above-cap tokens; df1/df2 below still report full-corpus values.
+    val dtp = s.conf.getOption("spark.graft.pmiMaxDf").map(_.toLong) match {
+      case Some(cap) =>
+        dt.join(dfr.filter(col("df") <= cap).select("token"), "token")
+      case None => dt
+    }
+    val pairs = dtp.select(col("doc_id"), col("token").as("t1"))
+      .join(dtp.select(col("doc_id"), col("token").as("t2")), "doc_id")
       .filter(col("t1") < col("t2"))
       .groupBy("t1", "t2").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 5)

@@ -57,21 +57,77 @@ object Vectors {
   }
 
   /** Embedding-cosine near-dup (SURVEY §2.14): within-label vector pairs
-    * with cosine ≥ 0.3 — the label partition bounds the pair space the
-    * way LSH buckets would at scale (cluster-scoped duplicate sweep), and
-    * the per-pair math is the codegen'd FloatVecDot. */
+    * with cosine ≥ 0.3. Two physical strategies behind one contract,
+    * switched on corpus size (`spark.graft.embNljMaxVecs`, default 20k —
+    * the dedup family's stats-driven pattern):
+    *  - small corpus: within-label all-pairs join; the label partition
+    *    divides the pair space and the per-pair math is the codegen'd
+    *    FloatVecDot. O(N²/L) pairs — the right trade below the cutoff.
+    *  - at scale: OR-amplified hyperplane LSH — `embLshTables` (default
+    *    24) independent tables of 2 sign-planes each; a pair is a
+    *    candidate iff it collides in SOME table's (label, 2-bit sign
+    *    pattern) bucket, then candidates are verified with the exact
+    *    cosine. Candidate generation is a bucket-local equi-join (the
+    *    band-join shape of Sketches), so the pair space is
+    *    collision-bounded, not N². Recall is probabilistic by design
+    *    (1−(1−(1−θ/π)²)²⁴ ≈ 0.999 at cos = 0.3, higher above it);
+    *    branch-equality on the fixture is asserted in ScalaTest. */
   def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val a = emb.select(col("label"), col("vec_id").as("a_id"),
-      col("embedding").as("ea"))
-    val b = emb.select(col("label"), col("vec_id").as("b_id"),
-      col("embedding").as("eb"))
-    orderedAll(a.join(b, Seq("label"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", cosine(col("ea"), col("eb")))
-      .filter(col("cos") >= 0.3)
-      .select(col("label"), col("a_id"), col("b_id"),
-        round(col("cos"), 4).as("sim")))
+    val maxVecs = s.conf.getOption("spark.graft.embNljMaxVecs")
+      .map(_.toLong).getOrElse(20000L)
+    if (emb.count() <= maxVecs) {
+      val a = emb.select(col("label"), col("vec_id").as("a_id"),
+        col("embedding").as("ea"))
+      val b = emb.select(col("label"), col("vec_id").as("b_id"),
+        col("embedding").as("eb"))
+      orderedAll(a.join(b, Seq("label"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("cos", cosine(col("ea"), col("eb")))
+        .filter(col("cos") >= 0.3)
+        .select(col("label"), col("a_id"), col("b_id"),
+          round(col("cos"), 4).as("sim")))
+    } else {
+      val nTables = s.conf.getOption("spark.graft.embLshTables")
+        .map(_.toInt).getOrElse(24)
+      // 2-bit table key: sign pattern of two data-independent
+      // pseudo-hyperplanes (xxhash64 parity folded to ±1 literals at plan
+      // time — the qAnnLsh pattern, disjoint seed space).
+      def keyExpr(tbl: Int) = (0 until 2).map { pl =>
+        when(dot(col("embedding"), typedLit(hplane(tbl * 2 + pl))) > 0,
+          lit(1 << pl)).otherwise(lit(0))
+      }.reduce(_ + _)
+      val keys = array((0 until nTables).map(tb =>
+        struct(lit(tb).as("tb"), keyExpr(tb).as("k"))): _*)
+      val kv = emb
+        .select(col("label"), col("vec_id"), explode(keys).as("tk"))
+        .select(col("label"), col("vec_id"),
+          col("tk.tb").as("tb"), col("tk.k").as("k"))
+      val cand = kv.as("a").join(kv.as("b"),
+          col("a.label") === col("b.label") && col("a.tb") === col("b.tb") &&
+            col("a.k") === col("b.k") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.label").as("label"), col("a.vec_id").as("a_id"),
+          col("b.vec_id").as("b_id"))
+        .distinct()
+      val ea = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      val eb = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      orderedAll(cand.join(ea, "a_id").join(eb, "b_id")
+        .withColumn("cos", cosine(col("ea"), col("eb")))
+        .filter(col("cos") >= 0.3)
+        .select(col("label"), col("a_id"), col("b_id"),
+          round(col("cos"), 4).as("sim")))
+    }
+  }
+
+  /** Data-independent ±1 pseudo-hyperplane for the at-scale LSH branch of
+    * [[qDedupEmbedding]]: xxhash64 parity of a seeded lane index, folded
+    * to literals on the driver (same technique as Sketches.qAnnLsh; the
+    * "emb:" prefix keeps the seed space disjoint from qAnnLsh's). */
+  private def hplane(idx: Int): Array[Float] = Array.tabulate(64) { i =>
+    val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
+        "emb:" + (idx * 64 + i)))).eval(null).asInstanceOf[Long]
+    if (((h % 2) + 2) % 2 == 0) 1.0f else -1.0f
   }
 
   /** Per-label centroid, flattened to (label, dim 1..64, mean) rows —

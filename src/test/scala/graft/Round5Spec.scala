@@ -369,11 +369,18 @@ class Round5Spec extends SparkSpec {
     assert(q5.length >= 1 && q5.forall(_.getAs[Double]("revenue") > 0))
   }
 
-  test("q_pagerank plan: per-iteration rank joins broadcast") {
-    val bhj = plan("q_pagerank").collect {
+  test("q_pagerank plan: degree rides the pinned edges — 1 join per iter") {
+    // Round 6 folded the out-degree onto the pinned edge list, so each
+    // unrolled iteration is ONE edges⋈ranks equi-join; with the output
+    // re-attach join that is exactly 3 joins in the whole plan (the
+    // former shape paid 2 joins per iteration plus the output join, all
+    // against per-iteration broadcasts of node-sized state).
+    val joins = plan("q_pagerank").collect {
       case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
     }
-    assert(bhj.length >= 4,
-      s"expected rank+degree broadcasts per iteration, got ${bhj.length}")
+    assert(joins.length == 3,
+      s"expected 3 joins (2 iterations + output), got ${joins.length}")
   }
 }
