@@ -630,7 +630,73 @@ object Oracles {
         |          AS norm16
         |      FROM embeddings)
         |WHERE norm16 >= 0.45 AND norm16 < 0.55
-        |GROUP BY 1 ORDER BY ALL""".stripMargin
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // MinHash-LSH with the engine-portable md5-string lane hash
+    // (Sketches.qDedupMinhash): 16 lanes of min(md5-prefix) per doc,
+    // 8 bands of 2 concatenated lanes, candidates from band collisions,
+    // exact set-intersection Jaccard >= 0.8 verification. String min is
+    // byte-wise ASCII in both engines; md5 is md5.
+    "q_dedup_minhash" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(list_filter(string_split(lower(text), ' '),
+        |                              x -> x <> '')) AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        |lanes AS (SELECT doc_id, j,
+        |    min(substring(md5(CAST(j AS VARCHAR) || ':' || token), 1, 16))
+        |      AS mh
+        |  FROM tok CROSS JOIN range(16) t(j) GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, j // 2 AS band,
+        |    min(CASE WHEN j % 2 = 0 THEN mh END) || ':' ||
+        |    min(CASE WHEN j % 2 = 1 THEN mh END) AS bkey
+        |  FROM lanes GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bkey = y.bkey
+        |   AND x.doc_id < y.doc_id),
+        |sz AS (SELECT doc_id, toks, len(toks) AS nt FROM d)
+        |SELECT a_id, b_id,
+        |       CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT)
+        |         AS common,
+        |       CAST(sa.nt AS BIGINT) AS na, CAST(sb.nt AS BIGINT) AS nb
+        |FROM cand
+        |JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+        |WHERE 9 * len(list_intersect(sa.toks, sb.toks))
+        |      >= 4 * (sa.nt + sb.nt)
+        |ORDER BY ALL""".stripMargin,
+
+    // Hyperplane LSH ANN (Sketches.qAnnLsh): the 8 pseudo-hyperplanes are
+    // re-DERIVED here from md5 first-nibble parity of the lane index —
+    // the oracle recomputes the planes, the buckets, and the in-bucket
+    // cosine top-5 from scratch. Sign * float products are exact, so the
+    // left-to-right list_sum dot matches FloatVecDot bit-for-bit.
+    "q_ann_lsh" ->
+      s"""WITH sgn AS (SELECT j,
+         |    list(CASE WHEN (strpos('0123456789abcdef',
+         |        substring(md5(CAST(j * 64 + i AS VARCHAR)), 1, 1)) - 1)
+         |        % 2 = 0
+         |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+         |      ORDER BY i) AS sv
+         |  FROM range(8) a(j) CROSS JOIN range(64) b(i) GROUP BY j),
+         |bkt AS (SELECT vec_id, embedding,
+         |    CAST(sum(CASE WHEN list_sum(list_transform(
+         |        generate_series(1, 64),
+         |        i -> CAST(embedding[i] AS DOUBLE) * sv[i])) > 0
+         |      THEN 1 << j ELSE 0 END) AS INT) AS bucket
+         |  FROM embeddings CROSS JOIN sgn GROUP BY 1, 2),
+         |p AS (SELECT vec_id AS pid, embedding AS pe, bucket AS pb
+         |      FROM bkt WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nid, embedding AS e, bucket AS cb
+         |      FROM bkt),
+         |s AS (SELECT pid, nid, $dot64 AS dot, $pn64 AS na2, $en64 AS nb2
+         |      FROM p JOIN c ON pb = cb AND nid <> pid),
+         |r AS (SELECT pid, nid, dot / sqrt(na2 * nb2) AS cos,
+         |             row_number() OVER (PARTITION BY pid
+         |               ORDER BY dot / sqrt(na2 * nb2) DESC, nid) AS rn
+         |      FROM s)
+         |SELECT pid, nid, rn, round(cos, 4) AS sim FROM r WHERE rn <= 5
+         |ORDER BY ALL""".stripMargin
   )
 
   // ---- §2.8 scalar functions ----

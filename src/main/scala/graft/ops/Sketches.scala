@@ -5,10 +5,17 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sketch-based dedup and ANN (SURVEY §2.14) — the probabilistic scale
-  * paths whose exact twins live in Text/Vectors. No SQL oracles (the
-  * sketches hinge on Spark's xxhash64/murmur3, which DuckDB cannot
-  * reproduce); graded rows-only by the driver and bounded against the
-  * exact algorithms in ScalaTest.
+  * paths whose exact twins live in Text/Vectors.
+  *
+  * Oracle policy (round 6): sketches whose hash is ENGINE-PORTABLE — an
+  * md5 both engines implement identically — are fully oracle-checked
+  * (q_dedup_minhash, q_ann_lsh). Sketches that deliberately exercise
+  * Spark-native hashing tiers (xxhash64 in q_dedup_simhash, the murmur
+  * lanes of the typed-Aggregator q_dedup_minhash_agg) stay rows-only and
+  * are bounded against the exact algorithms in ScalaTest — keeping one
+  * representative of each hash family on purpose: the portable-md5 tier
+  * proves cross-engine semantics, the native tier keeps the cheap
+  * integer-hash path a 100 TB run would actually use.
   *
   * All sketches are deterministic: fixed-seed hash functions, no rand().
   * At 100 TB these are the algorithms that matter — signatures are
@@ -25,11 +32,20 @@ object Sketches {
     s.conf.getOption("spark.graft.sketchNljMaxDocs")
       .map(_.toLong).getOrElse(20000L)
 
-  /** MinHash + LSH near-dup: 16 minhashes per doc (xxhash64 with the band
-    * index salted into the key), 8 bands × 2 rows, candidate pairs from
-    * band-bucket collisions, then EXACT verification (array_intersect
-    * Jaccard ≥ 0.8) — precision 1.0 vs q_dedup_near, recall governed by
-    * the band scheme (≥ 1−(1−J²)⁸ ≈ 0.9997 at J = 0.8). */
+  /** MinHash + LSH near-dup: 16 minhashes per doc, 8 bands × 2 rows,
+    * candidate pairs from band-bucket collisions, then EXACT verification
+    * (bitmask/array_intersect Jaccard ≥ 0.8) — precision 1.0 vs
+    * q_dedup_near, recall governed by the band scheme
+    * (≥ 1−(1−J²)⁸ ≈ 0.9997 at J = 0.8).
+    *
+    * The lane hash is ENGINE-PORTABLE: the 16-hex-char md5 prefix of
+    * `j:token`, minimized as a STRING (byte-wise ASCII min — identical in
+    * any engine; a 64-bit integer parse would need hex→int conversion
+    * DuckDB lacks). md5-prefix uniformity matches xxhash64 for minhash
+    * purposes; the per-lane state is 16 bytes instead of 8 — the price of
+    * a hash both engines can replay, which upgrades this query from
+    * rows-only to fully oracle-checked. Band keys are the concatenated
+    * lane minima (no re-hash needed — the pair join only tests equality). */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     // array_remove("") keeps the token universe identical to the exact
     // contract twin q_dedup_near (Text.tokDf drops empty tokens), so the
@@ -48,15 +64,14 @@ object Sketches {
       .select(col("doc_id"), col("token"),
         explode(expr("sequence(0, 15)")).as("j"))
       .withColumn("h",
-        expr("xxhash64(concat(CAST(j AS STRING), ':', token))"))
+        expr("substring(md5(concat(CAST(j AS STRING), ':', token)), 1, 16)"))
       .groupBy("doc_id", "j").agg(min(col("h")).as("mh"))
     val bands = minh
       .withColumn("band", expr("j div 2"))
       .groupBy("doc_id", "band")
       .agg(expr(
-        """xxhash64(concat(
-          |  CAST(min(CASE WHEN j % 2 = 0 THEN mh END) AS STRING), ':',
-          |  CAST(min(CASE WHEN j % 2 = 1 THEN mh END) AS STRING)))"""
+        """concat(min(CASE WHEN j % 2 = 0 THEN mh END), ':',
+          |       min(CASE WHEN j % 2 = 1 THEN mh END))"""
           .stripMargin).as("bkey"))
     // Candidate generation, stats-driven (same pattern as the vocab≤64
     // bitmask choice below): a pair is a candidate iff SOME band key
@@ -124,24 +139,22 @@ object Sketches {
         col("nt").as("na"))
       val mb = masks.select(col("doc_id").as("b_id"), col("mask").as("xb"),
         col("nt").as("nb"))
-      // No orderedAll: graded rows-only (the set is deterministic; a total
-      // sort of ~500k dense pairs through one partition buys nothing).
-      cand
+      orderedAll(cand
         .join(broadcast(ma), "a_id").join(broadcast(mb), "b_id")
         .withColumn("common", expr("CAST(bit_count(xa & xb) AS BIGINT)"))
         .filter(col("common") * 9 >= (col("na") + col("nb")) * 4)
-        .select("a_id", "b_id", "common", "na", "nb")
+        .select("a_id", "b_id", "common", "na", "nb"))
     } else {
       val da = docs.select(col("doc_id").as("a_id"), col("toks").as("ta"),
         col("nt").as("na"))
       val db = docs.select(col("doc_id").as("b_id"), col("toks").as("tb"),
         col("nt").as("nb"))
-      cand
+      orderedAll(cand
         .join(broadcast(da), "a_id").join(broadcast(db), "b_id")
         .withColumn("common",
           size(array_intersect(col("ta"), col("tb"))).cast("long"))
         .filter(col("common") * 9 >= (col("na") + col("nb")) * 4)
-        .select("a_id", "b_id", "common", "na", "nb")
+        .select("a_id", "b_id", "common", "na", "nb"))
     }
   }
 
@@ -263,24 +276,26 @@ object Sketches {
   }
 
   /** LSH-bucketed approximate nearest neighbours: 8 deterministic
-    * pseudo-hyperplanes (±1 pattern from xxhash64 parity), sign-bit
-    * bucket, probes join only their bucket, cosine top-5 within it.
-    * The brute-force exact twin is q_knn_cosine; recall here is whatever
-    * the 8-bit partition gives (tested, not graded). */
+    * pseudo-hyperplanes (±1 pattern from md5 first-nibble parity of the
+    * lane index — ENGINE-PORTABLE, so the whole query is oracle-checked:
+    * DuckDB re-derives the same planes from the same md5 and must land
+    * every vector in the same bucket), sign-bit bucket, probes join only
+    * their bucket, cosine top-5 within it. The brute-force exact twin is
+    * q_knn_cosine; recall is whatever the 8-bit partition gives (tested). */
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    // The ±1 hyperplane patterns are data-INDEPENDENT (xxhash64 parity of
-    // the constant lane index), so they fold to literal arrays at plan
+    // The ±1 hyperplane patterns are data-INDEPENDENT (md5 parity of the
+    // constant lane index), so they fold to literal arrays at plan
     // time; each of the 8 sign projections is then one codegen'd
     // FloatVecDot against a literal vector instead of a 64-step
     // interpreted lambda fold per row per plane (~8× less interpreted
     // work). Same fold order and operands → bit-identical buckets.
     def signs(j: Int): Array[Float] = Array.tabulate(64) { i =>
-      // Same function the SQL expression used: XxHash64 (seed 42) of the
-      // lane index rendered as a string, folded on the driver.
-      val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
-        Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
-          (j * 64 + i).toString))).eval(null).asInstanceOf[Long]
-      if (((h % 2) + 2) % 2 == 0) 1.0f else -1.0f
+      // Mirrors the oracle's
+      //   (strpos('0123456789abcdef', substring(md5(idx), 1, 1)) - 1) % 2
+      // — the high nibble of md5 byte 0 of the decimal-rendered index.
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(String.valueOf(j * 64 + i).getBytes("UTF-8"))
+      if (((d(0) >> 4) & 1) == 0) 1.0f else -1.0f
     }
     val bucketExpr = (0 until 8).map { j =>
       when(Vectors.dot(col("embedding"), typedLit(signs(j))) > 0,

@@ -13,9 +13,11 @@ class QueriesSpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
     val omitted = q.diff(o)
+    // q_dedup_minhash and q_ann_lsh graduated to full oracle checks in
+    // round 6 (engine-portable md5 lane hash / hyperplane parity).
     assert(omitted == Set("q_approx_distinct", "q_hll_custom",
-      "q_approx_percentile", "q_dedup_minhash",
-      "q_dedup_minhash_agg", "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf",
+      "q_approx_percentile",
+      "q_dedup_minhash_agg", "q_dedup_simhash", "q_ann_ivf",
       "q_multimodal_features", "q_multimodal_resize", "q_multimodal_frames",
       "q_source_binary"),
       s"unexpected oracle omissions: $omitted")
