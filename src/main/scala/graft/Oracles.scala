@@ -1404,6 +1404,236 @@ object Oracles {
         |       GROUP BY 1)
         |SELECT n.node, n.node % 2 = 1 AS is_supp, d.deg, n.r
         |FROM i2 n JOIN deg d ON n.node = d.src
-        |ORDER BY ALL""".stripMargin
+        |ORDER BY ALL""".stripMargin,
+
+    // ---- §2.20 round-6 curation / warehouse extensions ----
+    // Same dirty-form derivation as the Spark side; DuckDB's
+    // regexp_replace needs the 'g' flag to match Spark's global default.
+    "q_pii_redact" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' ||
+        |      source || '.net tel +1-555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, raw,
+        |    len(regexp_extract_all(raw,
+        |        '[a-z0-9.]+@[a-z0-9.]+\.(com|net|org)')) AS n_emails,
+        |    len(regexp_extract_all(raw, '\+1-555-[0-9]{4}')) AS n_phones,
+        |    regexp_replace(regexp_replace(raw,
+        |        '[a-z0-9.]+@[a-z0-9.]+\.(com|net|org)', '<EMAIL>', 'g'),
+        |      '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS red
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_emails) AS BIGINT) AS emails_redacted,
+        |       CAST(sum(n_phones) AS BIGINT) AS phones_redacted,
+        |       CAST(sum(length(raw) - length(red)) AS BIGINT)
+        |         AS chars_removed
+        |FROM r GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_url_extract" ->
+      """WITH u AS (
+        |  SELECT lang,
+        |    'https://' || source || '.example.com/' || lang || '/doc/' ||
+        |      CAST(doc_id AS VARCHAR) || '?ref=' ||
+        |      CAST(doc_id % 7 AS VARCHAR) AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang,
+        |    regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+        |    regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+        |    CAST(regexp_extract(url, 'ref=([0-9]+)', 1) AS BIGINT) AS ref
+        |  FROM u)
+        |SELECT host, count(*) AS n_urls, count(DISTINCT lang) AS n_langs,
+        |       max(CAST(length(path) - length(replace(path, '/', ''))
+        |                AS BIGINT)) AS max_depth,
+        |       CAST(sum(ref) AS BIGINT) AS sum_ref
+        |FROM p GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_text_normalize" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    '  ' || upper(text) || ' !!! ' || text || '??  ' AS raw
+        |  FROM documents),
+        |n AS (
+        |  SELECT lang, raw,
+        |    trim(regexp_replace(regexp_replace(lower(raw),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |       count(DISTINCT norm) AS n_distinct_norm,
+        |       CAST(sum(length(raw)) AS BIGINT) AS chars_raw,
+        |       CAST(sum(length(norm)) AS BIGINT) AS chars_norm
+        |FROM n GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_sample_reservoir" ->
+      """SELECT lang, rk, doc_id, source FROM (
+        |  SELECT lang, doc_id, source,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      md5(CAST(doc_id AS VARCHAR) || ':rsv'), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3 ORDER BY ALL""".stripMargin,
+    // All-pairs mirror of the prefix-filtered join: prefix filtering is
+    // lossless, so the straight inverted-index + exact-threshold SQL is
+    // the same bag of rows.
+    "q_jaccard_prefix" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, token FROM (
+        |       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |       FROM documents WHERE lang = 'en') WHERE token <> ''),
+        |sz AS (SELECT doc_id, count(*) AS nt FROM dt GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+        |       FROM dt a JOIN dt b
+        |       ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |       round(common * 1.0 / (sa.nt + sb.nt - common), 4) AS jacc
+        |FROM pr JOIN sz sa ON a_id = sa.doc_id
+        |        JOIN sz sb ON b_id = sb.doc_id
+        |WHERE common * 17 >= (sa.nt + sb.nt) * 7 ORDER BY ALL""".stripMargin,
+    "q_triangle_count" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, token FROM (
+        |       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |       FROM documents WHERE lang = 'en') WHERE token <> ''),
+        |e AS (SELECT DISTINCT a.token AS ta, b.token AS tb
+        |      FROM dt a JOIN dt b
+        |      ON a.doc_id = b.doc_id AND a.token < b.token),
+        |tri AS (SELECT e1.ta AS a, e1.tb AS b, e2.tb AS c
+        |        FROM e e1 JOIN e e2 ON e1.tb = e2.ta
+        |                  JOIN e e3 ON e3.ta = e1.ta AND e3.tb = e2.tb)
+        |SELECT token, count(*) AS n_triangles FROM (
+        |  SELECT a AS token FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    // Identical div/mod bit arithmetic as the Spark side (// is DuckDB's
+    // integer division).
+    "q_zorder" ->
+      """SELECT p_partkey, zx, zy,
+        |  ((zx // 1) % 2) * 1 + ((zy // 1) % 2) * 2 +
+        |  ((zx // 2) % 2) * 4 + ((zy // 2) % 2) * 8 +
+        |  ((zx // 4) % 2) * 16 + ((zy // 4) % 2) * 32 +
+        |  ((zx // 8) % 2) * 64 + ((zy // 8) % 2) * 128 +
+        |  ((zx // 16) % 2) * 256 + ((zy // 16) % 2) * 512 +
+        |  ((zx // 32) % 2) * 1024 + ((zy // 32) % 2) * 2048 AS zkey
+        |FROM (SELECT p_partkey, CAST(p_size % 64 AS BIGINT) AS zx,
+        |             CAST(p_partkey % 64 AS BIGINT) AS zy
+        |      FROM part WHERE p_partkey <= 256)
+        |ORDER BY ALL""".stripMargin,
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS custkey, o_orderkey,
+        |         o_orderpriority AS prio,
+        |         epoch_us(o_orderdate) // 86400000000 AS day
+        |  FROM orders),
+        |c AS (
+        |  SELECT *, lag(prio) OVER w AS prev
+        |  FROM o WINDOW w AS (PARTITION BY custkey
+        |                      ORDER BY day, o_orderkey)),
+        |ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> prio)
+        |SELECT custkey, prio, day AS valid_from,
+        |       lead(day) OVER (PARTITION BY custkey
+        |                       ORDER BY day, o_orderkey) AS valid_to
+        |FROM ch ORDER BY ALL""".stripMargin,
+    "q_cdc_diff" ->
+      s"""WITH snap_a AS (
+         |  SELECT o_custkey, count(*) AS old_n,
+         |         arg_max(o_orderpriority,
+         |           (epoch_us(o_orderdate) // 86400000000) * 8589934592 +
+         |             o_orderkey) AS old_prio,
+         |         ${dsum("o_totalprice")} AS old_total
+         |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+         |  GROUP BY 1),
+         |snap_b AS (
+         |  SELECT o_custkey, count(*) AS new_n,
+         |         arg_max(o_orderpriority,
+         |           (epoch_us(o_orderdate) // 86400000000) * 8589934592 +
+         |             o_orderkey) AS new_prio,
+         |         ${dsum("o_totalprice")} AS new_total
+         |  FROM orders GROUP BY 1),
+         |d AS (
+         |  SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+         |         CASE WHEN a.o_custkey IS NULL THEN 'insert'
+         |              WHEN b.o_custkey IS NULL THEN 'delete'
+         |              WHEN a.old_n <> b.new_n OR a.old_prio <> b.new_prio
+         |                THEN 'update'
+         |              ELSE 'unchanged' END AS op,
+         |         a.old_n, b.new_n, a.old_prio, b.new_prio,
+         |         a.old_total, b.new_total
+         |  FROM snap_a a FULL OUTER JOIN snap_b b
+         |    ON a.o_custkey = b.o_custkey)
+         |SELECT * FROM d WHERE op <> 'unchanged' ORDER BY ALL""".stripMargin,
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         count(*) AS n, round(sum(value), 4) AS v
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(min(day), max(day)))
+        |           AS day
+        |  FROM daily GROUP BY event_type)
+        |SELECT s.event_type, s.day,
+        |       CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+        |       last_value(d.v IGNORE NULLS) OVER (
+        |         PARTITION BY s.event_type ORDER BY s.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS filled,
+        |       d.n IS NULL AS is_gap
+        |FROM spine s LEFT JOIN daily d
+        |  ON s.event_type = d.event_type AND s.day = d.day
+        |ORDER BY ALL""".stripMargin,
+    "q_winsorize" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = (5 * n + 99) // 100 THEN value END) AS lo,
+        |    max(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS hi
+        |  FROM r GROUP BY 1)
+        |SELECT r.event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_lo,
+        |       CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_hi,
+        |       round(avg(value), 4) AS mean_raw,
+        |       round(avg(greatest(lo, least(hi, value))), 4) AS mean_winsor
+        |FROM r JOIN c ON r.event_type = c.event_type
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+        |  FROM events),
+        |w AS (
+        |  SELECT *, last_value(
+        |      CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM e)
+        |SELECT coalesce(touch, 'none') AS channel,
+        |       count(*) AS n_purchases,
+        |       round(sum(value), 4) AS sum_value
+        |FROM w WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_random_projection" ->
+      """WITH signs AS (
+        |  SELECT d.d, l.lane,
+        |    CASE WHEN substring(md5(CAST(d.d AS VARCHAR) || ':' ||
+        |             CAST(l.lane AS VARCHAR)), 1, 1)
+        |         IN ('0','2','4','6','8','a','c','e')
+        |         THEN 1 ELSE -1 END AS sg
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS d) d,
+        |       (SELECT unnest(generate_series(0, 63)) AS lane) l),
+        |lanes AS (
+        |  SELECT vec_id,
+        |         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+        |           AS lane,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0)
+        |              AS BIGINT) AS q
+        |  FROM embeddings WHERE vec_id < 200)
+        |SELECT vec_id, CAST(s.d AS BIGINT) AS d,
+        |       CAST(sum(s.sg * lanes.q) AS BIGINT) AS proj
+        |FROM lanes JOIN signs s ON lanes.lane = s.lane
+        |GROUP BY 1, 2 ORDER BY ALL""".stripMargin
   )
 }

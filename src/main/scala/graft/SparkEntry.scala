@@ -170,6 +170,20 @@ object SparkEntry {
     "q_tpch_q10" -> Reports.qTpchQ10 _,
     "q_split_manifest" -> Pipeline.qSplitManifest _,
     "q_pagerank" -> Advanced.qPagerank _,
+    // §2.20 round-6 curation / warehouse extensions
+    "q_pii_redact" -> Curation.qPiiRedact _,
+    "q_url_extract" -> Curation.qUrlExtract _,
+    "q_text_normalize" -> Curation.qTextNormalize _,
+    "q_sample_reservoir" -> Curation.qSampleReservoir _,
+    "q_jaccard_prefix" -> Curation.qJaccardPrefix _,
+    "q_triangle_count" -> Curation.qTriangleCount _,
+    "q_zorder" -> Warehouse.qZorder _,
+    "q_scd2" -> Warehouse.qScd2 _,
+    "q_cdc_diff" -> Warehouse.qCdcDiff _,
+    "q_gap_fill" -> Warehouse.qGapFill _,
+    "q_winsorize" -> Warehouse.qWinsorize _,
+    "q_attribution" -> Warehouse.qAttribution _,
+    "q_random_projection" -> Vectors.qRandomProjection _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

@@ -1,0 +1,202 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 corpus-curation extensions (SURVEY §2.20): PII redaction, URL
+  * parsing, text normalization, group-wise deterministic reservoir
+  * sampling, a prefix-filtered exact Jaccard similarity join (the
+  * PPJoin-style at-scale path for exact set similarity), and token-graph
+  * triangle counting. All DuckDB-oracled; every query is scan-shaped or
+  * mergeable-aggregate-shaped except the similarity/graph joins, whose
+  * candidate spaces are explicitly pruned (prefix filter / a<b<c
+  * orientation) — the two devices that keep them alive at 100 TB.
+  *
+  * The fixture corpus is clean lowercase ASCII, so the redaction and
+  * normalization queries first derive a deterministic "dirty" form
+  * (injected contact strings, case noise, punctuation) in-row, then grade
+  * the cleanup — the plumbing (regex engines, group refs, global
+  * replacement, aggregation of deltas) is the real, portable part.
+  */
+object Curation {
+
+  /** PII redaction: scrub synthetic emails + phone numbers from each doc
+    * and account for what was removed, per source. The dirty form appends
+    * a contact line derived from (doc_id, source) — deterministic, so both
+    * engines see identical inputs. Patterns are RE2-and-Java-compatible
+    * (char classes + alternation only, no backrefs); Spark's
+    * regexp_replace is global by default, the DuckDB twin passes the 'g'
+    * flag. Scan-shaped: projection + one mergeable aggregate — at 100 TB
+    * this is the same plan, partitioned by input split. */
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9.]+@[a-z0-9.]+\\.(com|net|org)"
+    val phone = "\\+1-555-[0-9]{4}"
+    orderedAll(t(s, dir, "documents")
+      .withColumn("raw", concat(
+        col("text"), lit(" contact user"), col("doc_id"), lit("@"),
+        col("source"), lit(".net tel +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .withColumn("n_emails", regexp_count(col("raw"), lit(email)))
+      .withColumn("n_phones", regexp_count(col("raw"), lit(phone)))
+      .withColumn("red", regexp_replace(
+        regexp_replace(col("raw"), email, "<EMAIL>"), phone, "<PHONE>"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_emails")).cast("long").as("emails_redacted"),
+        sum(col("n_phones")).cast("long").as("phones_redacted"),
+        sum(length(col("raw")) - length(col("red"))).cast("long")
+          .as("chars_removed")))
+  }
+
+  /** URL parsing: extract host / path depth / query param from per-doc
+    * URLs (derived deterministically from source+lang+doc_id) and
+    * aggregate per host — the domain-level accounting step of web-corpus
+    * curation (domain mixing, per-site caps). regexp_extract group syntax
+    * is identical in Spark (Java regex) and DuckDB (RE2) for these
+    * patterns. Scan + one mergeable agg. */
+  def qUrlExtract(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "documents")
+      .withColumn("url", concat(
+        lit("https://"), col("source"), lit(".example.com/"), col("lang"),
+        lit("/doc/"), col("doc_id"), lit("?ref="), col("doc_id") % 7))
+      .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1))
+      .withColumn("path", regexp_extract(col("url"), "https://[^/]+(/[^?]*)", 1))
+      .withColumn("depth",
+        (length(col("path")) - length(regexp_replace(col("path"), "/", "")))
+          .cast("long"))
+      .withColumn("ref",
+        regexp_extract(col("url"), "ref=([0-9]+)", 1).cast("long"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("lang")).as("n_langs"),
+        max(col("depth")).as("max_depth"),
+        sum(col("ref")).cast("long").as("sum_ref")))
+
+  /** Text normalization: casefold + strip non-alphanumerics + collapse
+    * whitespace + trim, graded on a deterministic noisy form (upper-cased
+    * copy, doubled spaces, injected punctuation). Emits per-lang before/
+    * after char accounting and the distinct-normalized-text count — the
+    * canonicalization step before exact dedup. (True Unicode NFC needs
+    * ICU, absent here; the fixture is ASCII, so [^a-z0-9 ] IS the full
+    * normalization class.) Scan + mergeable agg. */
+  def qTextNormalize(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "documents")
+      .withColumn("raw",
+        concat(lit("  "), upper(col("text")), lit(" !!! "), col("text"),
+          lit("??  ")))
+      .withColumn("norm", trim(regexp_replace(
+        regexp_replace(lower(col("raw")), "[^a-z0-9 ]", ""), " +", " ")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("norm")).as("n_distinct_norm"),
+        sum(length(col("raw"))).cast("long").as("chars_raw"),
+        sum(length(col("norm"))).cast("long").as("chars_norm")))
+
+  /** Group-wise deterministic reservoir sample: k=3 docs per language,
+    * selected as the bottom-k by a content-addressed md5 rank — the
+    * repartition-stable, rerun-stable answer to "random sample per
+    * stratum" (a true random reservoir is partition-order-dependent; the
+    * hash rank is a uniform permutation that every engine and every
+    * cluster size agrees on). Fixed-length lowercase hex compares
+    * lexicographically = numerically in both engines (q_mix_sources
+    * idiom). The window spelling here is per-group-sort; at 100 TB the
+    * same contract runs through the O(n log k) TopKPerGroup physical
+    * operator (plans/TopKPerGroup.scala) — bottom-k-by-hash is exactly a
+    * top-k with the hash as the sort key. */
+  def qSampleReservoir(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    orderedAll(t(s, dir, "documents")
+      .withColumn("h", expr(
+        "md5(concat(CAST(doc_id AS STRING), ':rsv'))"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("lang", "rk", "doc_id", "source"))
+  }
+
+  /** Exact Jaccard similarity join with PPJoin-style prefix filtering
+    * (threshold t = 0.7, en docs): tokens are globally ordered by
+    * (document frequency asc, token), each doc keeps only its
+    * (n − ⌈0.7·n⌉ + 1)-prefix of rarest tokens, candidate pairs must
+    * share a PREFIX token, and survivors are verified with the exact
+    * integer cross-multiplication 17·common ≥ 7·(na+nb)  (⇔ Jaccard ≥
+    * 0.7). Prefix filtering is LOSSLESS (Chaudhuri/Bayardo SSJoin lemma:
+    * any pair with overlap ≥ α shares a token in its (len−α+1)-prefixes
+    * under one total order; Jaccard ≥ t ⇒ overlap ≥ ⌈t·max(na,nb)⌉), so
+    * the oracle can be the straight all-pairs mirror — this is the exact
+    * set-similarity join that still works at 100 TB, where the inverted-
+    * index join (q_dedup_near) posts EVERY token and the NLJ posts every
+    * PAIR: here the join only posts ~(1−t)·n tokens per doc, and the df
+    * ordering puts the rarest (= least skewed) keys in the prefix.
+    * The df rank table is vocabulary-sized (not corpus-sized) — its
+    * single-partition window and broadcast are the broadcast-dims
+    * pattern, not a corpus bottleneck. */
+  def qJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
+    val dt = t(s, dir, "documents").filter(col("lang") === "en")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "").distinct()
+    val rank = dt.groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("trk",
+        row_number().over(Window.orderBy(col("df"), col("token"))))
+      .select("token", "trk")
+    val ranked = dt.join(broadcast(rank), "token")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("trk"))
+    val pos = ranked
+      .withColumn("idx", row_number().over(wDoc))
+      .withColumn("nt", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    // prefix length = nt − ceil(0.7·nt) + 1, all-integer ceil
+    val prefix = pos.filter(
+      col("idx") <= col("nt") - expr("(7 * nt + 9) div 10") + 1)
+      .select(col("doc_id"), col("token"), col("nt"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.token") === col("b.token") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val sized = pos.select(col("doc_id"), col("token"), col("nt"))
+    orderedAll(cand
+      .join(sized.as("x"), col("a_id") === col("x.doc_id"))
+      .join(sized.as("y"), col("b_id") === col("y.doc_id") &&
+        col("x.token") === col("y.token"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("common"),
+        min(col("x.nt")).as("na"), min(col("y.nt")).as("nb"))
+      .filter(col("common") * 17 >= (col("na") + col("nb")) * 7)
+      .select(col("a_id"), col("b_id"),
+        round(col("common") * lit(1.0) /
+          (col("na") + col("nb") - col("common")), 4).as("jacc")))
+  }
+
+  /** Triangle counting on the token co-occurrence graph (en docs): nodes
+    * are tokens, edges are distinct within-doc co-occurrences, and each
+    * triangle is materialized exactly once through the a<b<c orientation
+    * — the device that makes distributed triangle counting feasible (an
+    * unoriented 3-way join counts each triangle 6× and explodes on hubs;
+    * at 100 TB the orientation key is (degree, id), pointing every edge
+    * at the higher-degree node so hub fan-out is bounded). Emits
+    * triangles-per-token, the local clustering signal used for stopword/
+    * boilerplate detection. Vocabulary-sized intermediates; the 3-way
+    * self-join is the algorithm. */
+  def qTriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val dt = t(s, dir, "documents").filter(col("lang") === "en")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "").distinct()
+    val e = dt.as("a")
+      .join(dt.as("b"), col("a.doc_id") === col("b.doc_id") &&
+        col("a.token") < col("b.token"))
+      .select(col("a.token").as("ta"), col("b.token").as("tb"))
+      .distinct()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.tb") === col("e2.ta"))
+      .join(e.as("e3"), col("e3.ta") === col("e1.ta") &&
+        col("e3.tb") === col("e2.tb"))
+      .select(col("e1.ta").as("a"), col("e1.tb").as("b"),
+        col("e2.tb").as("c"))
+    orderedAll(tri.select(col("a").as("token"))
+      .unionAll(tri.select(col("b").as("token")))
+      .unionAll(tri.select(col("c").as("token")))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_triangles")))
+  }
+}

@@ -336,4 +336,35 @@ object Vectors {
       .groupBy("cid", "pos").agg(round(avg(col("v")), 4).as("c"))
       .join(sizes, "cid"))
   }
+
+  /** Sparse random projection 64-d → 8-d (§2.20): project each embedding
+    * through a deterministic ±1 sign matrix derived from md5 hex parity
+    * of the (dim, lane) index — the Achlioptas/JL dimensionality
+    * reduction that preserves pairwise distances in expectation, used to
+    * cheapen downstream ANN and clustering. Integer-exact end to end:
+    * lanes are first quantized to ⌊v·1000⌋ (floor of a double is
+    * identical in both engines; the float→double widening is exact), so
+    * the projected sums are order-independent BIGINTs — no FP summation
+    * policy needed. The 512-row sign matrix is generated once and
+    * broadcast (a broadcast-dims join, not corpus state); the projection
+    * itself is one mergeable aggregate. At 100 TB the same matrix folds
+    * in-row as 8 aggregate() lambdas over the lane array — zero shuffle —
+    * but the explode+agg spelling shown here keeps the sign derivation
+    * shared with the SQL oracle. */
+  def qRandomProjection(s: SparkSession, dir: String): DataFrame = {
+    val signs = s.range(8).select(col("id").as("d"))
+      .crossJoin(s.range(64).select(col("id").as("lane")))
+      .withColumn("sg", expr(
+        """CASE WHEN substring(md5(concat(CAST(d AS STRING), ':',
+          |  CAST(lane AS STRING))), 1, 1)
+          |  IN ('0','2','4','6','8','a','c','e') THEN 1L ELSE -1L
+          |END""".stripMargin))
+    val lanes = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").as("lane"),
+        floor(col("col").cast("double") * 1000.0).cast("long").as("q"))
+    orderedAll(lanes.join(broadcast(signs), "lane")
+      .groupBy("vec_id", "d")
+      .agg(sum(col("sg") * col("q")).cast("long").as("proj")))
+  }
 }

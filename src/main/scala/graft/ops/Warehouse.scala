@@ -1,0 +1,200 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 warehouse + timeseries extensions (SURVEY §2.20): z-order
+  * layout keys, SCD type-2 dimension construction, CDC snapshot diffing,
+  * calendar gap-filling with forward fill, exact winsorized statistics,
+  * and last-touch attribution. All DuckDB-oracled, all integer/decimal-
+  * exact where the decision logic lives (clamps, interval bounds, diff
+  * ops), float only in round(…,4)-policied emitted aggregates.
+  */
+object Warehouse {
+
+  /** Bits per axis of the z-order key (6 ⇒ 64×64 grid, 12-bit key). */
+  private val ZBits = 6
+
+  /** Morton/z-order interleave of two 6-bit axes as a portable arithmetic
+    * expression (bit i of x → key bit 2i, bit i of y → key bit 2i+1),
+    * spelled with div/mod so the identical formula runs in Spark and
+    * DuckDB (no engine-specific bit operators). */
+  private def zkeyExpr(x: Column, y: Column): Column =
+    (0 until ZBits).map { i =>
+      ((x.cast("long") / (1L << i)).cast("long") % 2) * (1L << (2 * i)) +
+        ((y.cast("long") / (1L << i)).cast("long") % 2) * (1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** Z-order (Morton) layout key over the (p_size, p_partkey mod 64)
+    * grid: the multi-dimensional clustering key behind data-skipping
+    * layouts (Delta/Iceberg OPTIMIZE ZORDER BY) — sorting by the
+    * interleaved key keeps rows close in BOTH dimensions, so min/max
+    * file stats prune 2-D range predicates that a lexicographic sort
+    * only prunes on its leading column. Emitted per-part for the graded
+    * window (p_partkey ≤ 256); at 100 TB the key feeds
+    * repartitionByRange(zkey) before the write — a pure scan-shaped
+    * projection here, one range shuffle there. */
+  def qZorder(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "part")
+      .filter(col("p_partkey") <= 256)
+      .withColumn("zx", (col("p_size") % 64).cast("long"))
+      .withColumn("zy", (col("p_partkey") % 64).cast("long"))
+      .select(col("p_partkey"), col("zx"), col("zy"),
+        zkeyExpr(col("zx"), col("zy")).as("zkey")))
+
+  /** SCD type-2 dimension build: collapse each customer's order-priority
+    * timeline into validity intervals [valid_from, valid_to) — the
+    * change-data-capture → dimension-table step of every warehouse load.
+    * Change detection is lag() ≠ current (ordered by order date with an
+    * integer key tie-break), interval close is lead() of the next change;
+    * the open interval carries NULL valid_to. All-integer epoch days —
+    * no timestamp precision exposure. Two window passes over the same
+    * customer partitioning = one shuffle; customers are the natural
+    * sharding axis at scale. */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    // o_orderdate reads as TIMESTAMP_NTZ (date-valued); with the session
+    // pinned UTC, days-since-epoch via datediff equals the oracle's
+    // epoch_us // 86400000000 exactly.
+    val day = datediff(col("o_orderdate").cast("date"),
+      lit("1970-01-01").cast("date")).cast("long")
+    val wOrd = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    orderedAll(t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderpriority").as("prio"), day.as("day"))
+      .withColumn("prev", lag(col("prio"), 1).over(wOrd))
+      .filter(col("prev").isNull || col("prev") =!= col("prio"))
+      .withColumn("valid_to", lead(col("day"), 1).over(wOrd))
+      .select(col("o_custkey").as("custkey"), col("prio"),
+        col("day").as("valid_from"), col("valid_to")))
+  }
+
+  /** CDC snapshot diff: compare each customer's order-derived state at
+    * two snapshot cutoffs (orders before 1998-01-01 vs all orders) and
+    * emit the change feed — op ∈ {insert, update} with old/new state —
+    * the incremental-load primitive (MERGE source construction, audit
+    * diffs). State = (order count, latest priority via max_by on an
+    * exact composite integer, decimal-exact total). The diff is one
+    * full-outer join on the key; at 100 TB both snapshot aggregates and
+    * the join hash-partition on custkey, so the diff co-locates for
+    * free. Append-only fixture ⇒ no deletes; the op taxonomy still
+    * covers them (an a-side-only row would emit 'delete'). */
+  def qCdcDiff(s: SparkSession, dir: String): DataFrame = {
+    def snap(df: DataFrame): DataFrame = {
+      val day = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long")
+      // composite arg key: day·2³³ + orderkey (exact in int64, unique)
+      df.groupBy("o_custkey").agg(
+        count(lit(1)).as("n"),
+        max_by(col("o_orderpriority"),
+          day * 8589934592L + col("o_orderkey")).as("prio"),
+        dsum(col("o_totalprice")).as("total"))
+    }
+    val orders = t(s, dir, "orders")
+    val a = snap(orders.filter(col("o_orderdate") < lit("1998-01-01")))
+      .withColumnsRenamed(Map("n" -> "old_n", "prio" -> "old_prio",
+        "total" -> "old_total"))
+    val b = snap(orders)
+      .withColumnsRenamed(Map("n" -> "new_n", "prio" -> "new_prio",
+        "total" -> "new_total"))
+    orderedAll(a.join(b, Seq("o_custkey"), "full_outer")
+      .withColumn("op",
+        when(col("old_n").isNull, "insert")
+          .when(col("new_n").isNull, "delete")
+          .when(col("old_n") =!= col("new_n") ||
+            col("old_prio") =!= col("new_prio"), "update")
+          .otherwise("unchanged"))
+      .filter(col("op") =!= "unchanged")
+      .select(col("o_custkey").as("custkey"), col("op"),
+        col("old_n"), col("new_n"), col("old_prio"), col("new_prio"),
+        col("old_total"), col("new_total")))
+  }
+
+  /** Calendar gap-fill with forward fill: per event type, densify the
+    * daily-total series over the type's own [min, max] day range and
+    * carry the last observed total across missing days — the
+    * spine-and-fill step before any timeseries model. The spine is a
+    * per-type sequence() explode (generate_series twin); the fill is
+    * last_value(IGNORE NULLS) over an unbounded-preceding frame — both
+    * engines support ignore-nulls windows with identical semantics. The
+    * first spine day always has data (it IS the min observed day), so
+    * the fill never emits NULL. Days are exact integers; the filled
+    * value is the round(…,4)-policied daily sum. One shuffle by type. */
+  def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val day = (unix_micros(col("ts")) / 86400000000L).cast("long")
+    val daily = t(s, dir, "events")
+      .select(col("event_type"), day.as("day"), col("value"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("v"))
+    val spine = daily.groupBy("event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1)")).as("day"))
+    val wFill = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orderedAll(spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("is_gap", col("n").isNull)
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("filled",
+        last(col("v"), ignoreNulls = true).over(wFill))
+      .select("event_type", "day", "n", "filled", "is_gap"))
+  }
+
+  /** Winsorized statistics: per event type, clamp `value` to its exact
+    * [p05, p95] (rank-selected order statistics — position ⌈q·n⌉ under a
+    * (value, event_id) total order, the percentile_disc that both
+    * engines compute identically, q_anomaly_mad's selection idiom with
+    * all-integer position math) and emit raw-vs-winsorized means with
+    * clamp counts — the outlier-robust profiling twin of q_stats. The
+    * cut values are EXACT doubles picked from the data, so the clamp
+    * decision can't flap across engines; only the means are float
+    * aggregates, under the round(…,4) policy. One window pass + one
+    * mergeable agg, partitioned by the group key. */
+  def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val ranked = t(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("lo_pos", expr("(5 * n + 99) div 100"))
+      .withColumn("hi_pos", expr("(95 * n + 99) div 100"))
+    val cuts = ranked.groupBy("event_type")
+      .agg(max(when(col("rn") === col("lo_pos"), col("value"))).as("lo"),
+        max(when(col("rn") === col("hi_pos"), col("value"))).as("hi"))
+    orderedAll(ranked.join(cuts, "event_type")
+      .withColumn("wv", greatest(col("lo"), least(col("hi"), col("value"))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        round(avg(col("value")), 4).as("mean_raw"),
+        round(avg(col("wv")), 4).as("mean_winsor")))
+  }
+
+  /** Last-touch attribution: each purchase is credited to the user's most
+    * recent preceding non-purchase event type — the marketing/funnel
+    * attribution primitive. The channel is last_value(IGNORE NULLS) over
+    * an unbounded-to-1-preceding frame under the (epoch-µs, event_id)
+    * total order (the q_markov tie-break: the oracle orders by epoch_us
+    * so the ns-typed fixture column can't order differently across
+    * engines); purchases with no prior touch credit 'none'. One shuffle
+    * by user (the sharding axis), one mergeable agg. */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    orderedAll(t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"))
+      .withColumn("touch", last(
+        when(col("event_type") =!= "purchase", col("event_type")),
+        ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 4).as("sum_value")))
+  }
+}
