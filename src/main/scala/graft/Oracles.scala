@@ -1486,7 +1486,7 @@ object Oracles {
         |       round(common * 1.0 / (sa.nt + sb.nt - common), 4) AS jacc
         |FROM pr JOIN sz sa ON a_id = sa.doc_id
         |        JOIN sz sb ON b_id = sb.doc_id
-        |WHERE common * 17 >= (sa.nt + sb.nt) * 7 ORDER BY ALL""".stripMargin,
+        |WHERE common * 19 >= (sa.nt + sb.nt) * 9 ORDER BY ALL""".stripMargin,
     "q_triangle_count" ->
       """WITH dt AS (SELECT DISTINCT doc_id, token FROM (
         |       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token

@@ -115,27 +115,71 @@ object Curation {
       .select("lang", "rk", "doc_id", "source"))
   }
 
-  /** Exact Jaccard similarity join with PPJoin-style prefix filtering
-    * (threshold t = 0.7, en docs): tokens are globally ordered by
-    * (document frequency asc, token), each doc keeps only its
-    * (n − ⌈0.7·n⌉ + 1)-prefix of rarest tokens, candidate pairs must
-    * share a PREFIX token, and survivors are verified with the exact
-    * integer cross-multiplication 17·common ≥ 7·(na+nb)  (⇔ Jaccard ≥
-    * 0.7). Prefix filtering is LOSSLESS (Chaudhuri/Bayardo SSJoin lemma:
-    * any pair with overlap ≥ α shares a token in its (len−α+1)-prefixes
-    * under one total order; Jaccard ≥ t ⇒ overlap ≥ ⌈t·max(na,nb)⌉), so
-    * the oracle can be the straight all-pairs mirror — this is the exact
-    * set-similarity join that still works at 100 TB, where the inverted-
-    * index join (q_dedup_near) posts EVERY token and the NLJ posts every
-    * PAIR: here the join only posts ~(1−t)·n tokens per doc, and the df
-    * ordering puts the rarest (= least skewed) keys in the prefix.
-    * The df rank table is vocabulary-sized (not corpus-sized) — its
-    * single-partition window and broadcast are the broadcast-dims
-    * pattern, not a corpus bottleneck. */
+  /** Exact Jaccard ≥ 0.9 similarity join (en docs) — the high-threshold
+    * exact set-similarity contract, with TWO physical strategies behind
+    * one logical result (the nearPairs pattern, same
+    * `spark.graft.pairNljMaxDocs` switch):
+    *
+    *  - tiny vocabulary (≤ 64 distinct tokens — this fixture) and corpus
+    *    under the NLJ cutoff: 64-bit token masks + broadcast popcount
+    *    pair scan. On a 31-token vocabulary EVERY token's posting list is
+    *    corpus-sized, so any token-keyed join (inverted index OR prefix
+    *    filter) degenerates to all-pairs with extra shuffles; the mask
+    *    scan does the same pair space at 3 ALU ops/pair.
+    *  - otherwise: PPJoin-style PREFIX FILTERING — tokens globally
+    *    ordered by (df asc, token), each doc posts only its
+    *    (n − ⌈0.9·n⌉ + 1)-prefix of rarest tokens, candidates must share
+    *    a prefix token, survivors verified by the exact integer
+    *    cross-multiplication 19·common ≥ 9·(na+nb) (⇔ Jaccard ≥ 0.9).
+    *    Prefix filtering is LOSSLESS (Chaudhuri/Bayardo SSJoin lemma:
+    *    any pair with overlap ≥ α shares a token in its (len−α+1)-
+    *    prefixes under one total order; Jaccard ≥ t ⇒ overlap ≥
+    *    ⌈t·max(na,nb)⌉), so both branches — and the all-pairs oracle —
+    *    are the same bag of rows (branch equality spec-asserted). This
+    *    is the branch that survives 100 TB on a REAL vocabulary: it
+    *    posts ~(1−t)·n tokens per doc and the df ordering puts the
+    *    rarest (= least skewed) keys in the prefix; the df rank table is
+    *    vocabulary-sized (broadcast-dims, not corpus state). */
   def qJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
-    val dt = t(s, dir, "documents").filter(col("lang") === "en")
+    val docs = t(s, dir, "documents").filter(col("lang") === "en")
+    val dt = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .filter(col("token") =!= "").distinct()
+    val dict = dt.select("token").distinct()
+    val nljMax = s.conf.getOption("spark.graft.pairNljMaxDocs")
+      .map(_.toLong).getOrElse(20000L)
+    val pairs =
+      if (dict.count() <= 64 && docs.count() <= nljMax) maskPairs(dt)
+      else prefixPairs(dt)
+    orderedAll(pairs.select(col("a_id"), col("b_id"),
+      round(col("common") * lit(1.0) /
+        (col("na") + col("nb") - col("common")), 4).as("jacc")))
+  }
+
+  /** Small-vocab branch: 64-bit mask + broadcast popcount scan at the
+    * (19, 9) threshold. Mirrors Text.nearPairs' mask branch; dense token
+    * ids come from an alphabetical rank over the ≤64-row dictionary. */
+  private def maskPairs(dt: DataFrame): DataFrame = {
+    val dict = dt.select("token").distinct()
+      .withColumn("tok_id",
+        row_number().over(Window.orderBy(col("token"))).cast("int") - 1)
+    val masks = dt.join(broadcast(dict), "token")
+      .groupBy("doc_id")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), tok_id))").as("mask"),
+        count(lit(1)).as("nt"))
+    val a = masks.select(col("doc_id").as("a_id"), col("mask").as("ma"),
+      col("nt").as("na"))
+    val b = masks.select(col("doc_id").as("b_id"), col("mask").as("mb"),
+      col("nt").as("nb"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("common", expr("CAST(bit_count(ma & mb) AS BIGINT)"))
+      .filter(col("common") * 19 >= (col("na") + col("nb")) * 9)
+      .select("a_id", "b_id", "common", "na", "nb")
+  }
+
+  /** At-scale branch: lossless prefix filtering under the global
+    * (df asc, token) order, then exact verification on the candidates. */
+  private[graft] def prefixPairs(dt: DataFrame): DataFrame = {
     val rank = dt.groupBy("token").agg(count(lit(1)).as("df"))
       .withColumn("trk",
         row_number().over(Window.orderBy(col("df"), col("token"))))
@@ -145,27 +189,29 @@ object Curation {
     val pos = ranked
       .withColumn("idx", row_number().over(wDoc))
       .withColumn("nt", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-    // prefix length = nt − ceil(0.7·nt) + 1, all-integer ceil
+    // prefix length = nt − ceil(0.9·nt) + 1, all-integer ceil; the size
+    // filter (9·na ≤ 10·nb ∧ 9·nb ≤ 10·na ⇐ Jaccard ≥ 0.9) prunes
+    // incompatible-length candidates before the verify join.
     val prefix = pos.filter(
-      col("idx") <= col("nt") - expr("(7 * nt + 9) div 10") + 1)
+      col("idx") <= col("nt") - expr("(9 * nt + 9) div 10") + 1)
       .select(col("doc_id"), col("token"), col("nt"))
     val cand = prefix.as("a")
       .join(prefix.as("b"), col("a.token") === col("b.token") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.nt") * 9 <= col("b.nt") * 10 &&
+        col("b.nt") * 9 <= col("a.nt") * 10)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     val sized = pos.select(col("doc_id"), col("token"), col("nt"))
-    orderedAll(cand
+    cand
       .join(sized.as("x"), col("a_id") === col("x.doc_id"))
       .join(sized.as("y"), col("b_id") === col("y.doc_id") &&
         col("x.token") === col("y.token"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("common"),
         min(col("x.nt")).as("na"), min(col("y.nt")).as("nb"))
-      .filter(col("common") * 17 >= (col("na") + col("nb")) * 7)
-      .select(col("a_id"), col("b_id"),
-        round(col("common") * lit(1.0) /
-          (col("na") + col("nb") - col("common")), 4).as("jacc")))
+      .filter(col("common") * 19 >= (col("na") + col("nb")) * 9)
+      .select("a_id", "b_id", "common", "na", "nb")
   }
 
   /** Triangle counting on the token co-occurrence graph (en docs): nodes

@@ -26,13 +26,20 @@ class Round6CurationSpec extends SparkSpec {
       i <- ids.indices; j <- (i + 1) until ids.length
       a = ids(i); b = ids(j)
       c = (sets(a) & sets(b)).size
-      if c * 17 >= (sets(a).size + sets(b).size) * 7
+      if c * 19 >= (sets(a).size + sets(b).size) * 9
     } yield (a, b)).toSet
     assert(expected.nonEmpty, "no qualifying pairs at test SF — vacuous")
     val got = run("q_jaccard_prefix").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expected,
       s"missed=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // force the at-scale prefix-filter branch; must be the same bag
+    spark.conf.set("spark.graft.pairNljMaxDocs", "1")
+    try {
+      val prefixed = run("q_jaccard_prefix").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(prefixed == expected, "prefix-filter branch diverged")
+    } finally spark.conf.unset("spark.graft.pairNljMaxDocs")
   }
 
   // --- q_triangle_count: a<b<c orientation counts each triangle once --
