@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off 10× scale smoke (SURVEY §6 / round-6 verdict item 8): builds a
+  * ~sf1-scale dataset by replicating the sf0.1 fixture with key offsets,
+  * then times a battery of the heaviest queries against it — the first
+  * empirical datapoint behind the "would this plan survive 10×?" claims.
+  * Results are recorded in BASELINE.md; this main is NOT part of the
+  * driver contract (Verify/Bench are) and runs only when invoked by hand.
+  *
+  * Replication design (what 10× MEANS here):
+  *  - every table's keys are offset per replica (k·10⁸) so joins stay
+  *    consistent inside a replica and never collide across replicas;
+  *    region/nation (true dims) are shared.
+  *  - documents get 8 replica-distinct salt tokens appended (k>0), so
+  *    (a) cross-replica copies of a doc are NOT near-duplicates (the
+  *    salt drops Jaccard below every graded threshold — otherwise the
+  *    pair OUTPUT itself would grow quadratically, ×100, and the smoke
+  *    would measure result-writing, not the operator), and (b) the
+  *    vocabulary exceeds 64 tokens, which flips the dedup family onto
+  *    its at-scale branches — exactly the paths the smoke exists to
+  *    exercise.
+  *  - probe sets (doc_id/vec_id < K filters) keep selecting only
+  *    replica-0 rows: a fixed query workload over a 10× corpus, the
+  *    realistic growth pattern.
+  *
+  * Usage:  ScaleSmoke gen  <srcSfDir> <dstDir> <replicas>
+  *         ScaleSmoke run  <dir> <q1,q2,...>
+  */
+object ScaleSmoke {
+  private val Off = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args(0) match {
+      case "gen" => gen(spark, args(1), args(2), args(3).toInt)
+      case "run" => run(spark, args(1), args(2).split(",").toIndexedSeq)
+    }
+    spark.stop()
+  }
+
+  private def gen(s: SparkSession, src: String, dst: String,
+                  reps: Int): Unit = {
+    def rep(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      // via Tables.table: handles the events ns→µs conversion and pins
+      // canonical column order
+      val base = Tables.table(s, src, name)
+      val scaled = (0 until reps).map(k => f(base, k)).reduce(_ unionAll _)
+      scaled.repartition(32).write.mode("overwrite")
+        .parquet(s"$dst/$name.parquet")
+      println(s"[gen] $name: ${base.count()} -> ${scaled.count()} rows")
+    }
+    def off(c: String, k: Int) = col(c) + lit(k * Off)
+    // true dims: shared across replicas
+    for (d <- Seq("region", "nation")) {
+      s.read.parquet(s"$src/$d.parquet").write.mode("overwrite")
+        .parquet(s"$dst/$d.parquet")
+      println(s"[gen] $d: copied")
+    }
+    rep("customer")((df, k) => df.withColumn("c_custkey", off("c_custkey", k)))
+    rep("supplier")((df, k) => df.withColumn("s_suppkey", off("s_suppkey", k)))
+    rep("part")((df, k) => df.withColumn("p_partkey", off("p_partkey", k)))
+    rep("orders")((df, k) => df
+      .withColumn("o_orderkey", off("o_orderkey", k))
+      .withColumn("o_custkey", off("o_custkey", k)))
+    rep("lineitem")((df, k) => df
+      .withColumn("l_orderkey", off("l_orderkey", k))
+      .withColumn("l_partkey", off("l_partkey", k))
+      .withColumn("l_suppkey", off("l_suppkey", k)))
+    rep("events")((df, k) => df
+      .withColumn("event_id", off("event_id", k))
+      .withColumn("user_id", off("user_id", k)))
+    rep("documents")((df, k) =>
+      if (k == 0) df
+      else {
+        val salt = ('a' to 'h').map(c => s"zk${k}$c").mkString(" ", " ", "")
+        df.withColumn("doc_id", off("doc_id", k))
+          .withColumn("text", concat(col("text"), lit(salt)))
+          .withColumn("n_chars", col("n_chars") + lit(salt.length.toLong))
+      })
+    rep("embeddings")((df, k) => df.withColumn("vec_id", off("vec_id", k)))
+  }
+
+  private def run(s: SparkSession, dir: String,
+                  names: Seq[String]): Unit = {
+    // warm shapes at the small SF first (Bench's policy: JIT/codegen is
+    // session cost, not operator cost)
+    for (n <- names)
+      try { SparkEntry.queries(n)(s, "/root/testdata/sf0.001").count() }
+      catch { case _: Throwable => () }
+    val results = names.map { n =>
+      val t0 = System.nanoTime()
+      val rows = try SparkEntry.queries(n)(s, dir).count()
+                 catch { case e: Throwable =>
+                   println(s"[run] $n FAILED: ${e.getMessage.take(120)}"); -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[run] $n%-24s $sec%8.2f s  $rows%10d rows")
+      n -> sec
+    }
+    println(f"[run] TOTAL ${results.map(_._2).sum}%.2f s over ${names.length} queries")
+  }
+}

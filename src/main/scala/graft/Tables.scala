@@ -86,8 +86,12 @@ object Tables {
     require(raw.columns.toSet == expected.fieldNames.toSet,
       s"schema drift on $name: got ${raw.columns.mkString(",")}, " +
         s"expected ${expected.fieldNames.mkString(",")}")
+    // The ns→µs conversion applies only when ts actually arrived as a raw
+    // ns long (the driver fixture); a re-written events table (e.g. the
+    // ScaleSmoke 10× dir) already carries µs TimestampType and reads
+    // through unchanged.
     val df =
-      if (name == "events")
+      if (name == "events" && raw.schema("ts").dataType == LongType)
         raw.withColumn("ts", org.apache.spark.sql.functions
           .expr("timestamp_micros(ts div 1000)"))
       else raw
