@@ -28,6 +28,11 @@ object Oracles {
   private def dsumExact(x: String): String =
     s"round(CAST(sum($x) AS DOUBLE), 2)"
 
+  /** Value 0..15 of the i-th (1-based) hex nibble of md5 column `h` —
+    * DuckDB's hex→int (twin of graft.ops.Integrity.nib's conv). */
+  private def nibSql(h: String, i: Int): String =
+    s"strpos('0123456789abcdef', substring($h, $i, 1)) - 1"
+
   val sql: Map[String, String] = Map(
     // ---- §2.1 scans ----
     "q_scan_project" ->
@@ -1634,6 +1639,130 @@ object Oracles {
         |SELECT vec_id, CAST(s.d AS BIGINT) AS d,
         |       CAST(sum(s.sg * lanes.q) AS BIGINT) AS proj
         |FROM lanes JOIN signs s ON lanes.lane = s.lane
-        |GROUP BY 1, 2 ORDER BY ALL""".stripMargin
+        |GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+    // Bloom probe positions: word = md5 nibble 1, bit = (nib2·16+nib3)%63,
+    // one md5 per (key, lane j∈0..2) — the Spark twin uses conv(hex,16,10),
+    // DuckDB reconstructs the nibble with strpos over the hex alphabet.
+    "q_bloom_join" ->
+      s"""WITH build AS (
+        |  SELECT DISTINCT s_suppkey AS key
+        |  FROM supplier, nation, region
+        |  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |    AND r_name = 'EUROPE'),
+        |lanes(j) AS (VALUES (0), (1), (2)),
+        |bp AS (
+        |  SELECT key, md5(CAST(key AS VARCHAR) || ':' || CAST(j AS VARCHAR))
+        |    AS h FROM build, lanes),
+        |bw AS (
+        |  SELECT ${nibSql("h", 1)} AS word,
+        |         ((${nibSql("h", 2)}) * 16 + ${nibSql("h", 3)}) % 63 AS bit
+        |  FROM bp),
+        |bloom AS (
+        |  SELECT word, bit_or(1::BIGINT << CAST(bit AS INT)) AS mask
+        |  FROM bw GROUP BY word),
+        |probe AS (SELECT DISTINCT l_suppkey AS key FROM lineitem),
+        |pp AS (
+        |  SELECT key, md5(CAST(key AS VARCHAR) || ':' || CAST(j AS VARCHAR))
+        |    AS h FROM probe, lanes),
+        |pw AS (
+        |  SELECT key, ${nibSql("h", 1)} AS word,
+        |         ((${nibSql("h", 2)}) * 16 + ${nibSql("h", 3)}) % 63 AS bit
+        |  FROM pp),
+        |hits AS (
+        |  SELECT key, CASE WHEN mask IS NOT NULL
+        |      AND (mask & (1::BIGINT << CAST(bit AS INT))) <> 0
+        |    THEN 1 ELSE 0 END AS hit
+        |  FROM pw LEFT JOIN bloom USING (word)),
+        |flags AS (SELECT key, sum(hit) = 3 AS pass FROM hits GROUP BY key),
+        |graded AS (
+        |  SELECT CASE
+        |      WHEN pass AND build.key IS NOT NULL THEN 'true_pos'
+        |      WHEN pass THEN 'false_pos'
+        |      WHEN build.key IS NOT NULL THEN 'false_neg'
+        |      ELSE 'true_neg' END AS verdict
+        |  FROM flags LEFT JOIN build ON flags.key = build.key)
+        |SELECT verdict, count(*) AS n_keys FROM graded
+        |GROUP BY verdict ORDER BY ALL""".stripMargin,
+    // Checksum words: 24-bit values from md5 hex nibbles 1-6 / 7-12 of
+    // the canonical row rendering, summed per table (order-independent).
+    "q_table_checksum" -> {
+      def word(at: Int): String =
+        (0 until 6).map { k =>
+          val pow = 1L << (4 * (5 - k))
+          s"(${nibSql("h", at + k)}) * $pow"
+        }.mkString(" + ")
+      def one(tbl: String, canon: String): String =
+        s"""SELECT '$tbl' AS table_name, count(*) AS n_rows,
+           |  CAST(sum(${word(1)}) AS BIGINT) AS cs1,
+           |  CAST(sum(${word(7)}) AS BIGINT) AS cs2
+           |FROM (SELECT md5($canon) AS h FROM $tbl)""".stripMargin
+      val orders = "CAST(o_orderkey AS VARCHAR) || '|' || " +
+        "CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' || " +
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || '|' || " +
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' || o_orderpriority"
+      val customer = "CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || " +
+        "c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR) || '|' || " +
+        "CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)"
+      val nation = "CAST(n_nationkey AS VARCHAR) || '|' || n_name || '|' || " +
+        "CAST(n_regionkey AS VARCHAR)"
+      s"""SELECT * FROM (
+         |${one("orders", orders)}
+         |UNION ALL
+         |${one("customer", customer)}
+         |UNION ALL
+         |${one("nation", nation)}
+         |) ORDER BY ALL""".stripMargin
+    },
+    "q_doc_perplexity" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |bg AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 1)) AS i FROM t)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |v AS (
+        |  SELECT count(DISTINCT w) AS v
+        |  FROM (SELECT unnest(toks) AS w FROM t) WHERE w <> ''),
+        |sc AS (
+        |  SELECT bg.doc_id,
+        |         -ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS nll
+        |  FROM bg, c2, c1, v
+        |  WHERE bg.doc_id < 100 AND bg.w1 = c2.w1 AND bg.w2 = c2.w2
+        |    AND bg.w1 = c1.w1)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 4) AS nll
+        |FROM sc GROUP BY 1 ORDER BY ALL""".stripMargin,
+    // All-pairs mirror is valid because the pigeonhole blocking is
+    // lossless for distance ≤ 1 on equal-length names (one substitution
+    // cannot touch both disjoint digit segments).
+    "q_entity_match" ->
+      """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS d
+        |FROM customer a, customer b
+        |WHERE a.c_mktsegment = 'BUILDING' AND b.c_mktsegment = 'BUILDING'
+        |  AND a.c_custkey < b.c_custkey
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY ALL""".stripMargin,
+    "q_brand_affinity" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |  FROM lineitem, part WHERE l_partkey = p_partkey),
+        |tot AS (SELECT count(DISTINCT okey) AS n_orders FROM ob),
+        |marg AS (SELECT brand, count(*) AS nm FROM ob GROUP BY brand),
+        |pairs AS (
+        |  SELECT x.brand AS brand_a, y.brand AS brand_b, count(*) AS sup
+        |  FROM ob x, ob y
+        |  WHERE x.okey = y.okey AND x.brand < y.brand
+        |  GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, CAST(sup AS BIGINT) AS sup,
+        |       CAST(a.nm AS BIGINT) AS na, CAST(b.nm AS BIGINT) AS nb,
+        |       CAST((sup * n_orders * 10000) // (a.nm * b.nm) AS BIGINT)
+        |         AS lift_bp
+        |FROM pairs, marg a, marg b, tot
+        |WHERE pairs.brand_a = a.brand AND pairs.brand_b = b.brand
+        |  AND sup * 100 >= n_orders
+        |ORDER BY ALL""".stripMargin
   )
 }

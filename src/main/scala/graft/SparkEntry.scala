@@ -184,6 +184,11 @@ object SparkEntry {
     "q_winsorize" -> Warehouse.qWinsorize _,
     "q_attribution" -> Warehouse.qAttribution _,
     "q_random_projection" -> Vectors.qRandomProjection _,
+    "q_bloom_join" -> Integrity.qBloomJoin _,
+    "q_doc_perplexity" -> Pipeline.qDocPerplexity _,
+    "q_table_checksum" -> Integrity.qTableChecksum _,
+    "q_entity_match" -> Curation.qEntityMatch _,
+    "q_brand_affinity" -> Warehouse.qBrandAffinity _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

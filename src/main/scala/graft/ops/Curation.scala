@@ -245,4 +245,50 @@ object Curation {
       .groupBy("token")
       .agg(count(lit(1)).as("n_triangles")))
   }
+
+  /** Entity resolution via pigeonhole blocking: BUILDING-segment customer
+    * name pairs within edit distance 1, found WITHOUT an all-pairs scan.
+    * Every name is the fixed-width 'Customer#' + 9 digits, so distance 1
+    * on equal-length strings means exactly one substitution — and a
+    * single substitution cannot touch two DISJOINT segments, so any
+    * matching pair agrees exactly on digit block 4-6 OR digit block 7-9
+    * (the SimHash 9-segment pigeonhole argument, applied to edit
+    * distance). Candidates = union of the two segment equi-joins,
+    * verified by the exact levenshtein — LOSSLESS blocking, so the
+    * oracle can be the all-pairs mirror and hash-match.
+    *
+    * The segments deliberately key on the VARYING digit suffix (the
+    * record-discriminating part of the name): blocking on a low-entropy
+    * field is the classic record-linkage failure (one giant block =
+    * all-pairs in disguise). At 100 TB the same contract adds a length
+    * band to each block key (unequal-length candidates at d≤1 differ by
+    * one indel — caught by blocking on both len and len±1 variants) and
+    * caps block sizes by salting hub keys; the verify stays a per-pair
+    * scalar. q_fuzzy_match is the tiny-dim all-pairs twin of this
+    * operator; this one is the shape that survives a corpus-sized left
+    * side. */
+  def qEntityMatch(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("key"), col("c_name").as("name"))
+      // digits 4-6 and 7-9 of the 9-digit suffix (chars 13-15 / 16-18).
+      .withColumn("seg1", substring(col("name"), 13, 3))
+      .withColumn("seg2", substring(col("name"), 16, 3))
+    val a = c.select(col("key").as("a_key"), col("name").as("a_name"),
+      col("seg1").as("a_s1"), col("seg2").as("a_s2"))
+    val b = c.select(col("key").as("b_key"), col("name").as("b_name"),
+      col("seg1").as("b_s1"), col("seg2").as("b_s2"))
+    val cand = a.join(b, col("a_s1") === col("b_s1") &&
+        col("a_key") < col("b_key"))
+      .select("a_key", "b_key", "a_name", "b_name")
+      .unionAll(
+        a.join(b, col("a_s2") === col("b_s2") &&
+            col("a_key") < col("b_key"))
+          .select("a_key", "b_key", "a_name", "b_name"))
+      .distinct()
+    orderedAll(cand
+      .withColumn("d", levenshtein(col("a_name"), col("b_name")).cast("long"))
+      .filter(col("d") <= 1)
+      .select("a_key", "b_key", "d"))
+  }
 }

@@ -162,4 +162,39 @@ object Pipeline {
         sum(col("n_chars")).as("tot_chars"),
         sum(col("n_toks")).as("tot_toks"),
         countDistinct(col("source")).as("n_sources")))
+
+  /** LM-based document quality scoring: mean negative log-probability of
+    * each probe doc (doc_id < 100) under an add-1-smoothed bigram LM
+    * trained on the full en corpus — the perplexity filter of the
+    * CCNet/Gopher-style curation pipeline (docs scoring far from the
+    * corpus mean are boilerplate or noise). Bigrams are built IN-ROW
+    * with array lambdas (the q_ngrams idiom — no per-token explode
+    * before the count); the LM tables are vocabulary²-bounded aggregates
+    * (broadcast dims here, shuffle joins at a real vocabulary — either
+    * way corpus-size-independent state); the score join is scan-shaped
+    * over the probe's bigrams. Float policy: ln-sum via avg + round(4),
+    * the q_lang_score precedent (bit-stable under re-partitioning,
+    * proven by the partition audit). */
+  def qDocPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("lang") === "en")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bg = docs.select(col("doc_id"), explode(expr(
+      """transform(slice(toks, 1, size(toks) - 1), (x, i) ->
+        |  struct(x AS w1, element_at(toks, i + 2) AS w2))""".stripMargin))
+      .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = docs.select(explode(col("toks")).as("w"))
+      .filter(col("w") =!= "").agg(countDistinct(col("w")).as("v"))
+    orderedAll(bg.filter(col("doc_id") < 100)
+      .join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("nll",
+        -log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nll")), 4).as("nll")))
+  }
 }

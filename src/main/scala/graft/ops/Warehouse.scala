@@ -197,4 +197,54 @@ object Warehouse {
       .agg(count(lit(1)).as("n_purchases"),
         round(sum(col("value")), 4).as("sum_value")))
   }
+
+  /** Market-basket brand affinity: for every pair of part brands
+    * co-purchased within one order (support ≥ 1% of orders), the
+    * support count and the LIFT vs independence — observed co-occurrence
+    * over expected — in exact basis points:
+    * `lift_bp = (sup · N · 10000) div (na · nb)` (integer division, no
+    * float path anywhere in the decision or emitted values).
+    *
+    * The pair space is bounded per BASKET, not per corpus: an order with
+    * k distinct brands contributes C(k,2) pairs (k ≈ 4 here), generated
+    * IN-ROW from the basket's sorted brand set — the q_cooccur_pmi
+    * per-group quadratic-but-tiny shape — so the whole pipeline is one
+    * basket-keyed shuffle plus vocabulary-sized aggregates, with the
+    * brand dimension (25 values) broadcast for the item→brand mapping
+    * and the marginals. At 100 TB: identical plan; a skewed mega-basket
+    * is capped by the same df-cap guard the PMI operator carries. The
+    * basket table is pinned once (Text.pin) — it has three consumers
+    * (N, marginals, pairs) and would otherwise re-derive the scan+join
+    * per consumer. */
+  def qBrandAffinity(s: SparkSession, dir: String): DataFrame = {
+    // One shuffle builds the per-basket sorted brand set; pairs are then
+    // generated IN-ROW by array lambdas (the q_cooccur_pmi idiom) —
+    // cheaper than a basket-keyed self-join, which would shuffle the
+    // item table twice and re-sort both sides.
+    val baskets = Text.pin(t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("p_brand"))).as("bs")), "affinity_ob")
+    val tot = baskets.select(count(lit(1)).as("n_orders"))
+    val marg = baskets.select(explode(col("bs")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("nm"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(bs, (x, i) ->
+          |  transform(slice(bs, i + 2, size(bs)), y ->
+          |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
+      .agg(count(lit(1)).as("sup"))
+    orderedAll(pairs
+      .join(broadcast(marg.select(col("brand").as("brand_a"),
+        col("nm").as("na"))), "brand_a")
+      .join(broadcast(marg.select(col("brand").as("brand_b"),
+        col("nm").as("nb"))), "brand_b")
+      .crossJoin(broadcast(tot))
+      .filter(col("sup") * 100 >= col("n_orders"))
+      .withColumn("lift_bp",
+        expr("(sup * n_orders * 10000) div (na * nb)"))
+      .select("brand_a", "brand_b", "sup", "na", "nb", "lift_bp"))
+  }
 }
