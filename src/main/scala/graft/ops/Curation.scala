@@ -216,11 +216,17 @@ object Curation {
 
   /** Triangle counting on the token co-occurrence graph (en docs): nodes
     * are tokens, edges are distinct within-doc co-occurrences, and each
-    * triangle is materialized exactly once through the a<b<c orientation
-    * — the device that makes distributed triangle counting feasible (an
-    * unoriented 3-way join counts each triangle 6× and explodes on hubs;
-    * at 100 TB the orientation key is (degree, id), pointing every edge
-    * at the higher-degree node so hub fan-out is bounded). Emits
+    * triangle is materialized exactly once through a DEGREE-based total
+    * order — the device that makes distributed triangle counting feasible.
+    * An unoriented 3-way join counts each triangle 6× and explodes on
+    * hubs; orienting by token NAME still lets a high-degree hub (a
+    * stopword) sit mid-order and contribute O(D²) wedge candidates
+    * regardless of its triangle count. Orienting every edge low→high by
+    * (degree, token) instead points all of a hub's edges INTO it, so
+    * wedges are only built from each node's higher-degree neighbors —
+    * the standard O(E^1.5) node-iterator++ bound (out-degree under the
+    * degree orientation is O(√E)). Per-token triangle counts are
+    * orientation-independent, so this is a plan change only. Emits
     * triangles-per-token, the local clustering signal used for stopword/
     * boilerplate detection. Vocabulary-sized intermediates; the 3-way
     * self-join is the algorithm. */
@@ -228,23 +234,50 @@ object Curation {
     val dt = t(s, dir, "documents").filter(col("lang") === "en")
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .filter(col("token") =!= "").distinct()
-    val e = dt.as("a")
+    val und = dt.as("a")
       .join(dt.as("b"), col("a.doc_id") === col("b.doc_id") &&
         col("a.token") < col("b.token"))
       .select(col("a.token").as("ta"), col("b.token").as("tb"))
       .distinct()
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.tb") === col("e2.ta"))
-      .join(e.as("e3"), col("e3.ta") === col("e1.ta") &&
-        col("e3.tb") === col("e2.tb"))
-      .select(col("e1.ta").as("a"), col("e1.tb").as("b"),
-        col("e2.tb").as("c"))
+    val e = degreeOrientedEdges(und)
+    val tri = wedgeClosure(e)
     orderedAll(tri.select(col("a").as("token"))
       .unionAll(tri.select(col("b").as("token")))
       .unionAll(tri.select(col("c").as("token")))
       .groupBy("token")
       .agg(count(lit(1)).as("n_triangles")))
   }
+
+  /** Orient an undirected distinct edge set (ta, tb) low→high by
+    * (degree, token). Degrees come from the edge set itself
+    * (vocabulary-sized → broadcast); ties fall back to token order, a
+    * total order, so every edge gets exactly one direction and every
+    * triangle has exactly one source vertex. */
+  private[graft] def degreeOrientedEdges(und: DataFrame): DataFrame = {
+    val deg = und.select(col("ta").as("token"))
+      .unionAll(und.select(col("tb").as("token")))
+      .groupBy("token").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(broadcast(deg.select(col("token").as("ta"), col("deg").as("da"))), "ta")
+      .join(broadcast(deg.select(col("token").as("tb"), col("deg").as("db"))), "tb")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("ta") < col("tb"))
+    withDeg.select(
+      when(aFirst, col("ta")).otherwise(col("tb")).as("src"),
+      when(aFirst, col("tb")).otherwise(col("ta")).as("dst"))
+  }
+
+  /** Wedge join + closure over oriented edges (src, dst): for a triangle
+    * {x,y,z} with x<y<z in the orientation's total order, the wedge is
+    * (x→y, y→z) and the closing edge is x→z — each triangle produced
+    * exactly once as (a,b,c) = (x,y,z). */
+  private[graft] def wedgeClosure(e: DataFrame): DataFrame =
+    e.as("e1")
+      .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(e.as("e3"), col("e3.src") === col("e1.src") &&
+        col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
 
   /** Entity resolution via pigeonhole blocking: BUILDING-segment customer
     * name pairs within edit distance 1, found WITHOUT an all-pairs scan.

@@ -71,6 +71,34 @@ class Round6CurationSpec extends SparkSpec {
     assert(got == perNode.toMap)
   }
 
+  test("degree orientation bounds hub wedge fan-out vs token order") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    // A stopword-shaped hub sitting mid-alphabet: token-name orientation
+    // splits its 80 edges into 40 in + 40 out → 1600 wedge candidates
+    // through the hub; degree orientation points ALL of them into the hub
+    // → 0 wedges through it. Two spoke-spoke edges close two triangles.
+    val hub = "mmm"
+    val lo = (1 to 40).map(i => f"aaa$i%03d")
+    val hi = (1 to 40).map(i => f"zzz$i%03d")
+    val raw = lo.map(t => (t, hub)) ++ hi.map(t => (hub, t)) ++
+      Seq(("aaa001", "zzz001"), ("aaa002", "zzz002"))
+    val und = raw.toDF("ta", "tb")
+    val tokenOriented = und.select(col("ta").as("src"), col("tb").as("dst"))
+    def wedges(e: DataFrame): Long =
+      e.as("e1").join(e.as("e2"), col("e1.dst") === col("e2.src")).count()
+    val wTok = wedges(tokenOriented)
+    val wDeg = wedges(ops.Curation.degreeOrientedEdges(und))
+    assert(wDeg * 20 < wTok,
+      s"degree-orientation wedges $wDeg not ≪ token-order $wTok")
+    // both orientations close the same triangle set
+    def tris(e: DataFrame) = ops.Curation.wedgeClosure(e).collect()
+      .map(r => Set(r.getString(0), r.getString(1), r.getString(2))).toSet
+    val (tTok, tDeg) = (tris(tokenOriented),
+      tris(ops.Curation.degreeOrientedEdges(und)))
+    assert(tTok == tDeg && tDeg.size == 2)
+  }
+
   // --- q_zorder: the interleave must be a bijection on the grid -------
 
   test("q_zorder key is a bijective interleave of its two axes") {
