@@ -148,8 +148,16 @@ object Curation {
     val dict = dt.select("token").distinct()
     val nljMax = s.conf.getOption("spark.graft.pairNljMaxDocs")
       .map(_.toLong).getOrElse(20000L)
+    val dictN = dict.count()
+    // Third branch (tiny vocab, large corpus): distinct-mask grouping —
+    // prefix filtering is no help on a ≤64-token vocabulary (every
+    // posting list, prefix or not, is corpus-sized), but the number of
+    // DISTINCT token sets is ≪ N, so pair over those and expand
+    // (Text.maskGroupPairs; (19, 9) is Jaccard ≥ 0.9).
     val pairs =
-      if (dict.count() <= 64 && docs.count() <= nljMax) maskPairs(dt)
+      if (dictN <= 64 && docs.count() <= nljMax) maskPairs(dt)
+      else if (dictN <= math.min(64L, Text.maskGroupMaxDict(s)))
+        Text.maskGroupPairs(dt, 19, 9)
       else prefixPairs(dt)
     orderedAll(pairs.select(col("a_id"), col("b_id"),
       round(col("common") * lit(1.0) /

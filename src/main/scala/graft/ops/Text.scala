@@ -29,6 +29,12 @@ object Text {
     * space bounded by shared-key co-occurrence, nothing corpus-sized
     * broadcast). Same stats-driven pattern as Sketches.nljMaxDocs;
     * overridable so tests drive the at-scale branch on the fixtures. */
+  /** Dictionary-size ceiling for the distinct-mask grouping strategy
+    * (0 disables it — used by specs to force the inverted/prefix paths). */
+  private[graft] def maskGroupMaxDict(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.maskGroupMaxDict")
+      .map(_.toLong).getOrElse(64L)
+
   private def pairNljMaxDocs(s: SparkSession): Long =
     s.conf.getOption("spark.graft.pairNljMaxDocs")
       .map(_.toLong).getOrElse(20000L)
@@ -199,7 +205,12 @@ object Text {
     *    vocab size does not bound doc count, and a 100× corpus with the
     *    same 31-token vocab would still broadcast N rows and scan N²
     *    pairs under a vocab-only cutoff.
-    *  - larger vocabularies or corpora: exact inverted-index pair join
+    *  - vocabulary ≤ 64 but corpus ABOVE the cutoff: distinct-mask
+    *    grouping ([[maskGroupPairs]]) — pair over the M ≪ N distinct
+    *    token sets, then expand groups; O(M²) instead of O(N²), and the
+    *    inverted join is no alternative here (every posting list is
+    *    corpus-sized on a tiny vocabulary).
+    *  - larger vocabularies: exact inverted-index pair join
     *    (posting-list self-join + pair count) — nothing corpus-sized is
     *    broadcast and the pair space is co-occurrence-bounded. The
     *    100 TB path beyond that is MinHash-LSH banding (same output
@@ -223,7 +234,8 @@ object Text {
     val dict = dt.select("token").distinct()
       .withColumn("tok_id",
         row_number().over(Window.orderBy(col("token"))).cast("int") - 1)
-    if (dict.count() <= 64 && docs.count() <= pairNljMaxDocs(s)) {
+    val dictN = dict.count()
+    if (dictN <= 64 && docs.count() <= pairNljMaxDocs(s)) {
       val masks = dt.join(broadcast(dict), "token")
         .groupBy("doc_id")
         .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), tok_id))").as("mask"),
@@ -237,7 +249,60 @@ object Text {
           expr("CAST(bit_count(ma & mb) AS BIGINT)"))
         .filter(col("common") * 9 >= (col("na") + col("nb")) * 4)
         .select("a_id", "b_id", "common", "na", "nb")
-    } else invertedPairs(dt)
+    } else if (dictN <= math.min(64L, maskGroupMaxDict(s)))
+      maskGroupPairs(dt, 9, 4)
+    else invertedPairs(dt)
+  }
+
+  /** Distinct-mask grouping — the tiny-vocab/LARGE-corpus strategy: when
+    * the vocabulary fits one 64-bit mask but the corpus exceeds the NLJ
+    * cutoff, neither of the other exact strategies holds up. Broadcasting
+    * N (doc, mask) rows scans O(N²) pairs, and on a ≤64-token vocabulary
+    * EVERY posting list is corpus-sized, so the inverted join degenerates
+    * to all-pairs with extra shuffles. But a ≤64-token vocabulary also
+    * means there are at most 2^64 — in practice M ≪ N — DISTINCT token
+    * sets: group docs by their exact mask first, run the popcount pair
+    * scan over distinct (mask, nt) rows only (O(M²), broadcast is
+    * M-sized), then expand each qualifying mask pair back to its doc
+    * groups with two mask-keyed joins (shuffle-partitioned, nothing
+    * corpus-sized broadcast). Docs sharing a mask are Jaccard-1 pairs and
+    * come from a within-group self-join. Output is the same
+    * (a_id, b_id, common, na, nb) bag as the sibling strategies —
+    * Ω(pairs), inherent to the pair-listing contract. Threshold
+    * `cMul·common ≥ sMul·(na+nb)`, same integer arithmetic as
+    * [[invertedPairs]]. */
+  private[graft] def maskGroupPairs(dt: DataFrame, cMul: Int,
+                                    sMul: Int): DataFrame = {
+    val dict = dt.select("token").distinct()
+      .withColumn("tok_id",
+        row_number().over(Window.orderBy(col("token"))).cast("int") - 1)
+    val masks = dt.join(broadcast(dict), "token")
+      .groupBy("doc_id")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), tok_id))").as("mask"),
+        count(lit(1)).as("nt"))
+    val dm = masks.select("mask", "nt").distinct()
+    val x = dm.select(col("mask").as("mx"), col("nt").as("nx"))
+    val y = dm.select(col("mask").as("my"), col("nt").as("ny"))
+    val qual = x.join(broadcast(y), col("mx") < col("my"))
+      .withColumn("common", expr("CAST(bit_count(mx & my) AS BIGINT)"))
+      .filter(col("common") * cMul >= (col("nx") + col("ny")) * sMul)
+    val byMask = masks.select("doc_id", "mask")
+    val cross = qual
+      .join(byMask.select(col("doc_id").as("ida"), col("mask").as("mx")), "mx")
+      .join(byMask.select(col("doc_id").as("idb"), col("mask").as("my")), "my")
+      .select(least(col("ida"), col("idb")).as("a_id"),
+        greatest(col("ida"), col("idb")).as("b_id"),
+        col("common"),
+        when(col("ida") < col("idb"), col("nx")).otherwise(col("ny")).as("na"),
+        when(col("ida") < col("idb"), col("ny")).otherwise(col("nx")).as("nb"))
+    // identical token sets: Jaccard 1 — still passes through the threshold
+    // filter so non-standard (cMul, sMul) with cMul < 2·sMul stay exact.
+    val within = masks.as("p").join(masks.as("q"),
+        col("p.mask") === col("q.mask") && col("p.doc_id") < col("q.doc_id"))
+      .select(col("p.doc_id").as("a_id"), col("q.doc_id").as("b_id"),
+        col("p.nt").as("common"), col("p.nt").as("na"), col("q.nt").as("nb"))
+      .filter(col("common") * cMul >= (col("na") + col("nb")) * sMul)
+    cross.unionAll(within)
   }
 
   /** Inverted-index Jaccard pair join over (doc_id, token) DISTINCT

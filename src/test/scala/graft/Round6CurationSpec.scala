@@ -33,13 +33,22 @@ class Round6CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expected,
       s"missed=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
-    // force the at-scale prefix-filter branch; must be the same bag
+    // force the distinct-mask-group branch (tiny vocab, "large" corpus);
+    // must be the same bag
     spark.conf.set("spark.graft.pairNljMaxDocs", "1")
     try {
+      val grouped = run("q_jaccard_prefix").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(grouped == expected, "mask-group branch diverged")
+      // and with grouping disabled, the at-scale prefix-filter branch
+      spark.conf.set("spark.graft.maskGroupMaxDict", "0")
       val prefixed = run("q_jaccard_prefix").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(prefixed == expected, "prefix-filter branch diverged")
-    } finally spark.conf.unset("spark.graft.pairNljMaxDocs")
+    } finally {
+      spark.conf.unset("spark.graft.pairNljMaxDocs")
+      spark.conf.unset("spark.graft.maskGroupMaxDict")
+    }
   }
 
   // --- q_triangle_count: a<b<c orientation counts each triangle once --

@@ -32,13 +32,55 @@ class Round6Spec extends SparkSpec {
         s"only-large=${(large -- small).take(3)}")
   }
 
-  test("q_dedup_near: inverted-index branch ≡ 64-bit-mask branch") {
+  test("q_dedup_near: both at-scale branches ≡ 64-bit-mask branch") {
     val small = rowSet(run("q_dedup_near"))
-    val large = withConf("spark.graft.pairNljMaxDocs" -> "1") {
+    // tiny vocab + forced-large corpus → distinct-mask grouping
+    val grouped = withConf("spark.graft.pairNljMaxDocs" -> "1") {
+      rowSet(run("q_dedup_near"))
+    }
+    // mask grouping disabled → inverted-index posting join
+    val inverted = withConf("spark.graft.pairNljMaxDocs" -> "1",
+      "spark.graft.maskGroupMaxDict" -> "0") {
       rowSet(run("q_dedup_near"))
     }
     assert(small.nonEmpty)
-    assert(large == small)
+    assert(grouped == small, "mask-group branch diverged")
+    assert(inverted == small, "inverted-index branch diverged")
+  }
+
+  test("maskGroupPairs ≡ brute force on a duplicate-heavy tiny-vocab corpus") {
+    // 240 docs over an 8-token vocabulary but only 97 distinct token sets —
+    // the regime the branch exists for: pair over M=97 distinct masks
+    // (O(M²)), not N=240 docs, then expand the groups.
+    val vocab = Array("ta", "tb", "tc", "td", "te", "tf", "tg", "th")
+    val rows = (0L until 240L).map { d =>
+      val m = 1 + (d % 97)
+      d -> vocab.indices.filter(i => ((m >> i) & 1) == 1)
+        .map(vocab).mkString(" ")
+    }
+    val dir = writeDocs(rows)
+    val sets = rows.map { case (d, tx) => d -> tx.split(" ").toSet }.toMap
+    val ids = sets.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      c = (sets(a) & sets(b)).size
+      if c * 9 >= (sets(a).size + sets(b).size) * 4
+    } yield (a, b)).toSet
+    assert(expected.exists { case (a, b) => sets(a) == sets(b) },
+      "no identical-set pairs — within-group path untested")
+    assert(expected.exists { case (a, b) => sets(a) != sets(b) },
+      "no cross-set pairs — cross-group path untested")
+    val grouped = withConf("spark.graft.pairNljMaxDocs" -> "1") {
+      ops.Text.qDedupNear(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(grouped == expected,
+      s"missed=${(expected -- grouped).take(5)} extra=${(grouped -- expected).take(5)}")
+    // the NLJ branch sees the same corpus the same way
+    val nlj = ops.Text.qDedupNear(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nlj == expected)
   }
 
   test("q_dedup_clusters + q_graph_degree inherit the at-scale branch") {
