@@ -671,6 +671,64 @@ object Oracles {
         |      >= 4 * (sa.nt + sb.nt)
         |ORDER BY ALL""".stripMargin,
 
+    // SimHash (Sketches.qDedupSimhash): vote bits re-derived from md5
+    // nibbles (bit k = bit k%4 of hex nibble k/4 — engine-portable since
+    // round 7). The signature is mirrored as two 32-bit halves because a
+    // BIGINT 1<<63 overflows in DuckDB; hamming(lo)+hamming(hi) is the
+    // same Hamming distance. All-pairs here — the Spark side's 9-segment
+    // pigeonhole banding is lossless, so the sets coincide.
+    "q_dedup_simhash" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(list_filter(string_split(lower(text), ' '),
+        |                              x -> x <> '')) AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        |votes AS (SELECT doc_id, k,
+        |    sum(CASE WHEN (((strpos('0123456789abcdef',
+        |          substring(md5(token), k // 4 + 1, 1)) - 1)
+        |          >> (k % 4)) & 1) = 1
+        |        THEN 1 ELSE -1 END) AS v
+        |  FROM tok CROSS JOIN range(64) t(k) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 AND k < 32
+        |          THEN CAST(1 AS BIGINT) << CAST(k AS INT)
+        |          ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN v > 0 AND k >= 32
+        |          THEN CAST(1 AS BIGINT) << CAST(k - 32 AS INT)
+        |          ELSE 0 END) AS BIGINT) AS hi
+        |  FROM votes GROUP BY 1)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+        |         AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 8
+        |ORDER BY ALL""".stripMargin,
+
+    // Typed-Aggregator MinHash (Sketches.qDedupMinhashAgg): the JVM lane
+    // is the UNSIGNED min of the first 8 md5 bytes of 'j:token'; the
+    // oracle's min over the 16-hex-char prefix is the identical order
+    // (fixed-length lowercase hex compares byte-wise = unsigned numeric).
+    // All-pairs lanes_eq >= 12 is exact: 12/16 agreeing lanes leave at
+    // most 4 broken bands of 8, so a band collision — candidacy — is
+    // guaranteed, not probabilistic.
+    "q_dedup_minhash_agg" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(list_filter(string_split(lower(text), ' '),
+        |                              x -> x <> '')) AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        |lanes AS (SELECT doc_id, j,
+        |    min(substring(md5(CAST(j AS VARCHAR) || ':' || token), 1, 16))
+        |      AS mh
+        |  FROM tok CROSS JOIN range(16) t(j) GROUP BY 1, 2),
+        |eq AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+        |    CAST(count(*) AS BIGINT) AS lanes_eq
+        |  FROM lanes x JOIN lanes y
+        |    ON x.j = y.j AND x.mh = y.mh AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, lanes_eq FROM eq
+        |WHERE lanes_eq >= 12 ORDER BY ALL""".stripMargin,
+
     // Hyperplane LSH ANN (Sketches.qAnnLsh): the 8 pseudo-hyperplanes are
     // re-DERIVED here from md5 first-nibble parity of the lane index —
     // the oracle recomputes the planes, the buckets, and the in-bucket

@@ -41,6 +41,12 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional conf overrides, e.g. the density-gate / branch switches:
+    //   SPARK_GRAFT_CONF="spark.graft.dedupMaxPairsPerDoc=50"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     args(0) match {
       case "gen" => gen(spark, args(1), args(2), args(3).toInt)
       case "run" => run(spark, args(1), args(2).split(",").toIndexedSeq)

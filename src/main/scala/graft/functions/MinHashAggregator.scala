@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
-import scala.util.hashing.MurmurHash3
 
 /** Mergeable MinHash sketch as a typed Aggregator — the Spark-native form
   * of the reference genre's `Reducer.reduce()` custom fold (SURVEY §2.13).
@@ -13,6 +12,15 @@ import scala.util.hashing.MurmurHash3
   * 100 TB partition-split corpus equals the single-pass signature. The
   * estimated Jaccard of two docs is the fraction of agreeing lanes.
   *
+  * Lane hash (round 7, ENGINE-PORTABLE — the md5 recipe that upgraded
+  * q_dedup_minhash): lane j's value is the first 8 bytes of
+  * md5("j:token"), minimized UNSIGNED. An unsigned 64-bit min over the
+  * md5 prefix is order-identical to DuckDB's lexicographic min over the
+  * 16-hex-char prefix string, which is what lets the typed-Aggregator
+  * query (q_dedup_minhash_agg) be fully oracle-checked while keeping the
+  * compact 8-byte lane state (the relational pipeline carries the hex
+  * string instead — 16 bytes — trading state for SQL-expressibility).
+  *
   * This is the sketch-form twin of the relational MinHash pipeline in
   * graft.ops.Sketches (which the graded q_dedup_minhash uses); kept as a
   * first-class library component + spec.
@@ -21,19 +29,19 @@ class MinHashAggregator(k: Int)
     extends Aggregator[String, Array[Long], Array[Long]] {
 
   private def h(j: Int, token: String): Long = {
-    // two independent 32-bit murmur lanes → one 64-bit value per lane j
-    val a = MurmurHash3.stringHash(token, j * 2 + 1)
-    val b = MurmurHash3.stringHash(token, j * 2 + 2)
-    (a.toLong << 32) | (b.toLong & 0xffffffffL)
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$token".getBytes("UTF-8"))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong // big-endian first 8 bytes
   }
 
-  override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+  // unsigned max — the identity of unsigned min
+  override def zero: Array[Long] = Array.fill(k)(-1L)
 
   override def reduce(buf: Array[Long], token: String): Array[Long] = {
     var j = 0
     while (j < k) {
       val v = h(j, token)
-      if (v < buf(j)) buf(j) = v
+      if (java.lang.Long.compareUnsigned(v, buf(j)) < 0) buf(j) = v
       j += 1
     }
     buf
@@ -42,7 +50,7 @@ class MinHashAggregator(k: Int)
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var j = 0
     while (j < k) {
-      if (b(j) < a(j)) a(j) = b(j)
+      if (java.lang.Long.compareUnsigned(b(j), a(j)) < 0) a(j) = b(j)
       j += 1
     }
     a

@@ -32,6 +32,57 @@ object Sketches {
     s.conf.getOption("spark.graft.sketchNljMaxDocs")
       .map(_.toLong).getOrElse(20000L)
 
+  /** Density gate for the pair-listing contract. Pair ENUMERATION is
+    * Ω(pairs), which grows quadratically with duplication density — at
+    * high density the contract itself is wrong for production dedup
+    * (BASELINE.md 10× smoke: 22 M pairs, 322 s; an exact-CC variant that
+    * still enumerated pairs measured 485 s — the enumeration IS the
+    * cost). When `spark.graft.dedupMaxPairsPerDoc` is set (default OFF —
+    * graded fixtures keep the pair list) and the band-bucket collision
+    * estimate Σ_buckets C(s,2) exceeds maxPairsPerDoc·nDocs, the minhash
+    * queries emit CLUSTER REPRESENTATIVES via [[bucketClusters]] instead
+    * of the pair list. The estimate reads only bucket SIZES — one
+    * signature-sized aggregation, no pair enumeration. */
+  private def pairDensityExceeded(s: SparkSession, bands: DataFrame,
+                                  keyCols: Seq[String],
+                                  nDocs: Long): Boolean =
+    s.conf.getOption("spark.graft.dedupMaxPairsPerDoc")
+      .map(_.toLong).exists { maxPer =>
+        val row = bands.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("c"))
+          .agg(sum(expr("c * (c - 1) div 2")).as("est")).head
+        val est = if (row.isNullAt(0)) 0L else row.getLong(0)
+        est > maxPer * nDocs
+      }
+
+  /** Cluster representatives WITHOUT pair enumeration: connected
+    * components of the band-bucket COLLISION graph, built from
+    * bucket-star edges — every doc in a bucket connects to the bucket's
+    * min doc_id, s−1 edges per bucket instead of C(s,2). A bucket is a
+    * clique in the collision graph and a star spans a clique, so the
+    * components are IDENTICAL to the candidate-pair graph's; total edge
+    * count is bounded by |bands| rows (docs × bands), linear in the
+    * corpus no matter how dense the duplication. This is the standard
+    * production MinHash-dedup contract (cluster-and-keep-first on LSH
+    * buckets): above the density gate, per-pair exact verification is
+    * dropped — a false-positive band collision can merge two true
+    * clusters, the price every LSH-clustering pipeline pays; the banding
+    * scheme (not a post-verify) is the precision knob. Below the gate the
+    * exact verified pair list remains the contract. Output is the
+    * q_dedup_clusters shape (doc_id, cluster_id, keep), unsorted, only
+    * docs with ≥1 collision partner. */
+  private def bucketClusters(s: SparkSession, bands: DataFrame,
+                             keyCols: Seq[String],
+                             slotPrefix: String): DataFrame = {
+    val bmin = bands.groupBy(keyCols.map(col): _*)
+      .agg(min(col("doc_id")).as("rep"))
+    val star = bands.join(bmin, keyCols)
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
+      .distinct()
+    Text.clusterLabels(s, star, slotPrefix)
+  }
+
   /** MinHash + LSH near-dup: 16 minhashes per doc, 8 bands × 2 rows,
     * candidate pairs from band-bucket collisions, then EXACT verification
     * (bitmask/array_intersect Jaccard ≥ 0.8) — precision 1.0 vs
@@ -45,7 +96,10 @@ object Sketches {
     * purposes; the per-lane state is 16 bytes instead of 8 — the price of
     * a hash both engines can replay, which upgrades this query from
     * rows-only to fully oracle-checked. Band keys are the concatenated
-    * lane minima (no re-hash needed — the pair join only tests equality). */
+    * lane minima (no re-hash needed — the pair join only tests equality).
+    * Output contract is density-gated (see [[pairDensityExceeded]]):
+    * default pair list; above the conf-set threshold, cluster
+    * representatives. */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     // array_remove("") keeps the token universe identical to the exact
     // contract twin q_dedup_near (Text.tokDf drops empty tokens), so the
@@ -88,8 +142,16 @@ object Sketches {
     val stats = docs.agg(count(lit(1)), max(col("doc_id"))).head
     val nDocs = stats.getLong(0)
     val maxId = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    // Density-gated output contract (default OFF). When the gate conf is
+    // set, the signature/band pipeline is pinned once so the density
+    // probe and whichever output path wins share the materialization
+    // instead of re-deriving the sketch.
+    val gateOn = s.conf.getOption("spark.graft.dedupMaxPairsPerDoc").isDefined
+    val bandsEff = if (gateOn) Text.pin(bands, "mh_bands") else bands
+    if (pairDensityExceeded(s, bandsEff, Seq("band", "bkey"), nDocs))
+      return bucketClusters(s, bandsEff, Seq("band", "bkey"), "mh")
     val cand = if (nDocs <= nljMaxDocs(s)) {
-      val sigs = bands.groupBy("doc_id")
+      val sigs = bandsEff.groupBy("doc_id")
         .agg(expr("transform(array_sort(collect_list(struct(band, bkey)))," +
           " x -> x.bkey)").as("sig"))
       val sa = sigs.select(col("doc_id").as("a_id"), col("sig").as("siga"))
@@ -100,7 +162,7 @@ object Sketches {
       sa.join(broadcast(sb), col("a_id") < col("b_id") && anyBand)
         .select("a_id", "b_id")
     } else {
-      val collisions = bands.as("x").join(bands.as("y"),
+      val collisions = bandsEff.as("x").join(bandsEff.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -130,7 +192,7 @@ object Sketches {
     val dict = dt.select("token").distinct()
       .withColumn("tok_id",
         row_number().over(Window.orderBy(col("token"))).cast("int") - 1)
-    if (dict.count() <= 64) {
+    val verified = if (dict.count() <= 64) {
       val masks = dt.join(broadcast(dict), "token")
         .groupBy("doc_id")
         .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), tok_id))").as("mask"),
@@ -139,23 +201,24 @@ object Sketches {
         col("nt").as("na"))
       val mb = masks.select(col("doc_id").as("b_id"), col("mask").as("xb"),
         col("nt").as("nb"))
-      orderedAll(cand
+      cand
         .join(broadcast(ma), "a_id").join(broadcast(mb), "b_id")
         .withColumn("common", expr("CAST(bit_count(xa & xb) AS BIGINT)"))
         .filter(col("common") * 9 >= (col("na") + col("nb")) * 4)
-        .select("a_id", "b_id", "common", "na", "nb"))
+        .select("a_id", "b_id", "common", "na", "nb")
     } else {
       val da = docs.select(col("doc_id").as("a_id"), col("toks").as("ta"),
         col("nt").as("na"))
       val db = docs.select(col("doc_id").as("b_id"), col("toks").as("tb"),
         col("nt").as("nb"))
-      orderedAll(cand
+      cand
         .join(broadcast(da), "a_id").join(broadcast(db), "b_id")
         .withColumn("common",
           size(array_intersect(col("ta"), col("tb"))).cast("long"))
         .filter(col("common") * 9 >= (col("na") + col("nb")) * 4)
-        .select("a_id", "b_id", "common", "na", "nb"))
+        .select("a_id", "b_id", "common", "na", "nb")
     }
+    orderedAll(verified)
   }
 
   /** MinHash near-dup through the TYPED Aggregator tier (SURVEY §2.13):
@@ -165,9 +228,14 @@ object Sketches {
     * corpus yields the same signature as a single pass. Candidates from
     * an 8-band × 2-row band-bucket equi-join over the signature column
     * (the same structure as the relational q_dedup_minhash), kept when
-    * ≥ 12 of 16 lanes agree (estimated Jaccard ≥ 0.75). Rows-only:
-    * murmur-lane-layout-specific, no SQL oracle; precision bounds in
-    * ScalaTest. */
+    * ≥ 12 of 16 lanes agree (estimated Jaccard ≥ 0.75). Fully
+    * oracle-checked since round 7: the Aggregator's lanes are unsigned
+    * minima of md5 prefixes (see MinHashAggregator), which DuckDB mirrors
+    * as lexicographic minima of the hex prefix; the oracle is the
+    * all-pairs lanes_eq ≥ 12 mirror — sound because 12/16 agreeing lanes
+    * leave at most 4 broken bands, so ≥ 4 of 8 bands match and every
+    * qualifying pair is guaranteed a band collision (candidacy is
+    * combinatorial at this threshold, not probabilistic). */
   def qDedupMinhashAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = t(s, dir, "documents").filter(col("lang") === "en")
@@ -202,32 +270,51 @@ object Sketches {
         col("sa").getItem(2 * k) === col("sb").getItem(2 * k) &&
           col("sa").getItem(2 * k + 1) === col("sb").getItem(2 * k + 1))
         .reduce(_ || _)
-      sa.join(broadcast(sb), col("a_id") < col("b_id") && anyBand)
+      orderedAll(sa.join(broadcast(sb), col("a_id") < col("b_id") && anyBand)
         .withColumn("lanes_eq", lanesEq)
         .filter(col("lanes_eq") >= 12)
-        .select("a_id", "b_id", "lanes_eq")
+        .select("a_id", "b_id", "lanes_eq"))
     } else {
-      val bands = sigs.select(col("doc_id"), col("sig"),
+      val bands0 = sigs.select(col("doc_id"), col("sig"),
           explode(expr("sequence(0, 7)")).as("band"))
         .withColumn("bkey", expr(
           "xxhash64(band, sig[band * 2], sig[band * 2 + 1])"))
         .select("doc_id", "band", "bkey")
+      // Density-gated output contract (default OFF) — see
+      // pairDensityExceeded. Only the at-scale branch carries it: the
+      // NLJ branch exists exactly because its corpus is bounded. The
+      // typed-aggregation band pipeline is pinned when the gate is on so
+      // the probe and the output path share one materialization.
+      val gateOn =
+        s.conf.getOption("spark.graft.dedupMaxPairsPerDoc").isDefined
+      val bands = if (gateOn) Text.pin(bands0, "mha_bands") else bands0
+      if (pairDensityExceeded(s, bands, Seq("band", "bkey"), nDocs))
+        return bucketClusters(s, bands, Seq("band", "bkey"), "mha")
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") &&
             col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
-      cand.join(sa, "a_id").join(sb, "b_id")
+      orderedAll(cand.join(sa, "a_id").join(sb, "b_id")
         .withColumn("lanes_eq", lanesEq)
         .filter(col("lanes_eq") >= 12)
-        .select("a_id", "b_id", "lanes_eq")
+        .select("a_id", "b_id", "lanes_eq"))
     }
   }
 
   /** SimHash near-dup: 64-bit signature (bit k set iff the tf-unweighted
     * ±1 vote of token hashes at bit k is positive), pairs with Hamming
-    * distance ≤ 8 among en docs. */
+    * distance ≤ 8 among en docs.
+    *
+    * The vote bits are ENGINE-PORTABLE since round 7 (the md5 recipe that
+    * upgraded q_dedup_minhash/q_ann_lsh): bit k of a token's 64-bit hash
+    * is bit (k mod 4) of hex nibble (k div 4) of md5(token) — DuckDB
+    * re-derives the identical bits via strpos/substring, so the query is
+    * fully oracle-checked (it mirrors the signature as two 32-bit halves:
+    * a BIGINT 1<<63 overflows there, and the sketch layout — not the
+    * packing — is the contract). md5-nibble uniformity matches xxhash64
+    * for sign-vote purposes; the 9-segment pigeonhole is hash-agnostic. */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     // Same relational restructuring as qDedupMinhash: the 64·|tokens| bit
     // votes stream as rows through codegen'd aggregates instead of nested
@@ -236,11 +323,13 @@ object Sketches {
       .select(col("doc_id"),
         explode(array_remove(array_distinct(tokens(col("text"))), ""))
           .as("token"))
-      .withColumn("h", xxhash64(col("token")))
-      .select(col("doc_id"), col("h"),
+      .withColumn("hhex", md5(col("token")))
+      .select(col("doc_id"), col("hhex"),
         explode(expr("sequence(0, 63)")).as("k"))
+      .withColumn("nib", expr(
+        "instr('0123456789abcdef', substring(hhex, CAST(k div 4 AS INT) + 1, 1)) - 1"))
       .withColumn("vote",
-        expr("IF((shiftright(h, k) & 1) = 1, 1, -1)"))
+        expr("IF((shiftright(nib, CAST(k % 4 AS INT)) & 1) = 1, 1, -1)"))
       .groupBy("doc_id", "k").agg(sum(col("vote")).as("v"))
       .groupBy("doc_id")
       .agg(expr(
@@ -265,14 +354,13 @@ object Sketches {
     // A qualifying pair can collide in up to 9 segments → verify the cheap
     // popcount on each collision, then distinct the survivors (hamming is
     // functionally determined by the pair, so it rides along).
-    // Rows-only: deterministic set, no total-order sort needed.
-    x.join(y, Seq("seg", "sval"))
+    orderedAll(x.join(y, Seq("seg", "sval"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("hamming",
         expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
       .filter(col("hamming") <= 8)
       .select("a_id", "b_id", "hamming")
-      .distinct()
+      .distinct())
   }
 
   /** LSH-bucketed approximate nearest neighbours: 8 deterministic

@@ -354,9 +354,10 @@ object Text {
     * slots (not RDD `checkpoint()`) because slot names can be REUSED —
     * round r+2 overwrites round r's slot, which is safe (round r's data
     * is only read while materializing round r+1, already on disk) and
-    * bounds the footprint at the FIXED set of named slots (qDedupClusters'
-    * pairs, edges, labels_0, cedges, labels_1..3 — the loop alternates
-    * the last two — plus qPagerank's pagerank_edges_raw/pagerank_deg/
+    * bounds the footprint at the FIXED set of named slots (clusterLabels'
+    * <prefix>_pairs/edges/labels_0/cedges/labels_1..3 — the loop
+    * alternates the last two, one prefix per calling operator — plus
+    * qPagerank's pagerank_edges_raw/pagerank_deg/
     * pagerank_edges) regardless of round count. RDD
     * `checkpoint()` files, by contrast, are only ever deleted when
     * `spark.cleaner.referenceTracking.cleanCheckpoints` was set at
@@ -386,7 +387,21 @@ object Text {
     } else df.localCheckpoint(true)
   }
 
-  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    orderedAll(clusterLabels(s, nearPairs(s, dir).select("a_id", "b_id"),
+      "cc"))
+
+  /** Connected components over a near-dup pair graph → cluster
+    * representatives: (doc_id, cluster_id = component min doc_id,
+    * keep = is-representative). The CC engine behind [[qDedupClusters]]
+    * (exact pairs) and the density-gated cluster-representative mode of
+    * the sketch dedup family (Sketches.scala) — the production dedup
+    * output contract when pair listing is output-bound. `slotPrefix`
+    * namespaces the bounded checkpoint slots per caller. Output is
+    * UNSORTED (N rows); callers with an ordered contract add it. */
+  private[graft] def clusterLabels(s: SparkSession, pairRows: DataFrame,
+                                   slotPrefix: String): DataFrame = {
+    def slot(name: String) = s"${slotPrefix}_$name"
     // Checkpoint the pair list BEFORE mirroring it: the union references
     // it twice, and an unmaterialized plan would run the whole near-dup
     // pipeline twice. Loop state below is likewise materialized eagerly,
@@ -399,18 +414,18 @@ object Text {
     def mirror(df: DataFrame): DataFrame = df
       .select(col("a").as("src"), col("b").as("dst"))
       .union(df.select(col("b").as("src"), col("a").as("dst")))
-    def initLabels(g: DataFrame, slot: String): DataFrame = pin(g
+    def initLabels(g: DataFrame, sl: String): DataFrame = pin(g
       .groupBy(col("dst").as("doc_id")).agg(min(col("src")).as("nbr"))
       .select(col("doc_id"), least(col("doc_id"), col("nbr")).as("label")),
-      slot)
-    val pairs = pin(nearPairs(s, dir).select("a_id", "b_id"), "pairs")
+      sl)
+    val pairs = pin(pairRows, slot("pairs"))
     val edges = pin(mirror(pairs.select(col("a_id").as("a"),
-      col("b_id").as("b"))), "edges")
+      col("b_id").as("b"))), slot("edges"))
     // Round 0 fused into initialization: with labels starting at the node
     // id, the first propagation is just min(id, min neighbor id) — one
     // groupBy over the edge list, no join (every node appears as dst
     // because edges carry both directions).
-    val labels0 = initLabels(edges, "labels_0")
+    val labels0 = initLabels(edges, slot("labels_0"))
     // GRAPH CONTRACTION before iterating: near-dup components are
     // overwhelmingly cliques or near-cliques, so the init round already
     // collapses most of each component onto one label. The fixpoint loop
@@ -433,11 +448,11 @@ object Text {
       .select(least(col("la"), col("lb")).as("a"),
         greatest(col("la"), col("lb")).as("b"))
       .distinct()
-    val cedges = pin(mirror(cedges0), "cedges")
+    val cedges = pin(mirror(cedges0), slot("cedges"))
     // Min-label fixpoint over the contracted graph (same loop shape as
     // the direct version, on tiny data). Labels start at the contracted
     // node id; nodes absent from cedges are whole components already.
-    var labels = initLabels(cedges, "labels_1")
+    var labels = initLabels(cedges, slot("labels_1"))
     // Default mode: superseded per-round localCheckpoint blocks are
     // reclaimed asynchronously by the ContextCleaner once the loop drops
     // its reference. Reliable mode: rounds alternate between two named
@@ -455,7 +470,7 @@ object Text {
         .select(col("doc_id"), col("old"),
           least(col("old"), coalesce(col("nbr_label"), col("old")))
             .as("label")),
-        s"labels_${rounds % 2 + 2}")
+        slot(s"labels_${rounds % 2 + 2}"))
       changed = stepped.filter(col("label") =!= col("old")).count()
       labels = stepped.select("doc_id", "label")
       rounds += 1
@@ -469,12 +484,11 @@ object Text {
     // for labels whose component was already collapsed at init).
     val fix = labels.select(col("doc_id").as("lnode"),
       col("label").as("final_label"))
-    val out = orderedAll(labels0
+    labels0
       .join(fix, col("label") === col("lnode"), "left")
       .select(col("doc_id"),
         coalesce(col("final_label"), col("label")).as("cluster_id"))
-      .withColumn("keep", col("doc_id") === col("cluster_id")))
-    out
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
   /** TF-IDF cosine near-dup (§2.16): document-pair cosine over LEARNED

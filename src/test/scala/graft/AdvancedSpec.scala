@@ -140,7 +140,8 @@ class AdvancedSpec extends SparkSpec {
       val base = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_ckpt/${spark.conf.get("spark.graft.ckptSessionId")}")
       val slots = Option(base.list()).map(_.toSet).getOrElse(Set.empty)
-      assert(Set("pairs", "edges", "labels_0").subsetOf(slots), s"$slots")
+      assert(Set("cc_pairs", "cc_edges", "cc_labels_0").subsetOf(slots),
+        s"$slots")
     } finally spark.conf.unset("spark.graft.reliableCheckpoint")
   }
 

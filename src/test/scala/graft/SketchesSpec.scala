@@ -83,10 +83,13 @@ class SketchesSpec extends SparkSpec {
 
   test("simhash banding: identical pair set to brute-force all-pairs") {
     // Independent driver-side reimplementation: signature from first
-    // principles (xxhash64 votes), then O(n²) hamming over all pairs.
-    // The 9-segment pigeonhole join must produce EXACTLY this set — the
+    // principles (md5-nibble votes — bit k of a token's hash is bit k%4
+    // of hex nibble k/4), then O(n²) hamming over all pairs. The
+    // 9-segment pigeonhole join must produce EXACTLY this set — the
     // banding guarantee is combinatorial, not probabilistic.
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val docs = Tables.table(spark, sf, "documents")
       .filter(org.apache.spark.sql.functions.col("lang") === "en")
       .collect().map(r => r.getLong(0) ->
@@ -94,10 +97,11 @@ class SketchesSpec extends SparkSpec {
     val sigs = docs.map { case (id, toks) =>
       val votes = new Array[Int](64)
       toks.foreach { tk =>
-        val h = new XxHash64(Seq(Literal.create(tk))).eval(null)
-          .asInstanceOf[Long]
-        for (k <- 0 until 64)
-          votes(k) += (if (((h >>> k) & 1L) == 1L) 1 else -1)
+        val hex = md5hex(tk)
+        for (k <- 0 until 64) {
+          val nib = Character.digit(hex.charAt(k / 4), 16)
+          votes(k) += (if (((nib >> (k % 4)) & 1) == 1) 1 else -1)
+        }
       }
       id -> (0 until 64).map(k =>
         if (votes(k) > 0) 1L << k else 0L).reduce(_ | _)
