@@ -301,17 +301,26 @@ object Curation {
     * The segments deliberately key on the VARYING digit suffix (the
     * record-discriminating part of the name): blocking on a low-entropy
     * field is the classic record-linkage failure (one giant block =
-    * all-pairs in disguise). At 100 TB the same contract adds a length
-    * band to each block key (unequal-length candidates at d≤1 differ by
-    * one indel — caught by blocking on both len and len±1 variants) and
-    * caps block sizes by salting hub keys; the verify stays a per-pair
-    * scalar. q_fuzzy_match is the tiny-dim all-pairs twin of this
+    * all-pairs in disguise). For corpora whose names are NOT fixed-width,
+    * `spark.graft.entityMatchGeneral=true` (default off — the fixture is
+    * fixed-width) switches to deletion-neighborhood blocking (FastSS):
+    * each name posts itself plus its |name| single-character deletions as
+    * block keys. Lossless for d ≤ 1 at ANY lengths — equal names share
+    * the name, an indel pair's shorter side IS a deletion of the longer,
+    * and a substitution pair shares the deletion at the substituted
+    * position; the exact levenshtein verify stays a per-pair scalar.
+    * Key fan-out is |name|+1 per row (bounded by name length, not corpus
+    * size); block-size capping by salting hub keys is the remaining
+    * 100 TB knob. q_fuzzy_match is the tiny-dim all-pairs twin of this
     * operator; this one is the shape that survives a corpus-sized left
     * side. */
   def qEntityMatch(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer")
+    val c0 = t(s, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey").as("key"), col("c_name").as("name"))
+    if (s.conf.getOption("spark.graft.entityMatchGeneral").contains("true"))
+      return qEntityMatchGeneral(c0)
+    val c = c0
       // digits 4-6 and 7-9 of the 9-digit suffix (chars 13-15 / 16-18).
       .withColumn("seg1", substring(col("name"), 13, 3))
       .withColumn("seg2", substring(col("name"), 16, 3))
@@ -326,6 +335,31 @@ object Curation {
         a.join(b, col("a_s2") === col("b_s2") &&
             col("a_key") < col("b_key"))
           .select("a_key", "b_key", "a_name", "b_name"))
+      .distinct()
+    orderedAll(cand
+      .withColumn("d", levenshtein(col("a_name"), col("b_name")).cast("long"))
+      .filter(col("d") <= 1)
+      .select("a_key", "b_key", "d"))
+  }
+
+  /** Deletion-neighborhood (FastSS) blocking for d ≤ 1 over
+    * variable-length names — see [[qEntityMatch]]. Same output contract
+    * and verify; only candidate generation differs. */
+  private def qEntityMatchGeneral(c: DataFrame): DataFrame = {
+    val keyed = c.select(col("key"), col("name"),
+      explode(expr(
+        """array_union(array(name),
+          |  transform(sequence(1, length(name)), i ->
+          |    concat(substring(name, 1, i - 1),
+          |           substring(name, i + 1, length(name)))))"""
+          .stripMargin)).as("bk"))
+    val a = keyed.select(col("key").as("a_key"), col("name").as("a_name"),
+      col("bk"))
+    val b = keyed.select(col("key").as("b_key"), col("name").as("b_name"),
+      col("bk"))
+    val cand = a.join(b, Seq("bk"))
+      .filter(col("a_key") < col("b_key"))
+      .select("a_key", "b_key", "a_name", "b_name")
       .distinct()
     orderedAll(cand
       .withColumn("d", levenshtein(col("a_name"), col("b_name")).cast("long"))

@@ -99,6 +99,55 @@ class Round7Spec extends SparkSpec {
     assert(reps == expected)
   }
 
+  test("entity-match general mode finds every d<=1 pair at mixed lengths") {
+    import spark.implicits._
+    // Variable-length names exercising every d<=1 modality: equality,
+    // substitution (same length), insertion/deletion (len +- 1) at head,
+    // middle, and tail — plus d=2 pairs that must NOT match.
+    val names = Seq(
+      1L -> "cust123", 2L -> "cust123",   // equal
+      3L -> "kust123",                    // substitution at head
+      4L -> "cust124",                    // substitution at tail
+      5L -> "cust1234",                   // insertion at tail vs 1
+      6L -> "ust123",                     // deletion at head vs 1
+      7L -> "cst123",                     // deletion mid vs 1
+      8L -> "abcdefg",                    // far from everything
+      9L -> "cust12",                     // deletion at tail vs 1
+      10L -> "xust124")                   // d=2 vs 1, d=1 vs 4
+    val dir = java.nio.file.Files.createTempDirectory("graft_r7").toString
+    names.map { case (k, n) => (k, n, 1, 0.0, "BUILDING") }
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      i <- names.indices; j <- (i + 1) until names.length
+      d = lev(names(i)._2, names(j)._2) if d <= 1
+    } yield (names(i)._1, names(j)._1, d.toLong)).toSet
+    assert(expected.exists(_._3 == 0) && expected.exists(_._3 == 1))
+    val got = withConf("spark.graft.entityMatchGeneral" -> "true") {
+      ops.Curation.qEntityMatch(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(got == expected,
+      s"missed=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
+  test("entity-match general mode equals segment mode on the fixture") {
+    val base = run("q_entity_match").collect().map(_.toSeq).toSeq
+    val general = withConf("spark.graft.entityMatchGeneral" -> "true") {
+      run("q_entity_match").collect().map(_.toSeq).toSeq
+    }
+    assert(general == base)
+  }
+
   test("density gate stays OFF below threshold (pair list unchanged)") {
     // A generous threshold the fixture does NOT exceed must keep the
     // graded pair-list contract byte-identical.
