@@ -1821,6 +1821,140 @@ object Oracles {
         |FROM pairs, marg a, marg b, tot
         |WHERE pairs.brand_a = a.brand AND pairs.brand_b = b.brand
         |  AND sup * 100 >= n_orders
-        |ORDER BY ALL""".stripMargin
+        |ORDER BY ALL""".stripMargin,
+
+    // ---- §2.21 round-7 quality / analytics extensions ----------------
+    "q_code_detect" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    text || CASE WHEN doc_id % 3 = 0
+        |                 THEN ' if (x) { y[0] = x; return y; }'
+        |                 WHEN doc_id % 3 = 1 THEN ' and so it goes.'
+        |                 ELSE '' END AS raw
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, length(raw) AS n,
+        |    length(raw) -
+        |      length(regexp_replace(raw, '[{}\[\]();=]', '', 'g'))
+        |      AS punct
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN punct * 50 >= n THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_code,
+        |       CAST(sum(punct) AS BIGINT) AS punct_chars,
+        |       CAST(sum(n) AS BIGINT) AS total_chars
+        |FROM m GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_filter_cascade" ->
+      """WITH d AS (
+        |  SELECT source, n_chars,
+        |    len(string_split(text, ' ')) AS all_toks,
+        |    len(list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                  x -> x <> ''))) AS uniq
+        |  FROM documents),
+        |staged AS (
+        |  SELECT source,
+        |    CASE WHEN n_chars < 40 THEN 'len'
+        |         WHEN all_toks < 8 THEN 'tokens'
+        |         WHEN uniq * 2 < all_toks THEN 'repetition'
+        |         ELSE 'kept' END AS stage
+        |  FROM d),
+        |tot AS (SELECT source, count(*) AS n_total FROM staged GROUP BY 1)
+        |SELECT s.source, stage, count(*) AS n,
+        |       CAST(count(*) * 10000 // n_total AS BIGINT) AS share_bp
+        |FROM staged s JOIN tot USING (source)
+        |GROUP BY 1, 2, n_total ORDER BY ALL""".stripMargin,
+    "q_shingle_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents WHERE lang = 'en'),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i,
+        |             toks FROM t),
+        |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS s
+        |       FROM p),
+        |fst AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |       CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS novel,
+        |       CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        |         * 10000 // count(*) AS BIGINT) AS novelty_bp
+        |FROM sh JOIN fst USING (s)
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_dup_ratio" ->
+      """WITH bt AS (SELECT text, count(DISTINCT source) AS n_sources
+        |            FROM documents GROUP BY 1)
+        |SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT d.text) AS n_distinct,
+        |       count(*) - count(DISTINCT d.text) AS dup_docs,
+        |       CAST(sum(CASE WHEN n_sources >= 2 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS xsource_docs
+        |FROM documents d JOIN bt ON d.text = bt.text
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_url_canonical" ->
+      """WITH u AS (
+        |  SELECT 'https://' || source || '.example.com/' || lang ||
+        |           '/doc/' || CAST(doc_id % 50 AS VARCHAR) || '/?ref=' ||
+        |           CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+        |    regexp_replace(regexp_replace(url, '\?.*$', ''), '/$', '')
+        |      AS canon
+        |  FROM u)
+        |SELECT host, count(*) AS n_urls,
+        |       count(DISTINCT canon) AS n_canonical,
+        |       count(*) - count(DISTINCT canon) AS dup_urls
+        |FROM c GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour, value,
+        |    row_number() OVER (PARTITION BY event_type,
+        |      epoch_us(ts) // 3600000000 ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type,
+        |      epoch_us(ts) // 3600000000 ORDER BY ts DESC, event_id DESC)
+        |      AS rd
+        |  FROM events)
+        |SELECT event_type, hour,
+        |       round(max(CASE WHEN ra = 1 THEN value END), 4) AS open,
+        |       round(max(value), 4) AS high,
+        |       round(min(value), 4) AS low,
+        |       round(max(CASE WHEN rd = 1 THEN value END), 4) AS close,
+        |       count(*) AS n
+        |FROM e GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+    "q_rank_corr" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS segment, o_orderkey, c_acctbal,
+        |         o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT segment,
+        |    row_number() OVER (PARTITION BY segment
+        |      ORDER BY c_acctbal, o_orderkey) AS rx,
+        |    row_number() OVER (PARTITION BY segment
+        |      ORDER BY o_totalprice, o_orderkey) AS ry
+        |  FROM j)
+        |SELECT segment, count(*) AS n,
+        |       CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+        |       CAST(10000 - (60000 * sum((rx - ry) * (rx - ry)))
+        |         // (count(*) * (count(*) * count(*) - 1)) AS BIGINT)
+        |         AS rho_bp
+        |FROM r GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_cluster_cohesion" ->
+      """WITH lanes AS (
+        |  SELECT label, vec_id,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS lane,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0)
+        |      AS BIGINT) AS q
+        |  FROM embeddings),
+        |cent AS (SELECT label, lane,
+        |           CAST(floor(sum(q) / count(*)) AS BIGINT) AS c
+        |         FROM lanes GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT label, vec_id,
+        |    CAST(sum((q - c) * (q - c)) AS BIGINT) AS d2
+        |  FROM lanes JOIN cent USING (label, lane)
+        |  GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_vecs,
+        |       CAST(sum(d2) // count(*) AS BIGINT) AS avg_d2,
+        |       max(d2) AS max_d2
+        |FROM dist GROUP BY 1 ORDER BY ALL""".stripMargin
   )
 }

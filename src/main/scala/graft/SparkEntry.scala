@@ -189,6 +189,15 @@ object SparkEntry {
     "q_table_checksum" -> Integrity.qTableChecksum _,
     "q_entity_match" -> Curation.qEntityMatch _,
     "q_brand_affinity" -> Warehouse.qBrandAffinity _,
+    // §2.21 round-7 quality / analytics extensions
+    "q_code_detect" -> Quality.qCodeDetect _,
+    "q_filter_cascade" -> Quality.qFilterCascade _,
+    "q_shingle_novelty" -> Quality.qShingleNovelty _,
+    "q_dup_ratio" -> Quality.qDupRatio _,
+    "q_url_canonical" -> Quality.qUrlCanonical _,
+    "q_ohlc" -> Warehouse.qOhlc _,
+    "q_rank_corr" -> Warehouse.qRankCorr _,
+    "q_cluster_cohesion" -> Vectors.qClusterCohesion _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

@@ -367,4 +367,36 @@ object Vectors {
       .groupBy("vec_id", "d")
       .agg(sum(col("sg") * col("q")).cast("long").as("proj")))
   }
+
+  /** Per-label cluster cohesion (§2.21): integer centroid + squared
+    * euclidean dispersion stats — the compactness report a clustering or
+    * topic-bucketing run is judged by. Integer-exact end to end (the
+    * q_random_projection policy): lanes quantize to ⌊v·1000⌋ BIGINTs, the
+    * centroid is the per-lane floor-mean (sum div n), distances are exact
+    * BIGINT squared sums — no FP summation anywhere, so the result is
+    * partition-order-independent by construction. Two mergeable
+    * aggregates; the label×lane centroid table (|labels|·64 rows) is the
+    * only broadcast — dimension-sized, never corpus-sized. */
+  def qClusterCohesion(s: SparkSession, dir: String): DataFrame = {
+    val lanes = t(s, dir, "embeddings")
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")))
+      .select(col("label"), col("vec_id"),
+        col("pos").cast("long").as("lane"),
+        floor(col("col").cast("double") * 1000.0).cast("long").as("q"))
+    // floor over exact double division, NOT integer `div`: lane sums can
+    // be negative, and Spark's div truncates toward zero while DuckDB's
+    // // floors — floor() spells the same rounding in both engines (the
+    // quotient is far under 2^52, so the double path is exact).
+    val cent = lanes.groupBy("label", "lane")
+      .agg(floor(sum(col("q")).cast("double") / count(lit(1)))
+        .cast("long").as("c"))
+    val dist = lanes.join(broadcast(cent), Seq("label", "lane"))
+      .groupBy("label", "vec_id")
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c")))
+        .cast("long").as("d2"))
+    orderedAll(dist.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(d2) div count(1)").as("avg_d2"),
+        max(col("d2")).as("max_d2")))
+  }
 }

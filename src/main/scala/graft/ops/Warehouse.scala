@@ -247,4 +247,62 @@ object Warehouse {
         expr("(sup * n_orders * 10000) div (na * nb)"))
       .select("brand_a", "brand_b", "sup", "na", "nb", "lift_bp"))
   }
+
+  /** Hourly OHLC bars per event type (§2.21): open/high/low/close/count —
+    * the time-series downsampling shape every metrics warehouse runs.
+    * Open/close are picked by row_number over (ts, event_id) — the
+    * deterministic tie-break policy (ties on ts broken by id), mirrored
+    * verbatim in the oracle — then folded in the same grouped aggregate
+    * as high/low (max/min are FP-exact: no accumulation). One window
+    * shuffle on (event_type, hour) + one mergeable aggregate; at 100 TB
+    * the window partitions by the same key the aggregate groups on, so
+    * both stages share one exchange. */
+  def qOhlc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events")
+      .withColumn("hour", expr("unix_micros(ts) div 3600000000"))
+    val w = Window.partitionBy(col("event_type"), col("hour"))
+    val asc = w.orderBy(col("ts").asc, col("event_id").asc)
+    val desc = w.orderBy(col("ts").desc, col("event_id").desc)
+    orderedAll(e
+      .withColumn("ra", row_number().over(asc))
+      .withColumn("rd", row_number().over(desc))
+      .groupBy("event_type", "hour")
+      .agg(round(max(when(col("ra") === 1, col("value"))), 4).as("open"),
+        round(max(col("value")), 4).as("high"),
+        round(min(col("value")), 4).as("low"),
+        round(max(when(col("rd") === 1, col("value"))), 4).as("close"),
+        count(lit(1)).as("n")))
+  }
+
+  /** Spearman rank correlation between customer account balance and
+    * order value, per market segment (§2.21) — the monotonic-association
+    * report statistic, computed EXACTLY: ranks are row_numbers with a
+    * deterministic (value, o_orderkey) tie-break (a defined contract both
+    * engines replay, sidestepping the FP-free average-rank tie
+    * formula), d² sums are BIGINT, and ρ is emitted in basis points via
+    * integer division — no float path. Two window shuffles on the same
+    * segment key + one aggregate. BIGINT bounds: 60000·Σd² ≤ 2·10⁴·n³
+    * overflows past n ≈ 60 M rows per segment; the 100 TB swap is the
+    * same formula in DECIMAL(38,0). */
+  def qRankCorr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+        col("c_acctbal"), col("o_totalprice"))
+    val w = Window.partitionBy(col("segment"))
+    val rx = row_number().over(
+      w.orderBy(col("c_acctbal").asc, col("o_orderkey").asc))
+    val ry = row_number().over(
+      w.orderBy(col("o_totalprice").asc, col("o_orderkey").asc))
+    orderedAll(j
+      .withColumn("d", (rx - ry).cast("long"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("d") * col("d")).cast("long").as("sum_d2"))
+      .withColumn("rho_bp",
+        expr("10000 - (60000 * sum_d2) div (n * (n * n - 1))")))
+  }
 }

@@ -157,4 +157,109 @@ class Round7Spec extends SparkSpec {
     }
     assert(gated == base)
   }
+
+  // ---- §2.21 ground-truth cross-checks --------------------------------
+
+  test("q_filter_cascade conserves documents and basis points") {
+    val rows = run("q_filter_cascade").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val perSource = Tables.table(spark, sf, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.map(_._3).sum == perSource(src),
+        s"stage counts for $src don't partition the source")
+      assert(rs.map(_._4).sum <= 10000,
+        "floor-divided shares must not exceed 10000 bp")
+      assert(rs.map(_._2).toSet.subsetOf(
+        Set("len", "tokens", "repetition", "kept")))
+    }
+  }
+
+  test("q_shingle_novelty: every shingle is novel somewhere exactly once") {
+    val rows = run("q_shingle_novelty").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, total, novel, bp) =>
+      assert(novel >= 0 && novel <= total)
+      assert(bp == novel * 10000 / total)
+    }
+    // Σ novel over docs = number of distinct shingles in the corpus
+    // (each shingle's first occurrence is charged exactly once).
+    val distinctShingles = Tables.table(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .collect().flatMap { r =>
+        val t = r.getString(1).toLowerCase.split(" ")
+        t.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      }.toSet
+    assert(rows.map(_._3).sum == distinctShingles.size)
+  }
+
+  test("q_ohlc bars are internally consistent and complete") {
+    val rows = run("q_ohlc").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, open, high, low, close, n) =>
+      assert(low <= high && open >= low && open <= high &&
+        close >= low && close <= high && n >= 1)
+    }
+    assert(rows.map(_._7).sum == Tables.table(spark, sf, "events").count())
+  }
+
+  test("q_rank_corr matches a driver-side Spearman recompute") {
+    val data = Tables.table(spark, sf, "orders")
+      .join(Tables.table(spark, sf, "customer"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .select("c_mktsegment", "o_orderkey", "c_acctbal", "o_totalprice")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    val expected = data.groupBy(_._1).map { case (seg, rs) =>
+      val rx = rs.sortBy(r => (r._3, r._2)).zipWithIndex
+        .map { case (r, i) => r._2 -> (i + 1L) }.toMap
+      val ry = rs.sortBy(r => (r._4, r._2)).zipWithIndex
+        .map { case (r, i) => r._2 -> (i + 1L) }.toMap
+      val n = rs.length.toLong
+      val sumD2 = rs.map { r =>
+        val d = rx(r._2) - ry(r._2); d * d }.sum
+      seg -> (n, sumD2, 10000L - (60000L * sumD2) / (n * (n * n - 1)))
+    }
+    val got = run("q_rank_corr").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+  }
+
+  test("q_cluster_cohesion matches a driver-side integer recompute") {
+    val vecs = Tables.table(spark, sf, "embeddings").collect()
+      .map(r => (r.getInt(2), r.getLong(0),
+        r.getSeq[Float](1).map(f =>
+          math.floor(f.toDouble * 1000.0).toLong).toArray))
+    val expected = vecs.groupBy(_._1).map { case (label, vs) =>
+      val n = vs.length
+      val cent = Array.tabulate(64) { i =>
+        math.floor(vs.map(_._3(i)).sum.toDouble / n).toLong }
+      val d2s = vs.map { case (_, _, q) =>
+        (0 until 64).map(i => (q(i) - cent(i)) * (q(i) - cent(i))).sum }
+      label -> (n.toLong, d2s.sum / n, d2s.max)
+    }
+    val got = run("q_cluster_cohesion").collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+  }
+
+  test("q_dup_ratio: distinct + dup partition each source") {
+    val rows = run("q_dup_ratio").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, distinct, dup, xsrc) =>
+      assert(distinct + dup == n)
+      assert(xsrc >= 0 && xsrc <= n)
+    }
+  }
 }
