@@ -104,4 +104,27 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_subquery_exists").toString
     assert(!p.contains("Subquery"), s"correlated subplan survived:\n$p")
   }
+
+  test("q_ohlc: windows and aggregate share one data exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // one shuffle for the (event_type, hour) windows; the grouped
+    // aggregate on the same key must reuse that distribution. The only
+    // other ShuffleExchange allowed is orderedAll's repartition(1).
+    val ex = plan("q_ohlc").collect { case e: ShuffleExchangeExec => e }
+    assert(ex.length <= 2, s"q_ohlc plans ${ex.length} shuffles")
+  }
+
+  test("q_rank_corr: both rank windows ride one segment exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val ex = plan("q_rank_corr").collect { case e: ShuffleExchangeExec => e }
+    // segment windows share one exchange; + the aggregate's exchange and
+    // orderedAll's repartition(1) at most.
+    assert(ex.length <= 3, s"q_rank_corr plans ${ex.length} shuffles")
+  }
+
+  test("q_triangle_count: degree orientation keeps equi-join wedges") {
+    assert(plan("q_triangle_count").collect {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.isEmpty, "triangle wedge join fell back to an all-pairs NLJ")
+  }
 }
