@@ -35,6 +35,17 @@ object Text {
     s.conf.getOption("spark.graft.maskGroupMaxDict")
       .map(_.toLong).getOrElse(64L)
 
+  /** Ceiling on DISTINCT masks for [[maskGroupPairs]]: the strategy
+    * broadcasts the M-row distinct-mask table and scans O(M²) mask
+    * pairs, which is only right while M ≪ N. An adversarial corpus
+    * (every doc a distinct subset) drives M → min(N, 2^dict); above the
+    * cutoff the caller falls back to the inverted join, which broadcasts
+    * nothing. 1M masks ≈ 16 MB broadcast / 5·10¹¹ pair tests — the edge
+    * of sane for one executor wave. */
+  private[graft] def maskGroupMaxMasks(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.maskGroupMaxMasks")
+      .map(_.toLong).getOrElse(1000000L)
+
   private def pairNljMaxDocs(s: SparkSession): Long =
     s.conf.getOption("spark.graft.pairNljMaxDocs")
       .map(_.toLong).getOrElse(20000L)
@@ -281,6 +292,11 @@ object Text {
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), tok_id))").as("mask"),
         count(lit(1)).as("nt"))
     val dm = masks.select("mask", "nt").distinct()
+    // Adversarial-density guard: the whole premise is M ≪ N distinct
+    // token sets; when a corpus violates it, the inverted join's
+    // co-occurrence bound beats an M-sized broadcast + M² scan.
+    if (dm.count() > maskGroupMaxMasks(dt.sparkSession))
+      return invertedPairs(dt, cMul, sMul)
     val x = dm.select(col("mask").as("mx"), col("nt").as("nx"))
     val y = dm.select(col("mask").as("my"), col("nt").as("ny"))
     val qual = x.join(broadcast(y), col("mx") < col("my"))

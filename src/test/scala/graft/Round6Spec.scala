@@ -43,9 +43,15 @@ class Round6Spec extends SparkSpec {
       "spark.graft.maskGroupMaxDict" -> "0") {
       rowSet(run("q_dedup_near"))
     }
+    // adversarial-density guard: too many DISTINCT masks → same fallback
+    val guarded = withConf("spark.graft.pairNljMaxDocs" -> "1",
+      "spark.graft.maskGroupMaxMasks" -> "1") {
+      rowSet(run("q_dedup_near"))
+    }
     assert(small.nonEmpty)
     assert(grouped == small, "mask-group branch diverged")
     assert(inverted == small, "inverted-index branch diverged")
+    assert(guarded == small, "mask-count guard fallback diverged")
   }
 
   test("maskGroupPairs ≡ brute force on a duplicate-heavy tiny-vocab corpus") {
