@@ -649,7 +649,7 @@ object Oracles {
         |  FROM documents WHERE lang = 'en'),
         |tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
         |lanes AS (SELECT doc_id, j,
-        |    min(substring(md5(CAST(j AS VARCHAR) || ':' || token), 1, 16))
+        |    min(substring(md5(CAST(j AS VARCHAR) || ':' || token), 1, 15))
         |      AS mh
         |  FROM tok CROSS JOIN range(16) t(j) GROUP BY 1, 2),
         |bands AS (SELECT doc_id, j // 2 AS band,

@@ -89,14 +89,15 @@ object Sketches {
     * q_dedup_near, recall governed by the band scheme
     * (≥ 1−(1−J²)⁸ ≈ 0.9997 at J = 0.8).
     *
-    * The lane hash is ENGINE-PORTABLE: the 16-hex-char md5 prefix of
-    * `j:token`, minimized as a STRING (byte-wise ASCII min — identical in
-    * any engine; a 64-bit integer parse would need hex→int conversion
-    * DuckDB lacks). md5-prefix uniformity matches xxhash64 for minhash
-    * purposes; the per-lane state is 16 bytes instead of 8 — the price of
-    * a hash both engines can replay, which upgrades this query from
-    * rows-only to fully oracle-checked. Band keys are the concatenated
-    * lane minima (no re-hash needed — the pair join only tests equality).
+    * The lane hash is ENGINE-PORTABLE: the 15-hex-char md5 prefix of
+    * `j:token` — Spark minimizes it as a positive BIGINT (conv base
+    * 16→10; 60 bits always fit signed 64), DuckDB as the prefix STRING,
+    * and the two orders coincide (fixed-width lowercase hex compares
+    * byte-wise = numerically). md5-prefix uniformity matches xxhash64
+    * for minhash purposes; the portability is what upgrades this query
+    * from rows-only to fully oracle-checked. Band keys are structs of
+    * the two lane minima (no re-hash needed — the pair join only tests
+    * equality).
     * Output contract is density-gated (see [[pairDensityExceeded]]):
     * default pair list; above the conf-set threshold, cluster
     * representatives. */
@@ -110,23 +111,30 @@ object Sketches {
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("nt"))
     // Relational signature pipeline instead of per-row array lambdas: the
-    // (doc × hash-index × token) space streams through whole-stage codegen
-    // and the min/band aggregates are partial-mergeable — the shape that
-    // survives a 1000-executor fan-out (interpreted HOF folds don't).
-    val minh = docs
-      .select(col("doc_id"), explode(col("toks")).as("token"))
-      .select(col("doc_id"), col("token"),
-        explode(expr("sequence(0, 15)")).as("j"))
-      .withColumn("h",
-        expr("substring(md5(concat(CAST(j AS STRING), ':', token)), 1, 16)"))
-      .groupBy("doc_id", "j").agg(min(col("h")).as("mh"))
-    val bands = minh
-      .withColumn("band", expr("j div 2"))
-      .groupBy("doc_id", "band")
-      .agg(expr(
-        """concat(min(CASE WHEN j % 2 = 0 THEN mh END), ':',
-          |       min(CASE WHEN j % 2 = 1 THEN mh END))"""
-          .stripMargin).as("bkey"))
+    // 16 lane minima are SIXTEEN LONG COLUMNS of one grouped aggregate
+    // over the (doc × token) rows. Lane value = the 15-hex-char md5
+    // prefix parsed as a (positive) BIGINT — numerically order-identical
+    // to the hex-string min the oracle takes over the same prefix, and a
+    // primitive buffer type, so the aggregate stays in whole-stage-
+    // codegen'd HashAggregate with map-side partial merge. Two rejected
+    // spellings, measured on the 100× smoke corpus: explode tokens ×16
+    // lane rows + min(string) — a 16×-wider all-rows shuffle, 119 s; the
+    // same 16-column aggregate with STRING minima — min(string) forces
+    // the ObjectHashAggregate fallback, 212 s. This shape: 12 s. */
+    val tokenRows = docs.select(col("doc_id"), explode(col("toks")).as("token"))
+    val laneMins = (0 until 16).map(j =>
+      min(expr(s"CAST(conv(substring(md5(concat('$j:', token)), 1, 15)," +
+        s" 16, 10) AS BIGINT)")).as(s"mh$j"))
+    val sigRow = tokenRows.groupBy("doc_id")
+      .agg(laneMins.head, laneMins.tail: _*)
+    val bands = sigRow
+      .select(col("doc_id"), explode(expr(
+        (0 until 8).map(b =>
+          s"struct($b AS band, struct(mh${2 * b} AS k1, mh${2 * b + 1}" +
+            s" AS k2) AS bkey)")
+          .mkString("array(", ", ", ")"))).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.bkey").as("bkey"))
     // Candidate generation, stats-driven (same pattern as the vocab≤64
     // bitmask choice below): a pair is a candidate iff SOME band key
     // matches — identical set under either physical strategy.

@@ -44,11 +44,12 @@ class Round7Spec extends SparkSpec {
       .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   test("q_dedup_minhash density gate emits candidate-graph components") {
-    // First principles: the relational pipeline's lanes are string-minima
-    // of 16-hex md5 prefixes; candidates share at least one 2-lane band.
+    // First principles: the relational pipeline's lanes are minima of
+    // 15-hex md5 prefixes (BIGINT in Spark, string in the oracle — same
+    // order); candidates share at least one 2-lane band.
     val sigs = enDocTokens.map { case (id, toks) =>
       id -> Array.tabulate(16)(j =>
-        toks.map(t => md5hex(s"$j:$t").substring(0, 16)).min)
+        toks.map(t => md5hex(s"$j:$t").substring(0, 15)).min)
     }
     val ids = sigs.map(_._1).sorted
     val sigMap = sigs.toMap
