@@ -1955,6 +1955,162 @@ object Oracles {
         |SELECT label, count(*) AS n_vecs,
         |       CAST(sum(d2) // count(*) AS BIGINT) AS avg_d2,
         |       max(d2) AS max_d2
-        |FROM dist GROUP BY 1 ORDER BY ALL""".stripMargin
+        |FROM dist GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.22 round-7 corpus-construction / operational analytics ----
+    "q_line_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |ix AS (
+        |  SELECT doc_id, source, toks,
+        |         unnest(generate_series(0,
+        |           CAST((len(toks) - 1) // 5 AS BIGINT))) AS line_idx
+        |  FROM tk),
+        |lines AS (
+        |  SELECT doc_id, source, line_idx,
+        |         array_to_string(toks[line_idx*5+1 : line_idx*5+5], ' ')
+        |           AS line
+        |  FROM ix),
+        |k AS (SELECT source, line, doc_id * 100000 + line_idx AS okey
+        |      FROM lines),
+        |f AS (SELECT line, min(okey) AS first_key FROM k GROUP BY 1)
+        |SELECT k.source, count(*) AS n_lines,
+        |       CAST(sum(CASE WHEN k.okey = f.first_key THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN k.okey = f.first_key THEN 0 ELSE 1 END)
+        |         AS BIGINT) AS n_removed,
+        |       count(DISTINCT k.line) AS n_distinct
+        |FROM k JOIN f USING (line) GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_bpe_pairs" ->
+      """WITH tk AS (
+        |  SELECT string_split(lower(text), ' ') AS toks FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 2),
+        |ix AS (
+        |  SELECT toks, unnest(generate_series(1,
+        |           CAST(len(toks) - 1 AS BIGINT))) AS i
+        |  FROM tk),
+        |pairs AS (SELECT toks[i] || ' ' || toks[i+1] AS pair FROM ix)
+        |SELECT * FROM (
+        |  SELECT pair, count(*) AS cnt FROM pairs GROUP BY 1
+        |  ORDER BY cnt DESC, pair LIMIT 50) ORDER BY ALL""".stripMargin,
+    "q_inverted_index" ->
+      """WITH ex AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |p AS (SELECT DISTINCT doc_id, token FROM ex WHERE token <> ''),
+        |r AS (SELECT token, doc_id,
+        |        row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+        |      FROM p),
+        |caps AS (
+        |  SELECT token, string_agg(CAST(doc_id AS VARCHAR), ','
+        |    ORDER BY doc_id) AS postings
+        |  FROM r WHERE rn <= 10 GROUP BY 1),
+        |a AS (SELECT token, count(*) AS df, min(doc_id) AS first_doc,
+        |        max(doc_id) AS last_doc
+        |      FROM p GROUP BY 1)
+        |SELECT a.token, a.df, a.first_doc, a.last_doc, caps.postings
+        |FROM a JOIN caps USING (token) ORDER BY ALL""".stripMargin,
+    "q_token_budget" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS total_toks,
+        |               count(*) AS n_sources FROM per)
+        |SELECT source, n_docs, toks,
+        |       toks * 10000 // total_toks AS share_bp,
+        |       (total_toks // n_sources) * 10000 // toks AS epochs_bp
+        |FROM per, tot ORDER BY ALL""".stripMargin,
+    "q_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT o_orderpriority AS pri, o_orderkey AS fid,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS bytes
+        |  FROM orders),
+        |c AS (
+        |  SELECT pri, fid, bytes,
+        |         coalesce(sum(bytes) OVER (PARTITION BY pri ORDER BY fid
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS cum_before
+        |  FROM f)
+        |SELECT pri, CAST(cum_before // 1000000000 AS BIGINT) AS bucket,
+        |       count(*) AS n_files,
+        |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |       min(fid) AS first_file, max(fid) AS last_file
+        |FROM c GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+    "q_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type, epoch_us(ts) -
+        |         lag(epoch_us(ts), 1) OVER (PARTITION BY event_type
+        |           ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, gap_us,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY gap_us)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM g WHERE gap_us IS NOT NULL)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+        |  CAST(sum(CASE
+        |    WHEN rn - 1 = (50 * (n - 1)) // 100
+        |      THEN gap_us * (100 - (50 * (n - 1)) % 100)
+        |    WHEN rn - 1 = (50 * (n - 1)) // 100 + 1
+        |      THEN gap_us * ((50 * (n - 1)) % 100)
+        |    ELSE 0 END) AS BIGINT) AS p50_x100,
+        |  CAST(sum(CASE
+        |    WHEN rn - 1 = (95 * (n - 1)) // 100
+        |      THEN gap_us * (100 - (95 * (n - 1)) % 100)
+        |    WHEN rn - 1 = (95 * (n - 1)) // 100 + 1
+        |      THEN gap_us * ((95 * (n - 1)) % 100)
+        |    ELSE 0 END) AS BIGINT) AS p95_x100,
+        |  CAST(sum(CASE
+        |    WHEN rn - 1 = (99 * (n - 1)) // 100
+        |      THEN gap_us * (100 - (99 * (n - 1)) % 100)
+        |    WHEN rn - 1 = (99 * (n - 1)) // 100 + 1
+        |      THEN gap_us * ((99 * (n - 1)) % 100)
+        |    ELSE 0 END) AS BIGINT) AS p99_x100,
+        |  max(gap_us) AS max_us
+        |FROM r GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_hist2d" ->
+      s"""SELECT CAST((CAST(l_quantity AS BIGINT) - 1) // 5 AS BIGINT)
+         |         AS qbin,
+         |       CAST(round(l_discount * 100) AS BIGINT) AS dbin,
+         |       count(*) AS n, ${dsum("l_extendedprice")} AS revenue
+         |FROM lineitem GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+    "q_abtest" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    ts < TIMESTAMP '2024-01-16 00:00:00' AS pre,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+        |    CAST(sum(CASE WHEN pre THEN 0 ELSE 1 END) AS BIGINT) AS n_post,
+        |    CAST(sum(CASE WHEN pre THEN cents ELSE 0 END) AS BIGINT)
+        |      AS sx_pre,
+        |    CAST(sum(CASE WHEN pre THEN 0 ELSE cents END) AS BIGINT)
+        |      AS sx_post,
+        |    CAST(sum(CASE WHEN pre THEN cents * cents ELSE 0 END) AS BIGINT)
+        |      AS sxx_pre,
+        |    CAST(sum(CASE WHEN pre THEN 0 ELSE cents * cents END) AS BIGINT)
+        |      AS sxx_post
+        |  FROM m GROUP BY 1)
+        |SELECT event_type, n_pre, n_post,
+        |  round(CAST(sx_pre AS DOUBLE) / n_pre / 100.0, 4) AS mean_pre,
+        |  round(CAST(sx_post AS DOUBLE) / n_post / 100.0, 4) AS mean_post,
+        |  round(
+        |    (CAST(sx_pre AS DOUBLE) / n_pre / 100.0
+        |       - CAST(sx_post AS DOUBLE) / n_post / 100.0)
+        |    / sqrt(
+        |        ((CAST(n_pre AS DOUBLE) * CAST(sxx_pre AS DOUBLE)
+        |           - CAST(sx_pre AS DOUBLE) * CAST(sx_pre AS DOUBLE))
+        |          / (CAST(n_pre AS DOUBLE) * (n_pre - 1)) / 10000.0) / n_pre
+        |      + ((CAST(n_post AS DOUBLE) * CAST(sxx_post AS DOUBLE)
+        |           - CAST(sx_post AS DOUBLE) * CAST(sx_post AS DOUBLE))
+        |          / (CAST(n_post AS DOUBLE) * (n_post - 1)) / 10000.0)
+        |        / n_post),
+        |    3) AS welch_t
+        |FROM a ORDER BY ALL""".stripMargin
   )
 }

@@ -198,6 +198,15 @@ object SparkEntry {
     "q_ohlc" -> Warehouse.qOhlc _,
     "q_rank_corr" -> Warehouse.qRankCorr _,
     "q_cluster_cohesion" -> Vectors.qClusterCohesion _,
+    // §2.22 round-7 corpus-construction / operational analytics
+    "q_line_dedup" -> Corpus.qLineDedup _,
+    "q_bpe_pairs" -> Corpus.qBpePairs _,
+    "q_inverted_index" -> Corpus.qInvertedIndex _,
+    "q_token_budget" -> Corpus.qTokenBudget _,
+    "q_compaction_plan" -> Analytics.qCompactionPlan _,
+    "q_interarrival" -> Analytics.qInterarrival _,
+    "q_hist2d" -> Analytics.qHist2d _,
+    "q_abtest" -> Analytics.qAbtest _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-7 §2.22 operational-analytics extensions: compaction planning
+  * (the OPTIMIZE bin-packing primitive), inter-arrival latency percentiles
+  * (the SRE tail-latency report), a 2-d histogram (data-profiling grid),
+  * and a pre/post A/B comparison with an exact-moment Welch t statistic.
+  * All DuckDB-oracled. Float policy: means/variances/t are derived from
+  * EXACT integer (cent-scaled) sums, then combined with a fixed sequence
+  * of IEEE double ops — both engines correctly-round each op from
+  * identical inputs, so the emitted round(…) values cannot flap. */
+object Analytics {
+
+  /** Compaction planning: treat each order as a "file" of
+    * round(o_totalprice·100) bytes, and greedily bin-pack files into
+    * ~1 GB output buckets per priority in file-id order — bucket =
+    * floor(cumulative-bytes-before / target), the streaming one-pass
+    * packing every OPTIMIZE/compaction job runs. One window shuffle on
+    * the partition column; the bucket aggregate reuses the same
+    * partitioning (no second exchange). At 100 TB the same plan runs per
+    * table partition, which is exactly how compaction is scheduled. */
+  def qCompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("pri").orderBy("fid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    orderedAll(t(s, dir, "orders")
+      .select(col("o_orderpriority").as("pri"),
+        col("o_orderkey").as("fid"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("bytes"))
+      .withColumn("cum_before", coalesce(sum("bytes").over(w), lit(0L)))
+      .withColumn("bucket",
+        expr("CAST(cum_before div 1000000000 AS BIGINT)"))
+      .groupBy("pri", "bucket")
+      .agg(count(lit(1)).as("n_files"), sum("bytes").as("total_bytes"),
+        min("fid").as("first_file"), max("fid").as("last_file")))
+  }
+
+  /** Inter-arrival tail latency: per event type, the p50/p95/p99 of
+    * microsecond gaps between consecutive events under the (ts, event_id)
+    * total order — the queueing/throughput signal an ingest pipeline is
+    * monitored by. The interpolated percentile is computed EXACTLY in
+    * ×100-scaled BIGINT arithmetic (gap[lo]·(100−rem) + gap[lo+1]·rem
+    * with lo/rem from integer div/mod of q·(n−1)) — engine FP percentile
+    * implementations disagree in the last ULP on the interpolation op
+    * order (a·(1−f)+b·f vs a+(b−a)·f), and round(…,4) cannot absorb a
+    * ULP at 1e10 magnitude, so no FP path exists here at all. Two sorts
+    * but ONE shuffle: the rank window reuses the event_type partitioning
+    * of the sequencing window. At scale the exact rank selection swaps
+    * for approx_percentile per the q_anomaly_mad policy. */
+  def qInterarrival(s: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy("event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = t(s, dir, "events")
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("prev_us", lag("us", 1).over(wSeq))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("gap_us", col("us") - col("prev_us"))
+    val ranked = gaps
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("gap_us")))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("event_type")))
+    def pScaled(qNum: Int, name: String) = {
+      val pos = s"($qNum * (n - 1))"
+      sum(expr(
+        s"CASE WHEN rn - 1 = $pos div 100 " +
+          s"THEN gap_us * (100 - $pos % 100) " +
+          s"WHEN rn - 1 = $pos div 100 + 1 THEN gap_us * ($pos % 100) " +
+          "ELSE 0 END")).cast("long").as(name)
+    }
+    orderedAll(ranked.groupBy("event_type")
+      .agg(max("n").cast("long").as("n_gaps"),
+        pScaled(50, "p50_x100"), pScaled(95, "p95_x100"),
+        pScaled(99, "p99_x100"), max("gap_us").as("max_us")))
+  }
+
+  /** 2-d profiling histogram: lineitem count + exact decimal revenue on a
+    * (quantity÷5) × (discount·100) grid — the heatmap behind skew/price
+    * diagnostics. Pure scan + one mergeable aggregate over ≤110 cells;
+    * the 100 TB plan is the same scan with partial aggregation doing all
+    * the work map-side. */
+  def qHist2d(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "lineitem")
+      .withColumn("qbin",
+        expr("CAST((CAST(l_quantity AS BIGINT) - 1) div 5 AS BIGINT)"))
+      .withColumn("dbin", expr("CAST(round(l_discount * 100) AS BIGINT)"))
+      .groupBy("qbin", "dbin")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue")))
+
+  /** Pre/post A/B comparison per event type around a mid-window cutoff:
+    * group sizes, cent-exact means, and a Welch t statistic built from
+    * exact integer moments — sum(cents) and sum(cents²) are overflow-safe
+    * BIGINTs at every graded scale (cents² ≤ 2.4e9 per row), and the
+    * variance `(n·Σx² − (Σx)²) / (n(n−1))` is assembled in doubles cast
+    * from those exact sums, so both engines compute bit-identical t. One
+    * scan, one mergeable aggregate (the pre/post split is conditional
+    * aggregation, not a join). */
+  def qAbtest(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "events")
+      .withColumn("pre", col("ts") < expr("TIMESTAMP '2024-01-16 00:00:00'"))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("pre"), 1L).otherwise(0L)).cast("long").as("n_pre"),
+        sum(when(col("pre"), 0L).otherwise(1L)).cast("long").as("n_post"),
+        sum(when(col("pre"), col("cents")).otherwise(0L)).as("sx_pre"),
+        sum(when(col("pre"), lit(0L)).otherwise(col("cents"))).as("sx_post"),
+        sum(when(col("pre"), col("cents") * col("cents")).otherwise(0L))
+          .as("sxx_pre"),
+        sum(when(col("pre"), lit(0L)).otherwise(col("cents") * col("cents")))
+          .as("sxx_post"))
+      .selectExpr("event_type", "n_pre", "n_post",
+        "round(CAST(sx_pre AS DOUBLE) / n_pre / 100.0, 4) AS mean_pre",
+        "round(CAST(sx_post AS DOUBLE) / n_post / 100.0, 4) AS mean_post",
+        """round(
+          |  (CAST(sx_pre AS DOUBLE) / n_pre / 100.0
+          |     - CAST(sx_post AS DOUBLE) / n_post / 100.0)
+          |  / sqrt(
+          |      ((CAST(n_pre AS DOUBLE) * CAST(sxx_pre AS DOUBLE)
+          |         - CAST(sx_pre AS DOUBLE) * CAST(sx_pre AS DOUBLE))
+          |        / (CAST(n_pre AS DOUBLE) * (n_pre - 1)) / 10000.0) / n_pre
+          |    + ((CAST(n_post AS DOUBLE) * CAST(sxx_post AS DOUBLE)
+          |         - CAST(sx_post AS DOUBLE) * CAST(sx_post AS DOUBLE))
+          |        / (CAST(n_post AS DOUBLE) * (n_post - 1)) / 10000.0)
+          |      / n_post),
+          |  3) AS welch_t""".stripMargin))
+}

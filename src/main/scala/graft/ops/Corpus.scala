@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-7 §2.22 corpus-construction extensions: the tokenizer-and-mixing
+  * rim of a pretraining data pipeline. Line-level dedup (the CCNet /
+  * RefinedWeb paragraph pass — removes boilerplate that document-level
+  * dedup can't see), BPE merge-candidate pair counting (the first step of
+  * tokenizer training), the classic inverted index (the canonical
+  * MapReduce lab job, posting lists capped by a TopKPerGroup-shaped
+  * window), and the token-budget mixing planner (per-source epoch math a
+  * mix schedule needs). All DuckDB-oracled; integer arithmetic throughout.
+  *
+  * The fixture text is flat words + spaces (no newlines), so "lines" are
+  * derived as non-overlapping 5-token windows — the established
+  * q_chunk_docs idiom: the grouping/accounting machinery is the real,
+  * portable part, and both engines see identical derived lines. */
+object Corpus {
+
+  /** Line-level exact dedup (CCNet's paragraph dedup): explode every doc
+    * into 5-token lines, keep only each line's FIRST occurrence under the
+    * (doc_id, line_idx) total order — encoded as one composite BIGINT so
+    * the keep decision is a single `min` aggregate, not a window sort —
+    * and account kept/removed per source. At 100 TB the line-keyed
+    * aggregate map-combines and the join back is a plain shuffle join on
+    * the line content key (hash the line to 128 bits first to bound
+    * shuffle width); nothing is corpus-sized on one node. */
+  def qLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val lines = t(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        posexplode(expr(
+          "transform(sequence(0, (size(toks) - 1) div 5), " +
+            "i -> concat_ws(' ', slice(toks, i * 5 + 1, 5)))"))
+          .as(Seq("line_idx", "line")))
+      .withColumn("okey", col("doc_id") * 100000L + col("line_idx"))
+    val firsts = lines.groupBy("line").agg(min("okey").as("first_key"))
+    orderedAll(lines.join(firsts, "line")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("okey") === col("first_key"), 1L).otherwise(0L))
+          .cast("long").as("n_kept"),
+        sum(when(col("okey") === col("first_key"), 0L).otherwise(1L))
+          .cast("long").as("n_removed"),
+        countDistinct(col("line")).as("n_distinct")))
+  }
+
+  /** BPE merge-candidate counting: frequency of every ADJACENT token pair
+    * across the corpus, top 50 under the (count desc, pair asc) total
+    * order — the exact statistic a byte-pair-encoding trainer maximizes
+    * at each merge step. Pairs are generated in-row with a sequence
+    * lambda (no self-join), the count map-combines, and the top-50 is a
+    * TakeOrdered over vocab²-bounded partials — the 100 TB shape. */
+  def qBpePairs(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(50))
+
+  /** The canonical MapReduce inverted index: token → document frequency +
+    * first/last posting + the first 10 doc_ids as a comma-joined posting
+    * prefix. The posting cap is enforced BEFORE aggregation by a
+    * row_number window (the TopKPerGroup shape), so per-token state stays
+    * O(cap) even on stopword-grade tokens — a bare collect_list would
+    * hold a corpus-sized posting list for a hub token at 100 TB. */
+  def qInvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+    val ranked = pairs.withColumn("rn",
+      row_number().over(Window.partitionBy("token").orderBy("doc_id")))
+    val caps = ranked.filter(col("rn") <= 10)
+      .groupBy("token")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(doc_id))), " +
+          "x -> CAST(x.doc_id AS STRING))"), ",").as("postings"))
+    val stats = pairs.groupBy("token")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+    orderedAll(stats.join(caps, "token"))
+  }
+
+  /** Token-budget mixing planner: per-source token inventory plus the two
+    * numbers a mix schedule is built from — the source's share of the
+    * corpus and the repeat factor ("epochs") needed to hit an equal-share
+    * target mix, both in exact basis points (epochs_bp > 10000 means the
+    * source must be upsampled). One mergeable aggregate; the 1-row totals
+    * ride in via broadcast. All operands non-negative, so `div` is exact
+    * floor division in both engines. */
+  def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "documents")
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("toks"))
+    val tot = per.agg(sum("toks").as("total_toks"),
+      count(lit(1)).cast("long").as("n_sources"))
+    orderedAll(per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("toks"),
+        expr("CAST(toks * 10000 div total_toks AS BIGINT)").as("share_bp"),
+        expr("CAST((total_toks div n_sources) * 10000 div toks AS BIGINT)")
+          .as("epochs_bp")))
+  }
+}
