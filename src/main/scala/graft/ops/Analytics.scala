@@ -45,35 +45,140 @@ object Analytics {
     * with lo/rem from integer div/mod of q·(n−1)) — engine FP percentile
     * implementations disagree in the last ULP on the interpolation op
     * order (a·(1−f)+b·f vs a+(b−a)·f), and round(…,4) cannot absorb a
-    * ULP at 1e10 magnitude, so no FP path exists here at all. Two sorts
-    * but ONE shuffle: the rank window reuses the event_type partitioning
-    * of the sequencing window. At scale the exact rank selection swaps
-    * for approx_percentile per the q_anomaly_mad policy. */
+    * ULP at 1e10 magnitude, so no FP path exists here at all.
+    *
+    * Scale strategy (the 100× smoke exposed the defect): the obvious
+    * plan — two `partitionBy(event_type)` windows — serializes onto
+    * #event_types tasks (5 here), because BOTH the sequencing lag and
+    * the rank sort are per-type global sorts. 56 s at 100× vs 1.5 s at
+    * 10× on this box was the 5-task ceiling, not data volume. The
+    * conf-gated parallel path (`spark.graft.interarrivalBuckets` = B >
+    * 0, default off to pin fixture plans) removes both sorts:
+    *  - LAG: rows bucket by time range into B per-type slices; lag runs
+    *    within (type, bucket), and each bucket's first gap is seeded
+    *    from the previous non-empty bucket's last timestamp via a
+    *    bucket-granular window over the ≤ types×B tails table — the
+    *    classic seam-stitched parallel sessionization.
+    *  - PERCENTILE: exact distributed k-select. A per-(type,
+    *    value-bucket) histogram (≤ types×B rows) locates, for each of
+    *    the ≤6 needed ranks, the one bucket holding it; only those
+    *    buckets are then sorted (row_number within (type, vbucket) —
+    *    parallel across buckets) and the rank row is picked by offset.
+    *    No global sort exists in the plan; the degenerate all-one-value
+    *    distribution collapses to one bucket (recursive refinement is
+    *    the general fix, single-level is the implemented sweet spot).
+    * Both paths are bit-equal to the serial plan (spec-asserted with B
+    * forced on the fixture). */
   def qInterarrival(s: SparkSession, dir: String): DataFrame = {
-    val wSeq = Window.partitionBy("event_type")
-      .orderBy(col("ts"), col("event_id"))
-    val gaps = t(s, dir, "events")
+    val buckets = s.conf.getOption("spark.graft.interarrivalBuckets")
+      .map(_.toInt).getOrElse(0)
+    val evs = t(s, dir, "events")
       .withColumn("us", expr("unix_micros(ts)"))
-      .withColumn("prev_us", lag("us", 1).over(wSeq))
-      .filter(col("prev_us").isNotNull)
-      .withColumn("gap_us", col("us") - col("prev_us"))
-    val ranked = gaps
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("event_type").orderBy("gap_us")))
-      .withColumn("n", count(lit(1)).over(
-        Window.partitionBy("event_type")))
-    def pScaled(qNum: Int, name: String) = {
-      val pos = s"($qNum * (n - 1))"
-      sum(expr(
-        s"CASE WHEN rn - 1 = $pos div 100 " +
-          s"THEN gap_us * (100 - $pos % 100) " +
-          s"WHEN rn - 1 = $pos div 100 + 1 THEN gap_us * ($pos % 100) " +
-          "ELSE 0 END")).cast("long").as(name)
+      .select(col("event_type"), col("us"), col("event_id"))
+
+    val gaps =
+      if (buckets <= 0) {
+        val wSeq = Window.partitionBy("event_type")
+          .orderBy(col("us"), col("event_id"))
+        evs.withColumn("prev_us", lag("us", 1).over(wSeq))
+          .filter(col("prev_us").isNotNull)
+          .select(col("event_type"), (col("us") - col("prev_us")).as("gap_us"))
+      } else {
+        val span = evs.groupBy("event_type")
+          .agg(min("us").as("tmin"), max("us").as("tmax"))
+        val b = evs.join(broadcast(span), "event_type")
+          .withColumn("bkt",
+            expr(s"((us - tmin) * $buckets) div (tmax - tmin + 1)"))
+        val within = b
+          .withColumn("prev_us", lag("us", 1).over(
+            Window.partitionBy("event_type", "bkt")
+              .orderBy(col("us"), col("event_id"))))
+          .filter(col("prev_us").isNotNull)
+          .select(col("event_type"), (col("us") - col("prev_us")).as("gap_us"))
+        val tails = b.groupBy("event_type", "bkt")
+          .agg(min("us").as("bmin"), max("us").as("bmax"))
+        val seams = tails
+          .withColumn("prev_last", lag("bmax", 1).over(
+            Window.partitionBy("event_type").orderBy("bkt")))
+          .filter(col("prev_last").isNotNull)
+          .select(col("event_type"),
+            (col("bmin") - col("prev_last")).as("gap_us"))
+        within.unionByName(seams)
+      }
+
+    if (buckets <= 0) {
+      val ranked = gaps
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("gap_us")))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("event_type")))
+      def pScaled(qNum: Int, name: String) = {
+        val pos = s"($qNum * (n - 1))"
+        sum(expr(
+          s"CASE WHEN rn - 1 = $pos div 100 " +
+            s"THEN gap_us * (100 - $pos % 100) " +
+            s"WHEN rn - 1 = $pos div 100 + 1 THEN gap_us * ($pos % 100) " +
+            "ELSE 0 END")).cast("long").as(name)
+      }
+      orderedAll(ranked.groupBy("event_type")
+        .agg(max("n").cast("long").as("n_gaps"),
+          pScaled(50, "p50_x100"), pScaled(95, "p95_x100"),
+          pScaled(99, "p99_x100"), max("gap_us").as("max_us")))
+    } else {
+      // Three consumers (stats, histogram, rank-pick) would each re-run
+      // the scan+lag lineage; pin the gap table once — Text.pin is the
+      // shared persist-before-multi-pass policy (localCheckpoint on one
+      // JVM, reliable DFS slots on a cluster).
+      val pinned = Text.pin(gaps, "interarrival_gaps")
+      val gstats = pinned.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("gap_us").as("gmin"),
+          max("gap_us").as("gmax"))
+      // (type, q, k, w): the 0-indexed ranks each quantile interpolates
+      // over, with their ×100 weights; rem=0 drops the zero-weight row
+      // (which could otherwise index past the end).
+      val spec = gstats
+        .selectExpr("event_type", "n", "explode(array(50, 95, 99)) AS q")
+        .selectExpr("event_type", "q",
+          "(q * (n - 1)) div 100 AS lo", "(q * (n - 1)) % 100 AS rem")
+        .selectExpr("event_type", "q",
+          "explode(filter(array(struct(lo AS k, 100 - rem AS w), " +
+            "struct(lo + 1 AS k, rem AS w)), x -> x.w > 0)) AS kw")
+        .select(col("event_type"), col("q"),
+          col("kw.k").as("k"), col("kw.w").as("w"))
+      val vb = pinned
+        .join(broadcast(gstats.select("event_type", "gmin", "gmax")),
+          "event_type")
+        .withColumn("vbkt",
+          expr(s"((gap_us - gmin) * $buckets) div (gmax - gmin + 1)"))
+      val counts = vb.groupBy("event_type", "vbkt")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum_before", coalesce(sum("cnt").over(
+          Window.partitionBy("event_type").orderBy("vbkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val targets = spec.join(counts, Seq("event_type"))
+        .filter(col("k") >= col("cum_before") &&
+          col("k") < col("cum_before") + col("cnt"))
+        .select(col("event_type"), col("q"), col("k"), col("w"),
+          col("vbkt"), col("cum_before"))
+      val picked = vb
+        .join(broadcast(targets.select("event_type", "vbkt").distinct()),
+          Seq("event_type", "vbkt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type", "vbkt").orderBy("gap_us")))
+        .join(broadcast(targets), Seq("event_type", "vbkt"))
+        .filter(col("cum_before") + col("rn") - 1 === col("k"))
+      val pcts = picked.groupBy("event_type").agg(
+        sum(when(col("q") === 50, col("gap_us") * col("w")))
+          .cast("long").as("p50_x100"),
+        sum(when(col("q") === 95, col("gap_us") * col("w")))
+          .cast("long").as("p95_x100"),
+        sum(when(col("q") === 99, col("gap_us") * col("w")))
+          .cast("long").as("p99_x100"))
+      orderedAll(gstats.join(pcts, "event_type")
+        .select(col("event_type"), col("n").cast("long").as("n_gaps"),
+          col("p50_x100"), col("p95_x100"), col("p99_x100"),
+          col("gmax").as("max_us")))
     }
-    orderedAll(ranked.groupBy("event_type")
-      .agg(max("n").cast("long").as("n_gaps"),
-        pScaled(50, "p50_x100"), pScaled(95, "p95_x100"),
-        pScaled(99, "p99_x100"), max("gap_us").as("max_us")))
   }
 
   /** 2-d profiling histogram: lineitem count + exact decimal revenue on a

@@ -148,6 +148,19 @@ class Round7CorpusSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q_interarrival bucketed parallel path is bit-equal to serial") {
+    val serial = run("q_interarrival").collect().map(_.toSeq).toSeq
+    // Both an even and a deliberately awkward bucket count: seams and
+    // rank-bucket boundaries land differently, the result must not.
+    for (b <- Seq(7, 64)) {
+      spark.conf.set("spark.graft.interarrivalBuckets", b.toString)
+      try {
+        val par = run("q_interarrival").collect().map(_.toSeq).toSeq
+        assert(par == serial, s"buckets=$b diverged")
+      } finally spark.conf.unset("spark.graft.interarrivalBuckets")
+    }
+  }
+
   // --- q_hist2d --------------------------------------------------------
 
   test("q_hist2d matches exact decimal grid") {
