@@ -2111,6 +2111,89 @@ object Oracles {
         |          / (CAST(n_post AS DOUBLE) * (n_post - 1)) / 10000.0)
         |        / n_post),
         |    3) AS welch_t
-        |FROM a ORDER BY ALL""".stripMargin
+        |FROM a ORDER BY ALL""".stripMargin,
+    "q_dq_audit" ->
+      """WITH o AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS bad_price,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |      AS dup_keys
+        |  FROM orders),
+        |c AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS null_bal,
+        |    CAST(sum(CASE WHEN c_mktsegment IN ('AUTOMOBILE', 'BUILDING',
+        |      'FURNITURE', 'HOUSEHOLD', 'MACHINERY') THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS bad_seg
+        |  FROM customer),
+        |orph AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_orphans FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |audit AS (
+        |  SELECT 'orders.o_custkey.ref_integrity' AS check_name,
+        |         o.n AS n_rows, orph.n_orphans AS n_violations
+        |  FROM o, orph
+        |  UNION ALL
+        |  SELECT 'orders.o_totalprice.positive', n, bad_price FROM o
+        |  UNION ALL
+        |  SELECT 'orders.o_orderkey.unique', n, dup_keys FROM o
+        |  UNION ALL
+        |  SELECT 'customer.c_acctbal.non_null', n, null_bal FROM c
+        |  UNION ALL
+        |  SELECT 'customer.c_mktsegment.domain', n, bad_seg FROM c)
+        |SELECT * FROM audit ORDER BY ALL""".stripMargin,
+    "q_trend_slope" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS y
+        |  FROM events GROUP BY 1, 2),
+        |offs AS (
+        |  SELECT event_type,
+        |         day - min(day) OVER (PARTITION BY event_type) AS x, y
+        |  FROM daily),
+        |m AS (
+        |  SELECT event_type, count(*) AS n_days,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM offs GROUP BY 1),
+        |nd AS (
+        |  SELECT event_type, n_days,
+        |         n_days * sxy - sx * sy AS num,
+        |         n_days * sxx - sx * sx AS den
+        |  FROM m)
+        |SELECT event_type, n_days, num, den,
+        |       CASE WHEN num >= 0 THEN (num * 10000) // den
+        |            ELSE -(((-num) * 10000) // den) END AS slope_bp
+        |FROM nd ORDER BY ALL""".stripMargin,
+    "q_cohort" ->
+      """WITH w AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1)
+        |SELECT f.cohort_week, w.week - f.cohort_week AS week_offset,
+        |       count(DISTINCT w.user_id) AS n_users
+        |FROM w JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+    "q_skew_audit" ->
+      """WITH ks AS (
+        |  SELECT 'orders.o_custkey' AS key_name, count(*) AS per_key
+        |  FROM orders GROUP BY o_custkey
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey', count(*) FROM lineitem
+        |  GROUP BY l_partkey
+        |  UNION ALL
+        |  SELECT 'events.user_id', count(*) FROM events GROUP BY user_id)
+        |SELECT key_name, CAST(sum(per_key) AS BIGINT) AS n_rows,
+        |       count(*) AS n_keys,
+        |       CAST(max(per_key) AS BIGINT) AS max_per_key,
+        |       (CAST(max(per_key) AS BIGINT) * 10000)
+        |         // CAST(sum(per_key) AS BIGINT) AS top1_share_bp,
+        |       CAST(sum(per_key) AS BIGINT) // count(*) AS avg_per_key
+        |FROM ks GROUP BY 1 ORDER BY ALL""".stripMargin
   )
 }

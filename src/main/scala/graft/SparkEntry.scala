@@ -207,6 +207,10 @@ object SparkEntry {
     "q_interarrival" -> Analytics.qInterarrival _,
     "q_hist2d" -> Analytics.qHist2d _,
     "q_abtest" -> Analytics.qAbtest _,
+    "q_dq_audit" -> Analytics.qDqAudit _,
+    "q_trend_slope" -> Analytics.qTrendSlope _,
+    "q_cohort" -> Analytics.qCohort _,
+    "q_skew_audit" -> Analytics.qSkewAudit _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

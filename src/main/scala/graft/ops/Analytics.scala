@@ -194,6 +194,123 @@ object Analytics {
       .groupBy("qbin", "dbin")
       .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue")))
 
+  /** Data-quality audit (the Deequ/dbt-test staple): five declared
+    * checks over orders/customer — referential integrity (orders whose
+    * customer is missing), value domain (non-positive totalprice), key
+    * uniqueness (rows minus distinct keys), null rate, and categorical
+    * domain membership — each emitted as (check, n_rows, n_violations).
+    * Per-table checks fold into ONE conditional-aggregate scan per
+    * table; only the referential check needs a join (left-anti on the
+    * customer key — broadcast when dims are small, shuffle otherwise,
+    * Spark's call). The audit row count is fixed by the check list, so
+    * at 100 TB this is two scans + one semi-join shape regardless of
+    * data volume. */
+  def qDqAudit(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val nOrders = orders.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).cast("long")
+        .as("bad_price"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).cast("long")
+        .as("dup_keys"))
+    val nCust = cust.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("c_acctbal").isNull, 1L).otherwise(0L)).cast("long")
+        .as("null_bal"),
+      sum(when(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING",
+        "FURNITURE", "HOUSEHOLD", "MACHINERY"), 0L).otherwise(1L))
+        .cast("long").as("bad_seg"))
+    val orphans = orders.join(cust,
+        orders("o_custkey") === cust("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val audit = nOrders.crossJoin(orphans).selectExpr(
+      "stack(3, " +
+        "'orders.o_custkey.ref_integrity', n, n_orphans, " +
+        "'orders.o_totalprice.positive', n, bad_price, " +
+        "'orders.o_orderkey.unique', n, dup_keys) " +
+        "AS (check_name, n_rows, n_violations)")
+      .unionByName(nCust.selectExpr(
+        "stack(2, " +
+          "'customer.c_acctbal.non_null', n, null_bal, " +
+          "'customer.c_mktsegment.domain', n, bad_seg) " +
+          "AS (check_name, n_rows, n_violations)"))
+    orderedAll(audit)
+  }
+
+  /** Per-type daily revenue trend: exact OLS slope over (day-offset,
+    * daily cent total) points. The regression runs over per-day
+    * AGGREGATES (≤ span×types rows), never raw events — that keeps every
+    * moment an overflow-safe BIGINT (num ≤ days²·Σcents ≈ 1e14 here; raw
+    * event-grain x·y moments would overflow int64 at 200 k rows) and is
+    * the realistic trend operator anyway. Slope is emitted in exact
+    * basis points with the sign split out so truncation-toward-zero is
+    * spelled identically in both engines (Spark `div` truncates, DuckDB
+    * `//` floors — they agree only on non-negative operands). den > 0
+    * whenever a type spans ≥ 2 days. One events scan + tiny-table
+    * window/agg; the 100 TB plan is the same scan with map-side
+    * partial aggregation doing all the work. */
+  def qTrendSlope(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("y"))
+    val offs = daily
+      .withColumn("x", col("day") - min("day").over(
+        Window.partitionBy("event_type")))
+    orderedAll(offs.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .selectExpr("event_type", "n_days",
+        "n_days * sxy - sx * sy AS num",
+        "n_days * sxx - sx * sx AS den")
+      .selectExpr("event_type", "n_days", "num", "den",
+        "CASE WHEN num >= 0 THEN (num * 10000) div den " +
+          "ELSE -(((-num) * 10000) div den) END AS slope_bp"))
+  }
+
+  /** Weekly signup-cohort activity matrix: cohort = absolute week index
+    * of each user's FIRST event, offset = activity week − cohort week,
+    * cell = distinct active users — the retention heatmap every growth
+    * dashboard draws. Two shuffles on user_id (first-event aggregate +
+    * co-partitioned join back; Catalyst reuses the exchange), then one
+    * cell aggregate whose output is bounded by weeks². */
+  def qCohort(s: SparkSession, dir: String): DataFrame = {
+    val evs = t(s, dir, "events")
+      .withColumn("week", expr("unix_micros(ts) div 604800000000"))
+    val firsts = evs.groupBy("user_id")
+      .agg(min("week").as("cohort_week"))
+    orderedAll(evs.join(firsts, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users")))
+  }
+
+  /** Key-skew audit over the three join keys a 100 TB deployment would
+    * salt first (orders.o_custkey, lineitem.l_partkey, events.user_id):
+    * row/key counts, the heaviest key's row count, and its corpus share
+    * in basis points — the is-salting-needed diagnostic graded before
+    * any repartition decision. Each key is one two-level aggregate
+    * (per-key counts map-combine, then a 5-number rollup); the union is
+    * three fixed rows. */
+  def qSkewAudit(s: SparkSession, dir: String): DataFrame = {
+    def keyStats(table: String, key: String): DataFrame =
+      t(s, dir, table).groupBy(col(key).as("k"))
+        .agg(count(lit(1)).as("per_key"))
+        .agg(sum("per_key").cast("long").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max("per_key").as("max_per_key"))
+        .withColumn("key_name", lit(s"$table.$key"))
+        .selectExpr("key_name", "n_rows", "n_keys", "max_per_key",
+          "(max_per_key * 10000) div n_rows AS top1_share_bp",
+          "n_rows div n_keys AS avg_per_key")
+    orderedAll(keyStats("orders", "o_custkey")
+      .unionByName(keyStats("lineitem", "l_partkey"))
+      .unionByName(keyStats("events", "user_id")))
+  }
+
   /** Pre/post A/B comparison per event type around a mid-window cutoff:
     * group sizes, cent-exact means, and a Welch t statistic built from
     * exact integer moments — sum(cents) and sum(cents²) are overflow-safe

@@ -181,6 +181,104 @@ class Round7CorpusSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // --- q_dq_audit ------------------------------------------------------
+
+  test("q_dq_audit matches recomputed violation counts") {
+    val orders = ops.t(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val custRows = ops.t(spark, sf, "customer")
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getString(2)))
+    val custKeys = custRows.map(_._1).toSet
+    val segs = Set("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    val no = orders.length.toLong
+    val nc = custRows.length.toLong
+    val expected = Map(
+      "orders.o_custkey.ref_integrity" ->
+        (no, orders.count(o => !custKeys(o._2)).toLong),
+      "orders.o_totalprice.positive" ->
+        (no, orders.count(_._3 <= 0).toLong),
+      "orders.o_orderkey.unique" ->
+        (no, no - orders.map(_._1).distinct.length),
+      "customer.c_acctbal.non_null" ->
+        (nc, custRows.count(_._2.isEmpty).toLong),
+      "customer.c_mktsegment.domain" ->
+        (nc, custRows.count(c => !segs(c._3)).toLong))
+    val got = run("q_dq_audit").collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
+  // --- q_trend_slope ---------------------------------------------------
+
+  test("q_trend_slope matches exact integer OLS") {
+    val evs = ops.t(spark, sf, "events").select("event_type", "ts", "value")
+      .collect().map(r => (r.getString(0),
+        (r.getTimestamp(1).toInstant.toEpochMilli * 1000L +
+          (r.getTimestamp(1).getNanos / 1000) % 1000) / 86400000000L,
+        java.math.BigDecimal.valueOf(r.getDouble(2) * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue))
+    val expected = evs.groupBy(_._1).map { case (ty, rs) =>
+      val daily = rs.groupBy(_._2).map { case (d, xs) =>
+        (d, xs.map(_._3).sum) }.toSeq
+      val dmin = daily.map(_._1).min
+      val pts = daily.map { case (d, y) => (d - dmin, y) }
+      val n = pts.length.toLong
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val slope = if (num >= 0) num * 10000 / den
+        else -((-num) * 10000 / den)
+      ty -> (n, num, den, slope)
+    }
+    assert(expected.values.exists(_._2 != 0), "all-flat trend — vacuous")
+    val got = run("q_trend_slope").collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected)
+  }
+
+  // --- q_cohort --------------------------------------------------------
+
+  test("q_cohort matches recomputed retention matrix") {
+    val evs = ops.t(spark, sf, "events").select("user_id", "ts")
+      .collect().map(r => (r.getLong(0),
+        (r.getTimestamp(1).toInstant.toEpochMilli * 1000L +
+          (r.getTimestamp(1).getNanos / 1000) % 1000) / 604800000000L))
+    val firsts = evs.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(_._2).min }
+    val expected = evs.map { case (u, w) =>
+      (firsts(u), w - firsts(u), u)
+    }.groupBy(t => (t._1, t._2)).map { case (k, xs) =>
+      k -> xs.map(_._3).distinct.length.toLong }
+    val got = run("q_cohort").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
+  // --- q_skew_audit ----------------------------------------------------
+
+  test("q_skew_audit matches recomputed key distributions") {
+    def stats(table: String, key: String): (String, (Long, Long, Long,
+        Long, Long)) = {
+      val ks = ops.t(spark, sf, table).select(key)
+        .collect().map(_.getLong(0))
+      val per = ks.groupBy(identity).map(_._2.length.toLong)
+      val (n, nk, mx) = (ks.length.toLong, per.size.toLong, per.max)
+      s"$table.$key" -> (n, nk, mx, mx * 10000 / n, n / nk)
+    }
+    val expected = Map(stats("orders", "o_custkey"),
+      stats("lineitem", "l_partkey"), stats("events", "user_id"))
+    val got = run("q_skew_audit").collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    assert(got == expected)
+  }
+
   // --- q_abtest --------------------------------------------------------
 
   test("q_abtest matches exact-moment Welch recomputation") {
