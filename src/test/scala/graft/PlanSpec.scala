@@ -127,4 +127,77 @@ class PlanSpec extends SparkSpec {
       case j: BroadcastNestedLoopJoinExec => j
     }.isEmpty, "triangle wedge join fell back to an all-pairs NLJ")
   }
+
+  // --- §2.22 second round-7 batch --------------------------------------
+
+  test("q_hist2d: one data exchange, three-column scan") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = plan("q_hist2d")
+    // partial agg map-side, one hash exchange on (qbin, dbin), plus
+    // orderedAll's repartition(1) over the ≤110-cell result.
+    val ex = p.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.length <= 2, s"q_hist2d plans ${ex.length} shuffles")
+    assert(scans(p).head.requiredSchema.fieldNames.toSet ==
+      Set("l_quantity", "l_discount", "l_extendedprice"))
+  }
+
+  test("q_compaction_plan: window and bucket agg share one exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the cum-before window partitions on pri; the (pri, bucket) agg is
+    // a finer key and CANNOT reuse the pri distribution in general —
+    // but the window's exchange + the agg's exchange + repartition(1)
+    // must be all there is.
+    val ex = plan("q_compaction_plan")
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(ex.length <= 3, s"q_compaction_plan plans ${ex.length} shuffles")
+    assert(scans(plan("q_compaction_plan")).head
+      .requiredSchema.fieldNames.toSet ==
+      Set("o_orderpriority", "o_orderkey", "o_totalprice"))
+  }
+
+  test("q_token_budget: the 1-row totals ride a broadcast, not a shuffle") {
+    assert(plan("q_token_budget").collect {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.nonEmpty, "totals cross-join lost its broadcast hint")
+  }
+
+  test("q_interarrival serial: both windows and the agg share one exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // sequencing window, rank window, count window and the final agg all
+    // key on event_type: one hash exchange + repartition(1) only.
+    val ex = plan("q_interarrival")
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(ex.length <= 2, s"q_interarrival plans ${ex.length} shuffles")
+  }
+
+  test("q_abtest: single-exchange conditional aggregation") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = plan("q_abtest")
+    val ex = p.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.length <= 2, s"q_abtest plans ${ex.length} shuffles")
+    assert(scans(p).head.requiredSchema.fieldNames.toSet ==
+      Set("event_type", "ts", "value"))
+  }
+
+  test("q_cohort and q_trend_slope scans are column-pruned") {
+    assert(scans(plan("q_cohort")).head.requiredSchema.fieldNames.toSet ==
+      Set("user_id", "ts"))
+    assert(scans(plan("q_trend_slope")).head
+      .requiredSchema.fieldNames.toSet == Set("event_type", "ts", "value"))
+  }
+
+  test("q_skew_audit: each key audit is a two-level mergeable aggregate") {
+    // per-key counts must partially aggregate map-side: every per-key
+    // HashAggregate pair means the heavy first level combines before its
+    // exchange — no all-rows shuffle on a skewed key.
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val p = plan("q_skew_audit")
+    val aggs = p.collect { case a: HashAggregateExec => a }
+    assert(aggs.count(_.aggregateExpressions.exists(
+      _.mode.toString == "Partial")) >= 3,
+      "per-key counts lost their partial (map-side) aggregation")
+    val sc = scans(p).map(_.requiredSchema.fieldNames.toSet)
+    assert(sc.contains(Set("o_custkey")) && sc.contains(Set("l_partkey"))
+      && sc.contains(Set("user_id")), s"over-read: $sc")
+  }
 }
