@@ -2194,6 +2194,45 @@ object Oracles {
         |       (CAST(max(per_key) AS BIGINT) * 10000)
         |         // CAST(sum(per_key) AS BIGINT) AS top1_share_bp,
         |       CAST(sum(per_key) AS BIGINT) // count(*) AS avg_per_key
-        |FROM ks GROUP BY 1 ORDER BY ALL""".stripMargin
+        |FROM ks GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_kanon" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS k
+        |  FROM customer GROUP BY 1, 2),
+        |b AS (
+        |  SELECT CASE WHEN k = 1 THEN '1_unique' WHEN k <= 4 THEN
+        |    '2_small' WHEN k <= 9 THEN '3_medium' ELSE '4_large' END
+        |    AS k_band,
+        |    count(*) AS n_groups, CAST(sum(k) AS BIGINT) AS n_rows,
+        |    min(k) AS min_k, max(k) AS max_k
+        |  FROM g GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows FROM b)
+        |SELECT k_band, n_groups, n_rows, min_k, max_k,
+        |       (n_rows * 10000) // total_rows AS share_bp
+        |FROM b, t ORDER BY ALL""".stripMargin,
+    "q_drift" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    ts < TIMESTAMP '2024-01-16 00:00:00' AS pre,
+        |    CAST(round(value * 100) AS BIGINT) // 1000 AS bin
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, bin,
+        |    CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+        |    CAST(sum(CASE WHEN pre THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_post
+        |  FROM m GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, CAST(sum(n_pre) AS BIGINT) AS tot_pre,
+        |         CAST(sum(n_post) AS BIGINT) AS tot_post
+        |  FROM b GROUP BY 1),
+        |s AS (
+        |  SELECT b.event_type, b.bin, b.n_pre, b.n_post,
+        |         (b.n_pre * 10000) // t.tot_pre AS share_pre_bp,
+        |         (b.n_post * 10000) // t.tot_post AS share_post_bp
+        |  FROM b JOIN t USING (event_type))
+        |SELECT event_type, bin, n_pre, n_post, share_pre_bp,
+        |       share_post_bp, share_post_bp - share_pre_bp AS drift_bp
+        |FROM s ORDER BY ALL""".stripMargin
   )
 }

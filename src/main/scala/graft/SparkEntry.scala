@@ -211,6 +211,8 @@ object SparkEntry {
     "q_trend_slope" -> Analytics.qTrendSlope _,
     "q_cohort" -> Analytics.qCohort _,
     "q_skew_audit" -> Analytics.qSkewAudit _,
+    "q_kanon" -> Analytics.qKanon _,
+    "q_drift" -> Analytics.qDrift _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

@@ -311,6 +311,57 @@ object Analytics {
       .unionByName(keyStats("events", "user_id")))
   }
 
+  /** k-anonymity audit over the (c_nationkey, c_mktsegment)
+    * quasi-identifier pair: every row's re-identification risk is the
+    * size of its QI group, reported as the classic k-band histogram
+    * (k=1 unique, 2-4, 5-9, ≥10) with row counts and shares in exact
+    * basis points — the privacy risk report run before any data
+    * release. Two mergeable aggregates (QI group sizes ≪ rows, then a
+    * 4-row rollup); the 1-row total rides a broadcast. */
+  def qKanon(s: SparkSession, dir: String): DataFrame = {
+    val groups = t(s, dir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("k"))
+    val banded = groups.withColumn("k_band",
+      expr("CASE WHEN k = 1 THEN '1_unique' WHEN k <= 4 THEN '2_small' " +
+        "WHEN k <= 9 THEN '3_medium' ELSE '4_large' END"))
+      .groupBy("k_band")
+      .agg(count(lit(1)).as("n_groups"), sum("k").cast("long").as("n_rows"),
+        min("k").as("min_k"), max("k").as("max_k"))
+    val tot = banded.agg(sum("n_rows").cast("long").as("total_rows"))
+    orderedAll(banded.crossJoin(broadcast(tot))
+      .selectExpr("k_band", "n_groups", "n_rows", "min_k", "max_k",
+        "(n_rows * 10000) div total_rows AS share_bp"))
+  }
+
+  /** Distribution drift report: per event type, fixed 10-dollar value
+    * bins compared across the pre/post halves of the window (same
+    * cutoff as q_abtest) — bin counts and the pre/post share delta in
+    * exact basis points, the fixed-bin PSI-style drift input a model
+    * monitor consumes. Conditional aggregation over one scan (no join);
+    * per-type totals ride a broadcast back onto the ≤ types×bins
+    * result. Signed delta uses the sign-split div so truncation is
+    * engine-identical. */
+  def qDrift(s: SparkSession, dir: String): DataFrame = {
+    val binned = t(s, dir, "events")
+      .withColumn("pre", col("ts") < expr("TIMESTAMP '2024-01-16 00:00:00'"))
+      .withColumn("bin",
+        expr("CAST(round(value * 100) AS BIGINT) div 1000"))
+      .groupBy("event_type", "bin")
+      .agg(sum(when(col("pre"), 1L).otherwise(0L)).cast("long").as("n_pre"),
+        sum(when(col("pre"), 0L).otherwise(1L)).cast("long").as("n_post"))
+    val tots = binned.groupBy("event_type")
+      .agg(sum("n_pre").cast("long").as("tot_pre"),
+        sum("n_post").cast("long").as("tot_post"))
+    orderedAll(binned.join(broadcast(tots), "event_type")
+      .selectExpr("event_type", "bin", "n_pre", "n_post",
+        "(n_pre * 10000) div tot_pre AS share_pre_bp",
+        "(n_post * 10000) div tot_post AS share_post_bp")
+      .selectExpr("event_type", "bin", "n_pre", "n_post",
+        "share_pre_bp", "share_post_bp",
+        "share_post_bp - share_pre_bp AS drift_bp"))
+  }
+
   /** Pre/post A/B comparison per event type around a mid-window cutoff:
     * group sizes, cent-exact means, and a Welch t statistic built from
     * exact integer moments — sum(cents) and sum(cents²) are overflow-safe

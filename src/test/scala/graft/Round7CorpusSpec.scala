@@ -279,6 +279,53 @@ class Round7CorpusSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // --- q_kanon ---------------------------------------------------------
+
+  test("q_kanon matches recomputed k-band histogram") {
+    val qi = ops.t(spark, sf, "customer")
+      .select("c_nationkey", "c_mktsegment")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val ks = qi.groupBy(identity).map(_._2.length.toLong).toSeq
+    val total = ks.sum
+    def band(k: Long) = if (k == 1) "1_unique" else if (k <= 4) "2_small"
+      else if (k <= 9) "3_medium" else "4_large"
+    val expected = ks.groupBy(band).map { case (b, xs) =>
+      b -> (xs.size.toLong, xs.sum, xs.min, xs.max,
+        xs.sum * 10000 / total)
+    }
+    assert(expected.size >= 2, "single k-band — vacuous")
+    val got = run("q_kanon").collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    assert(got == expected)
+  }
+
+  // --- q_drift ---------------------------------------------------------
+
+  test("q_drift matches recomputed fixed-bin share deltas") {
+    val cutoff = java.time.Instant.parse("2024-01-16T00:00:00Z")
+    val evs = ops.t(spark, sf, "events").select("event_type", "ts", "value")
+      .collect().map(r => (r.getString(0),
+        r.getTimestamp(1).toInstant.isBefore(cutoff),
+        java.math.BigDecimal.valueOf(r.getDouble(2) * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue / 1000))
+    val byBin = evs.groupBy(e => (e._1, e._3)).map { case (k, xs) =>
+      k -> (xs.count(_._2).toLong, xs.count(!_._2).toLong) }
+    val tots = evs.groupBy(_._1).map { case (ty, xs) =>
+      ty -> (xs.count(_._2).toLong, xs.count(!_._2).toLong) }
+    val expected = byBin.map { case ((ty, bin), (np, nq)) =>
+      val (tp, tq) = tots(ty)
+      val (sp, sq) = (np * 10000 / tp, nq * 10000 / tq)
+      (ty, bin) -> (np, nq, sp, sq, sq - sp)
+    }
+    assert(expected.values.exists(_._5 != 0), "no drift anywhere — vacuous")
+    val got = run("q_drift").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    assert(got == expected)
+  }
+
   // --- q_abtest --------------------------------------------------------
 
   test("q_abtest matches exact-moment Welch recomputation") {
