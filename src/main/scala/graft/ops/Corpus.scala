@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-7 §2.22 corpus-construction extensions: the tokenizer-and-mixing
@@ -67,26 +66,25 @@ object Corpus {
 
   /** The canonical MapReduce inverted index: token → document frequency +
     * first/last posting + the first 10 doc_ids as a comma-joined posting
-    * prefix. The posting cap is enforced BEFORE aggregation by a
-    * row_number window (the TopKPerGroup shape), so per-token state stays
-    * O(cap) even on stopword-grade tokens — a bare collect_list would
-    * hold a corpus-sized posting list for a hub token at 100 TB. */
+    * prefix. The cap rides [[graft.functions.BoundedMinK]] — a native
+    * bottom-k `TypedImperativeAggregate` with O(k) per-group state that
+    * merges map-side — so stats and capped postings are ONE aggregate
+    * over one exchange: no per-token window sort (a single-task skew
+    * hazard on stopword-grade hub tokens, whose posting list is
+    * corpus-sized at 100 TB), no stats⋈caps join, and no collect_list
+    * holding an unbounded posting buffer. */
   def qInvertedIndex(s: SparkSession, dir: String): DataFrame = {
     val pairs = t(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("token"))
       .filter(col("token") =!= "")
-    val ranked = pairs.withColumn("rn",
-      row_number().over(Window.partitionBy("token").orderBy("doc_id")))
-    val caps = ranked.filter(col("rn") <= 10)
-      .groupBy("token")
-      .agg(array_join(expr(
-        "transform(array_sort(collect_list(struct(doc_id))), " +
-          "x -> CAST(x.doc_id AS STRING))"), ",").as("postings"))
-    val stats = pairs.groupBy("token")
+    orderedAll(pairs.groupBy("token")
       .agg(count(lit(1)).as("df"), min("doc_id").as("first_doc"),
-        max("doc_id").as("last_doc"))
-    orderedAll(stats.join(caps, "token"))
+        max("doc_id").as("last_doc"),
+        graft.functions.BoundedMinK.minK(col("doc_id"), 10).as("cap"))
+      .withColumn("postings",
+        array_join(expr("transform(cap, x -> CAST(x AS STRING))"), ","))
+      .drop("cap"))
   }
 
   /** Token-budget mixing planner: per-source token inventory plus the two

@@ -186,6 +186,22 @@ class PlanSpec extends SparkSpec {
       .requiredSchema.fieldNames.toSet == Set("event_type", "ts", "value"))
   }
 
+  test("q_inverted_index: one exchange, no window sort, no join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val p = plan("q_inverted_index")
+    // BoundedMinK folds stats + capped postings into one aggregate: the
+    // token exchange + orderedAll's repartition(1) must be all there is,
+    // with no per-token sort (WindowExec) and no stats-caps join.
+    val ex = p.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.length <= 2, s"q_inverted_index plans ${ex.length} shuffles")
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "posting cap regressed to a window sort")
+    assert(p.collect { case j: BaseJoinExec => j }.isEmpty,
+      "stats and caps split back into a join")
+  }
+
   test("q_skew_audit: each key audit is a two-level mergeable aggregate") {
     // per-key counts must partially aggregate map-side: every per-key
     // HashAggregate pair means the heavy first level combines before its

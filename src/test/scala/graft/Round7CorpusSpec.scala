@@ -77,6 +77,26 @@ class Round7CorpusSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // --- BoundedMinK (the aggregate under the posting cap) ---------------
+
+  test("BoundedMinK equals sorted-take-k under any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 5000).map { i =>
+      (s"g${i % 7}", rnd.nextLong() % 1000) // duplicates guaranteed
+    } ++ Seq(("tiny", 3L), ("tiny", 1L)) // under-full group (size < k)
+    val expected = rows.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(_._2).sorted.take(10) }
+    for (parts <- Seq(1, 7, 32)) {
+      val got = rows.toDF("g", "v").repartition(parts)
+        .groupBy("g")
+        .agg(graft.functions.BoundedMinK.minK(col("v"), 10).as("mk"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq)
+        .toMap
+      assert(got == expected, s"diverged at $parts partitions")
+    }
+  }
+
   // --- q_token_budget --------------------------------------------------
 
   test("q_token_budget matches exact basis-point mix math") {
