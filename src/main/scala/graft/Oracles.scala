@@ -2233,6 +2233,136 @@ object Oracles {
         |  FROM b JOIN t USING (event_type))
         |SELECT event_type, bin, n_pre, n_post, share_pre_bp,
         |       share_post_bp, share_post_bp - share_pre_bp AS drift_bp
-        |FROM s ORDER BY ALL""".stripMargin
+        |FROM s ORDER BY ALL""".stripMargin,
+
+    // ---- §2.23 feature-engineering / reporting ----
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |cnts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |         FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnts),
+        |r AS (
+        |  SELECT token, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+        |      AS rank,
+        |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_cnt
+        |  FROM cnts)
+        |SELECT rank, token, cnt, (cum_cnt * 10000) // total AS cum_share_bp
+        |FROM r, tot WHERE rank <= 20 ORDER BY ALL""".stripMargin,
+    "q_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS y
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, day, y,
+        |    list_sort(list(y) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS sorted,
+        |    CAST(count(*) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS wn
+        |  FROM daily)
+        |SELECT event_type, day, y, wn,
+        |       sorted[CAST((wn + 1) // 2 AS INT)]
+        |         + sorted[CAST(wn // 2 + 1 AS INT)] AS med_x2
+        |FROM r ORDER BY ALL""".stripMargin,
+    "q_decile_lift" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS spend
+        |  FROM orders GROUP BY 1),
+        |dec AS (
+        |  SELECT CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey)
+        |           AS BIGINT) AS decile, spend
+        |  FROM spend),
+        |agg AS (
+        |  SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+        |         CAST(sum(spend) AS BIGINT) AS cents
+        |  FROM dec GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM agg),
+        |cum AS (
+        |  SELECT decile, n_cust, cents,
+        |    CAST(sum(cents) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_cents
+        |  FROM agg)
+        |SELECT decile, n_cust, cents, (cents * 10000) // total AS share_bp,
+        |       (cum_cents * 10000) // total AS cum_share_bp
+        |FROM cum, tot ORDER BY ALL""".stripMargin,
+    "q_hist_equiheight" ->
+      """WITH b AS (
+        |  SELECT CAST(ntile(20) OVER (ORDER BY
+        |      CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+        |      AS BIGINT) AS bucket,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |       min(cents) AS lo_cents, max(cents) AS hi_cents
+        |FROM b GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_rolling_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |ex AS (
+        |  SELECT user_id,
+        |         unnest(generate_series(day, day + 6)) AS report_day
+        |  FROM ud)
+        |SELECT report_day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |FROM ex GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_weighted_sample" -> {
+      // 24-bit int from the first 6 hex chars of the md5 (nibble-positional
+      // sum — DuckDB has no conv(hex); twin of the Spark side's conv(..,16,10)).
+      val h24 = (1 to 6).map(i =>
+        s"(${nibSql("h", i)}) * ${math.pow(16, 6 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT source, doc_id, n_chars,
+         |         md5(CAST(doc_id AS VARCHAR) || ':ws') AS h
+         |  FROM documents),
+         |p AS (
+         |  SELECT source, doc_id, n_chars,
+         |         (CAST($h24 AS BIGINT) * 100000) // n_chars AS pri
+         |  FROM d),
+         |r AS (
+         |  SELECT source, doc_id, n_chars, pri,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY pri, doc_id) AS BIGINT) AS rk
+         |  FROM p)
+         |SELECT source, rk, doc_id, n_chars, pri
+         |FROM r WHERE rk <= 3 ORDER BY ALL""".stripMargin
+    },
+    "q_quantile_norm" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id, event_type, cents,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM e)
+        |SELECT event_id, event_type, cents,
+        |       ((rn - 1) * 10000) // greatest(n - 1, 1) AS qnorm_bp
+        |FROM r ORDER BY ALL""".stripMargin,
+    "q_tpch_q18" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |         total_qty
+        |  FROM (SELECT l_orderkey,
+        |          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |            AS total_qty
+        |        FROM lineitem GROUP BY 1
+        |        HAVING CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |          > 200) big
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN customer ON c_custkey = o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)
+        |ORDER BY ALL""".stripMargin
   )
 }

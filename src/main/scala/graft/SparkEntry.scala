@@ -213,6 +213,15 @@ object SparkEntry {
     "q_skew_audit" -> Analytics.qSkewAudit _,
     "q_kanon" -> Analytics.qKanon _,
     "q_drift" -> Analytics.qDrift _,
+    // §2.23 round-7 feature-engineering / reporting
+    "q_vocab_coverage" -> Features.qVocabCoverage _,
+    "q_rolling_median" -> Features.qRollingMedian _,
+    "q_decile_lift" -> Features.qDecileLift _,
+    "q_hist_equiheight" -> Features.qHistEquiheight _,
+    "q_rolling_distinct" -> Features.qRollingDistinct _,
+    "q_weighted_sample" -> Features.qWeightedSample _,
+    "q_quantile_norm" -> Features.qQuantileNorm _,
+    "q_tpch_q18" -> Reports.qTpchQ18 _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

@@ -93,4 +93,28 @@ object Reports {
       .orderBy(col("revenue").desc, col("c_custkey").asc)
       .limit(20))
   }
+
+  /** TPC-H Q18 (large-volume customers): the top-100 orders, by value,
+    * whose total lineitem quantity exceeds 200 units (Q18's 300 scaled to
+    * this fixture's ~4-lines-per-order shape), with their customers. The
+    * HAVING subquery is a self-contained lineitem aggregate (map-combines;
+    * its output is ORDER-keyed, ≪ lineitems) joined back to the fact —
+    * no correlated execution. Quantities are integral doubles at the
+    * source, so the BIGINT cast is exact in both engines; o_totalprice is
+    * emitted raw (a source column, bit-identical on both sides); top-100
+    * rides TakeOrderedAndProject under the unique (price, orderkey)
+    * order. */
+  def qTpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 200)
+    orderedAll(t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100))
+  }
 }
