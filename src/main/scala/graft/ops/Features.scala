@@ -93,19 +93,78 @@ object Features {
 
   /** Equi-height histogram over order value: 20 equal-population buckets
     * (ntile under the (cents, orderkey) total order) with count and exact
-    * cent bounds — the quantile-sketch report drawn exactly. The fixture
-    * plan is a global sort of the ORDER table (fine at any graded SF); at
-    * 100 TB the same report comes from the distributed k-select machinery
-    * used by q_interarrival (histogram → per-bucket offset), which avoids
-    * the global sort entirely — documented swap, same output. */
-  def qHistEquiheight(s: SparkSession, dir: String): DataFrame =
-    orderedAll(t(s, dir, "orders")
+    * cent bounds — the quantile-sketch report drawn exactly.
+    *
+    * Scale strategy (the 100× smoke measured the defect: 34 s, all of it
+    * one task sorting 15 M rows for the global ntile): the OUTPUT only
+    * needs each bucket's size — pure arithmetic from n (ntile gives the
+    * first n mod 20 buckets one extra row) — and the cents values at the
+    * 40 bucket-boundary RANKS. Those ranks are found exactly by the
+    * q_interarrival distributed k-select: a value-bucket histogram
+    * locates each rank's bucket, only targeted buckets are sorted
+    * (parallel across buckets), and the boundary row is picked by
+    * offset. `spark.graft.equiheightBuckets` = B > 0 engages it
+    * (default off to pin the fixture plan); spec-forced bit-equal to the
+    * ntile plan. No global sort exists in the parallel plan. */
+  def qHistEquiheight(s: SparkSession, dir: String): DataFrame = {
+    val buckets = s.conf.getOption("spark.graft.equiheightBuckets")
+      .map(_.toInt).getOrElse(0)
+    val o = t(s, dir, "orders")
       .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
-      .withColumn("bucket", ntile(20).over(
-        Window.orderBy(col("cents").asc, col("o_orderkey").asc)).cast("long"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n"), min("cents").as("lo_cents"),
-        max("cents").as("hi_cents")))
+      .select("cents", "o_orderkey")
+    if (buckets <= 0) {
+      orderedAll(o
+        .withColumn("bucket", ntile(20).over(
+          Window.orderBy(col("cents").asc, col("o_orderkey").asc))
+          .cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("cents").as("lo_cents"),
+          max("cents").as("hi_cents")))
+    } else {
+      val stats = o.agg(count(lit(1)).as("n"), min("cents").as("cmin"),
+        max("cents").as("cmax"))
+      // per-bucket (size, start/end rank) — arithmetic on n alone, with
+      // ntile's first-(n mod 20)-buckets-get-one-extra fill policy.
+      val spec = stats
+        .selectExpr("n", "explode(sequence(1, 20)) AS bucket")
+        .selectExpr("bucket",
+          "n div 20 + CASE WHEN bucket <= n % 20 THEN 1 ELSE 0 END AS sz",
+          "(bucket - 1) * (n div 20) + least(bucket - 1, n % 20) + 1 " +
+            "AS start_rank")
+        .selectExpr("bucket", "sz", "start_rank",
+          "start_rank + sz - 1 AS end_rank")
+        .filter(col("sz") > 0) // n < 20: ntile emits no empty buckets
+      val need = spec.selectExpr("bucket",
+        "explode(array(struct('lo' AS role, start_rank AS r), " +
+          "struct('hi' AS role, end_rank AS r))) AS x")
+        .select(col("bucket"), col("x.role").as("role"), col("x.r").as("r"))
+      val vb = o.crossJoin(broadcast(stats.select("cmin", "cmax")))
+        .withColumn("vbkt",
+          expr(s"((cents - cmin) * $buckets) div (cmax - cmin + 1)"))
+        .select("cents", "o_orderkey", "vbkt")
+      val counts = vb.groupBy("vbkt").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum_before", coalesce(sum("cnt").over(
+          Window.orderBy("vbkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val targets = need.crossJoin(broadcast(counts))
+        .filter(col("r") > col("cum_before") &&
+          col("r") <= col("cum_before") + col("cnt"))
+        .select("bucket", "role", "r", "vbkt", "cum_before")
+      val picked = vb
+        .join(broadcast(targets.select("vbkt").distinct()), "vbkt")
+        .withColumn("rn", row_number().over(Window.partitionBy("vbkt")
+          .orderBy(col("cents").asc, col("o_orderkey").asc)))
+        .join(broadcast(targets), Seq("vbkt"))
+        .filter(col("cum_before") + col("rn") === col("r"))
+        .select("bucket", "role", "cents")
+      orderedAll(picked.groupBy("bucket")
+        .agg(max(when(col("role") === "lo", col("cents"))).as("lo_cents"),
+          max(when(col("role") === "hi", col("cents"))).as("hi_cents"))
+        .join(broadcast(spec.select("bucket", "sz")), "bucket")
+        .selectExpr("CAST(bucket AS BIGINT) AS bucket",
+          "CAST(sz AS BIGINT) AS n", "lo_cents", "hi_cents"))
+    }
+  }
 
   /** Rolling 7-day distinct actives (the WAU series): for each report
     * day, the distinct users active in the 7 days ending on it. Exact

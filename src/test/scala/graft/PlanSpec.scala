@@ -216,4 +216,83 @@ class PlanSpec extends SparkSpec {
     assert(sc.contains(Set("o_custkey")) && sc.contains(Set("l_partkey"))
       && sc.contains(Set("user_id")), s"over-read: $sc")
   }
+
+  // --- §2.23 third round-7 batch ---------------------------------------
+
+  test("q_vocab_coverage: text-only scan, broadcast total") {
+    val p = plan("q_vocab_coverage")
+    assert(scans(p).head.requiredSchema.fieldNames.toSet == Set("text"),
+      "vocab count reads more than the text column")
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
+      "the 1-row total lost its broadcast")
+  }
+
+  test("q_rolling_median windows over the daily aggregate, not raw events") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("q_rolling_median")
+    // the daily rollup must partially aggregate BELOW the window: a
+    // Partial-mode HashAggregate exists, and the window's child plan
+    // contains the aggregate (frame lists are built over daily rows).
+    assert(p.collect { case a: HashAggregateExec
+      if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+    }.nonEmpty, "daily rollup lost its map-side partial aggregation")
+    val w = p.collect { case w: WindowExec => w }
+    assert(w.nonEmpty && w.forall(_.collectFirst {
+      case a: HashAggregateExec => a }.nonEmpty),
+      "rolling frame is built over raw events, not the daily aggregate")
+    assert(scans(p).head.requiredSchema.fieldNames.toSet ==
+      Set("event_type", "ts", "value"))
+  }
+
+  test("q_decile_lift: two-column scan, broadcast total") {
+    val p = plan("q_decile_lift")
+    assert(scans(p).head.requiredSchema.fieldNames.toSet ==
+      Set("o_custkey", "o_totalprice"))
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
+      "the 1-row total lost its broadcast")
+  }
+
+  test("q_hist_equiheight: two-column scan, bounded shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = plan("q_hist_equiheight")
+    assert(scans(p).head.requiredSchema.fieldNames.toSet ==
+      Set("o_orderkey", "o_totalprice"))
+    // global ntile sort exchange + bucket agg exchange + repartition(1)
+    val ex = p.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.length <= 3, s"q_hist_equiheight plans ${ex.length} shuffles")
+  }
+
+  test("q_rolling_distinct: pair dedup partially aggregates map-side") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val p = plan("q_rolling_distinct")
+    assert(scans(p).head.requiredSchema.fieldNames.toSet ==
+      Set("user_id", "ts"))
+    assert(p.collect { case a: HashAggregateExec
+      if a.aggregateExpressions.isEmpty ||
+        a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+    }.nonEmpty, "the (user, day) dedup lost its map-side combine")
+  }
+
+  test("q_weighted_sample: three-column scan, no all-pairs join") {
+    val p = plan("q_weighted_sample")
+    assert(scans(p).head.requiredSchema.fieldNames.toSet ==
+      Set("source", "doc_id", "n_chars"))
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+  }
+
+  test("q_quantile_norm: both windows share one exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val ex = plan("q_quantile_norm")
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(ex.length <= 2, s"q_quantile_norm plans ${ex.length} shuffles")
+  }
+
+  test("q_tpch_q18: top-100 rides TakeOrderedAndProject, pruned scans") {
+    val p = plan("q_tpch_q18")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "top-100 materializes a global sort instead of TakeOrdered")
+    val sc = scans(p).map(_.requiredSchema.fieldNames.toSet)
+    assert(sc.contains(Set("l_orderkey", "l_quantity")), s"over-read: $sc")
+  }
 }

@@ -110,6 +110,34 @@ class Round7FeaturesSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q_hist_equiheight parallel k-select path is bit-equal to ntile") {
+    val serial = run("q_hist_equiheight").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    spark.conf.set("spark.graft.equiheightBuckets", "64")
+    try {
+      val parallel = run("q_hist_equiheight").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(parallel == serial)
+      // no corpus-wide ntile sort in the parallel plan: the only
+      // unpartitioned window allowed is the cum-before prefix sum over
+      // the ≤B-row histogram (its child is an aggregate, not a scan)
+      import org.apache.spark.sql.execution.window.WindowExec
+      import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+      val p = SparkEntry.queries("q_hist_equiheight")(spark, sf)
+        .queryExecution.sparkPlan
+      assert(p.collect { case w: WindowExec
+          if w.windowExpression.mkString.contains("ntile") => w }.isEmpty,
+        "parallel path still plans the global ntile")
+      val globalWindows = p.collect { case w: WindowExec
+        if w.partitionSpec.isEmpty => w }
+      assert(globalWindows.forall(_.collectFirst {
+        case a: HashAggregateExec => a }.nonEmpty),
+        "an unpartitioned window runs over non-aggregated input")
+    } finally spark.conf.unset("spark.graft.equiheightBuckets")
+  }
+
   // --- q_rolling_distinct ----------------------------------------------
 
   test("q_rolling_distinct matches brute-force 7-day WAU") {
