@@ -2363,6 +2363,98 @@ object Oracles {
         |    JOIN orders ON o_orderkey = l_orderkey
         |    JOIN customer ON c_custkey = o_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)
-        |ORDER BY ALL""".stripMargin
+        |ORDER BY ALL""".stripMargin,
+
+    // ---- §2.24 report twins + behavioral analytics ----
+    "q_tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |       ${dsumExact(discPrice)} AS revenue
+         |FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND n1.n_name <> n2.n_name
+         |GROUP BY 1, 2, 3 ORDER BY ALL""".stripMargin,
+    "q_tpch_q14" ->
+      s"""WITH m AS (
+         |  SELECT CAST(month(l_shipdate) AS BIGINT) AS mo,
+         |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN $discPrice
+         |                  ELSE CAST(0 AS DECIMAL(15,2)) END) * 10000
+         |      AS BIGINT) AS promo_u,
+         |    CAST(sum($discPrice) * 10000 AS BIGINT) AS total_u
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-01-01'
+         |  GROUP BY 1)
+         |SELECT mo, promo_u, total_u,
+         |       (promo_u * 10000) // total_u AS promo_bp
+         |FROM m ORDER BY ALL""".stripMargin,
+    "q_tpch_q22" ->
+      """WITH thr AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |           / count(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+        |         AS DOUBLE), 2) AS total_bal
+        |FROM customer, thr
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_seq_pairs" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type, min(epoch_us(ts)) AS first_us
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM f a JOIN f b ON a.user_id = b.user_id
+        |WHERE a.event_type <> b.event_type
+        |  AND (a.first_us < b.first_us OR
+        |       (a.first_us = b.first_us AND a.event_type < b.event_type))
+        |GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+    "q_path_trigrams" ->
+      """SELECT * FROM (
+        |  SELECT t1 || '>' || t2 || '>' || event_type AS trigram,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (
+        |    SELECT event_type,
+        |      lag(event_type, 2) OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts), event_id) AS t1,
+        |      lag(event_type, 1) OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts), event_id) AS t2
+        |    FROM events)
+        |  WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        |  GROUP BY 1
+        |  ORDER BY cnt DESC, trigram LIMIT 20)
+        |ORDER BY ALL""".stripMargin,
+    "q_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey, max(epoch_us(o_orderdate) // 86400000000)
+        |           AS last_day,
+        |         CAST(count(*) AS BIGINT) AS freq,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT max(last_day) AS max_day FROM per),
+        |scored AS (
+        |  SELECT per.*, mx.max_day - per.last_day AS recency,
+        |    CAST(ntile(5) OVER (ORDER BY mx.max_day - per.last_day,
+        |      o_custkey) AS BIGINT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS BIGINT)
+        |      AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT)
+        |      AS m_score
+        |  FROM per, mx)
+        |SELECT r_score, f_score, m_score,
+        |       CAST(count(*) AS BIGINT) AS n_cust,
+        |       CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM scored GROUP BY 1, 2, 3 ORDER BY ALL""".stripMargin
   )
 }

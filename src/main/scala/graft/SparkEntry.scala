@@ -222,6 +222,13 @@ object SparkEntry {
     "q_weighted_sample" -> Features.qWeightedSample _,
     "q_quantile_norm" -> Features.qQuantileNorm _,
     "q_tpch_q18" -> Reports.qTpchQ18 _,
+    // §2.24 round-7 report twins + behavioral analytics
+    "q_tpch_q7" -> Reports.qTpchQ7 _,
+    "q_tpch_q14" -> Reports.qTpchQ14 _,
+    "q_tpch_q22" -> Reports.qTpchQ22 _,
+    "q_seq_pairs" -> Analytics.qSeqPairs _,
+    "q_path_trigrams" -> Analytics.qPathTrigrams _,
+    "q_rfm" -> Analytics.qRfm _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

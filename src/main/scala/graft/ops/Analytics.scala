@@ -362,6 +362,84 @@ object Analytics {
         "share_post_bp - share_pre_bp AS drift_bp"))
   }
 
+  /** Event-type precedence matrix (the funnel-order diagnostic): for
+    * every ordered pair of distinct event types (a, b), the number of
+    * users whose FIRST a strictly precedes their FIRST b under the
+    * (first_us, type) total order — the statistic that validates (or
+    * refutes) an assumed funnel sequence before anyone hard-codes it.
+    * One user-keyed aggregate (≤ types rows per user), then a
+    * co-partitioned self-join on user_id (≤ types² pairs per user) and a
+    * types²-bounded count — nothing corpus-sized past the first
+    * aggregate. */
+  def qSeqPairs(s: SparkSession, dir: String): DataFrame = {
+    val firsts = t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(expr("unix_micros(ts)")).as("first_us"))
+    val a = firsts.select(col("user_id"), col("event_type").as("type_a"),
+      col("first_us").as("ua"))
+    val b = firsts.select(col("user_id"), col("event_type").as("type_b"),
+      col("first_us").as("ub"))
+    orderedAll(a.join(b, "user_id")
+      .filter(col("type_a") =!= col("type_b"))
+      .filter(col("ua") < col("ub") ||
+        (col("ua") === col("ub") && col("type_a") < col("type_b")))
+      .groupBy("type_a", "type_b")
+      .agg(countDistinct(col("user_id")).as("n_users")))
+  }
+
+  /** Clickstream path trigrams: the 20 most frequent event-type
+    * 3-sequences across per-user event streams under the (ts, event_id)
+    * total order — the "what do users actually do" path report. Two lags
+    * over one user-keyed window (users are plentiful — the partition key
+    * is high-cardinality, unlike the per-type windows), a mergeable
+    * count over ≤ types³ distinct trigrams, and a TakeOrdered top-20
+    * under the (count desc, trigram) total order. */
+  def qPathTrigrams(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    orderedAll(t(s, dir, "events")
+      .withColumn("us", expr("unix_micros(ts)"))
+      .select(col("user_id"), col("event_id"), col("us"), col("event_type"))
+      .withColumn("t1", lag("event_type", 2).over(w))
+      .withColumn("t2", lag("event_type", 1).over(w))
+      .filter(col("t1").isNotNull && col("t2").isNotNull)
+      .select(concat_ws(">", col("t1"), col("t2"), col("event_type"))
+        .as("trigram"))
+      .groupBy("trigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("trigram").asc)
+      .limit(20))
+  }
+
+  /** RFM segmentation (the classic customer-value grid): per customer,
+    * recency in days to the corpus max order date, order frequency, and
+    * cent-exact monetary total, each scored into quintiles (ntile(5)
+    * under explicit tie-broken total orders), rolled up to cell counts
+    * and revenue per (r, f, m) cell. The ntiles sort the CUSTOMER
+    * aggregate (≪ order rows); the q_decile_lift two-pass-rank swap
+    * applies beyond ~10 M customers. Day arithmetic stays in integer
+    * epoch-days — no date-diff dialect drift. */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders")
+      .withColumn("day", // NTZ under Verify's reader; UTC session pins it
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .groupBy("o_custkey")
+      .agg(max("day").as("last_day"), count(lit(1)).as("freq"),
+        sum("cents").as("cents"))
+    val maxDay = per.agg(max("last_day").as("max_day"))
+    val scored = per.crossJoin(broadcast(maxDay))
+      .withColumn("recency", col("max_day") - col("last_day"))
+      .withColumn("r_score", ntile(5).over(Window.orderBy(
+        col("recency").asc, col("o_custkey").asc)).cast("long"))
+      .withColumn("f_score", ntile(5).over(Window.orderBy(
+        col("freq").desc, col("o_custkey").asc)).cast("long"))
+      .withColumn("m_score", ntile(5).over(Window.orderBy(
+        col("cents").desc, col("o_custkey").asc)).cast("long"))
+    orderedAll(scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_cust"), sum("cents").cast("long")
+        .as("total_cents")))
+  }
+
   /** Pre/post A/B comparison per event type around a mid-window cutoff:
     * group sizes, cent-exact means, and a Welch t statistic built from
     * exact integer moments — sum(cents) and sum(cents²) are overflow-safe

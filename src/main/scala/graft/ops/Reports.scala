@@ -117,4 +117,85 @@ object Reports {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(100))
   }
+
+  /** TPC-H Q7 (volume shipping), generalized: revenue per (supplier
+    * nation, customer nation, ship year) for every CROSS-nation pair over
+    * two ship years — Q7's two-nation filter widened so the report is
+    * non-empty at every SF (the fixture has 10 suppliers at sf0.001).
+    * Facts join on their keys; nation/supplier dims ride broadcasts; the
+    * output is bounded by nations² × years. */
+  def qTpchQ7(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1995-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select("l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val n1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+    orderedAll(li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("snk"))
+      .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(revenue))
+  }
+
+  /** TPC-H Q14 (promotion effect): per ship month of 1995, the share of
+    * revenue from PROMO-type parts in exact basis points. The ratio is
+    * computed over ×10000-scaled exact-decimal revenue (discPrice has
+    * scale 4; ×10000 clears the fraction so the BIGINT cast is exact —
+    * a cent cast would TRUNCATE in Spark and ROUND in DuckDB on sub-cent
+    * digits). Part dim rides a broadcast; one mergeable aggregate. */
+  def qTpchQ14(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1995-01-01").cast("timestamp")
+    val hi = lit("1996-01-01").cast("timestamp")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val p = t(s, dir, "part").select("p_partkey", "p_type")
+    orderedAll(li
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(month(col("l_shipdate")).cast("long").as("mo"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", discPrice)
+          .otherwise(lit(0).cast("decimal(15,2)")))
+          .multiply(lit(10000)).cast("long").as("promo_u"),
+        sum(discPrice).multiply(lit(10000)).cast("long").as("total_u"))
+      .selectExpr("mo", "promo_u", "total_u",
+        "(promo_u * 10000) div total_u AS promo_bp"))
+  }
+
+  /** TPC-H Q22 (global sales opportunity), fixture-faithful: lapsed
+    * high-balance customers — balance above the positive-balance average
+    * AND no order since 1999 — counted per nation with their total
+    * balance. (Q22's "never ordered" predicate is empty on this fixture's
+    * dense FKs; the recency-windowed anti join keeps the exact plan
+    * shape: scalar-subquery threshold + left-anti + agg.) The threshold
+    * is one double division of exact decimal operands, identical in both
+    * engines; the anti join shuffles on custkey. */
+  def qTpchQ22(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val thr = c.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select("o_custkey")
+    orderedAll(c
+      .crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal")))
+  }
 }
