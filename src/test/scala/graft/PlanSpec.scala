@@ -295,4 +295,76 @@ class PlanSpec extends SparkSpec {
     val sc = scans(p).map(_.requiredSchema.fieldNames.toSet)
     assert(sc.contains(Set("l_orderkey", "l_quantity")), s"over-read: $sc")
   }
+
+  test("q_tpch_q7: dims ride broadcasts, ship-date filter reaches scan") {
+    val p = plan("q_tpch_q7")
+    // supplier + two nation copies broadcast; facts shuffle on their keys
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.length >= 3,
+      "nation/supplier dims are not broadcast")
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    val li = scans(p).find(_.requiredSchema.fieldNames.contains("l_suppkey"))
+    assert(li.nonEmpty)
+    assert(li.get.metadata.getOrElse("PushedFilters", "")
+      .contains("l_shipdate"), "ship-date range not pushed")
+    assert(li.get.requiredSchema.fieldNames.toSet == Set("l_orderkey",
+      "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"))
+  }
+
+  test("q_tpch_q14: part dim broadcast, lineitem pruned to 4 columns") {
+    val p = plan("q_tpch_q14")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "part dim is not broadcast")
+    val li = scans(p).find(_.requiredSchema.fieldNames.contains("l_partkey"))
+    assert(li.nonEmpty)
+    assert(li.get.requiredSchema.fieldNames.toSet == Set("l_partkey",
+      "l_shipdate", "l_extendedprice", "l_discount"), "over-read")
+  }
+
+  test("q_tpch_q22: anti join is keyed, recency filter reaches scan") {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val p = plan("q_tpch_q22")
+    // the left-anti recency join must be hash-keyed on custkey — the only
+    // permissible NLJ is the broadcast of the 1-row threshold aggregate
+    val antiNlj = p.collect { case j: BroadcastNestedLoopJoinExec
+      if j.joinType == LeftAnti => j }
+    assert(antiNlj.isEmpty, "anti join fell back to an all-pairs NLJ")
+    val o = scans(p).find(_.requiredSchema.fieldNames.contains("o_custkey"))
+    assert(o.nonEmpty)
+    assert(o.get.metadata.getOrElse("PushedFilters", "")
+      .contains("o_orderdate"), "recency cutoff not pushed")
+    assert(o.get.requiredSchema.fieldNames.toSet ==
+      Set("o_custkey", "o_orderdate"), "over-read on orders")
+  }
+
+  test("q_seq_pairs: keyed self-join over the first-event aggregate") {
+    val p = plan("q_seq_pairs")
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "precedence pair join fell back to an all-pairs NLJ")
+    val ev = scans(p)
+    assert(ev.forall(_.requiredSchema.fieldNames.toSet ==
+      Set("user_id", "event_type", "ts")), "over-read on events")
+  }
+
+  test("q_path_trigrams: top-20 rides TakeOrderedAndProject") {
+    val p = plan("q_path_trigrams")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "top-20 materializes a global sort instead of TakeOrdered")
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the lag window is keyed by user_id — never a global window
+    assert(p.collect { case w: WindowExec
+      if w.partitionSpec.isEmpty => w }.isEmpty,
+      "trigram lags run in a single partition")
+  }
+
+  test("q_rfm: global ntiles sort only the customer aggregate") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val p = plan("q_rfm")
+    val globalWindows = p.collect { case w: WindowExec
+      if w.partitionSpec.isEmpty => w }
+    assert(globalWindows.nonEmpty)
+    assert(globalWindows.forall(_.collectFirst {
+      case a: HashAggregateExec => a }.nonEmpty),
+      "an unpartitioned ntile runs over non-aggregated order rows")
+  }
 }
