@@ -2434,6 +2434,85 @@ object Oracles {
         |  GROUP BY 1
         |  ORDER BY cnt DESC, trigram LIMIT 20)
         |ORDER BY ALL""".stripMargin,
+    // ---- §2.25 TPC-H suite completion ----
+    "q_tpch_q8" ->
+      s"""WITH per AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |         n2.n_name AS supp_nation,
+         |         CAST(sum($discPrice) * 10000 AS BIGINT) AS vol_u
+         |  FROM lineitem
+         |    JOIN part ON l_partkey = p_partkey
+         |    JOIN orders ON l_orderkey = o_orderkey
+         |    JOIN customer ON o_custkey = c_custkey
+         |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |    JOIN region ON n1.n_regionkey = r_regionkey
+         |    JOIN supplier ON l_suppkey = s_suppkey
+         |    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+         |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+         |    AND o_orderdate < TIMESTAMP '1997-01-01'
+         |  GROUP BY 1, 2)
+         |SELECT o_year, supp_nation, vol_u,
+         |       (vol_u * 10000)
+         |         // CAST(sum(vol_u) OVER (PARTITION BY o_year) AS BIGINT)
+         |         AS share_bp
+         |FROM per ORDER BY ALL""".stripMargin,
+    "q_tpch_q9" ->
+      s"""SELECT n_name AS nation,
+         |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |       CAST(sum($discPrice
+         |         - CAST(p_retailprice AS DECIMAL(15,2))
+         |           * CAST(l_quantity AS DECIMAL(4,0))) * 10000
+         |         AS BIGINT) AS profit_u
+         |FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_tpch_q15" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |         CAST(sum($discPrice) * 10000 AS BIGINT) AS total_u
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_u
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_u = (SELECT max(total_u) FROM rev)
+         |ORDER BY ALL""".stripMargin,
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |GROUP BY 1, 2, 3 ORDER BY ALL""".stripMargin,
+    "q_tpch_q17" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'SMALL'),
+        |pa AS (
+        |  SELECT l_partkey AS pk, sum(qty) AS sum_qty,
+        |         CAST(count(*) AS BIGINT) AS n_li
+        |  FROM li GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS rev_cents,
+        |       CAST(sum(cents) AS BIGINT) // 7 AS avg_yearly_c
+        |FROM li JOIN pa ON l_partkey = pk
+        |WHERE qty * 5 * n_li < sum_qty
+        |ORDER BY ALL""".stripMargin,
     "q_rfm" ->
       """WITH per AS (
         |  SELECT o_custkey, max(epoch_us(o_orderdate) // 86400000000)

@@ -229,6 +229,13 @@ object SparkEntry {
     "q_seq_pairs" -> Analytics.qSeqPairs _,
     "q_path_trigrams" -> Analytics.qPathTrigrams _,
     "q_rfm" -> Analytics.qRfm _,
+    // §2.25 round-7 TPC-H suite completion (expressible subset)
+    "q_tpch_q8" -> Reports.qTpchQ8 _,
+    "q_tpch_q9" -> Reports.qTpchQ9 _,
+    "q_tpch_q13" -> Reports.qTpchQ13 _,
+    "q_tpch_q15" -> Reports.qTpchQ15 _,
+    "q_tpch_q16" -> Reports.qTpchQ16 _,
+    "q_tpch_q17" -> Reports.qTpchQ17 _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Composite TPC-H report twins (SURVEY §2.19) — the end-to-end queries a
@@ -183,6 +184,163 @@ object Reports {
     * shape: scalar-subquery threshold + left-anti + agg.) The threshold
     * is one double division of exact decimal operands, identical in both
     * engines; the anti join shuffles on custkey. */
+  /** TPC-H Q8 (national market share), generalized: within the ASIA
+    * region's STANDARD-part market over 1995–1996, each supplier nation's
+    * revenue and share per order year — Q8's single-nation ratio widened
+    * to all nations so the report is non-empty at every SF. Revenue is
+    * carried as ×10000-scaled exact-decimal units end-to-end; the share
+    * divides two non-negative BIGINTs (floor = truncation both engines).
+    * The year totals come from a window over the years×nations aggregate,
+    * never the fact table. */
+  def qTpchQ8(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1995-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val nAsia = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")
+        .filter(col("r_name") === "ASIA").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cnk"))
+    val p = t(s, dir, "part").filter(col("p_type") === "STANDARD")
+      .select("p_partkey")
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val nSup = t(s, dir, "nation")
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    val perNation = li
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nAsia), col("c_nationkey") === col("cnk"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nSup), col("s_nationkey") === col("snk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+        col("supp_nation"))
+      .agg(sum(discPrice).multiply(lit(10000)).cast("long").as("vol_u"))
+    val w = Window.partitionBy("o_year")
+    orderedAll(perNation
+      .withColumn("year_u", sum(col("vol_u")).over(w))
+      .selectExpr("o_year", "supp_nation", "vol_u",
+        "(vol_u * 10000) div year_u AS share_bp"))
+  }
+
+  /** TPC-H Q9 (product type profit), adapted: the fixture has no
+    * partsupp, so supply cost is proxied by `p_retailprice × quantity`
+    * (same plan shape: part-name filter, five-way join, profit per
+    * supplier nation per order year). Profit stays an exact decimal —
+    * scale-4 discPrice minus a scale-2 cost product — emitted as ×10000
+    * BIGINT units (profit can be NEGATIVE, so no integer division or
+    * rounding is allowed to touch it). */
+  def qTpchQ9(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    val p = t(s, dir, "part").filter(col("p_name").like("%widget%"))
+      .select("p_partkey", "p_retailprice")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val n = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name").as("nation"))
+    val amount = discPrice -
+      dmoney(col("p_retailprice")) * col("l_quantity").cast("decimal(4,0)")
+    orderedAll(li
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).multiply(lit(10000)).cast("long").as("profit_u")))
+  }
+
+  /** TPC-H Q13 (customer distribution): how many customers placed k
+    * orders, INCLUDING k = 0 — the left join is the point of the query
+    * (an inner join silently drops the zero bucket). Fixture-faithful:
+    * the o_comment exclusion predicate has no fixture column and is
+    * dropped. Shuffle join on custkey, then two bounded aggregates. */
+  def qTpchQ13(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select("c_custkey")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    orderedAll(c
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist")))
+  }
+
+  /** TPC-H Q15 (top supplier): suppliers whose 1996-Q1 revenue equals the
+    * maximum — the view + scalar-subquery-max shape. Revenue is compared
+    * in ×10000-scaled exact BIGINT units (a double max would make the
+    * equality engine-dependent at the last ULP). The max comes from a
+    * global window over the SUPPLIER-sized aggregate, so the fact table
+    * is scanned exactly once (a scalar-subquery max re-scans it — the
+    * 10× smoke measured 2× wall for the two-scan shape); supplier names
+    * ride a broadcast dim join. */
+  def qTpchQ15(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPrice).multiply(lit(10000)).cast("long").as("total_u"))
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_name")
+    orderedAll(rev
+      .withColumn("max_u", max(col("total_u")).over(Window.partitionBy()))
+      .filter(col("total_u") === col("max_u"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_u")))
+  }
+
+  /** TPC-H Q16 (parts/supplier relationship), adapted: no partsupp, so
+    * the part↔supplier bridge is the lineitem fact itself — distinct
+    * supplier count per (brand, type, size) for a filtered part family
+    * (brand excluded, PROMO types excluded, square sizes only). The
+    * distinct-agg keys on the part triple after a broadcast part join. */
+  def qTpchQ16(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" &&
+        !col("p_type").like("PROMO%") &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    orderedAll(t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt")))
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue): revenue impact of
+    * lineitems under 20% of their part's average quantity, for one part
+    * family (p_type = 'SMALL' stands in for the fixture-less
+    * brand+container pair). The threshold `qty < 0.2·avg(qty)` is
+    * cross-multiplied to `5·qty·n < sum(qty)` — all BIGINT, no FP
+    * division anywhere. Per-part stats join back on partkey; the final
+    * row carries cent-exact revenue and its /7 "yearly average" in
+    * integer cents (operands non-negative, so floor = truncation in both
+    * engines). */
+  def qTpchQ17(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_type") === "SMALL")
+      .select("p_partkey")
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val pa = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_li"))
+    orderedAll(li
+      .join(pa, col("l_partkey") === col("pk"))
+      .filter(col("qty") * 5 * col("n_li") < col("sum_qty"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).cast("long").as("rev_cents"))
+      .selectExpr("n_rows", "rev_cents",
+        "rev_cents div 7 AS avg_yearly_c"))
+  }
+
   def qTpchQ22(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val thr = c.filter(col("c_acctbal") > 0)

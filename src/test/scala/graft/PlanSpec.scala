@@ -356,6 +356,68 @@ class PlanSpec extends SparkSpec {
       "trigram lags run in a single partition")
   }
 
+  test("q_tpch_q8: all four dims broadcast, date filter reaches orders") {
+    val p = plan("q_tpch_q8")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.length >= 4,
+      "part/nation/supplier dims are not broadcast")
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    val o = scans(p).find(_.requiredSchema.fieldNames.contains("o_orderdate"))
+    assert(o.nonEmpty)
+    assert(o.get.metadata.getOrElse("PushedFilters", "")
+      .contains("o_orderdate"), "order-date range not pushed")
+  }
+
+  test("q_tpch_q9: widget filter prunes the part scan before broadcast") {
+    val p = plan("q_tpch_q9")
+    val pt = scans(p).find(_.requiredSchema.fieldNames.contains("p_name"))
+    assert(pt.nonEmpty)
+    assert(pt.get.metadata.getOrElse("PushedFilters", "")
+      .contains("p_name"), "name LIKE not pushed to the part scan")
+    assert(pt.get.requiredSchema.fieldNames.toSet ==
+      Set("p_partkey", "p_name", "p_retailprice"), "over-read on part")
+  }
+
+  test("q_tpch_q13: zero bucket rides a LEFT join, scans pruned to keys") {
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val p = plan("q_tpch_q13")
+    val left = p.collect {
+      case j: SortMergeJoinExec if j.joinType == LeftOuter => j
+      case j: ShuffledHashJoinExec if j.joinType == LeftOuter => j
+      case j: BroadcastHashJoinExec if j.joinType == LeftOuter => j }
+    assert(left.nonEmpty, "zero-orders bucket lost: join is not LEFT")
+    assert(scans(p).forall(_.requiredSchema.fieldNames.length <= 2),
+      "over-read on customer/orders")
+  }
+
+  test("q_tpch_q15: one fact scan, max over the supplier aggregate") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val p = plan("q_tpch_q15")
+    val li = scans(p).filter(_.requiredSchema.fieldNames
+      .contains("l_shipdate"))
+    assert(li.length == 1, "scalar-subquery max re-scans the fact table")
+    assert(li.forall(_.metadata.getOrElse("PushedFilters", "")
+      .contains("l_shipdate")), "quarter range not pushed")
+    // the global max window runs over the supplier-sized aggregate
+    val globalWindows = p.collect { case w: WindowExec
+      if w.partitionSpec.isEmpty => w }
+    assert(globalWindows.nonEmpty)
+    assert(globalWindows.forall(_.collectFirst {
+      case a: HashAggregateExec => a }.nonEmpty),
+      "the max window runs over non-aggregated fact rows")
+  }
+
+  test("q_tpch_q17: per-part stats join stays keyed, part filter pushed") {
+    val p = plan("q_tpch_q17")
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "threshold join fell back to an all-pairs NLJ")
+    val pt = scans(p).find(_.requiredSchema.fieldNames.contains("p_type"))
+    assert(pt.nonEmpty)
+    assert(pt.get.metadata.getOrElse("PushedFilters", "")
+      .contains("p_type"), "part-family filter not pushed")
+  }
+
   test("q_rfm: global ntiles sort only the customer aggregate") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.HashAggregateExec
