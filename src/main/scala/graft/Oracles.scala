@@ -2513,6 +2513,157 @@ object Oracles {
         |FROM li JOIN pa ON l_partkey = pk
         |WHERE qty * 5 * n_li < sum_qty
         |ORDER BY ALL""".stripMargin,
+    // ---- §2.26 ML-adjacent extensions ----
+    "q_feature_hash" -> {
+      val h24 = (1 to 6).map(i =>
+        s"(${nibSql("h", i)}) * ${math.pow(16, 6 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, source,
+         |         unnest(string_split(lower(text), ' ')) AS token
+         |  FROM documents),
+         |tk AS (
+         |  SELECT doc_id, source, md5(token || ':fh') AS h
+         |  FROM tok WHERE token <> '')
+         |SELECT source, CAST($h24 AS BIGINT) % 16 AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM tk GROUP BY 1, 2 ORDER BY ALL""".stripMargin
+    },
+    "q_target_encode" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |g AS (SELECT CAST(sum(cents) // count(*) AS BIGINT)
+        |        AS prior_cents FROM o),
+        |per AS (
+        |  SELECT c_mktsegment AS segment,
+        |         CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM o JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1)
+        |SELECT segment, n_orders, sum_cents, prior_cents,
+        |       CAST((sum_cents + 10 * prior_cents) // (n_orders + 10)
+        |         AS BIGINT) AS enc_cents
+        |FROM per, g ORDER BY ALL""".stripMargin,
+    "q_chisq" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+        |         CAST(count(*) AS BIGINT) AS observed
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT segment, priority, observed,
+        |    CAST(sum(observed) OVER (PARTITION BY segment) AS BIGINT)
+        |      AS r_tot,
+        |    CAST(sum(observed) OVER (PARTITION BY priority) AS BIGINT)
+        |      AS c_tot,
+        |    CAST(sum(observed) OVER () AS BIGINT) AS n_tot
+        |  FROM cells)
+        |SELECT segment, priority, observed, r_tot, c_tot, n_tot,
+        |  round(CAST(observed * n_tot - r_tot * c_tot AS DOUBLE)
+        |        * CAST(observed * n_tot - r_tot * c_tot AS DOUBLE)
+        |        / CAST(r_tot AS DOUBLE) / CAST(c_tot AS DOUBLE)
+        |        / CAST(n_tot AS DOUBLE), 4) AS chi2_contrib
+        |FROM m ORDER BY ALL""".stripMargin,
+    "q_ewma" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, day, cents,
+        |    lag(cents, 1) OVER w AS x1, lag(cents, 2) OVER w AS x2,
+        |    lag(cents, 3) OVER w AS x3, lag(cents, 4) OVER w AS x4,
+        |    lag(cents, 5) OVER w AS x5, lag(cents, 6) OVER w AS x6
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, day, cents,
+        |  CAST((cents * 64 + coalesce(x1, 0) * 32 + coalesce(x2, 0) * 16
+        |      + coalesce(x3, 0) * 8 + coalesce(x4, 0) * 4
+        |      + coalesce(x5, 0) * 2 + coalesce(x6, 0))
+        |    // (64 + CASE WHEN x1 IS NULL THEN 0 ELSE 32 END
+        |      + CASE WHEN x2 IS NULL THEN 0 ELSE 16 END
+        |      + CASE WHEN x3 IS NULL THEN 0 ELSE 8 END
+        |      + CASE WHEN x4 IS NULL THEN 0 ELSE 4 END
+        |      + CASE WHEN x5 IS NULL THEN 0 ELSE 2 END
+        |      + CASE WHEN x6 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS ewma_c
+        |FROM l ORDER BY ALL""".stripMargin,
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events GROUP BY 1, 2),
+        |tgt AS (SELECT event_type AS et,
+        |          CAST(sum(cents) // count(*) AS BIGINT) AS target_c
+        |        FROM daily GROUP BY 1)
+        |SELECT event_type, day, cents, target_c,
+        |  CAST(sum(cents - target_c) OVER (PARTITION BY event_type
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cusum_c
+        |FROM daily JOIN tgt ON event_type = et
+        |ORDER BY ALL""".stripMargin,
+    "q_graph_bfs" ->
+      """WITH RECURSIVE dt AS (SELECT DISTINCT doc_id, token FROM (
+        |       SELECT doc_id, unnest(string_split(lower(text), ' '))
+        |         AS token
+        |       FROM documents WHERE lang = 'en') WHERE token <> ''),
+        |und AS (SELECT a.token AS src, b.token AS dst
+        |        FROM dt a JOIN dt b
+        |        ON a.doc_id = b.doc_id AND a.token < b.token
+        |        GROUP BY 1, 2),
+        |e AS (SELECT src, dst FROM und
+        |      UNION ALL SELECT dst, src FROM und),
+        |seed AS (SELECT min(token) AS token FROM dt),
+        |reach(token, hops) AS (
+        |  SELECT token, CAST(0 AS BIGINT) FROM seed
+        |  UNION
+        |  SELECT e.dst, reach.hops + 1 FROM e
+        |  JOIN reach ON e.src = reach.token
+        |  WHERE reach.hops < 3)
+        |SELECT token, CAST(min(hops) AS BIGINT) AS hops
+        |FROM reach GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_ship_latency" ->
+      """WITH lat AS (
+        |  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate)
+        |           AS BIGINT) AS ship_ym,
+        |         epoch_us(l_shipdate) // 86400000000
+        |           - epoch_us(o_orderdate) // 86400000000 AS lat_days,
+        |         l_orderkey, l_linenumber
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |r AS (
+        |  SELECT ship_ym, lat_days,
+        |    CAST(row_number() OVER (PARTITION BY ship_ym
+        |      ORDER BY lat_days, l_orderkey, l_linenumber) AS BIGINT)
+        |      AS rn,
+        |    CAST(count(*) OVER (PARTITION BY ship_ym) AS BIGINT) AS n
+        |  FROM lat)
+        |SELECT ship_ym, max(n) AS n,
+        |  CAST(min(lat_days) AS BIGINT) AS min_days,
+        |  CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN lat_days END)
+        |     + sum(CASE WHEN rn = (n + 2) // 2 THEN lat_days END)
+        |     AS BIGINT) AS med2_days,
+        |  CAST(max(CASE WHEN rn = (n * 9 + 9) // 10 THEN lat_days END)
+        |    AS BIGINT) AS p90_days,
+        |  CAST(max(lat_days) AS BIGINT) AS max_days
+        |FROM r GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_incremental_agg" ->
+      """SELECT o_orderstatus AS status,
+        |  CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+        |    AS ym,
+        |  CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+        |  CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+        |  CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents_total,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_orderkey
+        |FROM orders GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
     "q_rfm" ->
       """WITH per AS (
         |  SELECT o_custkey, max(epoch_us(o_orderdate) // 86400000000)

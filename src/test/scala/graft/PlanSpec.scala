@@ -418,6 +418,91 @@ class PlanSpec extends SparkSpec {
       .contains("p_type"), "part-family filter not pushed")
   }
 
+  test("q_feature_hash: map-side-combinable scan, no joins, pruned read") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val p = plan("q_feature_hash")
+    assert(p.collect { case j: SortMergeJoinExec => j
+                       case j: ShuffledHashJoinExec => j
+                       case j: BroadcastHashJoinExec => j }.isEmpty,
+      "featurization should be a pure scan+agg, no joins")
+    assert(scans(p).head.requiredSchema.fieldNames.toSet ==
+      Set("doc_id", "source", "text"), "over-read on documents")
+  }
+
+  test("q_target_encode: fact join keyed, prior is a tiny broadcast") {
+    val p = plan("q_target_encode")
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.length
+      <= 1, "only the 1-row prior may ride a non-equi broadcast")
+    val o = scans(p).filter(_.requiredSchema.fieldNames
+      .contains("o_totalprice"))
+    assert(o.forall(_.requiredSchema.fieldNames.length <= 2),
+      "over-read on orders")
+  }
+
+  test("q_chisq: marginal windows run over the cell aggregate") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val p = plan("q_chisq")
+    val ws = p.collect { case w: WindowExec => w }
+    assert(ws.nonEmpty)
+    assert(ws.forall(_.collectFirst {
+      case a: HashAggregateExec => a }.nonEmpty),
+      "a marginal window runs over non-aggregated fact rows")
+  }
+
+  test("q_ewma: seven lags share one window over the daily aggregate") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val p = plan("q_ewma")
+    val ws = p.collect { case w: WindowExec => w }
+    assert(ws.length == 1, s"lags split across ${ws.length} windows")
+    assert(ws.head.collectFirst {
+      case a: HashAggregateExec => a }.nonEmpty,
+      "the lag window runs over raw events")
+  }
+
+  test("q_cusum: running sum over the daily aggregate, target broadcast") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val p = plan("q_cusum")
+    val ws = p.collect { case w: WindowExec => w }
+    assert(ws.length == 1)
+    assert(ws.head.collectFirst {
+      case a: HashAggregateExec => a }.nonEmpty)
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "per-type target should ride a broadcast join")
+  }
+
+  test("q_graph_bfs: frontier expansions are keyed joins, never NLJ") {
+    val p = plan("q_graph_bfs")
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "a frontier expansion degenerated to an all-pairs join")
+  }
+
+  test("q_ship_latency: rank windows and final agg share one key") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("q_ship_latency")
+    assert(p.collect { case w: WindowExec => w }.length <= 2)
+    // join shuffle (×2 sides) + window shuffle + orderedAll's single
+    // partition — the two windows and the month aggregate add exactly one
+    val ex = p.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.length <= 4, s"${ex.length} exchanges: windows/agg re-key")
+  }
+
+  test("q_incremental_agg: two mergeable aggregates under a full join") {
+    import org.apache.spark.sql.catalyst.plans.FullOuter
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val p = plan("q_incremental_agg")
+    val full = p.collect {
+      case j: SortMergeJoinExec if j.joinType == FullOuter => j
+      case j: ShuffledHashJoinExec if j.joinType == FullOuter => j }
+    assert(full.nonEmpty, "state merge lost its FULL OUTER join")
+    assert(full.head.collect { case a: HashAggregateExec => a }.length
+      >= 2, "merge inputs are not pre-aggregated states")
+  }
+
   test("q_rfm: global ntiles sort only the customer aggregate") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.HashAggregateExec
