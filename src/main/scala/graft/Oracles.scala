@@ -2664,6 +2664,136 @@ object Oracles {
         |    AS cents_total,
         |  CAST(max(o_orderkey) AS BIGINT) AS max_orderkey
         |FROM orders GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+    // ---- §2.27 storage/BI/audit staples ----
+    "q_zone_map" ->
+      """SELECT o_orderkey // 256 AS block,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+        |    AS min_day,
+        |  CAST(max(epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+        |    AS max_day,
+        |  CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS min_cents,
+        |  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS max_cents
+        |FROM orders GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_sim_histogram" ->
+      """WITH p AS (SELECT vec_id AS a_id, embedding AS ea
+        |           FROM embeddings WHERE vec_id < 200),
+        |q AS (SELECT vec_id AS b_id, embedding AS eb
+        |      FROM embeddings WHERE vec_id < 200),
+        |s AS (SELECT a_id, b_id,
+        |        list_sum(list_transform(generate_series(1, 64), i ->
+        |          CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))) AS dot,
+        |        list_sum(list_transform(generate_series(1, 64), i ->
+        |          CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))) AS na2,
+        |        list_sum(list_transform(generate_series(1, 64), i ->
+        |          CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))) AS nb2
+        |      FROM p, q WHERE a_id < b_id),
+        |c AS (SELECT dot / sqrt(na2 * nb2) AS cos FROM s)
+        |SELECT CAST(floor(cos * 10) AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       round(min(cos), 4) AS min_cos,
+        |       round(max(cos), 4) AS max_cos
+        |FROM c GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_cv_folds" -> {
+      val h24 = (1 to 6).map(i =>
+        s"(${nibSql("h", i)}) * ${math.pow(16, 6 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH f AS (
+         |  SELECT c_custkey, CAST($h24 AS BIGINT) % 5 AS fold
+         |  FROM (SELECT c_custkey,
+         |          md5(CAST(c_custkey AS VARCHAR) || ':cv') AS h
+         |        FROM customer)),
+         |o AS (SELECT o_custkey,
+         |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |      FROM orders),
+         |per AS (
+         |  SELECT fold, CAST(count(DISTINCT c_custkey) AS BIGINT)
+         |           AS n_cust,
+         |         CAST(count(*) AS BIGINT) AS n_orders,
+         |         CAST(sum(cents) AS BIGINT) AS sum_cents
+         |  FROM o JOIN f ON o_custkey = c_custkey GROUP BY 1),
+         |t AS (SELECT CAST(sum(sum_cents) AS BIGINT) AS total_cents
+         |      FROM per)
+         |SELECT fold, n_cust, n_orders, sum_cents,
+         |       (sum_cents * 10000) // total_cents AS share_bp
+         |FROM per, t ORDER BY ALL""".stripMargin
+    },
+    "q_ctr_wilson" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN value > 200.0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS k
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n, k, (k * 10000) // n AS ctr_bp,
+        |  round(
+        |    (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |       + 3.8416 / (2.0 * CAST(n AS DOUBLE))
+        |       - 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |           * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |           + 3.8416 / (4.0 * CAST(n AS DOUBLE)))
+        |         / CAST(n AS DOUBLE)))
+        |    / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 4) AS wilson_lo
+        |FROM g ORDER BY ALL""".stripMargin,
+    "q_pareto" ->
+      """WITH per AS (
+        |  SELECT c_nationkey, c_custkey, CAST(sum(
+        |    CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT c_nationkey, cents,
+        |    CAST(coalesce(sum(cents) OVER (PARTITION BY c_nationkey
+        |      ORDER BY cents DESC, c_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before,
+        |    CAST(sum(cents) OVER (PARTITION BY c_nationkey) AS BIGINT)
+        |      AS total
+        |  FROM per),
+        |agg AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |         max(total) AS total_cents,
+        |         CAST(sum(CASE WHEN cum_before * 5 < total * 4
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+        |         CAST(sum(CASE WHEN cum_before * 5 < total * 4
+        |           THEN cents ELSE 0 END) AS BIGINT) AS top_cents
+        |  FROM m GROUP BY 1)
+        |SELECT n_name, n_cust, total_cents, n_top,
+        |       (top_cents * 10000) // total_cents AS top_share_bp
+        |FROM agg JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY ALL""".stripMargin,
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT o_orderstatus AS status,
+        |         CAST(substring(CAST(CAST(round(o_totalprice * 100)
+        |           AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |g AS (SELECT status, digit, CAST(count(*) AS BIGINT) AS n
+        |      FROM d GROUP BY 1, 2)
+        |SELECT status, digit, n,
+        |       (n * 10000) // CAST(sum(n) OVER (PARTITION BY status)
+        |         AS BIGINT) AS share_bp
+        |FROM g ORDER BY ALL""".stripMargin,
+    "q_seasonality" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (
+        |  SELECT event_type, (day + 3) % 7 AS dow,
+        |         CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(cents) AS BIGINT) AS dow_cents
+        |  FROM daily GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type AS et, CAST(count(*) AS BIGINT) AS tot_days,
+        |         CAST(sum(cents) AS BIGINT) AS tot_cents
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, CAST(dow AS BIGINT) AS dow, n_days, dow_cents,
+        |       (dow_cents * tot_days * 10000) // (tot_cents * n_days)
+        |         AS idx_bp
+        |FROM dw JOIN t ON event_type = et ORDER BY ALL""".stripMargin,
     "q_rfm" ->
       """WITH per AS (
         |  SELECT o_custkey, max(epoch_us(o_orderdate) // 86400000000)

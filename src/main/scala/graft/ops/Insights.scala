@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-7 §2.27 extensions: storage-layer and BI/audit staples — zone
+  * maps (the data-skipping index), a cosine-similarity histogram over a
+  * bounded probe set, deterministic k-fold assignment, Wilson-bound
+  * conversion rates, Pareto 80/20 concentration, a Benford leading-digit
+  * audit, and day-of-week seasonality indices. All DuckDB-oracled.
+  * Float policy: exact integers everywhere except the Wilson bound and
+  * cosine values, which are fixed IEEE sequences over exact inputs (the
+  * q_abtest epilogue recipe) or bit-identical vector folds (§2.12). */
+object Insights {
+
+  /** Zone-map construction (the min/max block index every data-skipping
+    * reader consults): per 256-key block of orders, row count and
+    * min/max of the date and value columns. The block key derives from
+    * the sort key, so partial aggregation collapses each input split to
+    * its few resident blocks map-side — at 100 TB this is a pure
+    * scan+combine with a blocks-sized shuffle, the same shape the
+    * z-order writer (q_zorder) pairs with. Day/cent math in exact
+    * integers. */
+  def qZoneMap(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "orders")
+      .selectExpr("o_orderkey div 256 AS block",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS day",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .groupBy("block")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents")))
+
+  /** Cosine-similarity histogram over a bounded probe set (vec_id < 200,
+    * unordered pairs): the distribution diagnostic run before choosing a
+    * near-dup threshold or an ANN index. The probe set is fixed-size by
+    * construction, so the pair space is constant (≤ 19,900) regardless
+    * of corpus scale — the realistic "sample then profile" pattern; the
+    * full-corpus variant is the q_dedup_embedding LSH path. Cosines are
+    * bit-identical across engines (§2.12 sequential fold), so the
+    * floor-binning cannot flap. */
+  def qSimHistogram(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    orderedAll(a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("cos", Vectors.cosine(col("ea"), col("eb")))
+      .groupBy(expr("CAST(floor(cos * 10) AS BIGINT)").as("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min(col("cos")), 4).as("min_cos"),
+        round(max(col("cos")), 4).as("max_cos")))
+  }
+
+  /** Deterministic k-fold cross-validation assignment: every customer
+    * lands in fold md5₂₄(custkey) % 5 (the engine-portable hash recipe,
+    * SURVEY §2.14 — reproducible across engines and runs, the property a
+    * training pipeline needs from its splitter), audited per fold with
+    * customer count, order count, cent-exact revenue, and revenue share
+    * in basis points — the balance check that validates the split. Fact
+    * rows join the fold label on custkey (shuffle equi-join); the total
+    * is a 1-row broadcast. */
+  def qCvFolds(s: SparkSession, dir: String): DataFrame = {
+    val folds = t(s, dir, "customer").selectExpr("c_custkey",
+      "CAST(conv(substring(md5(concat(CAST(c_custkey AS STRING), ':cv')), " +
+        "1, 6), 16, 10) AS BIGINT) % 5 AS fold")
+    val o = t(s, dir, "orders").selectExpr("o_custkey",
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+    val per = o.join(folds, col("o_custkey") === col("c_custkey"))
+      .groupBy("fold")
+      .agg(countDistinct(col("c_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+    val tot = per.agg(sum(col("sum_cents")).as("total_cents"))
+    orderedAll(per.crossJoin(broadcast(tot))
+      .selectExpr("fold", "n_cust", "n_orders", "sum_cents",
+        "(sum_cents * 10000) div total_cents AS share_bp"))
+  }
+
+  /** Conversion rate with a Wilson lower bound per event type (conversion
+    * = value above 200): the ranking statistic that does not reward tiny
+    * samples (the reason leaderboards use Wilson, not raw rate). n and k
+    * are exact; the bound is ONE fixed sequence of IEEE double ops
+    * (z = 1.96 literal) spelled identically in both engines over those
+    * exact integers — correctly-rounded step by step, so the rounded
+    * output cannot flap. One conditional-aggregate scan. */
+  def qCtrWilson(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "events")
+      .selectExpr("event_type",
+        "CASE WHEN value > 200.0 THEN 1 ELSE 0 END AS conv")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("conv")).cast("long").as("k"))
+      .selectExpr("event_type", "n", "k",
+        "(k * 10000) div n AS ctr_bp",
+        """round(
+          |  (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+          |     + 3.8416 / (2.0 * CAST(n AS DOUBLE))
+          |     - 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+          |         * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+          |         + 3.8416 / (4.0 * CAST(n AS DOUBLE)))
+          |       / CAST(n AS DOUBLE)))
+          |  / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 4) AS wilson_lo""".stripMargin))
+
+  /** Pareto 80/20 concentration per nation: how many customers (ranked
+    * by spend) carry the first 80% of revenue, and the exact share they
+    * carry — the revenue-concentration report behind every "top accounts"
+    * decision. A customer is in the top set iff the cumulative spend
+    * BEFORE them is under 80% of the nation total (5·cum < 4·total in
+    * exact cents — no FP). One shuffle: the rank window, the cumulative
+    * window, and the nation aggregate all share the nationkey-derived
+    * partitioning; the nation-name dim is a broadcast. */
+  def qPareto(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders")
+      .selectExpr("o_custkey", "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey", "c_custkey")
+      .agg(sum(col("cents")).as("cents"))
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("cents").desc, col("c_custkey").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val marked = per
+      .withColumn("cum_before", coalesce(sum(col("cents")).over(w), lit(0L)))
+      .withColumn("total",
+        sum(col("cents")).over(Window.partitionBy("c_nationkey")))
+      .withColumn("in_top", col("cum_before") * 5 < col("total") * 4)
+    orderedAll(marked.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"),
+        max(col("total")).as("total_cents"),
+        sum(when(col("in_top"), 1L).otherwise(0L)).cast("long").as("n_top"),
+        sum(when(col("in_top"), col("cents")).otherwise(0L)).as("top_cents"))
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .selectExpr("n_name", "n_cust", "total_cents", "n_top",
+        "(top_cents * 10000) div total_cents AS top_share_bp"))
+  }
+
+  /** Benford leading-digit audit of order values per order status — the
+    * classic fabricated-data screen (organic money amounts follow
+    * log-uniform leading digits; manufactured ones don't). The digit is
+    * the first character of the exact cent integer; shares in exact
+    * basis points against per-status totals from a window over the
+    * ≤ statuses×9 aggregate. Pure scan + mergeable agg. */
+  def qBenford(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "orders")
+      .selectExpr("o_orderstatus AS status",
+        "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) " +
+          "AS STRING), 1, 1) AS BIGINT) AS digit")
+      .groupBy("status", "digit")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("status_n",
+        sum(col("n")).over(Window.partitionBy("status")))
+      .selectExpr("status", "digit", "n",
+        "(n * 10000) div status_n AS share_bp"))
+
+  /** Day-of-week seasonality index per event type: each weekday's mean
+    * daily revenue relative to the type's overall mean, in exact basis
+    * points — the profile a capacity planner or anomaly detector
+    * baselines against (10000 = an average day). dow 0 = Monday via
+    * integer epoch-day arithmetic ((day + 3) % 7 — day 0 was a
+    * Thursday); the index cross-multiplies counts so no division happens
+    * before the final exact-integer div. Two bounded aggregates over the
+    * daily rollup. */
+  def qSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .selectExpr("event_type", "unix_micros(ts) div 86400000000 AS day",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .groupBy("event_type", "day")
+      .agg(sum(col("cents")).as("cents"))
+      .withColumn("dow", expr("(day + 3) % 7"))
+    val dow = daily.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("dow_cents"))
+    val tot = daily.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("tot_days"), sum(col("cents")).as("tot_cents"))
+    orderedAll(dow
+      .join(broadcast(tot), col("event_type") === col("et"))
+      .selectExpr("event_type", "dow", "n_days", "dow_cents",
+        "(dow_cents * tot_days * 10000) div (tot_cents * n_days) AS idx_bp"))
+  }
+}

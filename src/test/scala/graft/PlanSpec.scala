@@ -503,6 +503,77 @@ class PlanSpec extends SparkSpec {
       >= 2, "merge inputs are not pre-aggregated states")
   }
 
+  test("q_zone_map: pure scan+agg, no joins, three-column read") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val p = plan("q_zone_map")
+    assert(p.collect { case j: SortMergeJoinExec => j
+                       case j: ShuffledHashJoinExec => j
+                       case j: BroadcastHashJoinExec => j
+                       case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    assert(scans(p).head.requiredSchema.fieldNames.toSet ==
+      Set("o_orderkey", "o_orderdate", "o_totalprice"))
+  }
+
+  test("q_sim_histogram: probe filter reaches both embedding scans") {
+    val p = plan("q_sim_histogram")
+    val sc = scans(p)
+    assert(sc.nonEmpty)
+    assert(sc.forall(_.metadata.getOrElse("PushedFilters", "")
+      .contains("vec_id")), "probe bound not pushed — full corpus read")
+  }
+
+  test("q_cv_folds: fact join is keyed, only the 1-row total rides NLJ") {
+    val p = plan("q_cv_folds")
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.length
+      <= 1)
+    val o = scans(p).filter(_.requiredSchema.fieldNames
+      .contains("o_totalprice"))
+    assert(o.forall(_.requiredSchema.fieldNames.length <= 2))
+  }
+
+  test("q_ctr_wilson: one conditional-agg scan, no joins or windows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val p = plan("q_ctr_wilson")
+    assert(p.collect { case w: WindowExec => w }.isEmpty)
+    assert(p.collect { case j: SortMergeJoinExec => j
+                       case j: ShuffledHashJoinExec => j
+                       case j: BroadcastHashJoinExec => j }.isEmpty)
+    assert(scans(p).head.requiredSchema.fieldNames.toSet ==
+      Set("event_type", "value"))
+  }
+
+  test("q_pareto: rank/cumsum windows run over the customer aggregate") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val p = plan("q_pareto")
+    val ws = p.collect { case w: WindowExec => w }
+    assert(ws.nonEmpty)
+    assert(ws.forall(_.collectFirst {
+      case a: HashAggregateExec => a }.nonEmpty),
+      "a window runs over raw order rows")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "nation dim should broadcast")
+  }
+
+  test("q_benford: share window runs over the digit aggregate") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val p = plan("q_benford")
+    val ws = p.collect { case w: WindowExec => w }
+    assert(ws.length == 1)
+    assert(ws.head.collectFirst {
+      case a: HashAggregateExec => a }.nonEmpty)
+  }
+
+  test("q_seasonality: per-type totals ride a broadcast join") {
+    val p = plan("q_seasonality")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    assert(scans(p).head.requiredSchema.fieldNames.toSet ==
+      Set("event_type", "ts", "value"))
+  }
+
   test("q_rfm: global ntiles sort only the customer aggregate") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.HashAggregateExec
