@@ -2775,6 +2775,73 @@ object Oracles {
         |       (n * 10000) // CAST(sum(n) OVER (PARTITION BY status)
         |         AS BIGINT) AS share_bp
         |FROM g ORDER BY ALL""".stripMargin,
+    // ---- §2.28 text/growth staples ----
+    "q_containment" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, token FROM (
+        |       SELECT doc_id, unnest(string_split(lower(text), ' '))
+        |         AS token
+        |       FROM documents WHERE lang = 'en') WHERE token <> ''),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt
+        |       FROM dt GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         CAST(count(*) AS BIGINT) AS common
+        |       FROM dt a JOIN dt b
+        |       ON a.token = b.token AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |dir AS (SELECT a_id AS d, common FROM pr
+        |        UNION ALL SELECT b_id, common FROM pr),
+        |per AS (
+        |  SELECT d,
+        |    CAST(sum(CASE WHEN common * 10 >= nt * 9 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_containers,
+        |    CAST(max((common * 10000) // nt) AS BIGINT) AS best_bp
+        |  FROM dir JOIN sz ON d = doc_id GROUP BY 1)
+        |SELECT sz.doc_id, sz.nt,
+        |       CAST(coalesce(n_containers, 0) AS BIGINT) AS n_containers,
+        |       CAST(coalesce(best_bp, 0) AS BIGINT) AS best_bp
+        |FROM sz LEFT JOIN per ON sz.doc_id = per.d
+        |ORDER BY ALL""".stripMargin,
+    "q_window_cooccur" ->
+      """WITH p AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+        |         generate_subscripts(string_split(lower(text), ' '), 1)
+        |           AS ord
+        |  FROM documents WHERE lang = 'en'),
+        |pr AS (
+        |  SELECT least(x.tok, y.tok) AS a, greatest(x.tok, y.tok) AS b
+        |  FROM p x JOIN p y ON x.doc_id = y.doc_id
+        |    AND y.ord - x.ord BETWEEN 1 AND 2),
+        |g AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM pr GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT a, b, cnt FROM g ORDER BY cnt DESC, a, b LIMIT 30)
+        |ORDER BY ALL""".stripMargin,
+    "q_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |              epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS fd FROM uw GROUP BY 1),
+        |p AS (SELECT user_id, day + 1 AS day FROM uw),
+        |act AS (
+        |  SELECT uw.day,
+        |    CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(sum(CASE WHEN uw.day = f.fd THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN uw.day <> f.fd AND p.user_id IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM uw JOIN f USING (user_id)
+        |    LEFT JOIN p ON uw.user_id = p.user_id AND uw.day = p.day
+        |  GROUP BY 1),
+        |ch AS (
+        |  SELECT p.day, CAST(count(*) AS BIGINT) AS n_churned
+        |  FROM p LEFT JOIN uw
+        |    ON p.user_id = uw.user_id AND p.day = uw.day
+        |  WHERE uw.user_id IS NULL GROUP BY 1)
+        |SELECT act.day, n_active, n_new, n_retained, n_resurrected,
+        |       CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
+        |FROM act LEFT JOIN ch ON act.day = ch.day
+        |ORDER BY ALL""".stripMargin,
     "q_seasonality" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

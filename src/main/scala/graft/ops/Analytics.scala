@@ -477,4 +477,43 @@ object Analytics {
           |        / (CAST(n_post AS DOUBLE) * (n_post - 1)) / 10000.0)
           |      / n_post),
           |  3) AS welch_t""".stripMargin))
+
+  /** Growth accounting (SURVEY §2.28): the canonical DAU
+    * new/retained/resurrected/churned decomposition — active(d) =
+    * new + retained + resurrected, and churned(d) counts users active on
+    * d−1 but not d. The identity every growth dashboard is built on
+    * (daily grain: the fixture's users are all weekly-active by
+    * generation, so weeks would never churn; days do). Shapes: one
+    * distinct (user, day) pass (map-side combinable), the per-user
+    * first day as a co-keyed aggregate join, yesterday's activity as a
+    * LEFT self-join on the shifted key, churn as a left-anti on the
+    * same shift — all user-keyed shuffles, days²-free. Days are
+    * reported only where someone is active (a trailing all-churned day
+    * has no row — documented contract). */
+  def qGrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val uw = t(s, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) div 86400000000 AS day")
+      .distinct()
+    val first = uw.groupBy("user_id").agg(min("day").as("fd"))
+    val prev = uw.selectExpr("user_id", "day + 1 AS day")
+      .withColumn("had_prev", lit(1L))
+    val act = uw.join(first, "user_id")
+      .join(prev, Seq("user_id", "day"), "left_outer")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("fd"), 1L).otherwise(0L))
+          .cast("long").as("n_new"),
+        sum(when(col("had_prev").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_retained"),
+        sum(when(col("day") =!= col("fd") && col("had_prev").isNull, 1L)
+          .otherwise(0L)).cast("long").as("n_resurrected"))
+    val churn = prev.select("user_id", "day")
+      .join(uw, Seq("user_id", "day"), "left_anti")
+      .groupBy("day").agg(count(lit(1)).as("n_churned"))
+    orderedAll(act
+      .join(churn, Seq("day"), "left_outer")
+      .selectExpr("day", "n_active", "n_new", "n_retained",
+        "n_resurrected",
+        "CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned"))
+  }
 }

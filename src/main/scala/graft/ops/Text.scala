@@ -793,4 +793,100 @@ object Text {
         round(log(col("n_ab").cast("double") * col("n_docs") /
           (col("df1") * col("df2"))), 4).as("pmi")))
   }
+
+  /** Containment report (SURVEY §2.28): for every en doc, how many other
+    * docs contain ≥90% of its distinct tokens, and the best containment
+    * in exact basis points — the SUB-document duplication signal Jaccard
+    * misses (a quote inside a long doc has high containment, low
+    * Jaccard). Two design decisions carry the scale story:
+    *  1. The emitted contract is the per-doc AGGREGATE (N rows), never
+    *     the pair list — containment pairs are quadratic on a
+    *     narrow-vocabulary corpus (measured 1.2 M at sf0.1; the
+    *     q_dedup_minhash density-gate lesson applied at design time).
+    *  2. The pair work runs over DISTINCT TOKEN SETS, not docs: docs
+    *     sharing a set have identical stats, so sets are grouped first
+    *     (⌈W/64⌉-long bitmaps for a W-token vocabulary — the
+    *     [[qDedupNgram]] bitmap device generalized past 64), the M×M
+    *     set scan computes popcount commons ([[graft.expressions
+    *     .LongVecAndPopcount]], codegen'd), per-set stats weight
+    *     container counts by group size (same-set docs are mutual
+    *     100%-containers: the g−1 term), and stats expand back to docs
+    *     by one set-keyed join. M ≪ N whenever duplication exists;
+    *     nothing doc-quadratic survives. On an adversarial corpus where
+    *     answer DENSITY itself is quadratic (every doc containing
+    *     thousands — this salted smoke corpus), the aggregate contract
+    *     is exactly what keeps the output linear anyway. Threshold and
+    *     shares in integer arithmetic (10·common ≥ 9·|S|;
+    *     bp = 10000·common div |S|). */
+  def qContainment(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("lang") === "en")
+    val dt = tokDf(docs).distinct()
+    val dict = dt.select("token").distinct()
+      .withColumn("tok_id",
+        row_number().over(Window.orderBy(col("token"))).cast("int") - 1)
+    val words = (dict.count() / 64 + 1).toInt
+    val bitmaps = dt.join(broadcast(dict), "token")
+      .groupBy("doc_id")
+      .agg(collect_list(col("tok_id")).as("tids"), count(lit(1)).as("nt"))
+      .withColumn("bm", expr(
+        s"""aggregate(tids, array_repeat(CAST(0 AS BIGINT), $words),
+           |  (acc, t) -> transform(acc, (x, i) ->
+           |    IF(i = CAST(t div 64 AS INT),
+           |       x | shiftleft(CAST(1 AS BIGINT), CAST(t % 64 AS INT)),
+           |       x)))""".stripMargin))
+      .select("doc_id", "bm", "nt")
+    val sets = bitmaps.groupBy("bm", "nt")
+      .agg(count(lit(1)).as("g"))
+    val x = sets.select(col("bm").as("bx"), col("nt").as("nx"),
+      col("g").as("gx"))
+    val y = sets.select(col("bm").as("by"), col("g").as("gy"))
+    val perSet = x.join(broadcast(y), col("bx") =!= col("by"))
+      .withColumn("common", org.apache.spark.sql.GraftSql.column(
+        graft.expressions.LongVecAndPopcount(
+          org.apache.spark.sql.GraftSql.expression(col("bx")),
+          org.apache.spark.sql.GraftSql.expression(col("by")))))
+      .groupBy("bx", "nx", "gx")
+      .agg(sum(when(col("common") * 10 >= col("nx") * 9, col("gy"))
+        .otherwise(0L)).cast("long").as("from_others"),
+        max(expr("(common * 10000) div nx")).as("best_other"))
+    orderedAll(bitmaps
+      .join(sets.select(col("bm").as("bg"), col("nt").as("ng"),
+        col("g")), col("bm") === col("bg") && col("nt") === col("ng"))
+      .join(perSet, col("bm") === col("bx"), "left_outer")
+      .selectExpr("doc_id", "nt",
+        // same-set docs are mutual 100%-containers (the g−1 term); g
+        // rides the inner sets join so a single-set corpus (perSet
+        // empty) still counts its own group
+        "CAST(coalesce(from_others, 0) + g - 1 AS BIGINT) " +
+          "AS n_containers",
+        "CAST(CASE WHEN g > 1 THEN 10000 " +
+          "ELSE coalesce(best_other, 0) END AS BIGINT) AS best_bp"))
+  }
+
+  /** Windowed co-occurrence (SURVEY §2.28): token-pair counts within a
+    * ±2-position context window over en docs, top-30 under the unique
+    * (count desc, pair asc) order — the word2vec/GloVe-style statistic
+    * (q_cooccur_pmi counts DOC-level co-occurrence; this one is local
+    * context). Pairs are generated IN-ROW from the position sequence (a
+    * nested transform over the token array — no positional self-join
+    * touches the corpus), normalized (min, max) so the count is
+    * direction-free; then one mergeable count and a TakeOrdered. At
+    * 100 TB this is scan-shaped: the explode fan-out is ≤ 2 pairs per
+    * token, and partials collapse to the pair vocabulary map-side. */
+  def qWindowCooccur(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "documents").filter(col("lang") === "en")
+      .select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(toks) - 2), i ->
+          |  transform(sequence(i + 1, least(i + 2, size(toks) - 1)), j ->
+          |    struct(least(toks[i], toks[j]) AS a,
+          |           greatest(toks[i], toks[j]) AS b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a"), col("p.b"))
+    orderedAll(pairs
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+      .limit(30))
+  }
 }

@@ -577,6 +577,35 @@ class PlanSpec extends SparkSpec {
       Set("event_type", "ts", "value"))
   }
 
+  test("q_containment: per-doc aggregate output, mask path on fixture") {
+    val p = plan("q_containment")
+    // fixture vocab ≤ 64 → pair stream rides the mask NLJ; output is the
+    // per-doc aggregate, so nothing quadratic is emitted
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
+      "mask popcount path not engaged on the fixture")
+  }
+
+  test("q_window_cooccur: in-row pair generation, no positional join") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val p = plan("q_window_cooccur")
+    assert(p.collect { case j: SortMergeJoinExec => j
+                       case j: ShuffledHashJoinExec => j
+                       case j: BroadcastHashJoinExec => j
+                       case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "context pairs should come from an in-row transform, not a join")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "top-30 should ride TakeOrderedAndProject")
+  }
+
+  test("q_growth_accounting: user-keyed joins only, distinct map-combines") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val p = plan("q_growth_accounting")
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    // the (user, day) distinct must partially aggregate before its shuffle
+    val aggs = p.collect { case a: HashAggregateExec => a }
+    assert(aggs.size >= 4, "distinct/agg structure collapsed unexpectedly")
+  }
+
   test("q_rfm: global ntiles sort only the customer aggregate") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.HashAggregateExec
