@@ -2775,6 +2775,56 @@ object Oracles {
         |       (n * 10000) // CAST(sum(n) OVER (PARTITION BY status)
         |         AS BIGINT) AS share_bp
         |FROM g ORDER BY ALL""".stripMargin,
+    // ---- §2.29 BI staples ----
+    "q_share_of_parent" ->
+      """WITH per AS (
+        |  SELECT r_name AS region, n_name AS nation,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM orders
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT region, nation, cents,
+        |  (cents * 10000) // CAST(sum(cents) OVER (PARTITION BY region)
+        |    AS BIGINT) AS nation_share_bp,
+        |  (CAST(sum(cents) OVER (PARTITION BY region) AS BIGINT) * 10000)
+        |    // CAST(sum(cents) OVER () AS BIGINT) AS region_share_bp
+        |FROM per ORDER BY ALL""".stripMargin,
+    "q_moving_extrema" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, cents,
+        |  CAST(min(cents) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS roll_min,
+        |  CAST(max(cents) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS roll_max
+        |FROM daily ORDER BY ALL""".stripMargin,
+    "q_percent_change" ->
+      """WITH weekly AS (
+        |  SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, week, cents,
+        |    lag(cents, 1) OVER (PARTITION BY event_type ORDER BY week)
+        |      AS prev_cents
+        |  FROM weekly)
+        |SELECT event_type, week, cents, prev_cents,
+        |  cents - prev_cents AS delta_cents,
+        |  CASE WHEN prev_cents IS NULL THEN NULL
+        |       WHEN cents >= prev_cents
+        |         THEN ((cents - prev_cents) * 10000) // prev_cents
+        |       ELSE -(((prev_cents - cents) * 10000) // prev_cents)
+        |  END AS delta_bp
+        |FROM l ORDER BY ALL""".stripMargin,
     // ---- §2.28 text/growth staples ----
     "q_containment" ->
       """WITH dt AS (SELECT DISTINCT doc_id, token FROM (

@@ -154,6 +154,84 @@ object Insights {
       .selectExpr("status", "digit", "n",
         "(n * 10000) div status_n AS share_bp"))
 
+  /** Share-of-parent hierarchy rollup (SURVEY §2.29) — the drill-down
+    * report every BI tool renders: revenue per (region, nation) with the
+    * nation's share of its region and the region's share of the total,
+    * in exact basis points. Both marginals come from windows over the
+    * ≤ nations-sized AGGREGATE; the fact side is one keyed join chain
+    * with broadcast dims, cent-exact end to end. */
+  def qShareOfParent(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders")
+      .selectExpr("o_custkey",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")
+        .select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum(col("cents")).as("cents"))
+    orderedAll(per
+      .withColumn("region_cents",
+        sum(col("cents")).over(Window.partitionBy("region")))
+      .withColumn("total_cents",
+        sum(col("cents")).over(Window.partitionBy()))
+      .selectExpr("region", "nation", "cents",
+        "(cents * 10000) div region_cents AS nation_share_bp",
+        "(region_cents * 10000) div total_cents AS region_share_bp"))
+  }
+
+  /** Trailing-7-row rolling min/max of per-type daily revenue (SURVEY
+    * §2.29) — the envelope a monitoring dashboard draws around the
+    * series (rolling extrema are the Bollinger-band primitive). Exact
+    * integers over a bounded frame; the window input is the DAILY
+    * aggregate, never raw events. At extreme scale the monotonic-deque
+    * trick computes the same extrema in O(1) amortized per row — the
+    * bounded frame here makes Spark's O(frame) evaluation a constant. */
+  def qMovingExtrema(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .selectExpr("event_type", "unix_micros(ts) div 86400000000 AS day",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .groupBy("event_type", "day")
+      .agg(sum(col("cents")).as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-6, 0)
+    orderedAll(daily
+      .withColumn("roll_min", min(col("cents")).over(w))
+      .withColumn("roll_max", max(col("cents")).over(w))
+      .select(col("event_type"), col("day"), col("cents"),
+        col("roll_min"), col("roll_max")))
+  }
+
+  /** Week-over-week revenue change per event type (SURVEY §2.29): the
+    * period-over-period delta every growth report leads with. The delta
+    * is SIGNED, so the percent change spells truncation-toward-zero
+    * explicitly in both engines (Spark `div` truncates, DuckDB `//`
+    * floors — they agree only on non-negatives; the CASE splits the
+    * sign so every div sees non-negative operands). First week of each
+    * type has no prior — NULL delta columns, the honest contract. */
+  def qPercentChange(s: SparkSession, dir: String): DataFrame = {
+    val weekly = t(s, dir, "events")
+      .selectExpr("event_type",
+        "unix_micros(ts) div 604800000000 AS week",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .groupBy("event_type", "week")
+      .agg(sum(col("cents")).as("cents"))
+    orderedAll(weekly
+      .withColumn("prev_cents", lag(col("cents"), 1).over(
+        Window.partitionBy("event_type").orderBy("week")))
+      .selectExpr("event_type", "week", "cents", "prev_cents",
+        "cents - prev_cents AS delta_cents",
+        """CASE WHEN prev_cents IS NULL THEN NULL
+          |     WHEN cents >= prev_cents
+          |       THEN ((cents - prev_cents) * 10000) div prev_cents
+          |     ELSE -(((prev_cents - cents) * 10000) div prev_cents)
+          |END AS delta_bp""".stripMargin))
+  }
+
   /** Day-of-week seasonality index per event type: each weekday's mean
     * daily revenue relative to the type's overall mean, in exact basis
     * points — the profile a capacity planner or anomaly detector

@@ -606,6 +606,31 @@ class PlanSpec extends SparkSpec {
     assert(aggs.size >= 4, "distinct/agg structure collapsed unexpectedly")
   }
 
+  test("q_share_of_parent: share windows run over the nation aggregate") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val p = plan("q_share_of_parent")
+    val ws = p.collect { case w: WindowExec => w }
+    assert(ws.nonEmpty)
+    assert(ws.forall(_.collectFirst {
+      case a: HashAggregateExec => a }.nonEmpty))
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.length >= 2,
+      "nation/region dims should broadcast")
+  }
+
+  test("q_moving_extrema / q_percent_change: one window over daily agg") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    for (q <- Seq("q_moving_extrema", "q_percent_change")) {
+      val p = plan(q)
+      val ws = p.collect { case w: WindowExec => w }
+      assert(ws.length == 1, s"$q: ${ws.length} windows")
+      assert(ws.head.collectFirst {
+        case a: HashAggregateExec => a }.nonEmpty,
+        s"$q: window runs over raw events")
+    }
+  }
+
   test("q_rfm: global ntiles sort only the customer aggregate") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.HashAggregateExec

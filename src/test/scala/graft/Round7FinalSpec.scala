@@ -58,6 +58,94 @@ class Round7FinalSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // --- q_share_of_parent -----------------------------------------------
+
+  test("q_share_of_parent matches brute-force hierarchy shares") {
+    val natName = ops.t(spark, sf, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey").collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue,
+        (r.getString(1), r.get(2).asInstanceOf[Number].longValue))).toMap
+    val regName = ops.t(spark, sf, "region")
+      .select("r_regionkey", "r_name").collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue, r.getString(1)))
+      .toMap
+    val custNat = ops.t(spark, sf, "customer")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue,
+        r.get(1).asInstanceOf[Number].longValue)).toMap
+    val per = ops.t(spark, sf, "orders")
+      .selectExpr("o_custkey", "CAST(round(o_totalprice * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy { case (ck, _) =>
+        val (nn, rk) = natName(custNat(ck)); (regName(rk), nn) }
+      .map { case (k, xs) => (k, xs.map(_._2).sum) }
+    val regTot = per.groupBy(_._1._1).map { case (rg, m) =>
+      (rg, m.values.sum) }
+    val total = per.values.sum
+    val expected = per.map { case ((rg, nn), c) =>
+      (rg, nn, c, c * 10000 / regTot(rg), regTot(rg) * 10000 / total) }
+      .toSet
+    assert(expected.size > 5)
+    val got = run("q_share_of_parent").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected)
+  }
+
+  // --- q_moving_extrema ------------------------------------------------
+
+  test("q_moving_extrema matches brute-force rolling envelope") {
+    val daily = ops.t(spark, sf, "events")
+      .selectExpr("event_type", "unix_micros(ts) div 86400000000",
+        "CAST(round(value * 100) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(x => (x._1, x._2))
+      .map { case (k, xs) => (k, xs.map(_._3).sum) }
+    val expected = daily.groupBy(_._1._1).flatMap { case (et, m) =>
+      val days = m.toSeq.map { case ((_, d), c) => (d, c) }.sortBy(_._1)
+      days.zipWithIndex.map { case ((d, c), i) =>
+        val frame = days.slice(math.max(0, i - 6), i + 1).map(_._2)
+        (et, d, c, frame.min, frame.max) }
+    }.toSet
+    assert(expected.exists(e => e._4 != e._5))
+    val got = run("q_moving_extrema").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+  }
+
+  // --- q_percent_change ------------------------------------------------
+
+  test("q_percent_change matches brute-force signed deltas") {
+    val weekly = ops.t(spark, sf, "events")
+      .selectExpr("event_type", "unix_micros(ts) div 604800000000",
+        "CAST(round(value * 100) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(x => (x._1, x._2))
+      .map { case (k, xs) => (k, xs.map(_._3).sum) }
+    val expected = weekly.groupBy(_._1._1).flatMap { case (et, m) =>
+      val weeks = m.toSeq.map { case ((_, w), c) => (w, c) }.sortBy(_._1)
+      weeks.zipWithIndex.map { case ((w, c), i) =>
+        if (i == 0) (et, w, c, None: Option[Long], None: Option[Long],
+          None: Option[Long])
+        else {
+          val p = weeks(i - 1)._2
+          // truncation toward zero on the signed delta, like both engines
+          val bp = if (c >= p) (c - p) * 10000 / p else -((p - c) * 10000 / p)
+          (et, w, c, Some(p), Some(c - p), Some(bp))
+        } }
+    }.toSet
+    // sign coverage: some week must decline, some must grow
+    assert(expected.exists(_._6.exists(_ < 0)) &&
+      expected.exists(_._6.exists(_ > 0)))
+    val got = run("q_percent_change").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSet
+    assert(got == expected)
+  }
+
   // --- q_growth_accounting ---------------------------------------------
 
   test("q_growth_accounting matches brute-force decomposition") {
