@@ -1972,7 +1972,8 @@ object Oracles {
         |         array_to_string(toks[line_idx*5+1 : line_idx*5+5], ' ')
         |           AS line
         |  FROM ix),
-        |k AS (SELECT source, line, doc_id * 100000 + line_idx AS okey
+        |k AS (SELECT source, line,
+        |        doc_id * 4294967296 + line_idx AS okey
         |      FROM lines),
         |f AS (SELECT line, min(okey) AS first_key FROM k GROUP BY 1)
         |SELECT k.source, count(*) AS n_lines,
@@ -2693,8 +2694,8 @@ object Oracles {
         |c AS (SELECT dot / sqrt(na2 * nb2) AS cos FROM s)
         |SELECT CAST(floor(cos * 10) AS BIGINT) AS bin,
         |       CAST(count(*) AS BIGINT) AS n_pairs,
-        |       round(min(cos), 4) AS min_cos,
-        |       round(max(cos), 4) AS max_cos
+        |       round(min(cos), 4) + 0.0 AS min_cos,
+        |       round(max(cos), 4) + 0.0 AS max_cos
         |FROM c GROUP BY 1 ORDER BY ALL""".stripMargin,
     "q_cv_folds" -> {
       val h24 = (1 to 6).map(i =>

@@ -82,6 +82,11 @@ object Tables {
     // side mirrors with DuckDB epoch_us truncation — SURVEY §1.2.1).
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The round-8 fixture regen writes naive timestamp[us], which Spark 4
+    // infers as TIMESTAMP_NTZ by default — breaking unix_micros()/long
+    // casts across ~30 queries. Pin inference to LTZ (session TZ is UTC,
+    // so wall-clock == instant and DuckDB's naive reading agrees).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     require(raw.columns.toSet == expected.fieldNames.toSet,
       s"schema drift on $name: got ${raw.columns.mkString(",")}, " +
@@ -95,6 +100,16 @@ object Tables {
         raw.withColumn("ts", org.apache.spark.sql.functions
           .expr("timestamp_micros(ts div 1000)"))
       else raw
-    df.select(expected.fieldNames.map(df.col).toIndexedSeq: _*)
+    // Defense in depth for the NTZ inference conf above: if a timestamp
+    // column still arrived as TIMESTAMP_NTZ (conf raced a concurrent read,
+    // or a future Spark drops the flag), cast it to the pinned LTZ type —
+    // value-identical under the UTC session TZ.
+    val norm = expected.fields.foldLeft(df) { (acc, f) =>
+      if (f.dataType == TimestampType &&
+          acc.schema(f.name).dataType == TimestampNTZType)
+        acc.withColumn(f.name, acc.col(f.name).cast(TimestampType))
+      else acc
+    }
+    norm.select(expected.fieldNames.map(norm.col).toIndexedSeq: _*)
   }
 }

@@ -34,7 +34,11 @@ object Corpus {
           "transform(sequence(0, (size(toks) - 1) div 5), " +
             "i -> concat_ws(' ', slice(toks, i * 5 + 1, 5)))"))
           .as(Seq("line_idx", "line")))
-      .withColumn("okey", col("doc_id") * 100000L + col("line_idx"))
+      // okey packs (doc_id, line_idx) into one BIGINT: doc_id << 32 keeps
+      // the order total for up to 2^32 lines/doc (a ~20 GB single doc),
+      // far past any real corpus bound.
+      .withColumn("okey",
+        shiftleft(col("doc_id").cast("long"), 32) + col("line_idx"))
     val firsts = lines.groupBy("line").agg(min("okey").as("first_key"))
     orderedAll(lines.join(firsts, "line")
       .groupBy("source")

@@ -49,8 +49,10 @@ object Insights {
       .withColumn("cos", Vectors.cosine(col("ea"), col("eb")))
       .groupBy(expr("CAST(floor(cos * 10) AS BIGINT)").as("bin"))
       .agg(count(lit(1)).as("n_pairs"),
-        round(min(col("cos")), 4).as("min_cos"),
-        round(max(col("cos")), 4).as("max_cos")))
+        // + 0.0 normalizes IEEE signed zero: Spark's round() yields +0.0
+        // where DuckDB's yields -0.0, and the exact-compare hash differs.
+        (round(min(col("cos")), 4) + lit(0.0)).as("min_cos"),
+        (round(max(col("cos")), 4) + lit(0.0)).as("max_cos")))
   }
 
   /** Deterministic k-fold cross-validation assignment: every customer

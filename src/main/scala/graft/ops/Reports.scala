@@ -176,14 +176,6 @@ object Reports {
         "(promo_u * 10000) div total_u AS promo_bp"))
   }
 
-  /** TPC-H Q22 (global sales opportunity), fixture-faithful: lapsed
-    * high-balance customers — balance above the positive-balance average
-    * AND no order since 1999 — counted per nation with their total
-    * balance. (Q22's "never ordered" predicate is empty on this fixture's
-    * dense FKs; the recency-windowed anti join keeps the exact plan
-    * shape: scalar-subquery threshold + left-anti + agg.) The threshold
-    * is one double division of exact decimal operands, identical in both
-    * engines; the anti join shuffles on custkey. */
   /** TPC-H Q8 (national market share), generalized: within the ASIA
     * region's STANDARD-part market over 1995–1996, each supplier nation's
     * revenue and share per order year — Q8's single-nation ratio widened
@@ -341,6 +333,14 @@ object Reports {
         "rev_cents div 7 AS avg_yearly_c"))
   }
 
+  /** TPC-H Q22 (global sales opportunity), fixture-faithful: lapsed
+    * high-balance customers — balance above the positive-balance average
+    * AND no order since 1999 — counted per nation with their total
+    * balance. (Q22's "never ordered" predicate is empty on this fixture's
+    * dense FKs; the recency-windowed anti join keeps the exact plan
+    * shape: scalar-subquery threshold + left-anti + agg.) The threshold
+    * is one double division of exact decimal operands, identical in both
+    * engines; the anti join shuffles on custkey. */
   def qTpchQ22(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val thr = c.filter(col("c_acctbal") > 0)

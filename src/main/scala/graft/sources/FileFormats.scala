@@ -31,9 +31,14 @@ object FileFormats {
     // read each other's materialized data.
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // The path is additionally scoped by JVM pid: `written` is per-JVM, so
+    // a fresh JVM rewrites the dir regardless — a shared path buys nothing
+    // and lets two concurrent JVMs (sbt test alongside Bench) race
+    // overwrite-vs-read on the same directory.
+    val pid = ProcessHandle.current().pid()
     val path = new java.io.File(
       sys.props("java.io.tmpdir"),
-      "graft_fmt_" + digest.take(16)).toString
+      s"graft_fmt_${digest.take(16)}_$pid").toString
     written.synchronized {
       if (!written.contains(path)) {
         write(df, path)

@@ -31,20 +31,38 @@ case class SessBacklog(sessions: Seq[SessState])
 
 object EventStreams {
 
-  /** Schema for streaming reads: ts as raw ns long (file streams need an
-    * explicit schema, and parquet TIMESTAMP(NANOS) must come in as long —
-    * same handling as Tables.table). */
+  /** Schema for streaming reads over the legacy TIMESTAMP(NANOS) fixture:
+    * ts as raw ns long (file streams need an explicit schema, and parquet
+    * TIMESTAMP(NANOS) must come in as long — same handling as
+    * Tables.table). */
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming source over a directory of event parquet files, with the
-    * ns→µs timestamp conversion applied. */
+  /** Schema for streaming reads over a µs-timestamp fixture (the round-8
+    * regen): ts decodes directly as TimestampType (LTZ; session TZ is
+    * UTC, matching the naive µs wall clock). */
+  private val tsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming source over a directory of event parquet files. The
+    * fixture has shipped ts as both TIMESTAMP(NANOS) and naive
+    * timestamp[us] across regens, and a file stream's explicit schema
+    * must match the physical type — so sniff the footer with a one-off
+    * batch read and pick the ns-long (with ns→µs conversion) or direct
+    * timestamp decode accordingly. */
   def source(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val physical = spark.read.parquet(dir).schema("ts").dataType
+    if (physical == LongType)
+      spark.readStream.schema(rawSchema).parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      spark.readStream.schema(tsSchema).parquet(dir)
   }
 
   /** Tumbling 1-day counts with a 1-hour watermark — the streaming twin
