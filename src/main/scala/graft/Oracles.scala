@@ -21,6 +21,32 @@ object Oracles {
   /** Decimal-factor product sums (twin of graft.ops.dmoney/dfrac/dsumExact):
     * factors are exact 2-dp decimals, multiplied in decimal, so the sum is
     * exact and identical in both engines. */
+  /** Shared CTE prefix for the §2.30 graph queries: the STRICT near-dup
+    * document graph (overlap ratio ≥ 0.49 on distinct en tokens — twin
+    * of graft.ops.Graphs.strictEdges), its undirected orientation,
+    * degrees, and ordered wedges. */
+  private val graphCte =
+    """WITH dt AS (SELECT DISTINCT doc_id, token FROM (
+      |       SELECT doc_id, unnest(string_split(lower(text), ' '))
+      |         AS token
+      |       FROM documents WHERE lang = 'en') WHERE token <> ''),
+      |sz AS (SELECT doc_id, count(*) AS nt FROM dt GROUP BY 1),
+      |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |         count(*) AS common
+      |       FROM dt a JOIN dt b
+      |       ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |ed AS (SELECT a_id, b_id FROM pr
+      |       JOIN sz sa ON a_id = sa.doc_id
+      |       JOIN sz sb ON b_id = sb.doc_id
+      |       WHERE common * 100 >= (sa.nt + sb.nt) * 49),
+      |un AS (SELECT a_id AS u, b_id AS v FROM ed
+      |       UNION ALL SELECT b_id, a_id FROM ed),
+      |dg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+      |       FROM un GROUP BY 1),
+      |wg AS (SELECT n1.u AS c, n1.v AS x, n2.v AS y
+      |       FROM un n1 JOIN un n2
+      |       ON n1.u = n2.u AND n1.v < n2.v)""".stripMargin
+
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))"
   private val charge =
@@ -2933,6 +2959,90 @@ object Oracles {
         |SELECT r_score, f_score, m_score,
         |       CAST(count(*) AS BIGINT) AS n_cust,
         |       CAST(sum(cents) AS BIGINT) AS total_cents
-        |FROM scored GROUP BY 1, 2, 3 ORDER BY ALL""".stripMargin
+        |FROM scored GROUP BY 1, 2, 3 ORDER BY ALL""".stripMargin,
+    // ---- §2.30 round-8 graph analytics (strict near-dup doc graph) ----
+    "q_clustering_coeff" ->
+      s"""$graphCte,
+        |cl AS (SELECT c AS u, count(*) AS n_closed
+        |       FROM wg JOIN ed ON x = a_id AND y = b_id GROUP BY 1)
+        |SELECT dg.u AS doc_id, deg AS degree,
+        |       CAST(coalesce(cl.n_closed, 0) AS BIGINT) AS n_closed,
+        |       CAST(coalesce(cl.n_closed, 0) * 20000
+        |            // (deg * (deg - 1)) AS BIGINT) AS coeff_bp
+        |FROM dg LEFT JOIN cl USING (u)
+        |WHERE deg >= 2 ORDER BY ALL""".stripMargin,
+    "q_graph_jaccard" ->
+      s"""$graphCte,
+        |cand AS (SELECT x AS a_id, y AS b_id,
+        |           CAST(count(*) AS BIGINT) AS common
+        |         FROM wg GROUP BY 1, 2)
+        |SELECT cand.a_id, cand.b_id, common,
+        |       CAST(common * 10000 // (da.deg + db.deg - common) AS BIGINT)
+        |         AS jac_bp,
+        |       (e.a_id IS NOT NULL) AS adjacent
+        |FROM cand JOIN dg da ON cand.a_id = da.u
+        |          JOIN dg db ON cand.b_id = db.u
+        |          LEFT JOIN ed e ON cand.a_id = e.a_id
+        |                        AND cand.b_id = e.b_id
+        |ORDER BY ALL""".stripMargin,
+    "q_graph_2hop" ->
+      s"""$graphCte,
+        |p2 AS (SELECT DISTINCT x, y FROM wg
+        |       WHERE NOT EXISTS (SELECT 1 FROM ed
+        |                         WHERE a_id = x AND b_id = y)),
+        |pn AS (SELECT u, CAST(count(*) AS BIGINT) AS n_2hop
+        |       FROM (SELECT x AS u FROM p2 UNION ALL SELECT y FROM p2)
+        |       GROUP BY 1)
+        |SELECT dg.u AS doc_id, deg AS n_1hop,
+        |       CAST(coalesce(pn.n_2hop, 0) AS BIGINT) AS n_2hop
+        |FROM dg LEFT JOIN pn USING (u) ORDER BY ALL""".stripMargin,
+    // ---- §2.30 round-8 user-journey/temporal ----
+    "q_seq_match" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       regexp_matches(
+        |         string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id),
+        |         'signup.*purchase.*purchase') AS matched
+        |FROM events GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_interval_overlap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |s AS (SELECT user_id, us, event_id,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |               OR us - lag(us) OVER w > 1800000000
+        |             THEN 1 ELSE 0 END AS new_sess
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |t AS (SELECT user_id, us,
+        |        sum(new_sess) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS sess_id
+        |      FROM s),
+        |iv AS (SELECT user_id, sess_id, min(us) AS start_us,
+        |              max(us) AS end_us
+        |       FROM t GROUP BY 1, 2),
+        |pts AS (SELECT start_us AS us, CAST(1 AS BIGINT) AS delta FROM iv
+        |        UNION ALL
+        |        SELECT end_us + 1, CAST(-1 AS BIGINT) FROM iv),
+        |sw AS (SELECT us,
+        |         sum(delta) OVER (ORDER BY us, delta
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS conc
+        |       FROM pts)
+        |SELECT CAST(us // 86400000000 AS BIGINT) AS day,
+        |       CAST(max(conc) AS BIGINT) AS max_concurrent,
+        |       CAST(count(*) AS BIGINT) AS n_points
+        |FROM sw GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |             CAST(round(value * 100) AS BIGINT) AS vu
+        |           FROM events),
+        |g AS (SELECT user_id, vu,
+        |        lead(us) OVER (PARTITION BY user_id
+        |                       ORDER BY us, event_id) - us AS gap
+        |      FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |       CAST(sum(gap) AS BIGINT) AS held_us,
+        |       CAST(sum(vu * gap) // sum(gap) AS BIGINT) AS twa_cents
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY ALL""".stripMargin
   )
 }

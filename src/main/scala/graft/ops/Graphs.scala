@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 §2.30 graph-analytics extensions over the STRICT near-dup
+  * document graph: local clustering coefficient (community density),
+  * common-neighbor/Jaccard link prediction, and 2-hop neighborhood size
+  * (the frontier-expansion primitive). All DuckDB-oracled.
+  *
+  * The graph: vertices are `lang='en'` documents; an undirected edge
+  * joins docs whose DISTINCT-token overlap `common/(na+nb) ≥ 0.49`
+  * (integer test `common·100 ≥ 49·(na+nb)`, i.e. Jaccard ≳ 0.96) — a
+  * 10× stricter twin of the q_dedup_near graph, chosen so the edge set
+  * stays community-sparse (~30k edges at sf0.1) where the 4/9 graph is
+  * half a million. Pairs come from [[Text.maskGroupPairs]] — the
+  * tiny-vocab strategy that scans DISTINCT token-set masks, never the
+  * O(N²) doc space.
+  *
+  * Determinism: all counts are integers; ratios are non-negative
+  * integer divisions (truncation == floor in both engines).
+  */
+object Graphs {
+
+  /** Strict near-dup pairs (a_id < b_id, distinct by construction: each
+    * doc pair expands from exactly one mask pair or one within-mask
+    * group). Pinned once per (session, dir) — all three graph queries
+    * (and every self-join inside each) reuse the materialized edge list
+    * instead of re-running the mask-pair pipeline per consumer; the
+    * edge list is community-sparse (~30k rows at sf0.1), far below any
+    * executor-memory concern. Same pinning pattern (and cluster
+    * durability caveat) as qPagerank's loop invariant. */
+  private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def strictEdges(s: SparkSession, dir: String): DataFrame =
+    edgeCache.computeIfAbsent((s, dir), _ => {
+      val dt = t(s, dir, "documents").filter(col("lang") === "en")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "").distinct()
+      Text.pin(Text.maskGroupPairs(dt, 100, 49).select("a_id", "b_id"),
+        s"graph8_edges_${new java.io.File(dir).getName}")
+    })
+
+  /** Both orientations of the edge set. */
+  private def und(edges: DataFrame): DataFrame =
+    edges.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionAll(edges.select(col("b_id").as("u"), col("a_id").as("v")))
+
+  private def degrees(u: DataFrame): DataFrame =
+    u.groupBy("u").agg(count(lit(1)).as("deg"))
+
+  /** Wedges centered at u with ordered endpoints (v < w): the shared
+    * intermediate of all three queries. Σ C(deg,2) rows — on a
+    * community-sparse graph this is the per-community clique square,
+    * which is exactly the work the metric asks about; at 100 TB the
+    * heavy-degree mitigation is degree-splitting (salt the center) —
+    * the aggregate is mergeable. */
+  private def wedges(u: DataFrame): DataFrame =
+    u.as("n1").join(u.as("n2"),
+        col("n1.u") === col("n2.u") && col("n1.v") < col("n2.v"))
+      .select(col("n1.u").as("c"), col("n1.v").as("x"), col("n2.v").as("y"))
+
+  /** Local clustering coefficient: per node with degree ≥ 2, the number
+    * of edges among its neighbors (closed wedges) over the possible
+    * C(deg,2), in exact basis points. The closure test is one hash join
+    * of wedges against the (a_id < b_id)-oriented edge set. */
+  def qClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val ed = strictEdges(s, dir)
+    val un = und(ed)
+    val closed = wedges(un)
+      .join(ed, col("x") === col("a_id") && col("y") === col("b_id"))
+      .groupBy(col("c").as("u")).agg(count(lit(1)).as("n_closed"))
+    orderedAll(degrees(un).filter(col("deg") >= 2)
+      .join(closed, Seq("u"), "left")
+      .select(col("u").as("doc_id"), col("deg").as("degree"),
+        coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+      .withColumn("coeff_bp",
+        expr("n_closed * 20000 div (degree * (degree - 1))")))
+  }
+
+  /** Common-neighbor / Jaccard link prediction: every node pair sharing
+    * ≥ 1 neighbor, its common-neighbor count, neighbor-set Jaccard in
+    * exact basis points, and whether the pair is already an edge (the
+    * non-adjacent high-Jaccard rows ARE the predicted links). One
+    * wedge aggregate + two broadcast degree joins + one existence
+    * join. */
+  def qGraphJaccard(s: SparkSession, dir: String): DataFrame = {
+    val ed = strictEdges(s, dir)
+    val un = und(ed)
+    val deg = degrees(un)
+    val cand = wedges(un).groupBy(col("x").as("a_id"), col("y").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+    orderedAll(cand
+      .join(broadcast(deg.select(col("u").as("a_id"), col("deg").as("da"))),
+        "a_id")
+      .join(broadcast(deg.select(col("u").as("b_id"), col("deg").as("db"))),
+        "b_id")
+      .join(ed.withColumn("is_edge", lit(true)), Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"), col("common"),
+        expr("common * 10000 div (da + db - common)").as("jac_bp"),
+        coalesce(col("is_edge"), lit(false)).as("adjacent")))
+  }
+
+  /** 2-hop neighborhood size: per node, its degree and the number of
+    * DISTINCT nodes at graph distance exactly 2 (reachable through a
+    * neighbor, not self, not already adjacent) — the BFS frontier-growth
+    * signal. Reuses the wedge endpoints: a (x, y) wedge pair at any
+    * center certifies distance ≤ 2 between x and y. */
+  def qGraph2hop(s: SparkSession, dir: String): DataFrame = {
+    val ed = strictEdges(s, dir)
+    val un = und(ed)
+    val pairs2 = wedges(un).select("x", "y").distinct()
+      .join(ed, col("x") === col("a_id") && col("y") === col("b_id"),
+        "left_anti")
+    val perNode = pairs2.select(col("x").as("u"))
+      .unionAll(pairs2.select(col("y").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("n_2hop"))
+    orderedAll(degrees(un)
+      .join(perNode, Seq("u"), "left")
+      .select(col("u").as("doc_id"), col("deg").as("n_1hop"),
+        coalesce(col("n_2hop"), lit(0L)).as("n_2hop")))
+  }
+}

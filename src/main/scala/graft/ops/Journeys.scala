@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 §2.30 user-journey/temporal extensions: sequence-pattern
+  * matching (the MATCH_RECOGNIZE primitive), interval-overlap max
+  * concurrency (the sweep-line capacity report), and a time-weighted
+  * average (the TWAP/uptime-mean primitive). All DuckDB-oracled.
+  *
+  * Determinism: every per-user ordering is the (us, event_id) total
+  * order; `events.value` is a non-negative 2-dp money-like column, so
+  * cent-scaling `round(value*100)` is exact and all ratios are
+  * non-negative integer divisions (truncation == floor in both engines).
+  */
+object Journeys {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"))
+
+  /** Sequence-pattern match (MATCH_RECOGNIZE-lite): per user, the
+    * event-type sequence under the (us, event_id) total order, matched
+    * against `signup → … → purchase → … → purchase` (an onboarding
+    * funnel with a repeat purchase). The sequence is assembled with
+    * `sort_array(collect_list(struct(us, event_id, event_type)))` — a
+    * single mergeable aggregate (no window sort), the struct order IS
+    * the total order — and matched with one codegen'd `rlike`. Event
+    * types are a closed token set with no substring collisions, so the
+    * comma-joined regex is exact. At scale this shards by user_id over
+    * one hash exchange; per-user state is the bounded event list, the
+    * same bound sessionization already carries. */
+  def qSeqMatch(s: SparkSession, dir: String): DataFrame =
+    orderedAll(ev(s, dir)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("us"), col("event_id"),
+        col("event_type")))).as("arr"))
+      .select(col("user_id"),
+        size(col("arr")).cast("long").as("n_events"),
+        expr("array_join(transform(arr, x -> x.event_type), ',')")
+          .rlike("signup.*purchase.*purchase")
+          .as("matched")))
+
+  /** Interval-overlap max concurrency: users' 30-minute-gap sessions
+    * (the q_events_session intervals) swept as +1 at start and −1 just
+    * after end; the running sum under the (us, delta) order is the
+    * instantaneous number of concurrent sessions, reported as a per-day
+    * maximum — the capacity-planning report. Ties: −1 sorts before +1
+    * at the same µs (touching sessions don't overlap), and permuting
+    * equal (us, delta) rows yields the same prefix-sum SET, so the day
+    * max is deterministic even though per-row running values are not.
+    * Scale: the sweep is one global-ordered window — at 100 TB the same
+    * plan runs range-partitioned by time (day buckets already make the
+    * max mergeable); the session derivation shards by user_id. */
+  def qIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val sess = ev(s, dir)
+      .withColumn("new_sess",
+        when(coalesce(col("us") - lag("us", 1).over(wU),
+          lit(Long.MaxValue)) > 1800000000L, 1).otherwise(0))
+      .withColumn("sess_id", sum("new_sess").over(
+        wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id")
+      .agg(min("us").as("start_us"), max("us").as("end_us"))
+    val points = sess.select(col("start_us").as("us"), lit(1L).as("delta"))
+      .unionAll(sess.select((col("end_us") + 1).as("us"),
+        lit(-1L).as("delta")))
+    val wSweep = Window.orderBy("us", "delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orderedAll(points
+      .withColumn("conc", sum("delta").over(wSweep))
+      .groupBy(expr("us div 86400000000").as("day"))
+      .agg(max("conc").as("max_concurrent"),
+        count(lit(1)).as("n_points")))
+  }
+
+  /** Time-weighted average value (TWAP): per user, each event's value
+    * holds until the user's next event; the mean weights each value by
+    * its holding time in µs. Exact integer path: cent-scaled values ×
+    * µs gaps summed as BIGINT, one final non-negative integer division
+    * (truncation == floor both engines). The last event has no
+    * successor and is excluded by contract. One lead window + one
+    * mergeable aggregate, sharded by user_id. */
+  def qTimeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy("user_id").orderBy("us", "event_id")
+    orderedAll(ev(s, dir)
+      .withColumn("vu", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("gap", lead("us", 1).over(wU) - col("us"))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("gap").as("held_us"),
+        expr("sum(vu * gap) div sum(gap)").as("twa_cents")))
+  }
+}

@@ -642,4 +642,48 @@ class PlanSpec extends SparkSpec {
       case a: HashAggregateExec => a }.nonEmpty),
       "an unpartitioned ntile runs over non-aggregated order rows")
   }
+
+  test("q_seq_match: sequence assembly is one aggregate, no window sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val p = plan("q_seq_match")
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "per-user sequences should come from sort_array(collect_list), not a window")
+    assert(p.collect { case j: SortMergeJoinExec => j
+                       case j: ShuffledHashJoinExec => j
+                       case j: BroadcastHashJoinExec => j
+                       case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+  }
+
+  test("q_interval_overlap: global sweep runs over the session aggregate") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val p = plan("q_interval_overlap")
+    val globalWindows = p.collect { case w: WindowExec
+      if w.partitionSpec.isEmpty => w }
+    assert(globalWindows.nonEmpty, "sweep window missing")
+    assert(globalWindows.forall(_.collectFirst {
+      case a: HashAggregateExec => a }.nonEmpty),
+      "the sweep must order interval POINTS, never raw events")
+  }
+
+  test("q_time_weighted_avg: one user-keyed window, no joins") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("q_time_weighted_avg")
+    val ws = p.collect { case w: WindowExec => w }
+    assert(ws.length == 1 && ws.head.partitionSpec.nonEmpty)
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+  }
+
+  test("§2.30 graph queries: equi-joins only over the pinned edge list") {
+    // building these plans materializes the pinned edge list (an action);
+    // the RDD scan it leaves behind is the loop-invariant contract
+    for (q <- Seq("q_clustering_coeff", "q_graph_jaccard", "q_graph_2hop")) {
+      val p = plan(q)
+      assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+        s"$q: wedge/closure joins must be equi-joins, not NLJ")
+      assert(p.collect { case r: org.apache.spark.sql.execution.RDDScanExec
+        => r }.nonEmpty, s"$q: pinned edge list not engaged")
+    }
+  }
 }
