@@ -2960,6 +2960,111 @@ object Oracles {
         |       CAST(count(*) AS BIGINT) AS n_cust,
         |       CAST(sum(cents) AS BIGINT) AS total_cents
         |FROM scored GROUP BY 1, 2, 3 ORDER BY ALL""".stripMargin,
+    // ---- §2.31 round-8 linguistics / BI / spectral ----
+    "q_mode" ->
+      """WITH counts AS (
+        |  SELECT n_name, o_orderpriority AS pri,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT n_name, pri, n,
+        |        CAST(sum(n) OVER (PARTITION BY n_name) AS BIGINT)
+        |          AS n_total,
+        |        row_number() OVER (PARTITION BY n_name
+        |                           ORDER BY n DESC, pri ASC) AS rn
+        |      FROM counts)
+        |SELECT n_name, pri AS mode_pri, n AS n_mode, n_total
+        |FROM r WHERE rn = 1 ORDER BY ALL""".stripMargin,
+    "q_allocation" ->
+      """WITH rev AS (
+        |  SELECT n_name,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |q AS (SELECT n_name, cents,
+        |        CAST(sum(cents) OVER () AS BIGINT) AS tot
+        |      FROM rev),
+        |b AS (SELECT n_name, cents,
+        |        cents * 10000 // tot AS base,
+        |        (cents * 10000) % tot AS rem,
+        |        10000 - CAST(sum(cents * 10000 // tot) OVER () AS BIGINT)
+        |          AS deficit
+        |      FROM q),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, n_name ASC)
+        |         AS rk
+        |       FROM b)
+        |SELECT n_name, cents, base,
+        |       CAST(CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+        |         AS extra,
+        |       CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+        |         AS BIGINT) AS seats
+        |FROM rk ORDER BY ALL""".stripMargin,
+    "q_readability" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')) AS BIGINT) AS words,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS sylls,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(words) AS BIGINT) AS n_words,
+        |       CAST(sum(sylls) AS BIGINT) AS n_sylls,
+        |       CAST(sum(chars) AS BIGINT) AS n_chars,
+        |       CAST(sum(sylls) * 100 // sum(words) AS BIGINT) AS spw_x100,
+        |       CAST(sum(chars) * 100 // sum(words) AS BIGINT) AS wlen_x100
+        |FROM d GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_concordance" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |p AS (SELECT doc_id, toks,
+        |        unnest(generate_series(1, len(toks))) AS pos
+        |      FROM d)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |       coalesce(array_to_string(
+        |         toks[greatest(1, pos - 2):pos - 1], ' '), '') AS left_ctx,
+        |       coalesce(array_to_string(toks[pos + 1:pos + 2], ' '), '')
+        |         AS right_ctx
+        |FROM p WHERE toks[pos] = 'join' ORDER BY ALL""".stripMargin,
+    "q_naive_bayes" ->
+      """WITH st AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS n_st
+        |  FROM (SELECT source,
+        |          unnest(string_split(lower(text), ' ')) AS token
+        |        FROM documents)
+        |  WHERE token <> '' GROUP BY 1, 2),
+        |nt AS (SELECT token, CAST(sum(n_st) AS BIGINT) AS n_t
+        |       FROM st GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s
+        |       FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_st) AS BIGINT) AS n_tot FROM st),
+        |scored AS (
+        |  SELECT st.source, st.token, st.n_st,
+        |         CAST(st.n_st * n_tot * 10000 // (n_t * n_s) AS BIGINT)
+        |           AS lift_bp
+        |  FROM st JOIN nt USING (token) JOIN ns USING (source), tot
+        |  WHERE st.n_st >= 5),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |        ORDER BY lift_bp DESC, token ASC) AS BIGINT) AS rank
+        |      FROM scored)
+        |SELECT source, token, n_st, lift_bp, rank
+        |FROM r WHERE rank <= 5 ORDER BY ALL""".stripMargin,
+    "q_power_iter" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+        |           AS BIGINT) AS q,
+        |         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim
+        |  FROM embeddings),
+        |rs AS (SELECT vec_id, CAST(sum(q) AS BIGINT) AS s
+        |       FROM e GROUP BY 1)
+        |SELECT dim, CAST(sum(q * s) AS BIGINT) AS v1,
+        |       CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM e JOIN rs USING (vec_id) GROUP BY 1 ORDER BY ALL""".stripMargin,
     // ---- §2.30 round-8 graph analytics (strict near-dup doc graph) ----
     "q_clustering_coeff" ->
       s"""$graphCte,

@@ -516,4 +516,34 @@ object Analytics {
         "n_resurrected",
         "CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned"))
   }
+
+  /** Largest-remainder apportionment (§2.31): allocate a fixed budget of
+    * 10 000 "seats" across nations proportional to exact revenue cents —
+    * floor quotas first, then one seat to each of the largest
+    * remainders (tie → nation name) until the budget is spent. The
+    * budget-allocation primitive every planning report runs; exact
+    * integer arithmetic end-to-end. Fact scan aggregates to ≤ nations
+    * rows; every window runs over that aggregate. */
+  def qAllocation(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .join(t(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val all = Window.partitionBy()
+    val byRem = Window.orderBy(col("rem").desc, col("n_name").asc)
+    orderedAll(rev
+      .withColumn("tot", sum("cents").over(all))
+      .withColumn("base", expr("cents * 10000 div tot"))
+      .withColumn("rem", expr("(cents * 10000) % tot"))
+      .withColumn("deficit", lit(10000L) - sum("base").over(all))
+      .withColumn("rk", row_number().over(byRem))
+      .withColumn("extra",
+        when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+      .select(col("n_name"), col("cents"), col("base"),
+        col("extra"), (col("base") + col("extra")).as("seats")))
+  }
 }

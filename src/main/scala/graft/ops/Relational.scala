@@ -483,4 +483,29 @@ object Relational {
         col("p_size") === col("m_eq"))
       .select(col("p_partkey"), col("pc"), col("p_size")))
   }
+
+  /** Statistical mode (§2.31): each nation's most frequent order
+    * priority, tie-broken to the lexicographically smallest priority (the
+    * fixture's priorities are near-uniform, so ties are live, not
+    * theoretical). Count aggregate + one rank window over the ≤
+    * nations×priorities aggregate — the raw fact table is never
+    * window-sorted. */
+  def qMode(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderpriority").as("pri"))
+      .join(t(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "pri").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("n_name")
+      .orderBy(col("n").desc, col("pri").asc)
+    orderedAll(counts
+      .withColumn("n_total",
+        sum("n").over(Window.partitionBy("n_name")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("n_name"), col("pri").as("mode_pri"),
+        col("n").as("n_mode"), col("n_total")))
+  }
 }

@@ -399,4 +399,25 @@ object Vectors {
         expr("sum(d2) div count(1)").as("avg_d2"),
         max(col("d2")).as("max_d2")))
   }
+
+  /** One power-iteration step (§2.31): v₁ = AᵀA·1 over the ×10⁴-quantized
+    * embedding matrix — the dominant-eigenvector / spectral-centrality
+    * primitive, computed as two chained mergeable aggregates (row sums
+    * sᵢ = Σⱼ qᵢⱼ, then v₁ⱼ = Σᵢ qᵢⱼ·sᵢ) with one vec_id-keyed join, no
+    * N×N gram materialization (q_matmul holds the COO-matmul flag).
+    * Quantization makes every sum exact BIGINT arithmetic (|q| ≤ 10⁴,
+    * bounded far under 2⁶³ at any SF); dims are 1-based to match the
+    * oracle's generate_subscripts. At 100 TB both aggregates shard by
+    * their keys; the join broadcasts nothing corpus-sized. */
+  def qPowerIter(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("dim"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)").as("q"))
+    val rowSums = e.groupBy("vec_id").agg(sum("q").as("s"))
+    orderedAll(e.join(rowSums, "vec_id")
+      .groupBy("dim")
+      .agg(sum(expr("q * s")).as("v1"),
+        count(lit(1)).as("n_vecs")))
+  }
 }

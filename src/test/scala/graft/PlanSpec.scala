@@ -675,6 +675,47 @@ class PlanSpec extends SparkSpec {
     assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
   }
 
+  test("q_mode / q_allocation: rank windows run over the nation aggregate") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    for (q <- Seq("q_mode", "q_allocation")) {
+      val p = plan(q)
+      val ws = p.collect { case w: WindowExec => w }
+      assert(ws.nonEmpty, s"$q: rank window missing")
+      assert(ws.forall(_.collectFirst {
+        case a: HashAggregateExec => a }.nonEmpty),
+        s"$q: a window sorts raw fact rows instead of the aggregate")
+      assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"$q: nation dim should broadcast")
+    }
+  }
+
+  test("q_readability / q_concordance: scan-side array work, no joins") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    for (q <- Seq("q_readability", "q_concordance")) {
+      val p = plan(q)
+      assert(p.collect { case j: SortMergeJoinExec => j
+                         case j: ShuffledHashJoinExec => j
+                         case j: BroadcastHashJoinExec => j
+                         case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+        s"$q: should be pure scan + in-row extraction")
+    }
+  }
+
+  test("q_naive_bayes: marginals broadcast, one NLJ for the 1-row total") {
+    val p = plan("q_naive_bayes")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.length >= 2,
+      "token/source marginals should ride broadcast hash joins")
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.length <= 1,
+      "only the 1-row corpus total may ride NLJ")
+  }
+
+  test("q_power_iter: row sums join vec_id-keyed, nothing quadratic") {
+    val p = plan("q_power_iter")
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "the matvec must never materialize a cross product")
+  }
+
   test("§2.30 graph queries: equi-joins only over the pinned edge list") {
     // building these plans materializes the pinned edge list (an action);
     // the RDD scan it leaves behind is the loop-invariant contract

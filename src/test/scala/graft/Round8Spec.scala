@@ -124,6 +124,126 @@ class Round8Spec extends SparkSpec {
     assert(got == expected)
   }
 
+  // --- §2.31 linguistics / BI / spectral -------------------------------
+
+  test("q_mode matches brute-force modal priorities") {
+    val nk2name = ops.t(spark, sf, "nation")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val cust = ops.t(spark, sf, "customer")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = ops.t(spark, sf, "orders")
+      .select("o_custkey", "o_orderpriority").collect()
+      .map(r => (nk2name(cust(r.getLong(0))), r.getString(1)))
+    val expected = rows.groupBy(_._1).map { case (nation, os) =>
+      val counts = os.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val (pri, n) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      (nation, pri, n, os.size.toLong)
+    }.toSet
+    val got = run("q_mode").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == expected)
+  }
+
+  test("q_allocation distributes exactly 10000 seats, proportionally") {
+    val rows = run("q_allocation").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._5).sum == 10000L, "seat total must be exact")
+    assert(rows.forall { case (_, _, base, extra, seats) =>
+      (extra == 0 || extra == 1) && seats == base + extra })
+    val tot = rows.map(_._2).sum
+    // every seat count is the floor quota or one above it
+    assert(rows.forall { case (_, cents, base, _, _) =>
+      base == cents * 10000 / tot })
+    // largest-remainder: any nation granted an extra seat has remainder
+    // >= every nation denied one (ties broken by name)
+    val granted = rows.filter(_._4 == 1)
+      .map(r => (r._2 * 10000 % tot, r._1))
+    val denied = rows.filter(_._4 == 0)
+      .map(r => (r._2 * 10000 % tot, r._1))
+    assert(granted.forall { case (rg, ng) => denied.forall {
+      case (rd, nd) => rg > rd || (rg == rd && ng < nd) } })
+  }
+
+  test("q_readability matches brute-force corpus profiling") {
+    val docs = ops.t(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val syl = "[aeiouy]+".r
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val words = ds.map(_._2.toLowerCase.split(" ")
+        .count(_.nonEmpty).toLong).sum
+      val sylls = ds.map(d => syl.findAllIn(d._2.toLowerCase).size.toLong)
+        .sum
+      val chars = ds.map(_._2.count(_ != ' ').toLong).sum
+      (src, ds.size.toLong, words, sylls, chars,
+        sylls * 100 / words, chars * 100 / words)
+    }.toSet
+    val got = run("q_readability").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expected)
+  }
+
+  test("q_concordance matches brute-force KWIC windows") {
+    val docs = ops.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ", -1)))
+    val expected = docs.flatMap { case (id, toks) =>
+      toks.zipWithIndex.collect { case ("join", i) =>
+        (id, (i + 1).toLong,
+          toks.slice(math.max(0, i - 2), i).mkString(" "),
+          toks.slice(i + 1, i + 3).mkString(" "))
+      }
+    }.toSet
+    assert(expected.nonEmpty)
+    val got = run("q_concordance").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(got == expected)
+  }
+
+  test("q_naive_bayes matches brute-force lift ranking") {
+    val toks = ops.t(spark, sf, "documents")
+      .select("source", "text").collect()
+      .flatMap(r => r.getString(1).toLowerCase.split(" ")
+        .filter(_.nonEmpty).map(tk => (r.getString(0), tk)))
+    val nSt = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nT = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nS = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nTot = toks.size.toLong
+    val expected = nSt.toSeq.filter(_._2 >= 5)
+      .map { case ((src, tk), c) =>
+        (src, tk, c, c * nTot * 10000 / (nT(tk) * nS(src))) }
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy { case (_, tk, _, lift) => (-lift, tk) }
+          .zipWithIndex.take(5)
+          .map { case ((src, tk, c, lift), i) =>
+            (src, tk, c, lift, (i + 1).toLong) }
+      }.toSet
+    val got = run("q_naive_bayes").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected)
+  }
+
+  test("q_power_iter matches brute-force quantized matvec") {
+    val vecs = ops.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).toArray.map(f =>
+        math.round(f.toDouble * 10000)))
+    val expected = (0 until 64).map { j =>
+      val v1 = vecs.map(q => q(j) * q.sum).sum
+      ((j + 1).toLong, v1, vecs.length.toLong)
+    }.toSet
+    val got = run("q_power_iter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
   test("q_time_weighted_avg matches brute-force holding-time means") {
     val expected = byUser.flatMap { case (u, evs) =>
       val gaps = evs.zip(evs.tail).map { case ((us1, _, _, v), (us2, _, _, _)) =>
