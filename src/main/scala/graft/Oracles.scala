@@ -2960,6 +2960,107 @@ object Oracles {
         |       CAST(count(*) AS BIGINT) AS n_cust,
         |       CAST(sum(cents) AS BIGINT) AS total_cents
         |FROM scored GROUP BY 1, 2, 3 ORDER BY ALL""".stripMargin,
+    // ---- §2.32 round-8 warehouse/stream audits + tokenizer ----
+    "q_fk_orphans" -> {
+      def audit(rel: String, child: String, key: String,
+          parent: String, pkey: String): String =
+        s"""SELECT '$rel' AS rel,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_child,
+           |  (SELECT CAST(count(DISTINCT $key) AS BIGINT) FROM $child)
+           |    AS n_child_keys,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $parent) AS n_parent,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child c
+           |   WHERE NOT EXISTS (SELECT 1 FROM $parent p
+           |                     WHERE p.$pkey = c.$key)) AS n_orphans""".stripMargin
+      Seq(
+        audit("lineitem.orderkey", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        audit("lineitem.partkey", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        audit("lineitem.suppkey", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        audit("orders.custkey", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        audit("customer.nationkey", "customer", "c_nationkey",
+          "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY ALL")
+    },
+    "q_late_events" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |             md5(CAST(event_id AS VARCHAR)) AS arrival,
+        |             epoch_us(ts) AS us
+        |           FROM events),
+        |l AS (SELECT event_type,
+        |        greatest(coalesce(max(us) OVER (PARTITION BY event_type
+        |          ORDER BY arrival, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          - us, 0), 0) AS late_us
+        |      FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_late,
+        |       CAST(max(late_us) AS BIGINT) AS max_late_us,
+        |       CAST(sum(late_us) AS BIGINT) AS sum_late_us
+        |FROM l GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_conversion_lag" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |su AS (SELECT user_id, min(us) AS s_us FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |conv AS (SELECT e.user_id, min(us - s_us) AS delay_us
+        |         FROM e JOIN su USING (user_id)
+        |         WHERE event_type = 'purchase' AND us >= s_us
+        |         GROUP BY 1)
+        |SELECT CAST(delay_us // 86400000000 AS BIGINT) AS day_bucket,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(min(delay_us) AS BIGINT) AS min_delay_us,
+        |       CAST(max(delay_us) AS BIGINT) AS max_delay_us
+        |FROM conv GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_prefix_compress" ->
+      """WITH o AS (SELECT source, doc_id, text,
+        |             lag(text) OVER (PARTITION BY source
+        |                             ORDER BY text, doc_id) AS prev
+        |           FROM documents),
+        |c AS (SELECT source, text,
+        |        CASE WHEN prev IS NULL THEN 0
+        |             ELSE len(list_filter(generate_series(1,
+        |                    least(length(text), length(prev))),
+        |                    i -> substring(text, 1, i)
+        |                         = substring(prev, 1, i))) END AS cpl
+        |      FROM o)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |       CAST(sum(cpl) AS BIGINT) AS saved_chars,
+        |       CAST(sum(cpl) * 10000 // sum(length(text)) AS BIGINT)
+        |         AS ratio_bp
+        |FROM c GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_bpe_apply" ->
+      """WITH docs AS (
+        |  SELECT array_to_string(list_filter(
+        |           string_split(lower(text), ' '), x -> x <> ''), ' ')
+        |           AS joined
+        |  FROM documents WHERE lang = 'en'),
+        |t1 AS (SELECT string_split(joined, ' ') AS toks FROM docs),
+        |p1 AS (SELECT unnest(list_transform(
+        |         generate_series(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i + 1])) AS pair
+        |       FROM t1),
+        |c1 AS (SELECT pair, count(*) AS n FROM p1 GROUP BY 1),
+        |top AS (SELECT pair FROM c1 ORDER BY n DESC, pair ASC LIMIT 1),
+        |m AS (SELECT string_split(replace(joined, top.pair,
+        |        replace(top.pair, ' ', '_')), ' ') AS toks
+        |      FROM docs, top),
+        |p2 AS (SELECT unnest(list_transform(
+        |         generate_series(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i + 1])) AS pair
+        |       FROM m),
+        |c2 AS (SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |       FROM p2 GROUP BY 1),
+        |r AS (SELECT pair, n, CAST(row_number() OVER (
+        |        ORDER BY n DESC, pair ASC) AS BIGINT) AS rank
+        |      FROM c2)
+        |SELECT rank, pair, n FROM r WHERE rank <= 20
+        |ORDER BY ALL""".stripMargin,
     // ---- §2.31 round-8 linguistics / BI / spectral ----
     "q_mode" ->
       """WITH counts AS (

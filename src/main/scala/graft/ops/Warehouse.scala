@@ -305,4 +305,32 @@ object Warehouse {
       .withColumn("rho_bp",
         expr("10000 - (60000 * sum_d2) div (n * (n * n - 1))")))
   }
+
+  /** Front-coding compression estimate (§2.32): sort each source's docs
+    * by (text, doc_id) and measure the byte prefix each doc shares with
+    * its predecessor — the savings a prefix-compressed sorted block
+    * (dictionary pages, SSTable key blocks) would realize. The per-pair
+    * prefix scan is the codegen'd
+    * [[graft.expressions.CommonPrefixLen]] — one byte loop per
+    * adjacent pair, where an expression-chain spelling would test every
+    * prefix length. One window (lag) per source partition + one
+    * mergeable aggregate; sources shard independently, which is the
+    * 100 TB layout axis. */
+  def qPrefixCompress(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSql.{column, expression}
+    val w = Window.partitionBy("source").orderBy("text", "doc_id")
+    orderedAll(t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("text"))
+      .withColumn("prev", lag("text", 1).over(w))
+      .withColumn("cpl", coalesce(
+        column(graft.expressions.CommonPrefixLen(
+          expression(col("text")), expression(col("prev")))),
+        lit(0L)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        sum("cpl").as("saved_chars"))
+      .withColumn("ratio_bp",
+        expr("saved_chars * 10000 div total_chars")))
+  }
 }

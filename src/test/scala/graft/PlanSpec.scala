@@ -716,6 +716,45 @@ class PlanSpec extends SparkSpec {
       "the matvec must never materialize a cross product")
   }
 
+  test("q_fk_orphans: every orphan check is a keyed anti join") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val p = plan("q_fk_orphans")
+    val antis = p.collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftAnti => j
+      case j: ShuffledHashJoinExec if j.joinType == LeftAnti => j
+      case j: SortMergeJoinExec if j.joinType == LeftAnti => j }
+    assert(antis.length == 5, s"expected 5 keyed anti joins, ${antis.length}")
+  }
+
+  test("q_late_events / q_time_weighted_avg family: windows stay keyed") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("q_late_events")
+    val ws = p.collect { case w: WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "lateness window must shard by event_type")
+  }
+
+  test("q_prefix_compress: codegen common-prefix, one keyed window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("q_prefix_compress")
+    val ws = p.collect { case w: WindowExec => w }
+    assert(ws.length == 1 && ws.head.partitionSpec.nonEmpty,
+      "front coding must shard by source")
+    assert(p.toString.contains("graft_common_prefix_len"),
+      "the codegen CommonPrefixLen expression should be in the plan")
+  }
+
+  test("q_bpe_apply: in-row pair generation, no positional join") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val p = plan("q_bpe_apply")
+    assert(p.collect { case j: SortMergeJoinExec => j
+                       case j: ShuffledHashJoinExec => j
+                       case j: BroadcastHashJoinExec => j
+                       case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "adjacent pairs should come from an in-row transform, not a join")
+  }
+
   test("§2.30 graph queries: equi-joins only over the pinned edge list") {
     // building these plans materializes the pinned edge list (an action);
     // the RDD scan it leaves behind is the loop-invariant contract

@@ -124,6 +124,116 @@ class Round8Spec extends SparkSpec {
     assert(got == expected)
   }
 
+  // --- §2.32 warehouse/stream audits + tokenizer -----------------------
+
+  test("q_fk_orphans is all-green on the dense fixture") {
+    val got = run("q_fk_orphans").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.length == 5)
+    assert(got.forall(_._5 == 0L), s"dense fixture must have no orphans")
+    assert(got.forall(r => r._2 >= r._3 && r._3 > 0))
+  }
+
+  test("auditFk red path: a drilled orphan is counted") {
+    import spark.implicits._
+    val child = Seq((1L, 10L), (2L, 10L), (3L, 99L)).toDF("id", "fk")
+    val parent = Seq(10L, 11L).toDF("pk")
+    val r = ops.Integrity.auditFk("drill", child, "fk", parent, "pk")
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((3L, 2L, 2L, 1L)))
+  }
+
+  test("q_late_events matches brute-force arrival-order lateness") {
+    val rows = ops.t(spark, sf, "events")
+      .selectExpr("event_type", "event_id", "unix_micros(ts) AS us",
+        "md5(CAST(event_id AS STRING)) AS arrival")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val expected = rows.groupBy(_._1).map { case (et, es) =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      var runMax = Long.MinValue
+      val lates = sorted.map { case (_, _, us, _) =>
+        val late = if (runMax == Long.MinValue) 0L
+                   else math.max(runMax - us, 0L)
+        runMax = math.max(runMax, us)
+        late
+      }
+      (et, sorted.size.toLong, lates.count(_ > 3600000000L).toLong,
+        lates.max, lates.sum)
+    }.toSet
+    assert(expected.exists(_._3 > 0), "fixture should contain late events")
+    val got = run("q_late_events").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+  }
+
+  test("q_conversion_lag matches brute-force first-conversion delays") {
+    val delays = byUser.toSeq.flatMap { case (_, evs) =>
+      val signups = evs.filter(_._3 == "signup").map(_._1)
+      if (signups.isEmpty) None
+      else {
+        val s0 = signups.min
+        val ps = evs.filter(e => e._3 == "purchase" && e._1 >= s0)
+        if (ps.isEmpty) None else Some(ps.map(_._1).min - s0)
+      }
+    }
+    val expected = delays.groupBy(_ / 86400000000L).map { case (b, ds) =>
+      (b, ds.size.toLong, ds.min, ds.max) }.toSet
+    assert(expected.nonEmpty)
+    val got = run("q_conversion_lag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+  }
+
+  test("q_prefix_compress matches brute-force front coding") {
+    val docs = ops.t(spark, sf, "documents")
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def cpl(a: String, b: String): Long = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n && a(i) == b(i)) i += 1
+      i.toLong
+    }
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val sorted = ds.sortBy(d => (d._3, d._2))
+      val saved = sorted.zip(sorted.drop(1))
+        .map { case (p, c) => cpl(p._3, c._3) }.sum
+      val total = sorted.map(_._3.length.toLong).sum
+      (src, sorted.size.toLong, total, saved, saved * 10000 / total)
+    }.toSet
+    assert(expected.exists(_._4 > 0), "sorted runs should share prefixes")
+    val got = run("q_prefix_compress").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+  }
+
+  test("q_bpe_apply matches brute-force merge-and-recount") {
+    val joined = ops.t(spark, sf, "documents").filter("lang = 'en'")
+      .select("text").collect()
+      .map(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty)
+        .mkString(" "))
+    def pairs(ds: Seq[String]): Map[String, Long] =
+      ds.flatMap { j =>
+        val ts = j.split(" ", -1)
+        ts.zip(ts.drop(1)).map { case (a, b) => s"$a $b" }
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val top = pairs(joined.toSeq).toSeq
+      .minBy { case (p, n) => (-n, p) }._1
+    val merged = joined.map(_.replace(top, top.replace(' ', '_'))).toSeq
+    val expected = pairs(merged).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(20).zipWithIndex
+      .map { case ((p, n), i) => ((i + 1).toLong, p, n) }.toSet
+    val got = run("q_bpe_apply").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
   // --- §2.31 linguistics / BI / spectral -------------------------------
 
   test("q_mode matches brute-force modal priorities") {
