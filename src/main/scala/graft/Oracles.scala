@@ -3250,5 +3250,174 @@ object Oracles {
         |       CAST(sum(gap) AS BIGINT) AS held_us,
         |       CAST(sum(vu * gap) // sum(gap) AS BIGINT) AS twa_cents
         |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY ALL""".stripMargin
+  ) ++ evalSql
+
+  /** ±1 md5-parity hyperplane lanes for plane range [lo, hi) — twin of
+    * graft.ops.Evaluation.mdSigns (and of the q_ann_lsh sgn CTE). */
+  private def sgnCte(lo: Int, hi: Int): String =
+    s"""sgn AS (SELECT j,
+       |    list(CASE WHEN (strpos('0123456789abcdef',
+       |        substring(md5(CAST(j * 64 + i AS VARCHAR)), 1, 1)) - 1)
+       |        % 2 = 0
+       |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+       |      ORDER BY i) AS sv
+       |  FROM range($lo, $hi) a(j) CROSS JOIN range(64) b(i)
+       |  GROUP BY j)""".stripMargin
+
+  /** Dot of an embedding against the sgn plane list (sequential fold). */
+  private def planeDot(e: String) =
+    "list_sum(list_transform(generate_series(1, 64), i -> " +
+      s"CAST($e[i] AS DOUBLE) * sv[i]))"
+
+  /** The shared ×10⁶ nDCG rank-discount literals as a CASE over a rank
+    * column — same Scala-computed values the Spark side embeds. */
+  private def ndcgCase(r: String): String =
+    graft.ops.Evaluation.ndcgWeights.zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }
+      .mkString(s"CASE $r ", " ", " END")
+
+  // ---- §2.33 retrieval / model-eval metrics ----
+  private def evalSql: Map[String, String] = Map(
+    "q_ann_recall" ->
+      s"""WITH ${sgnCte(0, 8)},
+         |bkt AS (SELECT vec_id, embedding,
+         |    CAST(sum(CASE WHEN ${planeDot("embedding")} > 0
+         |      THEN 1 << j ELSE 0 END) AS INT) AS bucket
+         |  FROM embeddings CROSS JOIN sgn GROUP BY 1, 2),
+         |p AS (SELECT vec_id AS pid, embedding AS pe, bucket AS pb
+         |      FROM bkt WHERE vec_id < 50),
+         |c AS (SELECT vec_id AS nid, embedding AS e, bucket AS cb
+         |      FROM bkt),
+         |s AS (SELECT pid, nid, $dot64 AS dot, $pn64 AS na2, $en64 AS nb2
+         |      FROM p JOIN c ON nid <> pid),
+         |top AS (SELECT pid, nid FROM (
+         |      SELECT pid, nid, row_number() OVER (PARTITION BY pid
+         |          ORDER BY dot / sqrt(na2 * nb2) DESC, nid) AS rn
+         |      FROM s) WHERE rn <= 10),
+         |cand AS (SELECT pid, nid FROM p JOIN c ON cb = pb AND nid <> pid),
+         |nc AS (SELECT pid, CAST(count(*) AS BIGINT) AS n_cand
+         |       FROM cand GROUP BY 1),
+         |h AS (SELECT pid, CAST(count(*) AS BIGINT) AS hits
+         |      FROM top JOIN cand USING (pid, nid) GROUP BY 1)
+         |SELECT p.pid, coalesce(n_cand, 0) AS n_cand,
+         |       coalesce(hits, 0) AS hits,
+         |       CAST(coalesce(hits, 0) * 10000 // 10 AS BIGINT) AS recall_bp
+         |FROM p LEFT JOIN nc USING (pid) LEFT JOIN h USING (pid)
+         |ORDER BY ALL""".stripMargin,
+    "q_ndcg" ->
+      s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe,
+         |             label AS plabel
+         |           FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS nid, embedding AS e, label
+         |      FROM embeddings),
+         |s AS (SELECT pid, plabel, nid, label,
+         |        $dot64 AS dot, $pn64 AS na2, $en64 AS nb2
+         |      FROM p JOIN c ON nid <> pid),
+         |r AS (SELECT pid, nid, dot / sqrt(na2 * nb2) AS cos,
+         |        CASE WHEN label = plabel THEN 1 ELSE 0 END AS rel,
+         |        row_number() OVER (PARTITION BY pid
+         |          ORDER BY dot / sqrt(na2 * nb2) DESC, nid) AS rn
+         |      FROM s),
+         |tp AS (SELECT pid, rel, rn,
+         |        row_number() OVER (PARTITION BY pid
+         |          ORDER BY rel DESC, cos DESC, nid) AS irn
+         |       FROM r WHERE rn <= 10),
+         |g AS (SELECT pid, CAST(sum(rel) AS BIGINT) AS n_rel,
+         |        CAST(sum(rel * ${ndcgCase("rn")}) AS BIGINT) AS dcg_u,
+         |        CAST(sum(rel * ${ndcgCase("irn")}) AS BIGINT) AS idcg_u
+         |      FROM tp GROUP BY 1)
+         |SELECT pid, n_rel, dcg_u, idcg_u,
+         |       CAST(CASE WHEN idcg_u > 0 THEN dcg_u * 10000 // idcg_u
+         |            ELSE 0 END AS BIGINT) AS ndcg_bp
+         |FROM g ORDER BY ALL""".stripMargin,
+    "q_auc" ->
+      s"""WITH ${sgnCte(100, 103)},
+         |sc AS (SELECT j - 100 AS plane, label,
+         |    CAST(round(${planeDot("embedding")} * 10000) AS BIGINT)
+         |      AS score_u
+         |  FROM embeddings CROSS JOIN sgn),
+         |rk AS (SELECT plane,
+         |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos,
+         |    rank() OVER (PARTITION BY plane ORDER BY score_u) AS minr,
+         |    count(*) OVER (PARTITION BY plane, score_u) AS nt
+         |  FROM sc)
+         |SELECT CAST(plane AS BIGINT) AS plane,
+         |       CAST(sum(pos) AS BIGINT) AS n_pos,
+         |       CAST(sum(1 - pos) AS BIGINT) AS n_neg,
+         |       CAST((sum(CASE WHEN pos = 1 THEN 2 * minr + nt - 1
+         |                 ELSE 0 END)
+         |             - sum(pos) * (sum(pos) + 1)) * 10000
+         |            // (2 * sum(pos) * sum(1 - pos)) AS BIGINT) AS auc_bp
+         |FROM rk GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_confusion" ->
+      """WITH q AS (SELECT label AS cand, i,
+        |    sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 10000)
+        |        AS BIGINT)) AS s_u,
+        |    count(*) AS n
+        |  FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+        |cl AS (SELECT cand, list(CAST(s_u AS DOUBLE) / n ORDER BY i)
+        |         AS cv
+        |       FROM q GROUP BY 1),
+        |s AS (SELECT e.vec_id, e.label AS true_label, cand,
+        |    list_sum(list_transform(generate_series(1, 64), i ->
+        |      CAST(e.embedding[i] AS DOUBLE) * cv[i])) AS dot,
+        |    list_sum(list_transform(generate_series(1, 64), i ->
+        |      CAST(e.embedding[i] AS DOUBLE)
+        |        * CAST(e.embedding[i] AS DOUBLE))) AS nv,
+        |    list_sum(list_transform(generate_series(1, 64), i ->
+        |      cv[i] * cv[i])) AS nc
+        |  FROM embeddings e CROSS JOIN cl),
+        |pr AS (SELECT vec_id, true_label, cand AS pred,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dot / sqrt(nv * nc) DESC, cand) AS rn
+        |  FROM s),
+        |cells AS (SELECT CAST(true_label AS BIGINT) AS true_label,
+        |    CAST(pred AS BIGINT) AS pred, CAST(count(*) AS BIGINT) AS n
+        |  FROM pr WHERE rn = 1 GROUP BY 1, 2)
+        |SELECT true_label, pred, n,
+        |  CAST(sum(n) OVER (PARTITION BY true_label) AS BIGINT)
+        |    AS row_tot,
+        |  CAST(sum(n) OVER (PARTITION BY pred) AS BIGINT) AS col_tot,
+        |  CAST(n * 10000 // sum(n) OVER (PARTITION BY true_label)
+        |    AS BIGINT) AS recall_bp,
+        |  CAST(n * 10000 // sum(n) OVER (PARTITION BY pred)
+        |    AS BIGINT) AS precision_bp
+        |FROM cells ORDER BY ALL""".stripMargin,
+    "q_calibration" ->
+      s"""WITH ${sgnCte(103, 104)},
+         |sc AS (SELECT label,
+         |    CAST(round(${planeDot("embedding")} * 10000) AS BIGINT)
+         |      AS score_u
+         |  FROM embeddings CROSS JOIN sgn)
+         |SELECT CAST((score_u - (score_u % 2000 + 2000) % 2000) // 2000
+         |         AS BIGINT) AS bin,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_pos,
+         |       CAST(min(score_u) AS BIGINT) AS lo_u,
+         |       CAST(max(score_u) AS BIGINT) AS hi_u,
+         |       CAST(sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) * 10000
+         |            // count(*) AS BIGINT) AS rate_bp
+         |FROM sc GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_mrr" ->
+      s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe,
+         |             label AS plabel
+         |           FROM embeddings WHERE vec_id < 50),
+         |c AS (SELECT vec_id AS nid, embedding AS e, label
+         |      FROM embeddings),
+         |s AS (SELECT pid, plabel, nid, label,
+         |        $dot64 AS dot, $pn64 AS na2, $en64 AS nb2
+         |      FROM p JOIN c ON nid <> pid),
+         |r AS (SELECT pid, label, plabel,
+         |        row_number() OVER (PARTITION BY pid
+         |          ORDER BY dot / sqrt(na2 * nb2) DESC, nid) AS rn
+         |      FROM s),
+         |b AS (SELECT pid, CAST(min(rn) AS BIGINT) AS best_rank
+         |      FROM r WHERE rn <= 20 AND label = plabel GROUP BY 1)
+         |SELECT p.pid, best_rank,
+         |       CAST(CASE WHEN best_rank IS NOT NULL
+         |            THEN 1000000 // best_rank ELSE 0 END AS BIGINT)
+         |         AS rr_u
+         |FROM p LEFT JOIN b USING (pid) ORDER BY ALL""".stripMargin
   )
 }

@@ -1,0 +1,246 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval- and model-evaluation metrics over the `embeddings` table
+  * (SURVEY §2.33) — the measurement rim of the similarity-search family:
+  * a vector pipeline is not done when ANN returns rows, it is done when
+  * its recall/ranking quality is MEASURED, and these are the six numbers
+  * every retrieval/classifier eval report carries.
+  *
+  * Determinism policy (§5.3): every ranking is derived from the §2.12
+  * sequential-fold cosine (bit-identical in both engines) with an id
+  * tie-break; every emitted metric is either an exact BIGINT or an exact
+  * integer ratio in basis points; the one transcendental (nDCG's 1/log₂
+  * rank discount) is folded to 10 shared Scala-computed literals, so no
+  * engine evaluates a log at all.
+  *
+  * Scale shape (100 TB): probe sets and per-label/per-plane aggregates
+  * are broadcast-sized by construction; the corpus side is always one
+  * scan-shaped projection feeding either a mergeable aggregate or a
+  * per-probe bounded window — the brute-force/kNN scale story of §2.12
+  * applies unchanged, and the ANN-recall audit is exactly the query one
+  * runs on a sampled probe set to pick LSH/IVF parameters before
+  * committing the full corpus to them. */
+object Evaluation {
+
+  /** ±1 hyperplane lane from md5 parity of the constant lane index —
+    * byte-identical to the q_ann_lsh recipe (Sketches.scala). The recall
+    * audit reuses the LSH's own planes 0..7 (it measures THAT index);
+    * scoring queries use plane indices ≥ 100 so they never alias it. */
+  private def mdSigns(j: Int): Array[Float] = Array.tabulate(64) { i =>
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(String.valueOf(j * 64 + i).getBytes("UTF-8"))
+    if (((d(0) >> 4) & 1) == 0) 1.0f else -1.0f
+  }
+
+  /** Codegen'd dot against a literal md5-sign plane (bit-identical to the
+    * oracle's list_sum fold over the same ±1 doubles). */
+  private def planeScore(j: Int): Column =
+    Vectors.dot(col("embedding"), typedLit(mdSigns(j)))
+
+  /** nDCG rank discounts ×10⁶, rank 1..10: round(10⁶ / log₂(r+1)).
+    * Shared with the oracle (Oracles interpolates the same values), so
+    * both engines compare exact BIGINTs and no log is ever evaluated at
+    * query time. */
+  val ndcgWeights: IndexedSeq[Long] = (1 to 10).map { r =>
+    math.round(1e6 / (math.log(r + 1.0) / math.log(2.0)))
+  }
+
+  /** ANN-recall audit: for each probe (vec_id < 50), how much of the
+    * EXACT cosine top-10 the q_ann_lsh bucket (8 md5 hyperplanes, 256
+    * buckets) would have retrieved — the parameter-picking measurement
+    * that must precede any at-scale ANN rollout. Emits candidate-set
+    * size, hits, and recall in basis points (k = 10 fixed). The exact
+    * side is the broadcast-probe brute-force scan; the candidate side is
+    * a bucket-equality semi join — both corpus-linear. */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val bucketExpr = (0 until 8).map { j =>
+      when(Vectors.dot(col("embedding"), typedLit(mdSigns(j))) > 0,
+        lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val emb = t(s, dir, "embeddings").withColumn("bucket", bucketExpr)
+    val probes = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+        col("bucket").as("pb"))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val top10 = emb.join(broadcast(probes), col("vec_id") =!= col("pid"))
+      .withColumn("cos", Vectors.cosine(col("pe"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("pid"), col("vec_id").as("nid"))
+    val cand = emb.join(
+        broadcast(probes.select(col("pid"), col("pb"))),
+        col("bucket") === col("pb") && col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id").as("nid"))
+    val nCand = cand.groupBy("pid").agg(count(lit(1)).as("n_cand"))
+    val hits = top10.join(cand, Seq("pid", "nid"), "left_semi")
+      .groupBy("pid").agg(count(lit(1)).as("hits"))
+    orderedAll(probes.select("pid")
+      .join(nCand, Seq("pid"), "left").join(hits, Seq("pid"), "left")
+      .select(col("pid"),
+        coalesce(col("n_cand"), lit(0L)).cast("long").as("n_cand"),
+        coalesce(col("hits"), lit(0L)).cast("long").as("hits"))
+      .withColumn("recall_bp", expr("hits * 10000 div 10")))
+  }
+
+  /** nDCG@10 of the exact cosine ranking, relevance = same label as the
+    * probe (vec_id < 20): per-rank discounts are the shared ×10⁶ literal
+    * table, DCG/IDCG are exact BIGINT sums over them, and nDCG is one
+    * integer division in basis points. IDCG re-ranks the SAME retrieved
+    * 10 ideally (relevant first) — the declared contract, so a probe
+    * with n relevant in its top-10 has IDCG = Σ first n discounts. */
+  def qNdcg(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+        col("label").as("plabel"))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val wLit = typedLit(ndcgWeights)
+    val top = emb.join(broadcast(probes), col("vec_id") =!= col("pid"))
+      .withColumn("cos", Vectors.cosine(col("pe"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .withColumn("rel",
+        when(col("label") === col("plabel"), 1L).otherwise(0L))
+    val iw = Window.partitionBy(col("pid"))
+      .orderBy(col("rel").desc, col("cos").desc, col("vec_id").asc)
+    orderedAll(top
+      .withColumn("irn", row_number().over(iw))
+      .groupBy("pid")
+      .agg(sum(col("rel")).cast("long").as("n_rel"),
+        sum(col("rel") * element_at(wLit, col("rn").cast("int")))
+          .cast("long").as("dcg_u"),
+        sum(col("rel") * element_at(wLit, col("irn").cast("int")))
+          .cast("long").as("idcg_u"))
+      .withColumn("ndcg_bp",
+        when(col("idcg_u") > 0, expr("dcg_u * 10000 div idcg_u"))
+          .otherwise(lit(0L))))
+  }
+
+  /** Exact ROC AUC (Mann–Whitney U form) of three fixed md5-hyperplane
+    * scores against the binary class label ≥ 5 — the
+    * rank statistic computed entirely in BIGINTs: ties contribute their
+    * exact mid-rank via minrank + maxrank (×2 throughout, one final
+    * division). Scores are the §2.12 fold rounded to 4 decimals, so rank
+    * and tie structure are engine-identical. One scan, one rank window
+    * per plane over the scored corpus, 3-row output. */
+  def qAuc(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val scored = Seq(100, 101, 102).map { j =>
+      emb.select(lit((j - 100).toLong).as("plane"),
+        col("label"),
+        round(planeScore(j) * 10000).cast("long").as("score_u"))
+    }.reduce(_ unionAll _)
+      .withColumn("pos", (col("label") >= 5).cast("long"))
+    val wRank = Window.partitionBy(col("plane")).orderBy(col("score_u").asc)
+    val wTie = Window.partitionBy(col("plane"), col("score_u"))
+    orderedAll(scored
+      .withColumn("minr", rank().over(wRank).cast("long"))
+      .withColumn("maxr", col("minr") + count(lit(1)).over(wTie) - 1L)
+      .groupBy("plane")
+      .agg(sum(col("pos")).cast("long").as("n_pos"),
+        sum(lit(1L) - col("pos")).cast("long").as("n_neg"),
+        sum(when(col("pos") === 1L, col("minr") + col("maxr"))
+          .otherwise(0L)).cast("long").as("possum2"))
+      .withColumn("auc_bp", expr(
+        "(possum2 - n_pos * (n_pos + 1)) * 10000 div (2 * n_pos * n_neg)"))
+      .select("plane", "n_pos", "n_neg", "auc_bp"))
+  }
+
+  /** Nearest-centroid classifier confusion matrix: per-label centroids
+    * from ×10⁴-quantized lanes (exact BIGINT sums ÷ count — every
+    * centroid component is the same IEEE double in both engines), each
+    * vector assigned to its max-cosine centroid (tie → smaller label),
+    * then the full (true, pred) contingency with per-cell recall and
+    * precision in basis points (diagonal rows = the per-class report).
+    * Corpus side is one scan against a broadcast 10-row centroid table;
+    * marginals are windows over the ≤100-cell aggregate. */
+  def qConfusion(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label").as("cand"), (col("pos") + 1).as("i"))
+      .agg(sum(round(col("col").cast("double") * 10000).cast("long"))
+        .as("s_u"), count(lit(1)).as("n"))
+      .groupBy("cand")
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("s_u"), col("n")))),
+        x => x.getField("s_u").cast("double") / x.getField("n"))
+        .as("cv"))
+    val dotC = aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
+      acc + element_at(col("embedding"), i.cast("int")).cast("double") *
+        element_at(col("cv"), i.cast("int")))
+    val normC = aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
+      acc + element_at(col("cv"), i.cast("int")) *
+        element_at(col("cv"), i.cast("int")))
+    val wPred = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cand").asc)
+    val pred = emb.crossJoin(broadcast(cent))
+      .withColumn("cos",
+        dotC / sqrt(Vectors.norm2(col("embedding")) * normC))
+      .withColumn("rn", row_number().over(wPred))
+      .filter(col("rn") === 1)
+      .select(col("label").cast("long").as("true_label"),
+        col("cand").cast("long").as("pred"))
+    val cells = pred.groupBy("true_label", "pred")
+      .agg(count(lit(1)).as("n"))
+    orderedAll(cells
+      .withColumn("row_tot",
+        sum(col("n")).over(Window.partitionBy(col("true_label"))))
+      .withColumn("col_tot",
+        sum(col("n")).over(Window.partitionBy(col("pred"))))
+      .withColumn("recall_bp", expr("n * 10000 div row_tot"))
+      .withColumn("precision_bp", expr("n * 10000 div col_tot")))
+  }
+
+  /** Calibration curve of a fixed md5-hyperplane score against the
+    * binary class label ≥ 5: scores ×10⁴ floor-binned into 0.2-wide
+    * cosine bands (floor division spelled sign-safely — Spark div
+    * truncates, DuckDB // floors), per-bin count, positives, positive
+    * rate in basis points, and the exact score range. Pure scan + one
+    * mergeable aggregate. */
+  def qCalibration(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "embeddings")
+      .select(col("label"),
+        round(planeScore(103) * 10000).cast("long").as("score_u"))
+      .withColumn("bin",
+        expr("(score_u - pmod(score_u, 2000)) div 2000"))
+      .withColumn("pos", (col("label") >= 5).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("pos")).cast("long").as("n_pos"),
+        min(col("score_u")).as("lo_u"),
+        max(col("score_u")).as("hi_u"))
+      .withColumn("rate_bp", expr("n_pos * 10000 div n")))
+
+  /** Mean-reciprocal-rank inputs: for each probe (vec_id < 50), the rank
+    * of the FIRST same-label neighbor in the exact cosine ranking,
+    * searched to depth 20 (bounded frontier — the eval-set contract);
+    * probes with no match in 20 emit NULL rank and rr_u = 0. Reciprocal
+    * rank is the exact integer 10⁶ div rank, so the corpus MRR is a
+    * plain average over rr_u downstream. */
+  def qMrr(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+        col("label").as("plabel"))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val ranked = emb.join(broadcast(probes), col("vec_id") =!= col("pid"))
+      .withColumn("cos", Vectors.cosine(col("pe"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+    val best = ranked.filter(col("label") === col("plabel"))
+      .groupBy("pid").agg(min(col("rn")).cast("long").as("best_rank"))
+    orderedAll(probes.select("pid")
+      .join(best, Seq("pid"), "left")
+      .withColumn("rr_u",
+        when(col("best_rank").isNotNull, expr("1000000 div best_rank"))
+          .otherwise(lit(0L))))
+  }
+}

@@ -755,6 +755,39 @@ class PlanSpec extends SparkSpec {
       "adjacent pairs should come from an in-row transform, not a join")
   }
 
+  test("§2.33 scored metrics: literal-plane scoring never joins") {
+    // q_auc / q_calibration score against plan-literal md5 hyperplanes —
+    // a pure scan + aggregate (+ rank window for AUC); any join here
+    // would mean the planes stopped folding to literals
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    for (q <- Seq("q_auc", "q_calibration")) {
+      val p = plan(q)
+      assert(p.collect { case j: SortMergeJoinExec => j
+                         case j: ShuffledHashJoinExec => j
+                         case j: BroadcastHashJoinExec => j
+                         case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+        s"$q: plane scoring must be join-free")
+    }
+  }
+
+  test("§2.33 probe rankers: corpus side joins only broadcast probes") {
+    // brute-force rankers (q_ann_recall / q_ndcg / q_mrr) and the
+    // centroid classifier (q_confusion) pair the corpus against a
+    // broadcast-small side (≤50 probes / 10 centroids); the guard is
+    // that no pairing ever degenerates to a shuffled cartesian
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    for (q <- Seq("q_ann_recall", "q_ndcg", "q_mrr", "q_confusion")) {
+      val p = plan(q)
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$q: probe pairing fell back to a shuffled cartesian product")
+    }
+    // the recall audit's candidate set must come from the bucket
+    // equi-join, not a second all-pairs pass
+    assert(plan("q_ann_recall").collect {
+      case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "q_ann_recall: LSH candidates should ride a bucket equi-join")
+  }
+
   test("§2.30 graph queries: equi-joins only over the pinned edge list") {
     // building these plans materializes the pinned edge list (an action);
     // the RDD scan it leaves behind is the loop-invariant contract
