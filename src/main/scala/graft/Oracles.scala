@@ -3250,7 +3250,160 @@ object Oracles {
         |       CAST(sum(gap) AS BIGINT) AS held_us,
         |       CAST(sum(vu * gap) // sum(gap) AS BIGINT) AS twa_cents
         |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY ALL""".stripMargin
-  ) ++ evalSql
+  ) ++ evalSql ++ corpusStatsSql
+
+  /** Shared §2.34 CTE: sequential adjacent-token (ta, tb) rows of the
+    * en corpus (occurrence-grade — twin of CorpusStats.bigramRows). */
+  private def bgrCte =
+    """d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |      FROM documents WHERE lang = 'en'),
+      |ix AS (SELECT doc_id, toks,
+      |         unnest(generate_series(1, CAST(len(toks) - 1 AS BIGINT)))
+      |           AS i
+      |       FROM d WHERE len(toks) >= 2),
+      |bgr AS (SELECT doc_id, toks[i] AS ta, toks[i + 1] AS tb FROM ix)"""
+      .stripMargin
+
+  // ---- §2.34 corpus statistics / data-mixing ----
+  private def corpusStatsSql: Map[String, String] = Map(
+    "q_collocation_llr" ->
+      s"""WITH $bgrCte,
+         |pc AS (SELECT ta, tb, count(*) AS k11 FROM bgr GROUP BY 1, 2),
+         |ma AS (SELECT ta, count(*) AS ca FROM bgr GROUP BY 1),
+         |mb AS (SELECT tb, count(*) AS cb FROM bgr GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM bgr),
+         |cell AS (SELECT ta, tb, k11, ca, cb, n,
+         |           ca - k11 AS k12, cb - k11 AS k21,
+         |           n - ca - cb + k11 AS k22
+         |         FROM pc JOIN ma USING (ta) JOIN mb USING (tb)
+         |         CROSS JOIN nn WHERE k11 >= 5)
+         |SELECT ta, tb, CAST(k11 AS BIGINT) AS k11,
+         |       ${graft.ops.CorpusStats.llrSql} AS llr
+         |FROM cell ORDER BY ALL""".stripMargin,
+    "q_zipf" ->
+      """WITH c AS (SELECT source, token, count(*) AS cnt FROM (
+        |    SELECT source, unnest(string_split(lower(text), ' '))
+        |      AS token
+        |    FROM documents) WHERE token <> '' GROUP BY 1, 2),
+        |r AS (SELECT source, token, cnt,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY cnt DESC, token) AS rnk
+        |      FROM c),
+        |q AS (SELECT source,
+        |        CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT)
+        |          AS xu,
+        |        CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)
+        |          AS yu
+        |      FROM r WHERE rnk <= 20),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_fit,
+        |        CAST(sum(xu) AS BIGINT) AS sx,
+        |        CAST(sum(yu) AS BIGINT) AS sy,
+        |        CAST(sum(xu * yu) AS BIGINT) AS sxy,
+        |        CAST(sum(xu * xu) AS BIGINT) AS sxx
+        |      FROM q GROUP BY 1)
+        |SELECT source, n_fit,
+        |  round(CAST(n_fit * sxy - sx * sy AS DOUBLE) /
+        |        CAST(n_fit * sxx - sx * sx AS DOUBLE), 4) AS slope,
+        |  round((CAST(sy AS DOUBLE) / n_fit -
+        |         (CAST(n_fit * sxy - sx * sy AS DOUBLE) /
+        |          CAST(n_fit * sxx - sx * sx AS DOUBLE)) *
+        |         (CAST(sx AS DOUBLE) / n_fit)) / 1000000, 4)
+        |    AS intercept
+        |FROM g ORDER BY ALL""".stripMargin,
+    "q_keyword_rake" ->
+      """WITH occ AS (SELECT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents WHERE lang = 'en'),
+        |o2 AS (SELECT doc_id, token FROM occ WHERE token <> ''),
+        |freq AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+        |         FROM o2 GROUP BY 1),
+        |d2 AS (SELECT DISTINCT doc_id, token FROM o2),
+        |sz AS (SELECT doc_id, count(*) AS ndist FROM d2 GROUP BY 1),
+        |deg AS (SELECT token, CAST(count(*) AS BIGINT) AS n_docs,
+        |          CAST(sum(ndist - 1) AS BIGINT) AS deg
+        |        FROM d2 JOIN sz USING (doc_id) GROUP BY 1)
+        |SELECT token, n_docs, freq, deg,
+        |       CAST(deg * 10000 // freq AS BIGINT) AS score_bp
+        |FROM freq JOIN deg USING (token) ORDER BY ALL""".stripMargin,
+    "q_dsir" ->
+      s"""WITH $bgrCte,
+         |b2 AS (SELECT doc_id, ta, tb,
+         |         CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS is_t
+         |       FROM bgr),
+         |lm AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS cc,
+         |         CAST(sum(is_t) AS BIGINT) AS ct
+         |       FROM b2 GROUP BY 1, 2),
+         |k AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+         |        CAST(sum(is_t) AS BIGINT) AS nt
+         |      FROM b2),
+         |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM lm),
+         |lw AS (SELECT ta, tb,
+         |    CAST(round(ln(CAST((ct + 1) * (nc + v) AS DOUBLE) /
+         |      CAST((cc + 1) * (nt + v) AS DOUBLE)) * 1000000) AS BIGINT)
+         |      AS lw_u
+         |  FROM lm CROSS JOIN k CROSS JOIN vv)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(sum(lw_u) AS BIGINT) AS logw_u
+         |FROM b2 JOIN lw USING (ta, tb) GROUP BY 1
+         |ORDER BY ALL""".stripMargin,
+    "q_lsh_recall" ->
+      """WITH dd AS (SELECT doc_id,
+        |    list_distinct(list_filter(string_split(lower(text), ' '),
+        |                              x -> x <> '')) AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM dd),
+        |lanes AS (SELECT doc_id, j,
+        |    min(substring(md5(CAST(j AS VARCHAR) || ':' || token), 1, 15))
+        |      AS mh
+        |  FROM tok CROSS JOIN range(16) t(j) GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, j // 2 AS band,
+        |    min(CASE WHEN j % 2 = 0 THEN mh END) || ':' ||
+        |    min(CASE WHEN j % 2 = 1 THEN mh END) AS bkey
+        |  FROM lanes GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bkey = y.bkey
+        |   AND x.doc_id < y.doc_id),
+        |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         count(*) AS common
+        |       FROM tok a JOIN tok b
+        |       ON a.token = b.token AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(toks) AS nt FROM dd),
+        |truth AS (SELECT a_id, b_id FROM pr
+        |          JOIN sz sa ON a_id = sa.doc_id
+        |          JOIN sz sb ON b_id = sb.doc_id
+        |          WHERE 3 * common >= sa.nt + sb.nt),
+        |tp AS (SELECT CAST(count(*) AS BIGINT) AS tp
+        |       FROM truth JOIN cand USING (a_id, b_id))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+        |       tp,
+        |       CAST(CASE WHEN (SELECT count(*) FROM cand) > 0
+        |            THEN tp * 10000 // (SELECT count(*) FROM cand)
+        |            ELSE 0 END AS BIGINT) AS precision_bp,
+        |       CAST(CASE WHEN (SELECT count(*) FROM truth) > 0
+        |            THEN tp * 10000 // (SELECT count(*) FROM truth)
+        |            ELSE 0 END AS BIGINT) AS recall_bp
+        |FROM tp ORDER BY ALL""".stripMargin,
+    "q_burstiness" ->
+      """WITH doc AS (SELECT doc_id, text FROM documents
+        |             WHERE lang = 'en'),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM doc),
+        |occ AS (SELECT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS token
+        |  FROM doc),
+        |o2 AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
+        |       FROM occ WHERE token <> '' GROUP BY 1, 2),
+        |g AS (SELECT token, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(c) AS BIGINT) AS total,
+        |        CAST(sum(c * c) AS BIGINT) AS s2
+        |      FROM o2 GROUP BY 1)
+        |SELECT token, n_docs, total,
+        |       CAST((n * s2 - total * total) * 10000 // (n * total)
+        |         AS BIGINT) AS vmr_bp
+        |FROM g CROSS JOIN nn ORDER BY ALL""".stripMargin
+  )
 
   /** ±1 md5-parity hyperplane lanes for plane range [lo, hi) — twin of
     * graft.ops.Evaluation.mdSigns (and of the q_ann_lsh sgn CTE). */

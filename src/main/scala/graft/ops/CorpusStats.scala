@@ -1,0 +1,232 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus statistics & data-mixing operators (SURVEY §2.34) — the
+  * measurement layer between raw text and a training mix: collocation
+  * strength (Dunning LLR), rank-frequency structure (Zipf slope),
+  * graph-degree keywording (RAKE), domain importance weights (DSIR
+  * shape), a MinHash-LSH recall/precision audit against exact Jaccard
+  * truth, and per-token burstiness (over-dispersion).
+  *
+  * Determinism policy (§5.3): counts are exact BIGINTs; every
+  * transcendental enters through ONE shared expression string (Spark SQL
+  * and DuckDB share the syntax, so both engines evaluate the identical
+  * IEEE sequence — the q_math_funcs ln() precedent), or through
+  * per-term ×10⁶ quantization to BIGINT BEFORE any sum, so aggregate
+  * order never touches a float.
+  *
+  * Scale shape (100 TB): everything is token/bigram-keyed mergeable
+  * aggregation; the only broadcasts are vocabulary- or vocab²-bounded
+  * marginal tables and 1-row corpus constants. The one pair-listing
+  * intermediate (the recall audit's candidate/truth sets) rides the
+  * §2.11 stats-driven strategies (maskGroupPairs / band equi-join). */
+object CorpusStats {
+
+  /** (doc_id, token) DISTINCT postings of the en corpus. */
+  private def dt(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("lang") === "en")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "").distinct()
+
+  /** Sequential (first, second) adjacent-token rows of the en corpus —
+    * occurrence-grade, not distinct (collocation counts want every
+    * adjacency). In-row transform, no positional self-join. */
+  private def bigramRows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("lang") === "en")
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS ta, " +
+          "element_at(toks, i + 1) AS tb))")).as("bg"))
+      .select(col("doc_id"), col("bg.ta").as("ta"), col("bg.tb").as("tb"))
+
+  /** The Dunning LLR epilogue over exact integer cells — ONE expression
+    * string shared verbatim with the oracle (identical IEEE sequence in
+    * both engines). Expects columns k11, k12, k21, k22, ca, cb, n. */
+  val llrSql: String = {
+    def term(k: String, r: String, c: String) =
+      s"(CASE WHEN $k > 0 THEN CAST($k AS DOUBLE) * " +
+        s"ln(CAST($k AS DOUBLE) * CAST(n AS DOUBLE) / " +
+        s"(CAST($r AS DOUBLE) * CAST($c AS DOUBLE))) ELSE 0 END)"
+    "round(2 * (" + Seq(
+      term("k11", "ca", "cb"), term("k12", "ca", "(n - cb)"),
+      term("k21", "(n - ca)", "cb"), term("k22", "(n - ca)", "(n - cb)")
+    ).mkString(" + ") + "), 4)"
+  }
+
+  /** Dunning log-likelihood-ratio collocations: for every adjacent
+    * bigram with count ≥ 5, the 2×2 contingency (bigram vs its token
+    * marginals over all N adjacencies) and the LLR statistic — the
+    * classic collocation-extraction score that, unlike PMI, does not
+    * explode on rare pairs. Marginal tables are vocabulary-sized
+    * broadcasts; N is one broadcast row; cells are exact BIGINTs and
+    * the LLR is the shared single-expression epilogue. */
+  def qCollocationLlr(s: SparkSession, dir: String): DataFrame = {
+    val bg = bigramRows(s, dir)
+    val pairCnt = bg.groupBy("ta", "tb").agg(count(lit(1)).as("k11"))
+    val caDf = bg.groupBy("ta").agg(count(lit(1)).as("ca"))
+    val cbDf = bg.groupBy("tb").agg(count(lit(1)).as("cb"))
+    val nRow = bg.agg(count(lit(1)).as("n"))
+    orderedAll(pairCnt
+      .join(broadcast(caDf), "ta").join(broadcast(cbDf), "tb")
+      .crossJoin(broadcast(nRow))
+      .filter(col("k11") >= 5)
+      .withColumn("k12", col("ca") - col("k11"))
+      .withColumn("k21", col("cb") - col("k11"))
+      .withColumn("k22",
+        col("n") - col("ca") - col("cb") + col("k11"))
+      .selectExpr("ta", "tb", "CAST(k11 AS BIGINT) AS k11",
+        s"$llrSql AS llr"))
+  }
+
+  /** Zipf rank-frequency slope per source: OLS of ln(count) on ln(rank)
+    * over each source's top-20 tokens. Both regressors are ×10⁶-
+    * quantized to BIGINT per row BEFORE summing, so Σx/Σy/Σxy/Σxx are
+    * exact integers and the slope/intercept divisions are one fixed
+    * IEEE sequence — aggregate order cannot flap the result. The rank
+    * window runs over the vocabulary-sized per-source count aggregate,
+    * never over token occurrences. */
+  def qZipf(s: SparkSession, dir: String): DataFrame = {
+    val cnt = t(s, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("token").asc)
+    orderedAll(cnt
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 20)
+      .selectExpr("source",
+        "CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS xu",
+        "CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS yu")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_fit"),
+        sum(col("xu")).as("sx"), sum(col("yu")).as("sy"),
+        sum(col("xu") * col("yu")).as("sxy"),
+        sum(col("xu") * col("xu")).as("sxx"))
+      .selectExpr("source", "CAST(n_fit AS BIGINT) AS n_fit",
+        "round(CAST(n_fit * sxy - sx * sy AS DOUBLE) / " +
+          "CAST(n_fit * sxx - sx * sx AS DOUBLE), 4) AS slope",
+        "round((CAST(sy AS DOUBLE) / n_fit - " +
+          "(CAST(n_fit * sxy - sx * sy AS DOUBLE) / " +
+          "CAST(n_fit * sxx - sx * sx AS DOUBLE)) * " +
+          "(CAST(sx AS DOUBLE) / n_fit)) / 1000000, 4) AS intercept"))
+  }
+
+  /** RAKE-style keyword scores over the en corpus: freq = total
+    * occurrences, deg = Σ over containing docs of (doc's distinct-token
+    * count − 1) — the co-occurrence degree a token accumulates inside
+    * its documents — and the degree-to-frequency ratio in basis points
+    * (high ratio = appears in rich contexts, the RAKE keyword signal).
+    * Two token-keyed mergeable aggregates + one doc-keyed size join. */
+  def qKeywordRake(s: SparkSession, dir: String): DataFrame = {
+    val occ = t(s, dir, "documents").filter(col("lang") === "en")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val freq = occ.groupBy("token").agg(count(lit(1)).as("freq"))
+    val d = dt(s, dir)
+    val sizes = d.groupBy("doc_id").agg(count(lit(1)).as("ndist"))
+    val deg = d.join(sizes, "doc_id")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ndist") - 1).cast("long").as("deg"))
+    orderedAll(freq.join(deg, "token")
+      .withColumn("score_bp", expr("deg * 10000 div freq"))
+      .select("token", "n_docs", "freq", "deg", "score_bp"))
+  }
+
+  /** DSIR-shape domain importance weights: per en doc, the add-1-
+    * smoothed bigram log-likelihood ratio between a target subset
+    * (doc_id ≡ 0 mod 4 — a deterministic ~25% "domain" at every SF)
+    * and the whole en corpus — the score used to importance-sample a
+    * general corpus toward a target distribution.
+    * Per-bigram log ratios are ×10⁶-quantized to BIGINT BEFORE the
+    * per-doc sum (aggregate-order-proof); the bigram LM tables are
+    * vocab²-bounded broadcasts and the three corpus constants ride one
+    * broadcast row. */
+  def qDsir(s: SparkSession, dir: String): DataFrame = {
+    val bg = bigramRows(s, dir)
+      .withColumn("is_t", (col("doc_id") % 4 === 0).cast("long"))
+    val lm = bg.groupBy("ta", "tb")
+      .agg(count(lit(1)).as("cc"), sum(col("is_t")).as("ct"))
+    val consts = bg.agg(count(lit(1)).as("nc"),
+      sum(col("is_t")).cast("long").as("nt"))
+      .crossJoin(broadcast(lm.agg(count(lit(1)).as("v"))))
+    val lw = lm.crossJoin(broadcast(consts))
+      .selectExpr("ta", "tb",
+        "CAST(round(ln(CAST((ct + 1) * (nc + v) AS DOUBLE) / " +
+          "CAST((cc + 1) * (nt + v) AS DOUBLE)) * 1000000) AS BIGINT)" +
+          " AS lw_u")
+    orderedAll(bg.join(broadcast(lw), Seq("ta", "tb"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lw_u")).cast("long").as("logw_u")))
+  }
+
+  /** MinHash-LSH audit: precision/recall of the q_dedup_minhash banding
+    * (16 md5 lanes, 8 bands of 2) against EXACT Jaccard ≥ 0.5 truth on
+    * the en corpus — the one number that justifies (or kills) a sketch
+    * configuration before a 100 TB run. Truth rides the §2.11
+    * stats-driven pair strategies (maskGroupPairs → inverted fallback);
+    * candidates are the band-bucket equi-join; both sets are compared
+    * by packed pair key and only the five summary counts are emitted —
+    * the output is O(1), never the pair lists. */
+  def qLshRecall(s: SparkSession, dir: String): DataFrame = {
+    val d = dt(s, dir)
+    val truth = Text.maskGroupPairs(d, 3, 1).select("a_id", "b_id")
+    val laneMins = (0 until 16).map(j =>
+      min(expr(s"CAST(conv(substring(md5(concat('$j:', token)), 1, 15)," +
+        s" 16, 10) AS BIGINT)")).as(s"mh$j"))
+    val sig = d.groupBy("doc_id").agg(laneMins.head, laneMins.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(expr(
+        (0 until 8).map(b =>
+          s"struct($b AS band, struct(mh${2 * b} AS k1, mh${2 * b + 1}" +
+            s" AS k2) AS bkey)")
+          .mkString("array(", ", ", ")"))).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.bkey").as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val tp = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("tp"))
+    orderedAll(truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(tp))
+      .selectExpr("n_truth", "n_cand", "tp",
+        "CASE WHEN n_cand > 0 THEN tp * 10000 div n_cand ELSE 0 END" +
+          " AS precision_bp",
+        "CASE WHEN n_truth > 0 THEN tp * 10000 div n_truth ELSE 0 END" +
+          " AS recall_bp"))
+  }
+
+  /** Token burstiness: variance-to-mean ratio of per-document occurrence
+    * counts over ALL en docs (zeros included) — bursty content words
+    * disperse far above 1, function words sit near it; the signal that
+    * separates topical from structural vocabulary. The VMR is the exact
+    * integer 10⁴·(n·Σc² − T²) div (n·T); only the doc-count constant
+    * rides a broadcast row. */
+  def qBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("lang") === "en")
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    val occ = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
+    orderedAll(occ.groupBy("token")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("c")).cast("long").as("total"),
+        sum(col("c") * col("c")).cast("long").as("s2"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("vmr_bp",
+        expr("(n * s2 - total * total) * 10000 div (n * total)"))
+      .select("token", "n_docs", "total", "vmr_bp"))
+  }
+}

@@ -788,6 +788,27 @@ class PlanSpec extends SparkSpec {
       "q_ann_recall: LSH candidates should ride a bucket equi-join")
   }
 
+  test("§2.34 corpus stats: marginals broadcast, no shuffled cartesian") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    for (q <- Seq("q_collocation_llr", "q_dsir", "q_burstiness",
+        "q_lsh_recall", "q_keyword_rake")) {
+      val p = plan(q)
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$q: a corpus-sized cartesian appeared")
+    }
+    // the bigram/vocab marginal tables must ride broadcast hash joins
+    for (q <- Seq("q_collocation_llr", "q_dsir"))
+      assert(plan(q).collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"$q: marginal join should be a vocab-bounded broadcast")
+  }
+
+  test("q_zipf: rank window runs over the per-source count aggregate") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val ws = plan("q_zipf").collect { case w: WindowExec => w }
+    assert(ws.length == 1 && ws.head.partitionSpec.nonEmpty,
+      "exactly one source-keyed rank window expected")
+  }
+
   test("§2.30 graph queries: equi-joins only over the pinned edge list") {
     // building these plans materializes the pinned edge list (an action);
     // the RDD scan it leaves behind is the loop-invariant contract
