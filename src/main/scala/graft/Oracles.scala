@@ -3571,6 +3571,164 @@ object Oracles {
          |       CAST(CASE WHEN best_rank IS NOT NULL
          |            THEN 1000000 // best_rank ELSE 0 END AS BIGINT)
          |         AS rr_u
-         |FROM p LEFT JOIN b USING (pid) ORDER BY ALL""".stripMargin
+         |FROM p LEFT JOIN b USING (pid) ORDER BY ALL""".stripMargin,
+
+    // ---- §2.35 experimentation / measurement statistics ----
+    // Shared recipe: value → exact integer cents before any aggregate
+    // (q_ewma precedent); test statistics emitted as exact integer
+    // numerators + basis-point integer divisions. DuckDB `//` truncates
+    // toward zero exactly like Spark's `div` (verified: -7 // 2 = -3).
+    "q_ks_test" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |ty AS (SELECT DISTINCT event_type AS tt FROM e
+        |       WHERE event_type <> 'view'),
+        |u AS (SELECT event_type AS tt, cents, 1 AS c1, 0 AS c2 FROM e
+        |      WHERE event_type <> 'view'
+        |      UNION ALL
+        |      SELECT tt, cents, 0, 1 FROM e CROSS JOIN ty
+        |      WHERE event_type = 'view'),
+        |g AS (SELECT tt, cents, CAST(sum(c1) AS BIGINT) AS g1,
+        |             CAST(sum(c2) AS BIGINT) AS g2
+        |      FROM u GROUP BY 1, 2),
+        |c AS (SELECT tt, cents,
+        |        CAST(sum(g1) OVER w AS BIGINT) AS f1,
+        |        CAST(sum(g2) OVER w AS BIGINT) AS f2
+        |      FROM g WINDOW w AS (PARTITION BY tt ORDER BY cents
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |n AS (SELECT tt, CAST(sum(g1) AS BIGINT) AS n1,
+        |             CAST(sum(g2) AS BIGINT) AS n2
+        |      FROM g GROUP BY 1)
+        |SELECT tt, n1, n2,
+        |       CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num,
+        |       CAST(max(abs(f1 * n2 - f2 * n1)) * 10000 // (n1 * n2)
+        |            AS BIGINT) AS d_bp
+        |FROM c JOIN n USING (tt)
+        |GROUP BY tt, n1, n2 ORDER BY ALL""".stripMargin,
+    "q_mannwhitney" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |ty AS (SELECT DISTINCT event_type AS tt FROM e
+        |       WHERE event_type <> 'view'),
+        |u AS (SELECT event_type AS tt, cents, 1 AS c1, 0 AS c2 FROM e
+        |      WHERE event_type <> 'view'
+        |      UNION ALL
+        |      SELECT tt, cents, 0, 1 FROM e CROSS JOIN ty
+        |      WHERE event_type = 'view'),
+        |g AS (SELECT tt, cents, CAST(sum(c1) AS BIGINT) AS g1,
+        |             CAST(sum(c2) AS BIGINT) AS g2
+        |      FROM u GROUP BY 1, 2),
+        |r AS (SELECT tt, g1, g2, g1 + g2 AS m,
+        |        CAST(coalesce(sum(g1 + g2) OVER (PARTITION BY tt
+        |          ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |          0) AS BIGINT) AS bf
+        |      FROM g),
+        |s AS (SELECT tt, CAST(sum(g1) AS BIGINT) AS n1,
+        |             CAST(sum(g2) AS BIGINT) AS n2,
+        |             CAST(sum(g1 * (2 * bf + m + 1)) AS BIGINT) AS r1_2x
+        |      FROM r GROUP BY 1)
+        |SELECT tt, n1, n2, r1_2x - n1 * (n1 + 1) AS u2x,
+        |       CAST((r1_2x - n1 * (n1 + 1)) * 10000 // (2 * n1 * n2)
+        |            AS BIGINT) AS auc_bp
+        |FROM s ORDER BY ALL""".stripMargin,
+    "q_bootstrap_ci" -> {
+      // 24-bit int from the first 6 md5 nibbles (q_weighted_sample twin
+      // of Spark's conv(substring(md5, 1, 6), 16, 10)).
+      val h24 = (1 to 6).map(i =>
+        s"(${nibSql("h", i)}) * ${math.pow(16, 6 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT event_type, event_id,
+         |             CAST(round(value * 100) AS BIGINT) AS cents
+         |           FROM events),
+         |x AS (SELECT event_type, cents, b,
+         |        md5(CAST(event_id AS VARCHAR) || ':' ||
+         |            CAST(b AS VARCHAR) || ':bs') AS h
+         |      FROM e CROSS JOIN range(32) t(b)),
+         |wv AS (SELECT event_type, cents, b, ($h24) % 1000 AS hm FROM x),
+         |ww AS (SELECT event_type, cents, b,
+         |         CASE WHEN hm < 368 THEN 0 WHEN hm < 736 THEN 1
+         |              WHEN hm < 920 THEN 2 WHEN hm < 981 THEN 3
+         |              ELSE 4 END AS w
+         |       FROM wv),
+         |m AS (SELECT event_type, b, CAST(sum(w * cents) AS BIGINT)
+         |        AS swv, CAST(sum(w) AS BIGINT) AS sw
+         |      FROM ww GROUP BY 1, 2 HAVING sum(w) > 0),
+         |mm AS (SELECT event_type, b, CAST(swv AS DOUBLE) / sw AS mean_c,
+         |         row_number() OVER (PARTITION BY event_type
+         |           ORDER BY CAST(swv AS DOUBLE) / sw ASC, b ASC) AS rn
+         |       FROM m),
+         |ci AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_reps,
+         |         round(min(CASE WHEN rn = 2 THEN mean_c END), 4) AS lo_c,
+         |         round(min(CASE WHEN rn = 31 THEN mean_c END), 4) AS hi_c
+         |       FROM mm GROUP BY 1),
+         |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |         round(CAST(sum(cents) AS DOUBLE) / count(*), 4) AS est_c
+         |       FROM e GROUP BY 1)
+         |SELECT pt.event_type, n, est_c, n_reps, lo_c, hi_c
+         |FROM pt JOIN ci USING (event_type) ORDER BY ALL""".stripMargin
+    },
+    "q_ate_stratified" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 AS tr,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |per AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN tr = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_t,
+        |    CAST(sum(CASE WHEN tr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_c,
+        |    CAST(sum(CASE WHEN tr = 1 THEN cents ELSE 0 END) AS BIGINT)
+        |      AS s_t,
+        |    CAST(sum(CASE WHEN tr = 0 THEN cents ELSE 0 END) AS BIGINT)
+        |      AS s_c
+        |  FROM e GROUP BY 1),
+        |pd AS (SELECT event_type, n_t, n_c,
+        |    CAST((s_t * n_c - s_c * n_t) * 1000 // (n_t * n_c) AS BIGINT)
+        |      AS diff_mc
+        |  FROM per)
+        |SELECT * FROM (
+        |  SELECT event_type, n_t, n_c, diff_mc FROM pd
+        |  UNION ALL
+        |  SELECT 'ALL', CAST(sum(n_t) AS BIGINT),
+        |         CAST(sum(n_c) AS BIGINT),
+        |         CAST(sum((n_t + n_c) * diff_mc) // sum(n_t + n_c)
+        |              AS BIGINT)
+        |  FROM pd)
+        |ORDER BY ALL""".stripMargin,
+    "q_eb_shrinkage" ->
+      """WITH e AS (SELECT user_id,
+        |             CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |g AS (SELECT CAST(sum(cents) AS BIGINT) AS gs,
+        |             CAST(count(*) AS BIGINT) AS gn FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(cents) * 1000 // count(*) AS BIGINT) AS raw_mc,
+        |       CAST((sum(cents) * gn + 10 * gs) * 1000 //
+        |            (gn * (count(*) + 10)) AS BIGINT) AS shrunk_mc
+        |FROM e CROSS JOIN g
+        |GROUP BY user_id, gs, gn ORDER BY ALL""".stripMargin,
+    "q_sax_symbols" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |             CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |sg AS (SELECT user_id,
+        |         ntile(4) OVER (PARTITION BY user_id
+        |           ORDER BY us, event_id) AS seg,
+        |         cents
+        |       FROM e),
+        |sm AS (SELECT user_id, seg, CAST(sum(cents) AS BIGINT) AS ss,
+        |         CAST(count(*) AS BIGINT) AS sn
+        |       FROM sg GROUP BY 1, 2),
+        |rk AS (SELECT user_id, seg, sn,
+        |         chr(96 + CAST(row_number() OVER (PARTITION BY user_id
+        |           ORDER BY CAST(ss AS DOUBLE) / sn ASC, seg ASC)
+        |           AS INT)) AS letter
+        |       FROM sm)
+        |SELECT user_id, CAST(sum(sn) AS BIGINT) AS n_events,
+        |       string_agg(letter, '' ORDER BY seg) AS sax
+        |FROM rk GROUP BY 1 ORDER BY ALL""".stripMargin
   )
 }

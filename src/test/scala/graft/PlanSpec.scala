@@ -820,4 +820,30 @@ class PlanSpec extends SparkSpec {
         => r }.nonEmpty, s"$q: pinned edge list not engaged")
     }
   }
+
+  test("§2.35 experiment stats: windows keyed, no shuffled cartesian") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q_ks_test", "q_mannwhitney", "q_bootstrap_ci",
+        "q_ate_stratified", "q_eb_shrinkage", "q_sax_symbols")) {
+      val p = plan(q)
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$q: a shuffled cartesian appeared (baseline fan-out must be a " +
+          "broadcast of the 4-row type list)")
+      // every window is partitioned (by type over the cents histogram,
+      // or by user) — nothing single-partitions the corpus
+      p.collect { case w: WindowExec => w }.foreach(w =>
+        assert(w.partitionSpec.nonEmpty, s"$q: unpartitioned window"))
+    }
+    // the KS/MW ECDF windows run over the (type, cents) HISTOGRAM
+    // aggregate, never raw events: an aggregate sits below every window
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    for (q <- Seq("q_ks_test", "q_mannwhitney")) {
+      val p = plan(q)
+      val w = p.collect { case w: WindowExec => w }
+      assert(w.nonEmpty && w.forall(_.collectFirst {
+        case a: HashAggregateExec => a }.nonEmpty),
+        s"$q: ECDF window must consume the histogram aggregate")
+    }
+  }
 }
