@@ -3729,6 +3729,96 @@ object Oracles {
         |       FROM sm)
         |SELECT user_id, CAST(sum(sn) AS BIGINT) AS n_events,
         |       string_agg(letter, '' ORDER BY seg) AS sax
-        |FROM rk GROUP BY 1 ORDER BY ALL""".stripMargin
+        |FROM rk GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.36 graph communities / curation / contrastive sampling ----
+    "q_label_prop" ->
+      s"""$graphCte,
+         |l1 AS (SELECT u, least(u, min(v)) AS label1
+         |       FROM un GROUP BY u),
+         |nb AS (SELECT un.u, l1.label1 AS nl
+         |       FROM un JOIN l1 ON un.v = l1.u),
+         |cn AS (SELECT u, nl, count(*) AS cnt FROM nb GROUP BY 1, 2),
+         |pk AS (SELECT u, nl,
+         |         row_number() OVER (PARTITION BY u
+         |           ORDER BY cnt DESC, nl ASC) AS rn
+         |       FROM cn)
+         |SELECT pk.u AS doc_id, l1.label1, pk.nl AS label2,
+         |       pk.nl <> l1.label1 AS changed
+         |FROM pk JOIN l1 ON pk.u = l1.u
+         |WHERE rn = 1 ORDER BY ALL""".stripMargin,
+    "q_kcore" ->
+      s"""$graphCte,
+         |k1 AS (SELECT u FROM dg WHERE deg >= 3),
+         |e1 AS (SELECT un.u, un.v FROM un
+         |       JOIN k1 a ON un.u = a.u JOIN k1 b ON un.v = b.u),
+         |d1 AS (SELECT u, count(*) AS deg FROM e1 GROUP BY 1),
+         |k2 AS (SELECT u FROM d1 WHERE deg >= 3),
+         |e2 AS (SELECT e1.u, e1.v FROM e1
+         |       JOIN k2 a ON e1.u = a.u JOIN k2 b ON e1.v = b.u),
+         |d2 AS (SELECT u, count(*) AS deg FROM e2 GROUP BY 1),
+         |k3 AS (SELECT u FROM d2 WHERE deg >= 3),
+         |e3 AS (SELECT e2.u, e2.v FROM e2
+         |       JOIN k3 a ON e2.u = a.u JOIN k3 b ON e2.v = b.u),
+         |d3 AS (SELECT u, count(*) AS deg FROM e3 GROUP BY 1),
+         |k4 AS (SELECT u FROM d3 WHERE deg >= 3),
+         |e4 AS (SELECT e3.u, e3.v FROM e3
+         |       JOIN k4 a ON e3.u = a.u JOIN k4 b ON e3.v = b.u),
+         |d4 AS (SELECT u, count(*) AS deg FROM e4 GROUP BY 1)
+         |SELECT u AS doc_id, CAST(deg AS BIGINT) AS core_deg
+         |FROM d4 ORDER BY ALL""".stripMargin,
+    "q_boilerplate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |ix AS (
+        |  SELECT doc_id, source, toks,
+        |         unnest(generate_series(0,
+        |           CAST((len(toks) - 1) // 5 AS BIGINT))) AS line_idx
+        |  FROM tk),
+        |ln AS (SELECT DISTINCT doc_id, source,
+        |         array_to_string(toks[line_idx*5+1 : line_idx*5+5], ' ')
+        |           AS line
+        |       FROM ix),
+        |nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+        |       FROM documents GROUP BY 1),
+        |df AS (SELECT source, line, count(*) AS df_docs
+        |       FROM ln GROUP BY 1, 2),
+        |tp AS (SELECT source, df_docs AS top_df, line AS top_line
+        |       FROM (SELECT source, df_docs, line,
+        |               row_number() OVER (PARTITION BY source
+        |                 ORDER BY df_docs DESC, line ASC) AS rn
+        |             FROM df)
+        |       WHERE rn = 1),
+        |ag AS (SELECT df.source, max(nd.n_docs) AS n_docs,
+        |         count(*) AS n_lines,
+        |         sum(CASE WHEN df_docs >= 2 THEN 1 ELSE 0 END) AS n_cand,
+        |         sum(CASE WHEN df_docs * 10 >= nd.n_docs
+        |             THEN 1 ELSE 0 END) AS n_boiler
+        |       FROM df JOIN nd ON df.source = nd.source
+        |       GROUP BY 1)
+        |SELECT ag.source, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_lines AS BIGINT) AS n_lines,
+        |       CAST(n_cand AS BIGINT) AS n_cand,
+        |       CAST(n_boiler AS BIGINT) AS n_boiler,
+        |       CAST(top_df AS BIGINT) AS top_df, top_line
+        |FROM ag JOIN tp ON ag.source = tp.source
+        |ORDER BY ALL""".stripMargin,
+    "q_hard_negatives" ->
+      s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe,
+         |             label AS plabel
+         |           FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS nid, embedding AS e, label AS nlabel
+         |      FROM embeddings),
+         |s AS (SELECT pid, plabel, nid, nlabel,
+         |        $dot64 AS dot, $pn64 AS na2, $en64 AS nb2
+         |      FROM p JOIN c ON nid <> pid AND nlabel <> plabel),
+         |r AS (SELECT pid, plabel, nid, nlabel,
+         |        dot / sqrt(na2 * nb2) AS cos,
+         |        row_number() OVER (PARTITION BY pid
+         |          ORDER BY dot / sqrt(na2 * nb2) DESC, nid) AS rn
+         |      FROM s)
+         |SELECT pid, plabel, nid, nlabel, rn, round(cos, 4) AS sim
+         |FROM r WHERE rn <= 3 ORDER BY ALL""".stripMargin
   )
 }

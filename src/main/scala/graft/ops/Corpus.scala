@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-7 §2.22 corpus-construction extensions: the tokenizer-and-mixing
@@ -110,5 +111,47 @@ object Corpus {
         expr("CAST(toks * 10000 div total_toks AS BIGINT)").as("share_bp"),
         expr("CAST((total_toks div n_sources) * 10000 div toks AS BIGINT)")
           .as("epochs_bp")))
+  }
+
+  /** Per-source boilerplate audit (§2.36) — the within-domain frequent-
+    * line detector (the C4/RefinedWeb template-removal signal that
+    * GLOBAL line dedup can't see: a nav bar repeated across one site is
+    * boilerplate even if unique to that site). Lines are the derived
+    * 5-token windows (q_line_dedup idiom); a line is a candidate when it
+    * appears in ≥ 2 DISTINCT docs of its source and boilerplate when in
+    * ≥ 10% of them. Emits one audit row per source: doc count, distinct
+    * lines, candidate/boilerplate counts, and the top line under the
+    * (df desc, line asc) total order. Scale shape: (source, line) is the
+    * aggregate key (map-combines), the source roll-up is 20 rows, and
+    * the top line is a per-source rank window over line-distinct rows —
+    * nothing corpus-sized crosses a single partition. */
+  def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val lines = t(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(0, (size(toks) - 1) div 5), " +
+            "i -> concat_ws(' ', slice(toks, i * 5 + 1, 5)))"))
+          .as("line"))
+      .distinct()
+    val nd = t(s, dir, "documents").groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val df = lines.groupBy("source", "line")
+      .agg(count(lit(1)).as("df_docs"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("df_docs").desc, col("line").asc)
+    val top = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("df_docs").as("top_df"),
+        col("line").as("top_line"))
+    orderedAll(df.join(broadcast(nd), "source")
+      .groupBy("source", "n_docs")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("df_docs") >= 2, 1L).otherwise(0L)).as("n_cand"),
+        sum(when(col("df_docs") * 10 >= col("n_docs"), 1L).otherwise(0L))
+          .as("n_boiler"))
+      .join(broadcast(top), "source")
+      .select("source", "n_docs", "n_lines", "n_cand", "n_boiler",
+        "top_df", "top_line"))
   }
 }

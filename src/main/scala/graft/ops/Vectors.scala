@@ -420,4 +420,30 @@ object Vectors {
       .agg(sum(expr("q * s")).as("v1"),
         count(lit(1)).as("n_vecs")))
   }
+
+  /** Hard-negative mining (§2.36): for each probe (vec_id < 20), the
+    * top-3 cosine neighbors whose label DIFFERS from the probe's — the
+    * contrastive-training sampler (the hardest negatives are the
+    * highest-similarity other-class examples). Same broadcast-probe
+    * brute-force shape as q_knn_cosine with the label predicate fused
+    * into the join condition, so rejected same-class pairs never leave
+    * the codegen stage; at 100 TB the scale path swaps the scan side
+    * for the IVF/LSH candidate stream exactly as §2.12 documents. */
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+        col("label").as("plabel"))
+    val pairs = emb.join(broadcast(probes),
+        col("vec_id") =!= col("pid") && col("label") =!= col("plabel"))
+      .withColumn("cos", cosine(col("pe"), col("embedding")))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    orderedAll(pairs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("pid"), col("plabel"), col("vec_id").as("nid"),
+        col("label").as("nlabel"), col("rn").cast("long").as("rn"),
+        round(col("cos"), 4).as("sim")))
+  }
 }

@@ -846,4 +846,27 @@ class PlanSpec extends SparkSpec {
         s"$q: ECDF window must consume the histogram aggregate")
     }
   }
+
+  test("§2.36 communities/curation: pinned edges, keyed supersteps") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    // label-prop / k-core supersteps are equi-joins over the pinned
+    // edge list (the §2.30 contract): no NLJ, edge list engaged
+    for (q <- Seq("q_label_prop", "q_kcore")) {
+      val p = plan(q)
+      assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty
+        && p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$q: superstep joins must be equi-joins")
+      assert(p.collect { case r: org.apache.spark.sql.execution.RDDScanExec
+        => r }.nonEmpty, s"$q: pinned edge list not engaged")
+    }
+    // boilerplate: (source, line) aggregate below the per-source rank
+    // window; hard negatives: corpus side joins only broadcast probes
+    import org.apache.spark.sql.execution.window.WindowExec
+    val bp = plan("q_boilerplate")
+    assert(bp.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty), "unpartitioned window")
+    assert(plan("q_hard_negatives").collect {
+      case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
+      "q_hard_negatives: probe side must broadcast (q_knn shape)")
+  }
 }
