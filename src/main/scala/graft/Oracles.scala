@@ -3819,6 +3819,117 @@ object Oracles {
          |          ORDER BY dot / sqrt(na2 * nb2) DESC, nid) AS rn
          |      FROM s)
          |SELECT pid, plabel, nid, nlabel, rn, round(cos, 4) AS sim
-         |FROM r WHERE rn <= 3 ORDER BY ALL""".stripMargin
+         |FROM r WHERE rn <= 3 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.37 survival / tail / corpus growth / lang audit ----
+    "q_survival" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |t0 AS (SELECT user_id, min(us) AS t0 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |tp AS (SELECT e.user_id, min(us) AS tp
+        |       FROM e JOIN t0 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us >= t0 GROUP BY 1),
+        |hz AS (SELECT max(us) AS hz FROM e),
+        |dur AS (SELECT t0.user_id,
+        |          CAST(coalesce(tp, hz) - t0 AS BIGINT) // 86400000000
+        |            AS day,
+        |          tp IS NOT NULL AS converted
+        |        FROM t0 LEFT JOIN tp USING (user_id) CROSS JOIN hz),
+        |days AS (SELECT day,
+        |    CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d,
+        |    CAST(sum(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS c
+        |  FROM dur GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM dur),
+        |r AS (SELECT day, d, c,
+        |        n_total - CAST(coalesce(sum(d + c) OVER (ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS n_risk
+        |      FROM days CROSS JOIN nt),
+        |t AS (SELECT day, n_risk, d, c,
+        |        CASE WHEN d > 0 AND n_risk > d THEN
+        |          CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+        |               * 1000000) AS BIGINT) END AS term_u
+        |      FROM r)
+        |SELECT day, n_risk, d, c,
+        |       CAST(sum(term_u) OVER (ORDER BY day ROWS BETWEEN
+        |         UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS ls_micro
+        |FROM t ORDER BY ALL""".stripMargin,
+    "q_hill_tail" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |             CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |f AS (SELECT * FROM e WHERE cents > 0),
+        |r AS (SELECT event_type, cents,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY cents DESC, event_id ASC) AS rn
+        |      FROM f),
+        |ref AS (SELECT event_type, cents AS ref_cents FROM r
+        |        WHERE rn = 101),
+        |t AS (SELECT r.event_type, ref_cents,
+        |        CAST(round(ln(CAST(cents AS DOUBLE) / ref_cents)
+        |             * 1000000) AS BIGINT) AS term_u
+        |      FROM r JOIN ref USING (event_type) WHERE rn <= 100)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS k, ref_cents,
+        |       CAST(sum(term_u) AS BIGINT) AS hill_sum_u,
+        |       CAST(sum(term_u) // count(*) AS BIGINT) AS inv_alpha_u
+        |FROM t GROUP BY 1, 3 ORDER BY ALL""".stripMargin,
+    "q_heaps_law" ->
+      """WITH occ AS (SELECT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents WHERE lang = 'en'),
+        |o2 AS (SELECT doc_id, token FROM occ WHERE token <> ''),
+        |ds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+        |       FROM o2 GROUP BY 1),
+        |rk AS (SELECT doc_id, sz,
+        |         row_number() OVER (ORDER BY doc_id) AS r FROM ds),
+        |dn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM rk),
+        |cps AS (SELECT CAST(cp AS BIGINT) AS cp, nd * cp // 10 AS bound
+        |        FROM (SELECT unnest(generate_series(1, 10)) AS cp)
+        |        CROSS JOIN dn),
+        |fs AS (SELECT token, min(r) AS fr FROM o2 JOIN rk USING (doc_id)
+        |       GROUP BY 1),
+        |vc AS (SELECT cp, CAST(count(*) AS BIGINT) AS vocab
+        |       FROM fs JOIN cps ON fr <= bound GROUP BY 1),
+        |tk AS (SELECT cp, CAST(sum(sz) AS BIGINT) AS n_toks,
+        |         CAST(count(*) AS BIGINT) AS n_docs
+        |       FROM rk JOIN cps ON r <= bound GROUP BY 1)
+        |SELECT tk.cp, n_docs, n_toks, vocab,
+        |       CAST(round(ln(CAST(n_toks AS DOUBLE)) * 1000000)
+        |            AS BIGINT) AS lnn_u,
+        |       CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000)
+        |            AS BIGINT) AS lnv_u
+        |FROM tk JOIN vc USING (cp) ORDER BY ALL""".stripMargin,
+    "q_lang_confusion" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT * FROM tok WHERE token <> ''),
+        |pr AS (SELECT lang AS pr_lang, token AS pr_token,
+        |         CAST(count(*) AS BIGINT) AS cnt FROM t2 GROUP BY 1, 2),
+        |tt AS (SELECT lang AS cand, CAST(count(*) AS BIGINT) AS tot
+        |       FROM t2 GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM t2),
+        |pb AS (SELECT doc_id, lang AS declared, token AS p_token,
+        |         CAST(count(*) AS BIGINT) AS k FROM t2 GROUP BY 1, 2, 3),
+        |sc AS (SELECT pb.doc_id, pb.declared, tt.cand,
+        |         CAST(sum(k * CAST(round(ln(
+        |           CAST(coalesce(pr.cnt, 0) + 1 AS DOUBLE) / (tot + v))
+        |           * 1000000) AS BIGINT)) AS BIGINT) AS score_u
+        |       FROM pb CROSS JOIN tt
+        |       LEFT JOIN pr ON pb.p_token = pr.pr_token
+        |                   AND tt.cand = pr.pr_lang
+        |       CROSS JOIN vv
+        |       GROUP BY 1, 2, 3),
+        |pk AS (SELECT doc_id, declared, cand,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY score_u DESC, cand ASC) AS rn
+        |       FROM sc)
+        |SELECT declared, cand AS predicted,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM pk WHERE rn = 1 GROUP BY 1, 2 ORDER BY ALL""".stripMargin
   )
 }

@@ -229,4 +229,82 @@ object CorpusStats {
         expr("(n * s2 - total * total) * 10000 div (n * total)"))
       .select("token", "n_docs", "total", "vmr_bp"))
   }
+
+  /** Heaps'-law vocabulary-growth curve (§2.37): cumulative token count
+    * and DISTINCT vocabulary size at ten doc-count checkpoints of the
+    * en corpus in doc_id order, with ×10⁶-quantized ln values for the
+    * V = K·Nᵝ fit — the curve that predicts tokenizer vocab coverage at
+    * 100 TB from a prefix. The trick that keeps it one pass: vocabulary
+    * at a checkpoint = |tokens whose FIRST doc rank ≤ bound|, so the
+    * cumulative-distinct window never exists — just a per-token min and
+    * two 10-row broadcast range joins. */
+  def qHeapsLaw(s: SparkSession, dir: String): DataFrame = {
+    val occ = t(s, dir, "documents").filter(col("lang") === "en")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val docSize = occ.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val w = Window.orderBy("doc_id")
+    val ranked = docSize.withColumn("r", row_number().over(w))
+    val dn = ranked.agg(count(lit(1)).as("nd"))
+    val cps = dn.select(explode(expr("sequence(1, 10)")).as("cp"),
+      col("nd")).withColumn("bound", expr("nd * cp div 10"))
+    val firsts = occ.join(ranked.select("doc_id", "r"), "doc_id")
+      .groupBy("token").agg(min("r").as("fr"))
+    val vocab = firsts.crossJoin(broadcast(cps.select("cp", "bound")))
+      .filter(col("fr") <= col("bound"))
+      .groupBy("cp").agg(count(lit(1)).as("vocab"))
+    val toks = ranked.crossJoin(broadcast(cps.select("cp", "bound")))
+      .filter(col("r") <= col("bound"))
+      .groupBy("cp").agg(sum("sz").cast("long").as("n_toks"),
+        count(lit(1)).as("n_docs"))
+    orderedAll(toks.join(vocab, "cp")
+      .withColumn("lnn_u", expr(
+        "CAST(round(ln(CAST(n_toks AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .withColumn("lnv_u", expr(
+        "CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .select(col("cp").cast("long").as("cp"), col("n_docs"),
+        col("n_toks"), col("vocab"), col("lnn_u"), col("lnv_u")))
+  }
+
+  /** Language-ID confusion matrix (§2.37): every document scored by the
+    * q_lang_score add-1-smoothed unigram LM against all five language
+    * profiles — with each per-token log-likelihood ×10⁶-quantized to a
+    * BIGINT before the per-doc sum, so the argmax is exact — then the
+    * (declared, predicted) confusion counts. The audit that catches
+    * mislabeled corpora before a mix is trained on them. Profiles and
+    * totals are vocab-bounded broadcasts; scoring is one keyed join +
+    * mergeable aggregate; the argmax is a doc-keyed rank window. */
+  def qLangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val profile = tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val tot = tok.groupBy("lang").agg(count(lit(1)).as("tot"))
+    val vocab = tok.agg(countDistinct(col("token")).as("v"))
+    val probe = tok.groupBy("doc_id", "lang", "token")
+      .agg(count(lit(1)).as("k"))
+      .withColumnRenamed("lang", "declared")
+      .withColumnRenamed("token", "p_token")
+    val langs = tot.select(col("lang").as("cand"), col("tot"))
+    val prof = profile.select(col("lang").as("pr_lang"),
+      col("token").as("pr_token"), col("cnt"))
+    val scored = probe
+      .crossJoin(broadcast(langs))
+      .join(broadcast(prof),
+        col("p_token") === col("pr_token") && col("cand") === col("pr_lang"),
+        "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("term_u", col("k") * expr(
+        "CAST(round(ln(CAST(coalesce(cnt, 0) + 1 AS DOUBLE) / " +
+          "(tot + v)) * 1000000) AS BIGINT)"))
+      .groupBy("doc_id", "declared", "cand")
+      .agg(sum("term_u").as("score_u"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_u").desc, col("cand").asc)
+    orderedAll(scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("declared"), col("cand").as("predicted"))
+      .agg(count(lit(1)).as("n_docs")))
+  }
 }

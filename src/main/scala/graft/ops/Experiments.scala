@@ -222,4 +222,80 @@ object Experiments {
           "collect_list(struct(seg, letter))), x -> x.letter))")
           .as("sax")))
   }
+
+  /** Kaplan–Meier time-to-conversion (§2.37): per user, duration in days
+    * from first signup to first subsequent purchase (event) or to the
+    * global horizon (censored); per distinct duration day, the at-risk
+    * count, events, censorings, and the CUMULATIVE log-survival in exact
+    * ×10⁶-quantized units (each day's ln((n−d)/n) rounds to a BIGINT
+    * BEFORE the cumulative sum — the zipf/dsir policy — so S(t) =
+    * exp(ls_micro/10⁶) is reconstructible and no float ever crosses an
+    * aggregate; the one S = 0 corner emits NULL and is skipped by the
+    * window sum in both engines). Survival analysis is how a pipeline
+    * reads conversion/churn without waiting for every user to finish.
+    * Scale shape: two user-keyed aggregates, a ≤ |days| day table, and
+    * day-ordered windows over it — the corpus never crosses one
+    * partition. */
+  def qSurvival(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("event_type"),
+      expr("CAST(unix_micros(ts) AS BIGINT)").as("us"))
+    val t0 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("us").as("t0"))
+    val tp = e.filter(col("event_type") === "purchase")
+      .join(t0, "user_id").filter(col("us") >= col("t0"))
+      .groupBy("user_id").agg(min("us").as("tp"))
+    val hz = e.agg(max("us").as("hz"))
+    val dur = t0.join(tp, Seq("user_id"), "left")
+      .crossJoin(broadcast(hz))
+      .select(col("user_id"),
+        expr("CAST(coalesce(tp, hz) - t0 AS BIGINT) div 86400000000")
+          .as("day"),
+        col("tp").isNotNull.as("converted"))
+    val days = dur.groupBy("day")
+      .agg(sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("converted"), 0L).otherwise(1L)).as("c"))
+    val wB = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wC = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orderedAll(days
+      .crossJoin(broadcast(dur.agg(count(lit(1)).as("n_total"))))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("d") + col("c")).over(wB),
+          lit(0L)))
+      .withColumn("term_u", expr(
+        "CASE WHEN d > 0 AND n_risk > d THEN CAST(round(ln(" +
+          "CAST(n_risk - d AS DOUBLE) / n_risk) * 1000000) AS BIGINT) " +
+          "END"))
+      .withColumn("ls_micro", sum("term_u").over(wC))
+      .select("day", "n_risk", "d", "c", "ls_micro"))
+  }
+
+  /** Hill tail-index estimator (§2.37): per event type, over the top
+    * k = 100 order statistics of cents (ref = the 101st), the
+    * ×10⁶-quantized Σ ln(x_i/x_ref) and its mean — the number that says
+    * whether a metric's tail is heavy enough (α ≲ 2) that means/CIs are
+    * lies and the pipeline must switch to quantile readouts. One
+    * type-keyed rank window (TopK-pruned) + one mergeable aggregate. */
+  def qHillTail(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type"), col("event_id"), cents.as("cents"))
+      .filter(col("cents") > 0)
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cents").desc, col("event_id").asc)
+    val top = e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 101)
+    val ref = top.filter(col("rn") === 101)
+      .select(col("event_type"), col("cents").as("ref_cents"))
+    orderedAll(top.filter(col("rn") <= 100)
+      .join(broadcast(ref), "event_type")
+      .withColumn("term_u", expr(
+        "CAST(round(ln(CAST(cents AS DOUBLE) / ref_cents) * 1000000) " +
+          "AS BIGINT)"))
+      .groupBy("event_type", "ref_cents")
+      .agg(count(lit(1)).as("k"), sum("term_u").as("hill_sum_u"))
+      .withColumn("inv_alpha_u", expr("hill_sum_u div k"))
+      .select("event_type", "k", "ref_cents", "hill_sum_u",
+        "inv_alpha_u"))
+  }
 }

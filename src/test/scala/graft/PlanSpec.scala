@@ -869,4 +869,23 @@ class PlanSpec extends SparkSpec {
       case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
       "q_hard_negatives: probe side must broadcast (q_knn shape)")
   }
+
+  test("§2.37 long-horizon stats: corpus collapses before any window") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q_survival", "q_hill_tail", "q_heaps_law",
+        "q_lang_confusion")) {
+      val p = plan(q)
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$q: shuffled cartesian (constants must broadcast)")
+      // every window consumes an aggregate, never raw fixture rows —
+      // except hill's top-k pruning rank window, which is type-keyed
+      p.collect { case w: WindowExec => w }.foreach { w =>
+        assert(w.partitionSpec.nonEmpty || w.collectFirst {
+          case a: HashAggregateExec => a }.nonEmpty,
+          s"$q: unpartitioned window over unaggregated input")
+      }
+    }
+  }
 }
