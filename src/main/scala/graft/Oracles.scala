@@ -3930,6 +3930,93 @@ object Oracles {
         |       FROM sc)
         |SELECT declared, cand AS predicted,
         |       CAST(count(*) AS BIGINT) AS n_docs
-        |FROM pk WHERE rn = 1 GROUP BY 1, 2 ORDER BY ALL""".stripMargin
+        |FROM pk WHERE rn = 1 GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.38 weighted/robust BI + leakage audit ----
+    "q_weighted_median" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS w
+        |  FROM events),
+        |g AS (SELECT event_type, cents, CAST(sum(w) AS BIGINT) AS gw,
+        |        CAST(count(*) AS BIGINT) AS gn
+        |      FROM e GROUP BY 1, 2),
+        |tt AS (SELECT event_type, CAST(sum(gw) AS BIGINT) AS tot_w,
+        |         CAST(sum(gn) AS BIGINT) AS n
+        |       FROM g GROUP BY 1),
+        |c AS (SELECT event_type, cents,
+        |        CAST(sum(gw) OVER (PARTITION BY event_type ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum
+        |      FROM g)
+        |SELECT c.event_type, n, tot_w,
+        |       CAST(min(cents) AS BIGINT) AS wmedian_cents
+        |FROM c JOIN tt USING (event_type)
+        |WHERE cum * 2 >= tot_w
+        |GROUP BY 1, 2, 3 ORDER BY ALL""".stripMargin,
+    "q_theil_index" ->
+      """WITH sp AS (SELECT c_custkey, c_nationkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |nat AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |          CAST(sum(x) AS BIGINT) AS xg
+        |        FROM sp GROUP BY 1),
+        |gl AS (SELECT CAST(sum(n_cust) AS BIGINT) AS n,
+        |         CAST(sum(xg) AS BIGINT) AS xt FROM nat),
+        |wi AS (SELECT sp.c_nationkey, n_cust, xg,
+        |         CAST(sum(x * CAST(round(ln(CAST(x AS DOUBLE) * n_cust
+        |           / xg) * 1000000) AS BIGINT)) AS BIGINT) AS wsum
+        |       FROM sp JOIN nat USING (c_nationkey)
+        |       GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, n_cust, xg AS spend_c,
+        |       CAST(wsum // xg AS BIGINT) AS within_u,
+        |       CAST(xg * CAST(round(ln(CAST(xg AS DOUBLE) * n /
+        |            (CAST(xt AS DOUBLE) * n_cust)) * 1000000) AS BIGINT)
+        |            // xt AS BIGINT) AS between_u
+        |FROM wi CROSS JOIN gl ORDER BY ALL""".stripMargin,
+    "q_price_elasticity" ->
+      """WITH li AS (SELECT p_brand,
+        |    CAST(round(ln(l_quantity) * 1000) AS BIGINT) AS y,
+        |    CAST(round(ln(l_extendedprice / l_quantity) * 1000)
+        |         AS BIGINT) AS x
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx,
+        |        CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy
+        |      FROM li GROUP BY 1)
+        |SELECT p_brand, n,
+        |       CAST((n * sxy - sx * sy) * 1000 //
+        |            (n * sxx - sx * sx) AS BIGINT) AS slope_milli
+        |FROM m ORDER BY ALL""".stripMargin,
+    "q_source_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |ix AS (
+        |  SELECT doc_id, source, toks,
+        |         unnest(generate_series(0,
+        |           CAST((len(toks) - 1) // 5 AS BIGINT))) AS line_idx
+        |  FROM tk),
+        |sl AS (SELECT DISTINCT source,
+        |         array_to_string(toks[line_idx*5+1 : line_idx*5+5], ' ')
+        |           AS line
+        |       FROM ix),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nl
+        |       FROM sl GROUP BY 1),
+        |sh AS (SELECT a.source AS src_a, b.source AS src_b,
+        |         CAST(count(*) AS BIGINT) AS shared
+        |       FROM sl a JOIN sl b
+        |         ON a.line = b.line AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT src_a, src_b, sa.nl AS na, sb.nl AS nb, shared,
+        |       CAST(shared * 10000 // (sa.nl + sb.nl - shared) AS BIGINT)
+        |         AS jac_bp
+        |FROM sh JOIN sz sa ON src_a = sa.source
+        |        JOIN sz sb ON src_b = sb.source
+        |ORDER BY ALL""".stripMargin
   )
 }

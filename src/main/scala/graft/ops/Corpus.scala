@@ -154,4 +154,39 @@ object Corpus {
       .select("source", "n_docs", "n_lines", "n_cand", "n_boiler",
         "top_df", "top_line"))
   }
+
+  /** Cross-source content-overlap matrix (§2.38): for every source pair,
+    * the number of DISTINCT derived 5-token lines present in both, and
+    * the line-set Jaccard in basis points — the leakage audit that
+    * catches one domain mirroring another before both are "independent"
+    * mix components. The join is keyed by the line itself, and each
+    * line's posting is bounded by the SOURCE count (≤20), so pair
+    * generation is Σ C(sources-per-line, 2) ≤ 190·|lines| — never
+    * corpus², and at 100 TB the line key hashes to 128 bits first
+    * (the q_line_dedup note). Output is ≤ C(20,2) rows. */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sl = t(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .select(col("source"),
+        explode(expr(
+          "transform(sequence(0, (size(toks) - 1) div 5), " +
+            "i -> concat_ws(' ', slice(toks, i * 5 + 1, 5)))"))
+          .as("line"))
+      .distinct()
+    val sizes = sl.groupBy("source").agg(count(lit(1)).as("nl"))
+    val shared = sl.as("a")
+      .join(sl.as("b"),
+        col("a.line") === col("b.line") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    orderedAll(shared
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("nl").as("na"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("nl").as("nb"))), "src_b")
+      .withColumn("jac_bp",
+        expr("shared * 10000 div (na + nb - shared)"))
+      .select("src_a", "src_b", "na", "nb", "shared", "jac_bp"))
+  }
 }

@@ -176,7 +176,18 @@ object CorpusStats {
     * by packed pair key and only the five summary counts are emitted —
     * the output is O(1), never the pair lists. */
   def qLshRecall(s: SparkSession, dir: String): DataFrame = {
-    val d = dt(s, dir)
+    // Sampling gate for the exact-truth side: the audit's ground truth is
+    // inherently pair-bound (it IS the brute-force the sketch exists to
+    // avoid), so at scale one measures recall on a deterministic doc
+    // sample — `spark.graft.lshRecallSampleMod` = m keeps docs with
+    // doc_id % m == 0 on BOTH the truth and candidate sides (default 1 =
+    // whole corpus, so fixture hashes are unchanged; the 10× smoke runs
+    // m = 10). Precision/recall over an m-sample estimate the corpus
+    // numbers unbiasedly because both sides restrict to the same induced
+    // doc subset.
+    val mod = s.conf.get("spark.graft.lshRecallSampleMod", "1").toInt
+    val d0 = dt(s, dir)
+    val d = if (mod <= 1) d0 else d0.filter(col("doc_id") % mod === 0)
     val truth = Text.maskGroupPairs(d, 3, 1).select("a_id", "b_id")
     val laneMins = (0 until 16).map(j =>
       min(expr(s"CAST(conv(substring(md5(concat('$j:', token)), 1, 15)," +

@@ -258,4 +258,64 @@ object Insights {
       .selectExpr("event_type", "dow", "n_days", "dow_cents",
         "(dow_cents * tot_days * 10000) div (tot_cents * n_days) AS idx_bp"))
   }
+
+  /** Theil-T inequality decomposition (§2.38) of customer spend across
+    * nations: per nation, the within-nation Theil term Σ(xᵢ/X_g)ln(xᵢ/μ_g)
+    * and the between-nations term (X_g/X)ln(μ_g/μ), both in exact ×10⁶
+    * units — unlike Gini (q_gini), Theil decomposes additively, which is
+    * what lets a 100 TB audit attribute inequality to segments without a
+    * global sort. Each customer's ln rounds to a BIGINT term BEFORE the
+    * weighted sum (zipf/dsir policy); the weights fold in as exact
+    * integer products divided once per group, so aggregate order never
+    * touches a float. Shapes: one fact aggregate to customer spend,
+    * nation-keyed merges, 1-row global broadcast. */
+  def qTheilIndex(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_nationkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("x"))
+    val nat = spend.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), sum("x").as("xg"))
+    val glob = nat.agg(sum("n_cust").as("n"), sum("xg").as("xt"))
+    val within = spend.join(broadcast(nat), "c_nationkey")
+      // ln(x_i/μ_g) = ln(x_i · n_g / X_g), quantized per customer
+      .withColumn("term_u", expr(
+        "CAST(round(ln(CAST(x AS DOUBLE) * n_cust / xg) * 1000000) " +
+          "AS BIGINT)"))
+      .groupBy(col("c_nationkey"), col("n_cust"), col("xg"))
+      .agg(sum(expr("x * term_u")).as("wsum"))
+      .withColumn("within_u", expr("wsum div xg"))
+    orderedAll(within.crossJoin(broadcast(glob))
+      .withColumn("between_u", expr(
+        "xg * CAST(round(ln(CAST(xg AS DOUBLE) * n / (CAST(xt AS DOUBLE)" +
+          " * n_cust)) * 1000000) AS BIGINT) div xt"))
+      .select(col("c_nationkey"), col("n_cust"), col("xg").as("spend_c"),
+        col("within_u"), col("between_u")))
+  }
+
+  /** Log-log price-elasticity OLS (§2.38): per part brand, the slope of
+    * ln(quantity) on ln(unit price) over its lineitems — the classic
+    * demand-curve readout. Both logs quantize to ×10³ BIGINTs per row
+    * (10⁻³ log-units; the coarser grid keeps every OLS moment inside
+    * exact int64 at 100 TB group sizes — n·Σxy stays < 2⁶³ up to ~10⁸
+    * rows/brand, documented bound), the five moments are one mergeable
+    * aggregate, and the slope is a single integer division emitted in
+    * milli-units. */
+  def qPriceElasticity(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        expr("CAST(round(ln(l_quantity) * 1000) AS BIGINT)").as("y"),
+        expr("CAST(round(ln(l_extendedprice / l_quantity) * 1000) " +
+          "AS BIGINT)").as("x"))
+    orderedAll(li.groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+      .withColumn("slope_milli", expr(
+        "(n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx)"))
+      .select("p_brand", "n", "slope_milli"))
+  }
 }

@@ -333,4 +333,32 @@ object Warehouse {
       .withColumn("ratio_bp",
         expr("saved_chars * 10000 div total_chars")))
   }
+
+  /** Exact weighted median (§2.38): per event type, the smallest cents
+    * value whose cumulative props.k weight reaches half the type's total
+    * — the robust center a revenue-weighted readout needs where the
+    * unweighted median over-counts cheap events. Same histogram-first
+    * shape as q_ks_test: raw events compress to (type, cents, Σw) before
+    * the cumulative window, so window input is value-domain-bounded and
+    * the weighted median of a 100 TB stream costs one map-combining
+    * aggregate plus a bounded window. All-integer decision rule
+    * (2·cum ≥ tot). */
+  def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("w"))
+      .groupBy("event_type", "cents").agg(sum("w").as("gw"),
+        count(lit(1)).as("gn"))
+    val w = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = g.groupBy("event_type")
+      .agg(sum("gw").as("tot_w"), sum("gn").as("n"))
+    orderedAll(g.withColumn("cum", sum("gw").over(w))
+      .join(broadcast(tot), "event_type")
+      .filter(col("cum") * 2 >= col("tot_w"))
+      .groupBy("event_type", "n", "tot_w")
+      .agg(min("cents").as("wmedian_cents"))
+      .select("event_type", "n", "tot_w", "wmedian_cents"))
+  }
 }

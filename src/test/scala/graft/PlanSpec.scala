@@ -888,4 +888,25 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("§2.38 robust BI: histogram-first windows, no shuffled cartesian") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q_weighted_median", "q_theil_index",
+        "q_price_elasticity", "q_source_overlap")) {
+      val p = plan(q)
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$q: shuffled cartesian (globals must broadcast)")
+    }
+    // the weighted-median cumulative window consumes the histogram
+    // aggregate, never raw events
+    val wm = plan("q_weighted_median")
+      .collect { case w: WindowExec => w }
+    assert(wm.nonEmpty && wm.forall(w => w.partitionSpec.nonEmpty &&
+      w.collectFirst { case a: HashAggregateExec => a }.nonEmpty))
+    // elasticity's part dim joins broadcast
+    assert(plan("q_price_elasticity").collect {
+      case j: BroadcastHashJoinExec => j }.nonEmpty)
+  }
 }
