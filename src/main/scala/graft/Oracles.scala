@@ -4017,6 +4017,99 @@ object Oracles {
         |         AS jac_bp
         |FROM sh JOIN sz sa ON src_a = sa.source
         |        JOIN sz sb ON src_b = sb.source
-        |ORDER BY ALL""".stripMargin
+        |ORDER BY ALL""".stripMargin,
+
+    // ---- §2.39 backtest / vector audit / mix divergence / cards ----
+    "q_forecast_backtest" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |fc AS (SELECT event_type, day + 7 AS day, cents AS fc
+        |       FROM daily)
+        |SELECT daily.event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(abs(cents - fc)) // count(*) AS BIGINT) AS mae_c,
+        |       CAST(sum(cents - fc) // count(*) AS BIGINT) AS bias_c
+        |FROM daily JOIN fc USING (event_type, day)
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_embedding_outliers" ->
+      """WITH q AS (SELECT vec_id, label,
+        |    CAST(i AS BIGINT) AS p,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+        |      AS qx
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)),
+        |ct AS (SELECT label, p, CAST(sum(qx) AS BIGINT) //
+        |         CAST(count(*) AS BIGINT) AS cq
+        |       FROM q GROUP BY 1, 2),
+        |cv AS (SELECT label,
+        |         list(CAST(cq AS DOUBLE) ORDER BY p) AS cvec
+        |       FROM ct GROUP BY 1),
+        |sc AS (SELECT vec_id, e.label,
+        |    list_sum(list_transform(generate_series(1, 64), i ->
+        |      CAST(e.embedding[i] AS DOUBLE) * cvec[i])) AS dot,
+        |    list_sum(list_transform(generate_series(1, 64), i ->
+        |      CAST(e.embedding[i] AS DOUBLE) *
+        |      CAST(e.embedding[i] AS DOUBLE))) AS nv,
+        |    list_sum(list_transform(generate_series(1, 64), i ->
+        |      cvec[i] * cvec[i])) AS nc
+        |  FROM embeddings e JOIN cv ON e.label = cv.label),
+        |r AS (SELECT label, vec_id, dot / sqrt(nv * nc) AS cos,
+        |        row_number() OVER (PARTITION BY label
+        |          ORDER BY dot / sqrt(nv * nc) ASC, vec_id ASC) AS rn
+        |      FROM sc)
+        |SELECT label, vec_id, rn, round(cos, 4) AS sim
+        |FROM r WHERE rn <= 3 ORDER BY ALL""".stripMargin,
+    "q_kl_sources" ->
+      """WITH b AS (SELECT source, n_chars // 100 AS bucket
+        |           FROM documents),
+        |sb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS c_sb
+        |       FROM b GROUP BY 1, 2),
+        |cb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_b
+        |       FROM b GROUP BY 1),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |       FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_b) AS BIGINT) AS nn,
+        |          CAST(count(*) AS BIGINT) AS bb FROM cb),
+        |grid AS (SELECT ns.source, ns.n_s, cb.bucket, cb.c_b, nn, bb,
+        |           coalesce(sb.c_sb, 0) AS csb
+        |         FROM ns CROSS JOIN cb CROSS JOIN tot
+        |         LEFT JOIN sb ON ns.source = sb.source
+        |                     AND cb.bucket = sb.bucket),
+        |lr AS (SELECT source, n_s, bb, csb,
+        |    CAST(round(ln(CAST((csb + 1) * (nn + bb) AS DOUBLE) /
+        |      (CAST(n_s + bb AS DOUBLE) * (c_b + 1))) * 1000000)
+        |      AS BIGINT) AS lr_u
+        |  FROM grid)
+        |SELECT source, n_s AS n_docs,
+        |       CAST(sum(CASE WHEN csb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_present,
+        |       CAST(sum((csb + 1) * lr_u) // (n_s + bb) AS BIGINT)
+        |         AS kl_u
+        |FROM lr GROUP BY source, n_s, bb ORDER BY ALL""".stripMargin,
+    "q_dataset_card" ->
+      """WITH d AS (SELECT source, lang, text, n_chars,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS toks,
+        |    CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM d GROUP BY 1),
+        |tl AS (SELECT source, lang AS top_lang,
+        |         CAST(n AS BIGINT) AS top_lang_docs
+        |       FROM (SELECT source, lang, count(*) AS n,
+        |               row_number() OVER (PARTITION BY source
+        |                 ORDER BY count(*) DESC, lang ASC) AS rn
+        |             FROM d GROUP BY source, lang)
+        |       WHERE rn = 1)
+        |SELECT base.source, n_docs, toks,
+        |       CAST((n_docs - n_distinct) * 10000 // n_docs AS BIGINT)
+        |         AS dup_bp,
+        |       CAST(chars // n_docs AS BIGINT) AS mean_chars,
+        |       top_lang, top_lang_docs
+        |FROM base JOIN tl USING (source) ORDER BY ALL""".stripMargin
   )
 }

@@ -189,4 +189,35 @@ object Corpus {
         expr("shared * 10000 div (na + nb - shared)"))
       .select("src_a", "src_b", "na", "nb", "shared", "jac_bp"))
   }
+
+  /** Per-source dataset card (§2.39): the one-row-per-source summary a
+    * mix decision actually reads — doc/token counts, exact-duplicate
+    * share, mean doc length, dominant language — composed from the §2
+    * primitives in one scan plus a source-keyed rank window. The point
+    * of the operator is the COMPOSITION contract: every number is the
+    * same integer the standalone operators emit, so the card never
+    * drifts from the audits it summarizes. */
+  def qDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("n_toks",
+        expr("size(filter(split(lower(text), ' '), x -> x != ''))")
+          .cast("long"))
+    val base = d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("toks"),
+        countDistinct(col("text")).as("n_distinct"),
+        sum("n_chars").as("chars"))
+      .withColumn("dup_bp",
+        expr("(n_docs - n_distinct) * 10000 div n_docs"))
+      .withColumn("mean_chars", expr("chars div n_docs"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("n").desc, col("lang").asc)
+    val topLang = d.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("n").as("top_lang_docs"))
+    orderedAll(base.join(broadcast(topLang), "source")
+      .select("source", "n_docs", "toks", "dup_bp", "mean_chars",
+        "top_lang", "top_lang_docs"))
+  }
 }

@@ -218,6 +218,36 @@ object CorpusStats {
           " AS recall_bp"))
   }
 
+  /** Per-source KL divergence of the doc-length distribution vs the
+    * corpus (§2.39): lengths bucket to n_chars div 100, both sides get
+    * add-1 smoothing over the CORPUS bucket set (zeros included via the
+    * sources × buckets grid), each log-ratio quantizes to a ×10⁶ BIGINT,
+    * and KL_u = Σ (c_sb+1)·lr_u div (n_s+B) — the mix-divergence score
+    * that says which sources actually add distributional variety.
+    * Scale: docs collapse to (source, bucket) counts; the grid is
+    * |sources|·|buckets| broadcast-sized. */
+  def qKlSources(s: SparkSession, dir: String): DataFrame = {
+    val b = t(s, dir, "documents")
+      .select(col("source"), expr("n_chars div 100").as("bucket"))
+    val sb = b.groupBy("source", "bucket").agg(count(lit(1)).as("c_sb"))
+    val cb = b.groupBy("bucket").agg(count(lit(1)).as("c_b"))
+    val ns = b.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val tot = cb.agg(sum("c_b").cast("long").as("nn"),
+      count(lit(1)).as("bb"))
+    val grid = ns.crossJoin(broadcast(cb)).crossJoin(broadcast(tot))
+      .join(sb, Seq("source", "bucket"), "left")
+      .withColumn("csb", coalesce(col("c_sb"), lit(0L)))
+      .withColumn("lr_u", expr(
+        "CAST(round(ln(CAST((csb + 1) * (nn + bb) AS DOUBLE) / " +
+          "(CAST(n_s + bb AS DOUBLE) * (c_b + 1))) * 1000000) AS BIGINT)"))
+    orderedAll(grid.groupBy("source", "n_s", "bb")
+      .agg(sum(expr("(csb + 1) * lr_u")).as("wsum"),
+        sum(when(col("csb") > 0, 1L).otherwise(0L)).as("n_present"))
+      .withColumn("kl_u", expr("wsum div (n_s + bb)"))
+      .select(col("source"), col("n_s").as("n_docs"), col("n_present"),
+        col("kl_u")))
+  }
+
   /** Token burstiness: variance-to-mean ratio of per-document occurrence
     * counts over ALL en docs (zeros included) — bursty content words
     * disperse far above 1, function words sit near it; the signal that

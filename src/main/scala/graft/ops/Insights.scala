@@ -303,6 +303,32 @@ object Insights {
     * rows/brand, documented bound), the five moments are one mergeable
     * aggregate, and the slope is a single integer division emitted in
     * milli-units. */
+  /** Seasonal-naive forecast backtest (§2.39): forecast(day) =
+    * actual(day − 7) on the per-type daily cents series, scored as exact
+    * integer MAE and bias over the days where both sides exist — the
+    * one-query answer to "is this metric predictable enough to alert
+    * on", and the baseline every fancier forecaster must beat. The
+    * calendar self-join (not lag-by-rows) keeps gap days honest. Scale
+    * shape: the corpus collapses to (type, day) cents in one mergeable
+    * aggregate; the 7-day self-join and scoring run on the bounded daily
+    * table. */
+  def qForecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("CAST(unix_micros(ts) AS BIGINT) div 86400000000").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val fc = daily.select(col("event_type"),
+      (col("day") + 7).as("day"), col("cents").as("fc"))
+    orderedAll(daily.join(fc, Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("cents") - col("fc"))).as("sum_abs"),
+        sum(col("cents") - col("fc")).as("sum_err"))
+      .withColumn("mae_c", expr("sum_abs div n_days"))
+      .withColumn("bias_c", expr("sum_err div n_days"))
+      .select("event_type", "n_days", "mae_c", "bias_c"))
+  }
+
   def qPriceElasticity(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),

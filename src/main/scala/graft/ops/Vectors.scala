@@ -429,6 +429,46 @@ object Vectors {
     * into the join condition, so rejected same-class pairs never leave
     * the codegen stage; at 100 TB the scale path swaps the scan side
     * for the IVF/LSH candidate stream exactly as §2.12 documents. */
+  /** Per-label embedding outliers (§2.39): the 3 vectors farthest (by
+    * cosine) from their label's centroid — the mislabeled-embedding
+    * audit, the vector twin of q_lang_confusion. Determinism: the
+    * centroid is built from ×10⁴-quantized components (per-element
+    * BIGINT sum, integer-divided by n — exact in both engines; cosine
+    * is scale-invariant, so the raw integer centroid needs no
+    * normalization), and the dot/norm folds are the sequential 64-lane
+    * double folds of §2.12. Scale shape: centroid = one (label, dim)
+    * mergeable aggregate collapsed to a ≤|labels|-row broadcast array
+    * table; scoring is scan-shaped; the bottom-3 is a label-keyed rank
+    * window. */
+  def qEmbeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("vec_id"), col("label"), col("p"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)").as("qx"))
+    val cent = q.groupBy("label", "p")
+      .agg(sum("qx").as("sq"), count(lit(1)).as("n"))
+      .withColumn("cq", expr("sq div n"))
+    val cvecs = cent.groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(p, cq))), " +
+        "s -> CAST(s.cq AS DOUBLE))").as("cvec"))
+    val fold = "aggregate(%s, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    val scored = emb.join(broadcast(cvecs), "label")
+      .withColumn("dot", expr(fold.format(
+        "zip_with(embedding, cvec, (a, b) -> CAST(a AS DOUBLE) * b)")))
+      .withColumn("nv", expr(fold.format(
+        "transform(embedding, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))")))
+      .withColumn("nc", expr(fold.format(
+        "transform(cvec, b -> b * b)")))
+      .withColumn("cos", col("dot") / sqrt(col("nv") * col("nc")))
+    val w = Window.partitionBy("label")
+      .orderBy(col("cos").asc, col("vec_id").asc)
+    orderedAll(scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("label"), col("vec_id"), col("rn").cast("long").as("rn"),
+        round(col("cos"), 4).as("sim")))
+  }
+
   def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val probes = emb.filter(col("vec_id") < 20)
