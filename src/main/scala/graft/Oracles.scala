@@ -4110,6 +4110,123 @@ object Oracles {
         |         AS dup_bp,
         |       CAST(chars // n_docs AS BIGINT) AS mean_chars,
         |       top_lang, top_lang_docs
-        |FROM base JOIN tl USING (source) ORDER BY ALL""".stripMargin
+        |FROM base JOIN tl USING (source) ORDER BY ALL""".stripMargin,
+
+    // ---- §2.40 causal measurement ----
+    // Shared recipes: the §2.27 pre/post cutoff, per-event dollar
+    // truncation (cents // 100 — the truncation POINT is part of the
+    // contract), q_price_elasticity milli-unit slopes, and ×10³
+    // chi-square expectation quantization. 1//0 is NULL in BOTH engines
+    // (verified), so degenerate arms/variances agree.
+    "q_cuped" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) // 100 AS dollars,
+        |    ts < TIMESTAMP '2024-01-16 00:00:00' AS pre
+        |  FROM events),
+        |ux AS (SELECT event_type AS tt, user_id % 2 = 1 AS treat,
+        |        CAST(sum(CASE WHEN pre THEN dollars ELSE 0 END)
+        |             AS BIGINT) AS x,
+        |        CAST(sum(CASE WHEN pre THEN 0 ELSE dollars END)
+        |             AS BIGINT) AS y
+        |      FROM e GROUP BY user_id, event_type),
+        |m AS (SELECT tt, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx,
+        |        CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy,
+        |        CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS nt,
+        |        CAST(sum(CASE WHEN treat THEN x ELSE 0 END) AS BIGINT)
+        |          AS sxt,
+        |        CAST(sum(CASE WHEN treat THEN y ELSE 0 END) AS BIGINT)
+        |          AS syt
+        |      FROM ux GROUP BY 1),
+        |d AS (SELECT tt, n, nt,
+        |        CAST((n * sxy - sx * sy) * 1000 //
+        |             (n * sxx - sx * sx) AS BIGINT) AS theta_milli,
+        |        CAST(syt * 1000 // nt - (sy - syt) * 1000 // (n - nt)
+        |             AS BIGINT) AS raw_milli,
+        |        CAST(sxt * 1000 // nt - (sx - sxt) * 1000 // (n - nt)
+        |             AS BIGINT) AS dx_milli
+        |      FROM m)
+        |SELECT tt, n, nt, theta_milli, raw_milli,
+        |       CAST(raw_milli - theta_milli * dx_milli // 1000
+        |            AS BIGINT) AS cuped_milli
+        |FROM d ORDER BY ALL""".stripMargin,
+    "q_did" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    ts < TIMESTAMP '2024-01-16 00:00:00' AS pre
+        |  FROM events),
+        |tm AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pre_t,
+        |    CAST(sum(CASE WHEN pre THEN cents ELSE 0 END) AS BIGINT)
+        |      AS s_pre_t,
+        |    CAST(sum(CASE WHEN pre THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_post_t,
+        |    CAST(sum(CASE WHEN pre THEN 0 ELSE cents END) AS BIGINT)
+        |      AS s_post_t
+        |  FROM e WHERE event_type <> 'view' GROUP BY 1),
+        |vm AS (SELECT
+        |    CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pre_v,
+        |    CAST(sum(CASE WHEN pre THEN cents ELSE 0 END) AS BIGINT)
+        |      AS s_pre_v,
+        |    CAST(sum(CASE WHEN pre THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_post_v,
+        |    CAST(sum(CASE WHEN pre THEN 0 ELSE cents END) AS BIGINT)
+        |      AS s_post_v
+        |  FROM e WHERE event_type = 'view')
+        |SELECT event_type, n_pre_t, n_post_t,
+        |       s_pre_t // n_pre_t AS m_pre_t,
+        |       s_post_t // n_post_t AS m_post_t,
+        |       s_pre_v // n_pre_v AS m_pre_v,
+        |       s_post_v // n_post_v AS m_post_v,
+        |       (s_post_t // n_post_t - s_pre_t // n_pre_t)
+        |         - (s_post_v // n_post_v - s_pre_v // n_pre_v) AS did_c
+        |FROM tm CROSS JOIN vm ORDER BY ALL""".stripMargin,
+    "q_srm" ->
+      """WITH dt AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    event_type, CAST(count(*) AS BIGINT) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |tyt AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS ty_n
+        |        FROM dt GROUP BY 1),
+        |g AS (SELECT CAST(sum(ty_n) AS BIGINT) AS g_n FROM tyt),
+        |dayt AS (SELECT day, CAST(sum(obs) AS BIGINT) AS day_n
+        |         FROM dt GROUP BY 1),
+        |x AS (SELECT dt.day, day_n, obs,
+        |        day_n * ty_n * 1000 // g_n AS exp_m
+        |      FROM dt JOIN tyt USING (event_type)
+        |        JOIN dayt USING (day) CROSS JOIN g)
+        |SELECT day, CAST(max(day_n) AS BIGINT) AS n_day,
+        |       CAST(sum((obs * 1000 - exp_m) * (obs * 1000 - exp_m)
+        |                // exp_m) AS BIGINT) AS chi2_e3,
+        |       CAST(sum((obs * 1000 - exp_m) * (obs * 1000 - exp_m)
+        |                // exp_m) AS BIGINT) > 18467 AS srm_flag
+        |FROM x GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_cramers_v" ->
+      """WITH cell AS (SELECT event_type,
+        |    (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |    CAST(count(*) AS BIGINT) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS r_n
+        |       FROM cell GROUP BY 1),
+        |ct AS (SELECT dow, CAST(sum(obs) AS BIGINT) AS c_n
+        |       FROM cell GROUP BY 1),
+        |tot AS (SELECT CAST(sum(r_n) AS BIGINT) AS n,
+        |               CAST(count(*) AS BIGINT) AS r FROM rt),
+        |cc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM ct),
+        |x AS (SELECT obs, r_n * c_n * 1000 // n AS exp_m, n, r, c
+        |      FROM cell JOIN rt USING (event_type)
+        |        JOIN ct USING (dow) CROSS JOIN tot CROSS JOIN cc)
+        |SELECT n, r, c,
+        |       CAST(sum((obs * 1000 - exp_m) * (obs * 1000 - exp_m)
+        |                // exp_m) AS BIGINT) AS chi2_e3,
+        |       CAST(sum((obs * 1000 - exp_m) * (obs * 1000 - exp_m)
+        |                // exp_m) * 10000
+        |            // (1000 * n * least(r - 1, c - 1)) AS BIGINT)
+        |         AS v2_bp
+        |FROM x GROUP BY 1, 2, 3 ORDER BY ALL""".stripMargin
   )
 }
