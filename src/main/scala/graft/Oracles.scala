@@ -4227,6 +4227,39 @@ object Oracles {
         |                // exp_m) * 10000
         |            // (1000 * n * least(r - 1, c - 1)) AS BIGINT)
         |         AS v2_bp
-        |FROM x GROUP BY 1, 2, 3 ORDER BY ALL""".stripMargin
+        |FROM x GROUP BY 1, 2, 3 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.41 privacy / memorization audits ----
+    "q_ldiversity" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |       c_mktsegment AS mktsegment,
+        |       CAST(count(*) AS BIGINT) AS k,
+        |       CAST(count(DISTINCT
+        |         CAST(round(c_acctbal) AS BIGINT) // 1000) AS BIGINT)
+        |         AS l,
+        |       count(DISTINCT
+        |         CAST(round(c_acctbal) AS BIGINT) // 1000) < 3
+        |         AS risk_flag
+        |FROM customer GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+    "q_dup_spans" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |sp AS (SELECT doc_id, source,
+        |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |         toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+        |         toks[i+6] || ' ' || toks[i+7] AS span
+        |       FROM (SELECT doc_id, source,
+        |               unnest(generate_series(1, len(toks) - 7)) AS i,
+        |               toks FROM t)),
+        |df AS (SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+        |       FROM sp GROUP BY 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS dup_spans,
+        |       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 10000
+        |            // count(*) AS BIGINT) AS dup_bp
+        |FROM sp JOIN df USING (span)
+        |GROUP BY 1 ORDER BY ALL""".stripMargin
   )
 }

@@ -366,4 +366,58 @@ object Curation {
       .filter(col("d") <= 1)
       .select("a_key", "b_key", "d"))
   }
+
+  // ---- §2.41 privacy / memorization audits -----------------------------
+
+  /** l-diversity audit (§2.41) — the k-anonymity refinement: a QI group
+    * can be large (k-anonymous) yet still leak if everyone in it shares
+    * the same sensitive value. Over the (c_nationkey, c_mktsegment)
+    * quasi-identifier pair (the q_kanon QI), the sensitive attribute is
+    * the account-balance band (`round(c_acctbal) div 1000` — the
+    * portable round-then-truncate recipe; negative balances band toward
+    * zero, declared). Emits per-group k, distinct-l, and the l < 3 risk
+    * flag — the release gate that runs AFTER k-anonymity passes. Two
+    * mergeable aggregates (groups ≪ rows); nothing broadcast. */
+  def qLdiversity(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "customer")
+      .withColumn("band",
+        expr("CAST(round(c_acctbal) AS BIGINT) div 1000"))
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("k"),
+        countDistinct(col("band")).as("l"))
+      .withColumn("risk_flag", col("l") < 3))
+
+  /** Cross-document duplicated-span audit (§2.41) — the memorization-risk
+    * number for a training corpus: per source, how many 8-gram token
+    * spans (instances) also occur in at least one OTHER document,
+    * corpus-wide. Distinct from q_shingle_novelty (per-doc first-seen
+    * bigrams) and q_dup_ratio (whole-text dedup): this prices PARTIAL
+    * overlap at the span level, the thing substring dedup
+    * (suffix-array dedup in the Lee et al. sense) would remove. In-row
+    * 8-gram generation (transform over the token array — no join builds
+    * the spans), one span-keyed doc-frequency aggregate, and a
+    * span-keyed posting join back onto the instances — the
+    * q_contamination partitioning. Span keys would hash to 128 bits at
+    * 100 TB (declared; raw strings keep the fixture oracle readable). */
+  def qDupSpans(s: SparkSession, dir: String): DataFrame = {
+    val spans = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        """filter(
+          |  transform(toks, (x, i) ->
+          |    CASE WHEN i < size(toks) - 7
+          |         THEN concat(x, ' ', toks[i+1], ' ', toks[i+2], ' ',
+          |                     toks[i+3], ' ', toks[i+4], ' ', toks[i+5],
+          |                     ' ', toks[i+6], ' ', toks[i+7]) END),
+          |  g -> g IS NOT NULL)""".stripMargin)).as("span"))
+    val df = spans.groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    orderedAll(spans.join(df, "span")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).cast("long")
+          .as("dup_spans"))
+      .withColumn("dup_bp", expr("dup_spans * 10000 div n_spans")))
+  }
 }
