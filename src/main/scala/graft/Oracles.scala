@@ -4260,6 +4260,56 @@ object Oracles {
         |       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 10000
         |            // count(*) AS BIGINT) AS dup_bp
         |FROM sp JOIN df USING (span)
-        |GROUP BY 1 ORDER BY ALL""".stripMargin
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.42 graph structure metrics ----
+    "q_graph_modularity" ->
+      s"""$graphCte,
+         |l1 AS (SELECT u, least(u, min(v)) AS lbl FROM un GROUP BY u),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed),
+         |ein AS (SELECT la.lbl, CAST(count(*) AS BIGINT) AS e_in
+         |        FROM ed JOIN l1 la ON ed.a_id = la.u
+         |          JOIN l1 lb ON ed.b_id = lb.u
+         |        WHERE la.lbl = lb.lbl GROUP BY 1),
+         |dsum8 AS (SELECT l1.lbl, CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(sum(dg.deg) AS BIGINT) AS d_tot
+         |       FROM l1 JOIN dg ON l1.u = dg.u GROUP BY 1)
+         |SELECT dsum8.lbl AS label1, n_nodes,
+         |       coalesce(e_in, 0) AS e_in, d_tot,
+         |       CAST((4 * m * coalesce(e_in, 0) - d_tot * d_tot)
+         |            * 1000000 // (4 * m * m) AS BIGINT) AS contrib_e6
+         |FROM dsum8 LEFT JOIN ein ON dsum8.lbl = ein.lbl CROSS JOIN mm
+         |ORDER BY ALL""".stripMargin,
+    "q_assortativity" ->
+      s"""$graphCte,
+         |p AS (SELECT du.deg AS x, dv.deg AS y
+         |      FROM un JOIN dg du ON un.u = du.u
+         |        JOIN dg dv ON un.v = dv.u),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(x) AS BIGINT) AS sx,
+         |        CAST(sum(x * x) AS BIGINT) AS sxx,
+         |        CAST(sum(x * y) AS BIGINT) AS sxy
+         |      FROM p)
+         |SELECT n, sx, sxx, sxy,
+         |       CAST((n * sxy - sx * sx) * 1000 //
+         |            (n * sxx - sx * sx) AS BIGINT) AS slope_milli
+         |FROM m ORDER BY ALL""".stripMargin,
+    "q_rich_club" ->
+      s"""$graphCte,
+         |rk AS (SELECT u, deg,
+         |         row_number() OVER (ORDER BY deg DESC, u ASC) AS rn
+         |       FROM dg),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM dg),
+         |rich AS (SELECT u FROM rk CROSS JOIN nn
+         |         WHERE rn <= (n_nodes + 9) // 10),
+         |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rich FROM rich),
+         |er AS (SELECT CAST(count(*) AS BIGINT) AS e_rich
+         |       FROM ed JOIN rich a ON ed.a_id = a.u
+         |         JOIN rich b ON ed.b_id = b.u)
+         |SELECT n_nodes, n_rich, e_rich,
+         |       n_rich * (n_rich - 1) // 2 AS possible,
+         |       CAST(e_rich * 10000 // (n_rich * (n_rich - 1) // 2)
+         |            AS BIGINT) AS phi_bp
+         |FROM nn CROSS JOIN nr CROSS JOIN er ORDER BY ALL""".stripMargin
   )
 }

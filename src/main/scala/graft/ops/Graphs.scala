@@ -170,4 +170,87 @@ object Graphs {
     orderedAll(deg.select(col("u").as("doc_id"),
       col("deg").as("core_deg")))
   }
+
+  // ---- §2.42 graph structure metrics -----------------------------------
+
+  /** Newman modularity of the min-label communities (§2.42): per
+    * community c (label1 = the q_label_prop step-1 sweep), the exact
+    * integer contribution numerator 4m·e_in − d_tot² and
+    * contrib_e6 = that ×10⁶ div 4m² — Σ contrib_e6 is Q ×10⁶, the
+    * number that says whether the near-dup graph's communities are real
+    * structure or noise (Q ≈ 0). Per-community e_in/d_tot are two
+    * keyed mergeable aggregates over the pinned edge list; m rides a
+    * 1-row broadcast. Int64: 4m·e_in ≤ 4m² keeps the ×10⁶ product
+    * exact to m ≈ 10⁶ edges per the fixture magnitudes; beyond that the
+    * numerator moves to DECIMAL(38,0) (documented, both engines exact). */
+  def qGraphModularity(s: SparkSession, dir: String): DataFrame = {
+    val ed = strictEdges(s, dir)
+    val un = und(ed)
+    val l1 = un.groupBy("u").agg(least(col("u"), min(col("v"))).as("lbl"))
+    val m = ed.agg(count(lit(1)).as("m"))
+    val ein = ed
+      .join(l1.select(col("u").as("a_id"), col("lbl").as("la")), "a_id")
+      .join(l1.select(col("u").as("b_id"), col("lbl").as("lb")), "b_id")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_in"))
+    val dt = l1.join(degrees(un), "u")
+      .groupBy("lbl")
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("d_tot"))
+    orderedAll(dt.join(ein, Seq("lbl"), "left")
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("contrib_e6", expr(
+        "(4 * m * e_in - d_tot * d_tot) * 1000000 div (4 * m * m)"))
+      .select(col("lbl").as("label1"), col("n_nodes"), col("e_in"),
+        col("d_tot"), col("contrib_e6")))
+  }
+
+  /** Degree-mixing (assortativity) slope (§2.42): the OLS slope of
+    * neighbor degree on degree over all directed edge ends — positive
+    * means hubs link hubs (assortative), negative means hubs link
+    * leaves. Emitted as the §2.38 milli-unit slope from one 4-moment
+    * mergeable aggregate (Σy ≡ Σx and Σy² ≡ Σx² by both-orientations
+    * symmetry, so four moments suffice). The degree join is two keyed
+    * equi-joins of the edge list against the degree table — edge-linear.
+    * Int64: n·Σxy < 2⁶³ up to ~10⁷ edges at fixture degree skew
+    * (documented; past that quantize degrees to ×10⁻¹ first). */
+  def qAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val un = und(strictEdges(s, dir))
+    val dg = degrees(un)
+    val p = un
+      .join(dg.select(col("u"), col("deg").as("x")), "u")
+      .join(dg.select(col("u").as("v"), col("deg").as("y")), "v")
+    orderedAll(p.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+      .withColumn("slope_milli", expr(
+        "(n * sxy - sx * sx) * 1000 div (n * sxx - sx * sx)")))
+  }
+
+  /** Rich-club coefficient of the top-decile-degree nodes (§2.42):
+    * φ = e_rich / C(|R|, 2) in exact basis points, where R is the top
+    * ⌈n/10⌉ nodes by (deg desc, id asc) — the "do the hubs form their
+    * own club" diagnostic that decides whether hub-targeted dedup is
+    * worth a pass. The decile cut is a single rank window over the
+    * NODE table (≪ edges; at 100 TB the cut becomes an approx-quantile
+    * threshold — declared swap, same downstream plan); membership
+    * filters are two semi joins on the edge list. */
+  def qRichClub(s: SparkSession, dir: String): DataFrame = {
+    val ed = strictEdges(s, dir)
+    val dg = degrees(und(ed))
+    val nn = dg.agg(count(lit(1)).as("n_nodes"))
+    val w = Window.orderBy(col("deg").desc, col("u").asc)
+    val rich = dg.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(nn))
+      .filter(expr("rn <= (n_nodes + 9) div 10"))
+      .select("u")
+    val nr = rich.agg(count(lit(1)).as("n_rich"))
+    val er = ed
+      .join(rich.select(col("u").as("a_id")), Seq("a_id"), "left_semi")
+      .join(rich.select(col("u").as("b_id")), Seq("b_id"), "left_semi")
+      .agg(count(lit(1)).as("e_rich"))
+    orderedAll(nn.crossJoin(broadcast(nr)).crossJoin(broadcast(er))
+      .withColumn("possible", expr("n_rich * (n_rich - 1) div 2"))
+      .withColumn("phi_bp", expr("e_rich * 10000 div possible"))
+      .select("n_nodes", "n_rich", "e_rich", "possible", "phi_bp"))
+  }
 }
