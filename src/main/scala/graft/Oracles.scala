@@ -4310,6 +4310,88 @@ object Oracles {
          |       n_rich * (n_rich - 1) // 2 AS possible,
          |       CAST(e_rich * 10000 // (n_rich * (n_rich - 1) // 2)
          |            AS BIGINT) AS phi_bp
-         |FROM nn CROSS JOIN nr CROSS JOIN er ORDER BY ALL""".stripMargin
+         |FROM nn CROSS JOIN nr CROSS JOIN er ORDER BY ALL""".stripMargin,
+
+    // ---- §2.43 time-series diagnostics ----
+    // Shared recipe: per-(type, day) series in whole DOLLARS
+    // (sum(cents) // 100, one declared truncation point), windows only
+    // over the collapsed ≤|days| daily table.
+    "q_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      // 100 AS v
+        |  FROM events GROUP BY 1, 2),
+        |ix AS (SELECT event_type, day, v,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day) AS BIGINT) AS idx,
+        |    CAST(sum(v) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM daily),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(v) AS BIGINT) AS tot
+        |        FROM daily GROUP BY 1),
+        |sc AS (SELECT ix.event_type, day, n * cum - idx * tot AS s_n
+        |       FROM ix JOIN tot USING (event_type)),
+        |rk AS (SELECT event_type, day, s_n,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY abs(s_n) DESC, day ASC) AS rn
+        |       FROM sc)
+        |SELECT event_type, day AS cp_day,
+        |       CAST(abs(s_n) AS BIGINT) AS s_abs,
+        |       CAST(CASE WHEN s_n > 0 THEN 1 WHEN s_n < 0 THEN -1
+        |            ELSE 0 END AS BIGINT) AS direction
+        |FROM rk WHERE rn = 1 ORDER BY ALL""".stripMargin,
+    "q_drawdown" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      // 100 AS v
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, day,
+        |        CAST(sum(v) OVER w AS BIGINT) AS cum
+        |      FROM daily WINDOW w AS (PARTITION BY event_type
+        |        ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (SELECT event_type, day, cum,
+        |        CAST(max(cum) OVER (PARTITION BY event_type ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS peak
+        |      FROM c),
+        |rk AS (SELECT event_type, day, peak, peak - cum AS dd,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY peak - cum DESC, day ASC) AS rn
+        |       FROM p)
+        |SELECT event_type, day AS trough_day, peak,
+        |       CAST(dd AS BIGINT) AS max_dd
+        |FROM rk WHERE rn = 1 ORDER BY ALL""".stripMargin,
+    "q_seasonal_strength" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      // 100 AS v
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(v) AS BIGINT) AS tot
+        |        FROM daily GROUP BY 1),
+        |dev AS (SELECT daily.event_type, (day + 3) % 7 AS dow, v, n,
+        |          tot * 1000 // n AS mean_milli,
+        |          v * 1000 - tot * 1000 // n AS dd
+        |        FROM daily JOIN tot USING (event_type)),
+        |sst AS (SELECT event_type, CAST(sum(dd * dd) AS BIGINT) AS sst,
+        |          CAST(max(n) AS BIGINT) AS n_days
+        |        FROM dev GROUP BY 1),
+        |wg AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS m_w,
+        |         CAST(sum(v) AS BIGINT) AS s_w,
+        |         CAST(max(mean_milli) AS BIGINT) AS mmw
+        |       FROM dev GROUP BY 1, 2),
+        |sb AS (SELECT event_type,
+        |         CAST(sum(m_w * (s_w * 1000 // m_w - mmw)
+        |                  * (s_w * 1000 // m_w - mmw)) AS BIGINT) AS ssb
+        |       FROM wg GROUP BY 1)
+        |SELECT event_type, n_days, ssb, sst,
+        |       CAST(ssb * 10000 // sst AS BIGINT) AS ss_bp
+        |FROM sst JOIN sb USING (event_type) ORDER BY ALL""".stripMargin
   )
 }

@@ -344,4 +344,98 @@ object Insights {
         "(n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx)"))
       .select("p_brand", "n", "slope_milli"))
   }
+
+  // ---- §2.43 time-series diagnostics -----------------------------------
+
+  /** Shared §2.43 per-(type, day) daily series in whole DOLLARS
+    * (cents div 100 on the daily sum — one truncation point, declared),
+    * with the 1-based day index per type. Dollars (not cents) keep every
+    * downstream ×10³ square inside int64 (headroom documented per
+    * query). */
+  private def dailyDollars(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .selectExpr("event_type", "unix_micros(ts) div 86400000000 AS day",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .groupBy("event_type", "day")
+      .agg(expr("sum(cents) div 100").as("v"))
+      .withColumn("idx", row_number().over(
+        Window.partitionBy("event_type").orderBy("day")).cast("long"))
+
+  /** Single change-point detection per type (§2.43): the day maximizing
+    * the exact CUSUM deviation |n·cum_d − idx_d·tot| over the daily
+    * dollar series — the scaled statistic S_d·n (no division, so the
+    * argmax is bit-exact), with ties broken to the earliest day. The
+    * classic "when did the level shift" readout behind every metric
+    * alert. Daily collapse is mergeable; the cumulative and argmax
+    * windows run over the ≤|days| per-type table, never raw events.
+    * Int64: n·cum needs days·Σ|v| < 2⁶³ — safe to ~10¹⁴ daily dollars. */
+  def qChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyDollars(s, dir)
+    val wc = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("n"), sum("v").as("tot"))
+    val scored = daily
+      .withColumn("cum", sum("v").over(wc))
+      .join(broadcast(tot), col("event_type") === col("et"))
+      .withColumn("s_n", expr("n * cum - idx * tot"))
+    val wr = Window.partitionBy("event_type")
+      .orderBy(abs(col("s_n")).desc, col("day").asc)
+    orderedAll(scored
+      .withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        abs(col("s_n")).as("s_abs"),
+        signum(col("s_n")).cast("long").as("direction")))
+  }
+
+  /** Maximum drawdown per type (§2.43): the largest peak-to-trough drop
+    * of the cumulative daily dollar series (running max minus running
+    * value), with the trough day (earliest on ties) — the worst-case
+    * "how far below the high-water mark did this metric fall" number.
+    * Two prefix windows + one argmax window over the per-type daily
+    * table; all exact integers. */
+  def qDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val wc = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = dailyDollars(s, dir)
+      .withColumn("cum", sum("v").over(wc))
+      .withColumn("peak", max("cum").over(wc))
+      .withColumn("dd", col("peak") - col("cum"))
+    val wr = Window.partitionBy("event_type")
+      .orderBy(col("dd").desc, col("day").asc)
+    orderedAll(dd
+      .withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("trough_day"),
+        col("peak"), col("dd").as("max_dd")))
+  }
+
+  /** Seasonal-strength score per type (§2.43): the share of daily
+    * variance explained by day-of-week, ss_bp = SSB·10⁴ div SST over
+    * ×10³-quantized deviations from the global daily mean — the single
+    * number that says whether q_seasonality's indices are load-bearing
+    * (ss → 1) or noise (ss → 0). Deviations quantize per day
+    * (v·10³ − mean_milli with mean_milli = tot·10³ div n — one declared
+    * truncation), so SSB/SST are exact BIGINT sums; the dow grouping is
+    * over the collapsed daily table. Int64: (daily dollars·10³)² bounds
+    * daily volume < ~3·10⁶ dollars/day at ×10³ — drop to ×10² past
+    * that (documented). */
+  def qSeasonalStrength(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyDollars(s, dir).withColumn("dow", expr("(day + 3) % 7"))
+    val tot = daily.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("n"), sum("v").as("tot"))
+    val dev = daily.join(broadcast(tot), col("event_type") === col("et"))
+      .withColumn("mean_milli", expr("tot * 1000 div n"))
+      .withColumn("d", expr("v * 1000 - mean_milli"))
+    val sst = dev.groupBy("event_type")
+      .agg(sum(expr("d * d")).as("sst"), max("n").as("n_days"))
+    orderedAll(sst.join(
+      dev.groupBy(col("event_type").as("e2"), col("dow"))
+        .agg(count(lit(1)).as("m_w"), sum("v").as("s_w"),
+          max("mean_milli").as("mmw"))
+        .withColumn("wdev", expr("s_w * 1000 div m_w - mmw"))
+        .groupBy("e2").agg(sum(expr("m_w * wdev * wdev")).as("ssb")),
+      col("event_type") === col("e2"))
+      .withColumn("ss_bp", expr("ssb * 10000 div sst"))
+      .select("event_type", "n_days", "ssb", "sst", "ss_bp"))
+  }
 }
