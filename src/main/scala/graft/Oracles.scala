@@ -4392,6 +4392,58 @@ object Oracles {
         |       FROM wg GROUP BY 1)
         |SELECT event_type, n_days, ssb, sst,
         |       CAST(ssb * 10000 // sst AS BIGINT) AS ss_bp
-        |FROM sst JOIN sb USING (event_type) ORDER BY ALL""".stripMargin
+        |FROM sst JOIN sb USING (event_type) ORDER BY ALL""".stripMargin,
+
+    // ---- §2.44 ranking-quality metrics (the q_ndcg retrieval run) ----
+    "q_map_at_k" ->
+      s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe,
+         |             label AS plabel
+         |           FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS nid, embedding AS e, label
+         |      FROM embeddings),
+         |s AS (SELECT pid, plabel, nid, label,
+         |        $dot64 AS dot, $pn64 AS na2, $en64 AS nb2
+         |      FROM p JOIN c ON nid <> pid),
+         |r AS (SELECT pid,
+         |        CASE WHEN label = plabel THEN 1 ELSE 0 END AS rel,
+         |        row_number() OVER (PARTITION BY pid
+         |          ORDER BY dot / sqrt(na2 * nb2) DESC, nid) AS rn
+         |      FROM s),
+         |tp AS (SELECT pid, rel, rn,
+         |         CAST(sum(rel) OVER (PARTITION BY pid ORDER BY rn
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum
+         |       FROM r WHERE rn <= 10),
+         |g AS (SELECT pid, CAST(sum(rel) AS BIGINT) AS n_rel,
+         |        CAST(sum(CASE WHEN rel = 1
+         |             THEN cum * 1000000 // rn ELSE 0 END) AS BIGINT)
+         |          AS ap_sum_u
+         |      FROM tp GROUP BY 1)
+         |SELECT pid, n_rel, ap_sum_u,
+         |       CAST(CASE WHEN n_rel > 0 THEN ap_sum_u // n_rel
+         |            ELSE 0 END AS BIGINT) AS ap_u
+         |FROM g ORDER BY ALL""".stripMargin,
+    "q_precision_at_k" ->
+      s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe,
+         |             label AS plabel
+         |           FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS nid, embedding AS e, label
+         |      FROM embeddings),
+         |s AS (SELECT pid, plabel, nid, label,
+         |        $dot64 AS dot, $pn64 AS na2, $en64 AS nb2
+         |      FROM p JOIN c ON nid <> pid),
+         |r AS (SELECT pid,
+         |        CASE WHEN label = plabel THEN 1 ELSE 0 END AS rel,
+         |        row_number() OVER (PARTITION BY pid
+         |          ORDER BY dot / sqrt(na2 * nb2) DESC, nid) AS rn
+         |      FROM s),
+         |tp AS (SELECT pid, rel, rn FROM r WHERE rn <= 10),
+         |ks AS (SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS k)
+         |SELECT k, CAST(count(DISTINCT pid) AS BIGINT) AS n_probes,
+         |       CAST(sum(rel) AS BIGINT) AS tot_rel,
+         |       CAST(sum(rel) * 10000 //
+         |            (k * count(DISTINCT pid)) AS BIGINT) AS prec_bp
+         |FROM tp CROSS JOIN ks WHERE rn <= k
+         |GROUP BY k ORDER BY ALL""".stripMargin
   )
 }

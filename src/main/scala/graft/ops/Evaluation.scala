@@ -243,4 +243,67 @@ object Evaluation {
         when(col("best_rank").isNotNull, expr("1000000 div best_rank"))
           .otherwise(lit(0L))))
   }
+
+  // ---- §2.44 ranking-quality metrics -----------------------------------
+
+  /** The shared §2.44 retrieval table: per probe (vec_id < 20), the
+    * top-10 exact-cosine neighbors with 1-based rank and same-label
+    * relevance — the q_ndcg construction, reused verbatim so the three
+    * ranking metrics grade the SAME retrieval run. */
+  private def top10(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+        col("label").as("plabel"))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    emb.join(broadcast(probes), col("vec_id") =!= col("pid"))
+      .withColumn("cos", Vectors.cosine(col("pe"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .withColumn("rel",
+        when(col("label") === col("plabel"), 1L).otherwise(0L))
+  }
+
+  /** Mean-average-precision inputs (§2.44): per probe, AP@10 ×10⁶ =
+    * (Σ_{rel ranks r} cum_rel(r)·10⁶ div r) div n_rel — precision at
+    * each relevant rank, averaged over the relevant results found in
+    * the top-10 (the declared denominator contract, matching q_ndcg's
+    * retrieved-set IDCG convention; probes with no relevant top-10 get
+    * 0). Complements q_ndcg (graded discounts) and q_mrr (first hit
+    * only): AP is the area under the precision-recall hops. Same scale
+    * shape as q_ndcg — broadcast probes, one rank window, per-probe
+    * cumulative over ≤10 rows. */
+  def qMapAtK(s: SparkSession, dir: String): DataFrame = {
+    val wc = Window.partitionBy("pid").orderBy("rn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orderedAll(top10(s, dir)
+      .withColumn("cum", sum("rel").over(wc))
+      .groupBy("pid")
+      .agg(sum("rel").cast("long").as("n_rel"),
+        sum(when(col("rel") === 1, expr("cum * 1000000 div rn"))
+          .otherwise(0L)).cast("long").as("ap_sum_u"))
+      .withColumn("ap_u",
+        when(col("n_rel") > 0, expr("ap_sum_u div n_rel"))
+          .otherwise(lit(0L))))
+  }
+
+  /** Precision@k curve (§2.44): for k ∈ {1, 5, 10}, the pooled
+    * precision over all probes in exact basis points —
+    * Σ rel@k ·10⁴ div (k·n_probes). The capacity-planning curve that
+    * says how deep a reranker must read. One 3-row broadcast k-grid
+    * against the shared top-10 table; everything else is a mergeable
+    * aggregate. */
+  def qPrecisionAtK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ks = Seq(1L, 5L, 10L).toDF("k")
+    orderedAll(top10(s, dir)
+      .crossJoin(broadcast(ks))
+      .filter(col("rn") <= col("k"))
+      .groupBy("k")
+      .agg(countDistinct(col("pid")).as("n_probes"),
+        sum("rel").cast("long").as("tot_rel"))
+      .withColumn("prec_bp",
+        expr("tot_rel * 10000 div (k * n_probes)")))
+  }
 }
