@@ -4444,6 +4444,43 @@ object Oracles {
          |       CAST(sum(rel) * 10000 //
          |            (k * count(DISTINCT pid)) AS BIGINT) AS prec_bp
          |FROM tp CROSS JOIN ks WHERE rn <= k
-         |GROUP BY k ORDER BY ALL""".stripMargin
+         |GROUP BY k ORDER BY ALL""".stripMargin,
+
+    // ---- §2.45 set-op / aggregate / window dialect completeness ----
+    "q_except_all" ->
+      """WITH r AS (SELECT l_suppkey AS suppkey FROM lineitem
+        |           WHERE l_returnflag = 'R'
+        |           EXCEPT ALL
+        |           SELECT l_suppkey FROM lineitem
+        |           WHERE l_returnflag = 'A')
+        |SELECT suppkey, CAST(count(*) AS BIGINT) AS excess_r
+        |FROM r GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_intersect_all" ->
+      """WITH r AS (SELECT l_suppkey AS suppkey FROM lineitem
+        |           WHERE l_returnflag = 'R'
+        |           INTERSECT ALL
+        |           SELECT l_suppkey FROM lineitem
+        |           WHERE l_returnflag = 'A')
+        |SELECT suppkey, CAST(count(*) AS BIGINT) AS matched_r
+        |FROM r GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_agg_bools" ->
+      """SELECT event_type,
+        |       bool_and(CAST(round(value * 100) AS BIGINT) > 1000)
+        |         AS all_over_10,
+        |       bool_or(CAST(round(value * 100) AS BIGINT) > 40000)
+        |         AS any_over_400,
+        |       CAST(count_if(CAST(round(value * 100) AS BIGINT) > 10000)
+        |            AS BIGINT) AS n_over_100,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_window_locf" ->
+      """SELECT event_id, user_id,
+        |       last_value(CASE WHEN event_type = 'purchase'
+        |           THEN CAST(round(value * 100) AS BIGINT) END
+        |         IGNORE NULLS) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS last_purchase_c
+        |FROM events ORDER BY ALL""".stripMargin
   )
 }

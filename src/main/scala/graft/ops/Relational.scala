@@ -508,4 +508,50 @@ object Relational {
       .select(col("n_name"), col("pri").as("mode_pri"),
         col("n").as("n_mode"), col("n_total")))
   }
+
+  // ---- §2.45 set-op / aggregate dialect completeness -------------------
+
+  /** EXCEPT ALL — the multiset difference q_except's DISTINCT variant
+    * can't express: suppkey OCCURRENCES on returned ('R') lines minus,
+    * one-for-one, occurrences on accepted ('A') lines. The surviving
+    * multiplicity (collapsed to counts for a bounded output) is the
+    * per-supplier excess-return signal; bag semantics are the point —
+    * a supplier appearing 5× in R and 3× in A survives exactly twice.
+    * Spark plans exceptAll as a count-and-replicate over one shuffle —
+    * same cost class as the DISTINCT variant at 100 TB. */
+  def qExceptAll(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    orderedAll(li.filter(col("l_returnflag") === "R")
+      .select(col("l_suppkey").as("suppkey"))
+      .exceptAll(li.filter(col("l_returnflag") === "A")
+        .select(col("l_suppkey").as("suppkey")))
+      .groupBy("suppkey").agg(count(lit(1)).as("excess_r")))
+  }
+
+  /** INTERSECT ALL — the multiset intersection (min of multiplicities):
+    * per suppkey, the number of R occurrences matched one-for-one by an
+    * A occurrence. Together with q_except_all this recovers both halves
+    * of the bag decomposition R = (R ∩ A) ⊎ (R ∖ A). */
+  def qIntersectAll(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    orderedAll(li.filter(col("l_returnflag") === "R")
+      .select(col("l_suppkey").as("suppkey"))
+      .intersectAll(li.filter(col("l_returnflag") === "A")
+        .select(col("l_suppkey").as("suppkey")))
+      .groupBy("suppkey").agg(count(lit(1)).as("matched_r")))
+  }
+
+  /** Boolean / conditional aggregate functions (§2.45): bool_and /
+    * bool_or / count_if per event type — the assertion-style aggregates
+    * data-quality rules compile to ("EVERY row in this partition
+    * satisfies X"). All three are codegen'd built-ins and mergeable
+    * (AND/OR/SUM monoids), so they map-side combine like any sum. */
+  def qAggBools(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "events")
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type")
+      .agg(expr("bool_and(cents > 1000)").as("all_over_10"),
+        expr("bool_or(cents > 40000)").as("any_over_400"),
+        expr("count_if(cents > 10000)").as("n_over_100"),
+        count(lit(1)).as("n")))
 }

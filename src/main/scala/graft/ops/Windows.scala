@@ -394,4 +394,23 @@ object Windows {
       .select(col("from_type"), col("to_type"), col("n"), col("tot"),
         round(col("n").cast("double") / col("tot"), 4).as("p")))
   }
+
+  /** Last-observation-carried-forward via IGNORE NULLS (§2.45): per
+    * user, every event carries the cents of the user's most recent
+    * 'purchase' at-or-before it — `last(x, ignoreNulls)` over a prefix
+    * frame, the window-dialect feature (IGNORE NULLS) that separates
+    * real LOCF from a self-join workaround. Distinct from q_gap_fill
+    * (date-spine densification): LOCF annotates EXISTING rows. One
+    * user-partitioned window, the natural 100 TB partition axis. */
+  def qWindowLocf(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orderedAll(t(s, dir, "events")
+      .withColumn("pv", expr(
+        "CASE WHEN event_type = 'purchase' " +
+          "THEN CAST(round(value * 100) AS BIGINT) END"))
+      .select(col("event_id"), col("user_id"),
+        last(col("pv"), ignoreNulls = true).over(w).as("last_purchase_c")))
+  }
 }
