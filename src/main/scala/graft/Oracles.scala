@@ -4481,6 +4481,42 @@ object Oracles {
         |           ORDER BY ts, event_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |         AS last_purchase_c
-        |FROM events ORDER BY ALL""".stripMargin
+        |FROM events ORDER BY ALL""".stripMargin,
+
+    // ---- §2.46 storage-encoding audits ----
+    "q_rle_audit" ->
+      """WITH r AS (SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |f AS (SELECT event_type,
+        |        CASE WHEN prev IS NULL OR prev <> event_type
+        |             THEN 1 ELSE 0 END AS run_start
+        |      FROM r)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(run_start) AS BIGINT) AS n_runs,
+        |       CAST(count(*) * 1000 // sum(run_start) AS BIGINT)
+        |         AS avg_run_e3
+        |FROM f GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_dict_audit" -> {
+      def profile(table: String, c: String): String =
+        s"""SELECT '$c' AS col_name, n_rows, n_distinct, bits_pv,
+           |  raw_bytes, dict_bytes,
+           |  dict_bytes + (n_rows * bits_pv + 7) // 8 AS encoded_bytes
+           |FROM (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+           |        CAST(count(*) AS BIGINT) AS n_distinct,
+           |        CAST(sum(length(v) * cnt) AS BIGINT) AS raw_bytes,
+           |        CAST(sum(length(v)) AS BIGINT) AS dict_bytes,
+           |        CAST(CASE WHEN count(*) <= 1 THEN 1
+           |             ELSE length(bin(count(*) - 1)) END AS BIGINT)
+           |          AS bits_pv
+           |      FROM (SELECT $c AS v, count(*) AS cnt
+           |            FROM $table GROUP BY 1))""".stripMargin
+      Seq(profile("lineitem", "l_returnflag"),
+        profile("lineitem", "l_linestatus"),
+        profile("orders", "o_orderstatus"),
+        profile("orders", "o_orderpriority"))
+        .mkString("", "\nUNION ALL BY NAME\n", "\nORDER BY ALL")
+    }
   )
 }

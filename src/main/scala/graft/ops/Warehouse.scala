@@ -361,4 +361,63 @@ object Warehouse {
       .agg(min("cents").as("wmedian_cents"))
       .select("event_type", "n", "tot_w", "wmedian_cents"))
   }
+
+  // ---- §2.46 storage-encoding audits -----------------------------------
+
+  /** Run-length-encoding audit (§2.46): per event type, the number of
+    * RLE runs of that type in each user's (ts, event_id)-ordered event
+    * stream, pooled — n_rows, n_runs (a run starts where the previous
+    * row's type differs), and mean run length ×10³. The
+    * storage-planning twin of q_prefix_compress: a column whose
+    * avg_run ≫ 1 under the table's native sort order wants RLE. The
+    * run-start flag is one lag window per user (the natural 100 TB
+    * partition axis — runs never span users, so no boundary merge is
+    * needed); everything after is a mergeable aggregate. */
+  def qRleAudit(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    orderedAll(t(s, dir, "events")
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .withColumn("run_start",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("run_start").cast("long").as("n_runs"))
+      .withColumn("avg_run_e3", expr("n_rows * 1000 div n_runs")))
+  }
+
+  /** Dictionary-encoding audit (§2.46): for each low-cardinality string
+    * column (lineitem flags + orders status/priority), the exact
+    * dictionary-encoding arithmetic a columnar writer runs — distinct
+    * count, bits per value (MSB position of nd−1 via length(bin(·)),
+    * exact in both engines — no float log2 near a power-of-two
+    * boundary), raw payload bytes vs dictionary payload + bit-packed
+    * indices. Each profile is one two-level mergeable aggregate
+    * (distinct collapse, then sums); the four profiles union to a
+    * 4-row report. */
+  def qDictAudit(s: SparkSession, dir: String): DataFrame = {
+    def profile(df: DataFrame, c: String): DataFrame = df
+      .select(col(c).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .agg(sum("cnt").cast("long").as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        sum(length(col("v")).cast("long") * col("cnt")).cast("long")
+          .as("raw_bytes"),
+        sum(length(col("v")).cast("long")).cast("long").as("dict_bytes"))
+      .withColumn("col_name", lit(c))
+      .withColumn("bits_pv", expr(
+        "CASE WHEN n_distinct <= 1 THEN 1 " +
+          "ELSE length(bin(n_distinct - 1)) END").cast("long"))
+      .withColumn("encoded_bytes", expr(
+        "dict_bytes + (n_rows * bits_pv + 7) div 8"))
+      .select("col_name", "n_rows", "n_distinct", "bits_pv",
+        "raw_bytes", "dict_bytes", "encoded_bytes")
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    orderedAll(profile(li, "l_returnflag")
+      .unionByName(profile(li, "l_linestatus"))
+      .unionByName(profile(o, "o_orderstatus"))
+      .unionByName(profile(o, "o_orderpriority")))
+  }
 }
