@@ -4517,6 +4517,65 @@ object Oracles {
         profile("orders", "o_orderstatus"),
         profile("orders", "o_orderpriority"))
         .mkString("", "\nUNION ALL BY NAME\n", "\nORDER BY ALL")
-    }
+    },
+
+    // ---- §2.47 pivot / as-of / percentile dialect ----
+    "q_pivot_multi" -> {
+      val cols = Seq("click", "error", "purchase", "signup", "view")
+        .map { t =>
+          s"""  CAST(count_if(event_type = '$t') AS BIGINT) AS ${t}_n,
+             |  CAST(coalesce(sum(CASE WHEN event_type = '$t'
+             |    THEN cents END), 0) AS BIGINT) AS ${t}_c""".stripMargin
+        }.mkString(",\n")
+      s"""SELECT user_id,
+         |$cols
+         |FROM (SELECT user_id, event_type,
+         |        CAST(round(value * 100) AS BIGINT) AS cents
+         |      FROM events)
+         |GROUP BY 1 ORDER BY ALL""".stripMargin
+    },
+    "q_percentile_disc" ->
+      """WITH h AS (SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |tot AS (SELECT o_orderpriority, CAST(sum(cnt) AS BIGINT) AS n
+        |        FROM h GROUP BY 1),
+        |c AS (SELECT h.o_orderpriority, cents, n,
+        |        CAST(sum(cnt) OVER (PARTITION BY h.o_orderpriority
+        |          ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum
+        |      FROM h JOIN tot USING (o_orderpriority)),
+        |p50 AS (SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+        |          CAST(min(cents) AS BIGINT) AS p50
+        |        FROM c WHERE cum * 100 >= n * 50 GROUP BY 1),
+        |p90 AS (SELECT o_orderpriority, CAST(min(cents) AS BIGINT) AS p90
+        |        FROM c WHERE cum * 100 >= n * 90 GROUP BY 1),
+        |p99 AS (SELECT o_orderpriority, CAST(min(cents) AS BIGINT) AS p99
+        |        FROM c WHERE cum * 100 >= n * 99 GROUP BY 1)
+        |SELECT o_orderpriority, n, p50, p90, p99
+        |FROM p50 JOIN p90 USING (o_orderpriority)
+        |  JOIN p99 USING (o_orderpriority) ORDER BY ALL""".stripMargin,
+    "q_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             epoch_us(ts) AS us
+        |           FROM events),
+        |w AS (SELECT event_id, user_id, us,
+        |        max(CASE WHEN event_type = 'signup' THEN us END)
+        |          OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS prev_signup_us,
+        |        min(CASE WHEN event_type = 'error' THEN us END)
+        |          OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |          AS next_error_us
+        |      FROM e)
+        |SELECT event_id, user_id,
+        |       CASE WHEN us - prev_signup_us <= 86400000000
+        |            THEN prev_signup_us END AS signup_24h_us,
+        |       CASE WHEN next_error_us - us <= 3600000000
+        |            THEN next_error_us END AS error_1h_us
+        |FROM w ORDER BY ALL""".stripMargin
   )
 }

@@ -541,6 +541,51 @@ object Relational {
       .groupBy("suppkey").agg(count(lit(1)).as("matched_r")))
   }
 
+  /** Multi-aggregate pivot (§2.47): event count AND cents sum per
+    * (user, type) in one pivot — the two-measure crosstab q_pivot's
+    * single-agg form can't emit. Spark suffixes the pivot value with
+    * each named aggregate (click_n, click_c, …); the oracle mirrors
+    * with conditional aggregation under the same names. Same plan class
+    * as q_pivot: one mergeable aggregate, pivot columns fixed up front
+    * (never data-dependent — the 100 TB contract). */
+  def qPivotMulti(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    orderedAll(t(s, dir, "events")
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      .na.fill(0L, types.flatMap(t => Seq(s"${t}_n", s"${t}_c"))))
+  }
+
+  /** Discrete (type-1) percentiles (§2.47): per order priority, the
+    * SMALLEST price-cents value whose cumulative count reaches p for
+    * p ∈ {50, 90, 99} — the percentile_disc semantics (an actual data
+    * value, no interpolation), complementing q_percentile's continuous
+    * form. Spelled histogram-first (the q_weighted_median discipline):
+    * raw rows collapse to (priority, cents, cnt) before the cumulative
+    * window, so the window input is value-domain-bounded; the decision
+    * rule cum·100 ≥ p·n is all-integer. */
+  def qPercentileDisc(s: SparkSession, dir: String): DataFrame = {
+    val h = t(s, dir, "orders")
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .groupBy("o_orderpriority", "cents")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = h.groupBy(col("o_orderpriority").as("p2"))
+      .agg(sum("cnt").as("n"))
+    val cum = h.withColumn("cum", sum("cnt").over(w))
+      .join(broadcast(tot), col("o_orderpriority") === col("p2"))
+    def pick(p: Int) = cum
+      .filter(col("cum") * 100 >= col("n") * p)
+      .groupBy("o_orderpriority")
+      .agg(max("n").as("n"), min("cents").as(s"p$p"))
+    orderedAll(pick(50)
+      .join(pick(90).drop("n"), "o_orderpriority")
+      .join(pick(99).drop("n"), "o_orderpriority"))
+  }
+
   /** Boolean / conditional aggregate functions (§2.45): bool_and /
     * bool_or / count_if per event type — the assertion-style aggregates
     * data-quality rules compile to ("EVERY row in this partition

@@ -413,4 +413,32 @@ object Windows {
       .select(col("event_id"), col("user_id"),
         last(col("pv"), ignoreNulls = true).over(w).as("last_purchase_c")))
   }
+
+  /** As-of join with direction AND tolerance (§2.47) — the pandas
+    * merge_asof surface q_join_asof's plain backward form lacks: per
+    * event, the user's most recent signup within 24 h back (backward +
+    * tolerance; NULL if the last signup is older) and the next error
+    * within 1 h forward. Both directions are prefix/suffix windows over
+    * the user axis with the tolerance applied as a post-filter on the
+    * matched timestamp — no join, no spine, the window spelling that
+    * scales with the per-user partition. */
+  def qAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("us", unix_micros(col("ts")))
+    val back = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    orderedAll(e
+      .withColumn("prev_signup_us",
+        max(when(col("event_type") === "signup", col("us"))).over(back))
+      .withColumn("next_error_us",
+        min(when(col("event_type") === "error", col("us"))).over(fwd))
+      .select(col("event_id"), col("user_id"),
+        when(col("us") - col("prev_signup_us") <= 86400000000L,
+          col("prev_signup_us")).as("signup_24h_us"),
+        when(col("next_error_us") - col("us") <= 3600000000L,
+          col("next_error_us")).as("error_1h_us")))
+  }
 }
