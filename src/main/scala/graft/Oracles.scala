@@ -4576,6 +4576,71 @@ object Oracles {
         |            THEN prev_signup_us END AS signup_24h_us,
         |       CASE WHEN next_error_us - us <= 3600000000
         |            THEN next_error_us END AS error_1h_us
-        |FROM w ORDER BY ALL""".stripMargin
+        |FROM w ORDER BY ALL""".stripMargin,
+
+    // ---- §2.48 curation funnels / predictability ----
+    "q_filter_funnel" -> {
+      val stops = Seq("the", "a", "of", "and", "to", "in", "is", "for")
+      val nStop = stops.map(w =>
+        s"CAST(list_contains(toks, '$w') AS BIGINT)").mkString(" + ")
+      s"""WITH d AS (SELECT source, n_chars,
+         |    string_split(lower(text), ' ') AS toks
+         |  FROM documents),
+         |f AS (SELECT source,
+         |    CAST(len(toks) AS BIGINT) AS n_toks,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |    n_chars - (CAST(len(toks) AS BIGINT) - 1) AS tok_chars,
+         |    $nStop AS n_stop
+         |  FROM d),
+         |g AS (SELECT source,
+         |    n_toks >= 50 AND n_toks <= 100000 AS g_len,
+         |    tok_chars >= n_toks * 3 AND tok_chars <= n_toks * 10
+         |      AS g_wordlen,
+         |    n_distinct * 10 >= n_toks * 3 AS g_ttr,
+         |    n_stop >= 2 AS g_stop
+         |  FROM f)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count_if(g_len) AS BIGINT) AS pass_len,
+         |  CAST(count_if(g_wordlen) AS BIGINT) AS pass_wordlen,
+         |  CAST(count_if(g_ttr) AS BIGINT) AS pass_ttr,
+         |  CAST(count_if(g_stop) AS BIGINT) AS pass_stop,
+         |  CAST(count_if(g_len AND g_wordlen AND g_ttr AND g_stop)
+         |       AS BIGINT) AS pass_all
+         |FROM g GROUP BY 1 ORDER BY ALL""".stripMargin
+    },
+    "q_dedup_cascade" ->
+      """WITH d AS (SELECT source, text,
+        |    array_to_string(string_split(lower(text), ' ')[1:8], ' ')
+        |      AS pkey
+        |  FROM documents),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(count(DISTINCT text) AS BIGINT) AS n_exact,
+        |        CAST(count(DISTINCT pkey) AS BIGINT) AS n_prefix
+        |      FROM d GROUP BY 1)
+        |SELECT source, n_docs, n_exact, n_prefix,
+        |       (n_docs - n_exact) * 10000 // n_docs AS exact_removed_bp,
+        |       (n_exact - n_prefix) * 10000 // n_exact
+        |         AS prefix_removed_bp
+        |FROM a ORDER BY ALL""".stripMargin,
+    "q_bigram_entropy" ->
+      """WITH t AS (SELECT source, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |bg AS (SELECT source, toks[i] AS a, toks[i + 1] AS b
+        |       FROM (SELECT source, toks,
+        |               unnest(generate_series(1, len(toks) - 1)) AS i
+        |             FROM t)),
+        |bi AS (SELECT source, a, b, CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM bg GROUP BY 1, 2, 3),
+        |hd AS (SELECT source, a, CAST(sum(n_ab) AS BIGINT) AS n_a
+        |       FROM bi GROUP BY 1, 2),
+        |m AS (SELECT bi.source, CAST(sum(n_ab) AS BIGINT) AS n_bigrams,
+        |        CAST(count(*) AS BIGINT) AS n_distinct_bg,
+        |        CAST(sum(n_ab * CAST(round(ln(CAST(n_a AS DOUBLE)
+        |             / n_ab) * 1000000) AS BIGINT)) AS BIGINT)
+        |          AS h_sum_u
+        |      FROM bi JOIN hd USING (source, a) GROUP BY 1)
+        |SELECT source, n_bigrams, n_distinct_bg, h_sum_u,
+        |       CAST(h_sum_u // n_bigrams AS BIGINT) AS h_u
+        |FROM m ORDER BY ALL""".stripMargin
   )
 }

@@ -348,4 +348,100 @@ object CorpusStats {
       .groupBy(col("declared"), col("cand").as("predicted"))
       .agg(count(lit(1)).as("n_docs")))
   }
+
+  // ---- §2.48 curation funnels / predictability -------------------------
+
+  /** Gopher/C4-style quality-filter funnel (§2.48): per source, how many
+    * docs pass each of four integer-rule gates and all of them — the
+    * audit a curator reads before committing thresholds. Gates (all
+    * integer arithmetic, no float boundary): length 50 ≤ n_toks ≤ 10⁵;
+    * mean token length in [3, 10] via 3·n_toks ≤ tok_chars ≤ 10·n_toks
+    * (tok_chars = n_chars − (n_toks − 1)); type-token ratio ≥ 0.3 via
+    * 10·n_distinct ≥ 3·n_toks; ≥ 2 distinct stopwords from the fixed
+    * 8-word list (sum of array_contains flags — portable, no
+    * intersect-dedup dialect drift). Scan-shaped: per-doc flags in-row,
+    * one mergeable aggregate. */
+  def qFilterFunnel(s: SparkSession, dir: String): DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "for")
+    val nStop = stops.map(w =>
+      array_contains(col("toks"), w).cast("long")).reduce(_ + _)
+    orderedAll(t(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_distinct",
+        size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("tok_chars", col("n_chars") - (col("n_toks") - 1))
+      .withColumn("g_len",
+        col("n_toks") >= 50 && col("n_toks") <= 100000)
+      .withColumn("g_wordlen",
+        col("tok_chars") >= col("n_toks") * 3 &&
+          col("tok_chars") <= col("n_toks") * 10)
+      .withColumn("g_ttr", col("n_distinct") * 10 >= col("n_toks") * 3)
+      .withColumn("g_stop", nStop >= 2)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("g_len"), 1L).otherwise(0L)).cast("long")
+          .as("pass_len"),
+        sum(when(col("g_wordlen"), 1L).otherwise(0L)).cast("long")
+          .as("pass_wordlen"),
+        sum(when(col("g_ttr"), 1L).otherwise(0L)).cast("long")
+          .as("pass_ttr"),
+        sum(when(col("g_stop"), 1L).otherwise(0L)).cast("long")
+          .as("pass_stop"),
+        sum(when(col("g_len") && col("g_wordlen") && col("g_ttr") &&
+          col("g_stop"), 1L).otherwise(0L)).cast("long").as("pass_all")))
+  }
+
+  /** Dedup-cascade funnel (§2.48): per source, survivors after each
+    * stage of the standard cascade — exact full-text keep-first, then
+    * the normalized 8-token-prefix key (q_dedup_exact's key; the key is
+    * a function of the text, so stage-2 survivors = distinct keys) —
+    * with basis-point removal accounting. The composition contract over
+    * the §2.11 dedup primitives: a mix designer reads this table, not
+    * the pair lists. Two count-distincts in one mergeable aggregate. */
+  def qDedupCascade(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "documents")
+      .withColumn("pkey",
+        concat_ws(" ", slice(tokens(col("text")), 1, 8)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_exact"),
+        countDistinct(col("pkey")).as("n_prefix"))
+      .withColumn("exact_removed_bp",
+        expr("(n_docs - n_exact) * 10000 div n_docs"))
+      .withColumn("prefix_removed_bp",
+        expr("(n_exact - n_prefix) * 10000 div n_exact")))
+
+  /** Conditional bigram entropy (§2.48): per source,
+    * H(b|a) = Σ_ab (n_ab/N)·ln(n_a/n_ab) with each ln quantized ×10⁶
+    * BEFORE the weighted sum (exact BIGINTs; n_a = bigrams starting
+    * with a) — the predictability/boilerplate signal q_token_entropy's
+    * unigram float form can't see (a corpus of shuffled words and one
+    * of repeated sentences share unigram entropy but not bigram).
+    * Bigram counts are one mergeable aggregate; the n_a margin joins
+    * back on the bigram-head key — the q_cooccur_pmi partitioning. */
+  def qBigramEntropy(s: SparkSession, dir: String): DataFrame = {
+    val bi = t(s, dir, "documents")
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .select(col("source"), explode(expr(
+        """filter(
+          |  transform(toks, (x, i) ->
+          |    CASE WHEN i < size(toks) - 1
+          |         THEN struct(x AS a, toks[i + 1] AS b) END),
+          |  g -> g IS NOT NULL)""".stripMargin)).as("bg"))
+      .select(col("source"), col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy("source", "a", "b").agg(count(lit(1)).as("n_ab"))
+    val head = bi.groupBy(col("source").as("s2"), col("a").as("a2"))
+      .agg(sum("n_ab").as("n_a"))
+    orderedAll(bi
+      .join(head, col("source") === col("s2") && col("a") === col("a2"))
+      .withColumn("term_u", expr(
+        "n_ab * CAST(round(ln(CAST(n_a AS DOUBLE) / n_ab) * 1000000) " +
+          "AS BIGINT)"))
+      .groupBy("source")
+      .agg(sum("n_ab").cast("long").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bg"),
+        sum("term_u").cast("long").as("h_sum_u"))
+      .withColumn("h_u", expr("h_sum_u div n_bigrams")))
+  }
 }
