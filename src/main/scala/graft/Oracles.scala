@@ -4641,6 +4641,56 @@ object Oracles {
         |      FROM bi JOIN hd USING (source, a) GROUP BY 1)
         |SELECT source, n_bigrams, n_distinct_bg, h_sum_u,
         |       CAST(h_sum_u // n_bigrams AS BIGINT) AS h_u
-        |FROM m ORDER BY ALL""".stripMargin
+        |FROM m ORDER BY ALL""".stripMargin,
+
+    // ---- §2.49 remaining expressible TPC-H twins ----
+    "q_tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  ${dsumExact("CAST(l_extendedprice AS DECIMAL(15,2))")}
+         |    AS sum_base_price,
+         |  ${dsumExact(discPrice)} AS sum_disc_price,
+         |  ${dsumExact(charge)} AS sum_charge,
+         |  CAST(count(*) AS BIGINT) AS count_order,
+         |  round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         |        / count(*), 4) AS avg_qty,
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)))
+         |        AS DOUBLE) / count(*), 4) AS avg_price,
+         |  round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+         |        / count(*), 4) AS avg_disc
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+        |        * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 2)
+        |         AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(l_discount AS DECIMAL(4,2))
+        |        BETWEEN CAST(0.05 AS DECIMAL(4,2))
+        |            AND CAST(0.07 AS DECIMAL(4,2))
+        |  AND l_quantity < 24 ORDER BY ALL""".stripMargin,
+    "q_tpch_q19" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_lines,
+         |       ${dsumExact(discPrice)} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+         |        AND p_size BETWEEN 1 AND 5)
+         |   OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20
+         |        AND p_size BETWEEN 1 AND 10)
+         |   OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 20 AND 30
+         |        AND p_size BETWEEN 1 AND 15)
+         |ORDER BY ALL""".stripMargin
   )
 }
