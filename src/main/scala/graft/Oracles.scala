@@ -4691,6 +4691,45 @@ object Oracles {
          |        AND p_size BETWEEN 1 AND 10)
          |   OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 20 AND 30
          |        AND p_size BETWEEN 1 AND 15)
-         |ORDER BY ALL""".stripMargin
+         |ORDER BY ALL""".stripMargin,
+
+    // ---- §2.50 engagement analytics ----
+    "q_type_affinity" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nm
+        |      FROM ut GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        CAST(count(*) AS BIGINT) AS n_both
+        |      FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |        AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both, ma.nm AS n_a, mb.nm AS n_b,
+        |       CAST(n_both * 10000 // (ma.nm + mb.nm - n_both)
+        |            AS BIGINT) AS jaccard_bp
+        |FROM p JOIN m ma ON p.type_a = ma.event_type
+        |       JOIN m mb ON p.type_b = mb.event_type
+        |ORDER BY ALL""".stripMargin,
+    "q_active_days" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |              epoch_us(ts) // 86400000000 AS day
+        |            FROM events),
+        |pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS days_active
+        |       FROM ud GROUP BY 1)
+        |SELECT days_active, CAST(count(*) AS BIGINT) AS n_users
+        |FROM pu GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_stickiness" ->
+      """WITH tdu AS (SELECT DISTINCT event_type,
+        |               epoch_us(ts) // 86400000000 AS day, user_id
+        |             FROM events),
+        |d AS (SELECT event_type, CAST(count(*) AS BIGINT) AS sum_dau,
+        |        CAST(count(DISTINCT day) AS BIGINT) AS n_days
+        |      FROM tdu GROUP BY 1),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS actives
+        |      FROM (SELECT DISTINCT event_type, user_id FROM tdu)
+        |      GROUP BY 1)
+        |SELECT event_type, n_days, sum_dau, actives,
+        |       CAST(sum_dau * 10000 // (n_days * actives) AS BIGINT)
+        |         AS stickiness_bp
+        |FROM d JOIN m USING (event_type) ORDER BY ALL""".stripMargin
   )
 }
