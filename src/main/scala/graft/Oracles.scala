@@ -4730,6 +4730,73 @@ object Oracles {
         |SELECT event_type, n_days, sum_dau, actives,
         |       CAST(sum_dau * 10000 // (n_days * actives) AS BIGINT)
         |         AS stickiness_bp
-        |FROM d JOIN m USING (event_type) ORDER BY ALL""".stripMargin
+        |FROM d JOIN m USING (event_type) ORDER BY ALL""".stripMargin,
+
+    // ---- §2.51 BI decomposition ----
+    "q_qq_deciles" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+        |        FROM h GROUP BY 1),
+        |c AS (SELECT h.event_type, cents, n,
+        |        CAST(sum(cnt) OVER (PARTITION BY h.event_type
+        |          ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum
+        |      FROM h JOIN tot USING (event_type)),
+        |g AS (SELECT CAST(unnest(generate_series(1, 9)) * 10 AS BIGINT)
+        |        AS d),
+        |q AS (SELECT event_type, d, CAST(min(cents) AS BIGINT) AS q
+        |      FROM c CROSS JOIN g WHERE cum * 100 >= n * d
+        |      GROUP BY 1, 2)
+        |SELECT t.event_type AS tt, t.d, t.q AS q_t, v.q AS q_v,
+        |       t.q - v.q AS gap_c
+        |FROM q t JOIN q v ON t.d = v.d AND v.event_type = 'view'
+        |WHERE t.event_type <> 'view' ORDER BY ALL""".stripMargin,
+    "q_abc_class" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * CAST(round((1 - l_discount) * 100) AS BIGINT))
+        |         AS BIGINT) AS rev10k
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(rev10k) AS BIGINT) AS tot FROM rev),
+        |c AS (SELECT rev10k,
+        |        CAST(coalesce(sum(rev10k) OVER (
+        |          ORDER BY rev10k DESC, l_partkey ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |          0) AS BIGINT) AS cum_before
+        |      FROM rev),
+        |k AS (SELECT rev10k,
+        |        CASE WHEN cum_before * 5 < tot * 4 THEN 'A'
+        |             WHEN cum_before * 20 < tot * 19 THEN 'B'
+        |             ELSE 'C' END AS cls
+        |      FROM c CROSS JOIN tot)
+        |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(sum(rev10k) AS BIGINT) AS rev_10k,
+        |       CAST(sum(rev10k) * 10000 // tot AS BIGINT) AS share_bp
+        |FROM k CROSS JOIN tot GROUP BY cls, tot ORDER BY ALL""".stripMargin,
+    "q_price_volume_mix" ->
+      """WITH li AS (SELECT p_brand, year(l_shipdate) AS yr,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * CAST(round((1 - l_discount) * 100) AS BIGINT))
+        |         AS BIGINT) AS rev10k,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE year(l_shipdate) IN (1996, 1997)
+        |  GROUP BY 1, 2),
+        |y1 AS (SELECT p_brand, rev10k AS rev1, qty AS q1 FROM li
+        |       WHERE yr = 1996),
+        |y2 AS (SELECT p_brand, rev10k AS rev2, qty AS q2 FROM li
+        |       WHERE yr = 1997),
+        |j AS (SELECT p_brand, rev1, rev2, q1, q2,
+        |        rev1 // q1 AS p1, rev2 // q2 AS p2
+        |      FROM y1 JOIN y2 USING (p_brand))
+        |SELECT p_brand, rev1, rev2,
+        |       (q2 - q1) * p1 AS vol_eff,
+        |       (p2 - p1) * q2 AS price_eff,
+        |       rev2 - rev1 - (q2 - q1) * p1 - (p2 - p1) * q2 AS resid
+        |FROM j ORDER BY ALL""".stripMargin
   )
 }

@@ -367,6 +367,10 @@ object SparkEntry {
     "q_type_affinity" -> Engagement.qTypeAffinity _,
     "q_active_days" -> Engagement.qActiveDays _,
     "q_stickiness" -> Engagement.qStickiness _,
+    // §2.51 round-8 BI decomposition
+    "q_qq_deciles" -> Insights.qQqDeciles _,
+    "q_abc_class" -> Insights.qAbcClass _,
+    "q_price_volume_mix" -> Insights.qPriceVolumeMix _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

@@ -409,6 +409,100 @@ object Insights {
         col("peak"), col("dd").as("max_dd")))
   }
 
+  /** Quantile–quantile decile grid (§2.51): for each non-view type vs
+    * the 'view' baseline, the discrete decile values of cents
+    * (d = 10..90) side by side with the per-decile gap — the
+    * distribution-comparison table behind q_ks_test's single number
+    * (WHERE the distributions diverge, not just whether). Histogram-
+    * first: the cumulative window runs over (type, cents) rows; the
+    * decile picks are min-cents over a broadcast 9-row grid, all
+    * integer decision rules. */
+  def qQqDeciles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = t(s, dir, "events")
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = h.groupBy(col("event_type").as("e2"))
+      .agg(sum("cnt").as("n"))
+    val grid = (1 to 9).map(_ * 10L).toDF("d")
+    val q = h.withColumn("cum", sum("cnt").over(w))
+      .join(broadcast(tot), col("event_type") === col("e2"))
+      .crossJoin(broadcast(grid))
+      .filter(col("cum") * 100 >= col("n") * col("d"))
+      .groupBy("event_type", "d")
+      .agg(min("cents").as("q"))
+    orderedAll(q.filter(col("event_type") =!= "view")
+      .select(col("event_type").as("tt"), col("d"), col("q").as("q_t"))
+      .join(q.filter(col("event_type") === "view")
+        .select(col("d"), col("q").as("q_v")), "d")
+      .withColumn("gap_c", col("q_t") - col("q_v"))
+      .select("tt", "d", "q_t", "q_v", "gap_c"))
+  }
+
+  /** ABC inventory classification (§2.51): parts ranked by exact ×10⁴
+    * revenue units; class A covers the first 80% of cumulative revenue,
+    * B the next 15%, C the tail — assigned on the cumulative share
+    * BEFORE each part (the q_pareto carry rule, exact integer tests
+    * 5·cum < 4·tot and 20·cum < 19·tot). Emits per class: parts,
+    * revenue units, and share bp — the stocking-policy report. The
+    * rank/cumulative windows run over the PART-level aggregate
+    * (≪ lineitem); the fact table is scanned once. */
+  def qAbcClass(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "CAST(round((1 - l_discount) * 100) AS BIGINT)")).as("rev10k"))
+    val w = Window.orderBy(col("rev10k").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = rev.agg(sum("rev10k").as("tot"))
+    orderedAll(rev
+      .withColumn("cum_before", coalesce(sum("rev10k").over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("cls", expr(
+        "CASE WHEN cum_before * 5 < tot * 4 THEN 'A' " +
+          "WHEN cum_before * 20 < tot * 19 THEN 'B' ELSE 'C' END"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"),
+        sum("rev10k").cast("long").as("rev_10k"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_bp", expr("rev_10k * 10000 div tot"))
+      .select("cls", "n_parts", "rev_10k", "share_bp"))
+  }
+
+  /** Price–volume–mix revenue bridge (§2.51): per brand, the 1996→1997
+    * revenue delta decomposed into volume effect (Δq·p̄₁), price effect
+    * (Δp̄·q₂), and the truncation residual — the classic BI bridge that
+    * says WHY revenue moved. Average prices are exact integer divisions
+    * of ×10⁴ revenue units by quantity (truncation declared; the
+    * residual row makes the decomposition identity exact by
+    * construction). One scan → per-(brand, year) aggregate → 25-row
+    * pivot arithmetic. */
+  def qPriceVolumeMix(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("yr", year(col("l_shipdate")))
+      .filter(col("yr").isin(1996, 1997))
+      .groupBy("p_brand", "yr")
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "CAST(round((1 - l_discount) * 100) AS BIGINT)")).as("rev10k"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+    val y1 = li.filter(col("yr") === 1996)
+      .select(col("p_brand"), col("rev10k").as("rev1"), col("qty").as("q1"))
+    val y2 = li.filter(col("yr") === 1997)
+      .select(col("p_brand"), col("rev10k").as("rev2"), col("qty").as("q2"))
+    orderedAll(y1.join(y2, "p_brand")
+      .withColumn("p1", expr("rev1 div q1"))
+      .withColumn("p2", expr("rev2 div q2"))
+      .withColumn("vol_eff", expr("(q2 - q1) * p1"))
+      .withColumn("price_eff", expr("(p2 - p1) * q2"))
+      .withColumn("resid", expr("rev2 - rev1 - vol_eff - price_eff"))
+      .select("p_brand", "rev1", "rev2", "vol_eff", "price_eff",
+        "resid"))
+  }
+
   /** Seasonal-strength score per type (§2.43): the share of daily
     * variance explained by day-of-week, ss_bp = SSB·10⁴ div SST over
     * ×10³-quantized deviations from the global daily mean — the single
