@@ -4797,6 +4797,29 @@ object Oracles {
         |       (q2 - q1) * p1 AS vol_eff,
         |       (p2 - p1) * q2 AS price_eff,
         |       rev2 - rev1 - (q2 - q1) * p1 - (p2 - p1) * q2 AS resid
-        |FROM j ORDER BY ALL""".stripMargin
+        |FROM j ORDER BY ALL""".stripMargin,
+
+    // ---- §2.52 IR / search primitives ----
+    "q_phrase_search" ->
+      """WITH p AS (SELECT doc_id,
+        |    unnest(generate_series(1, len(toks))) AS pos, toks
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |        FROM documents))
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos
+        |FROM p WHERE toks[pos] = 'merge' AND toks[pos + 1] = 'join'
+        |ORDER BY ALL""".stripMargin,
+    "q_boolean_search" ->
+      """WITH post AS (SELECT DISTINCT doc_id, unnest(
+        |    string_split(lower(text), ' ')) AS token
+        |  FROM documents)
+        |SELECT d.doc_id, d.source
+        |FROM documents d
+        |WHERE EXISTS (SELECT 1 FROM post
+        |              WHERE doc_id = d.doc_id AND token = 'hash')
+        |  AND EXISTS (SELECT 1 FROM post
+        |              WHERE doc_id = d.doc_id AND token = 'join')
+        |  AND NOT EXISTS (SELECT 1 FROM post
+        |              WHERE doc_id = d.doc_id AND token = 'stream')
+        |ORDER BY ALL""".stripMargin
   )
 }

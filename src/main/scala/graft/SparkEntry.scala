@@ -371,6 +371,9 @@ object SparkEntry {
     "q_qq_deciles" -> Insights.qQqDeciles _,
     "q_abc_class" -> Insights.qAbcClass _,
     "q_price_volume_mix" -> Insights.qPriceVolumeMix _,
+    // §2.52 round-8 IR / search primitives
+    "q_phrase_search" -> Corpus.qPhraseSearch _,
+    "q_boolean_search" -> Corpus.qBooleanSearch _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

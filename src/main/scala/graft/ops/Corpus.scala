@@ -220,4 +220,45 @@ object Corpus {
       .select("source", "n_docs", "toks", "dup_bp", "mean_chars",
         "top_lang", "top_lang_docs"))
   }
+
+  // ---- §2.52 IR / search primitives ------------------------------------
+
+  /** Exact phrase search via the positional inverted index (§2.52):
+    * every occurrence of the phrase "merge join" as (doc_id, pos) — the
+    * position-aligned posting join (pos of 'merge' meets pos+1 of
+    * 'join') that a positional index runs instead of rescanning text.
+    * Postings build in one posexplode pass; the alignment join is keyed
+    * by (doc_id, pos) — equi, never a scan of the cross product. At
+    * 100 TB each term's posting list is the unit of distribution and
+    * rare-term-first intersection orders the join (declared; with two
+    * terms the optimizer's build-side choice already is that). */
+  def qPhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val pos = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("token"))
+    val a = pos.filter(col("token") === "merge")
+      .select(col("doc_id"), col("pos"))
+    val b = pos.filter(col("token") === "join")
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    orderedAll(a.join(b, Seq("doc_id", "pos"), "left_semi"))
+  }
+
+  /** Boolean search via posting-set algebra (§2.52): documents matching
+    * (hash AND join AND NOT stream) — two semi joins and one anti join
+    * on the distinct (token, doc) posting table, the set-algebra plan a
+    * search engine runs for boolean queries (each term's posting list
+    * streams through a hash join; nothing is materialized per doc).
+    * Emits the matching docs with their source for mix accounting. */
+  def qBooleanSearch(s: SparkSession, dir: String): DataFrame = {
+    val post = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("token"))
+    def docsWith(term: String) =
+      post.filter(col("token") === term).select("doc_id")
+    orderedAll(t(s, dir, "documents").select("doc_id", "source")
+      .join(docsWith("hash"), Seq("doc_id"), "left_semi")
+      .join(docsWith("join"), Seq("doc_id"), "left_semi")
+      .join(docsWith("stream"), Seq("doc_id"), "left_anti"))
+  }
 }
