@@ -4820,6 +4820,57 @@ object Oracles {
         |              WHERE doc_id = d.doc_id AND token = 'join')
         |  AND NOT EXISTS (SELECT 1 FROM post
         |              WHERE doc_id = d.doc_id AND token = 'stream')
-        |ORDER BY ALL""".stripMargin
+        |ORDER BY ALL""".stripMargin,
+
+    // ---- §2.53 temporal profiling ----
+    "q_rolling_beta" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CASE WHEN event_type = 'view'
+        |         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |         AS BIGINT) // 100000 AS x1,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |         AS BIGINT) // 100000 AS x2
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY 1),
+        |r AS (SELECT day,
+        |        CAST(count(*) OVER w AS BIGINT) AS nw,
+        |        CAST(sum(x1) OVER w AS BIGINT) AS sx,
+        |        CAST(sum(x2) OVER w AS BIGINT) AS sy,
+        |        CAST(sum(x1 * x1) OVER w AS BIGINT) AS sxx,
+        |        CAST(sum(x1 * x2) OVER w AS BIGINT) AS sxy
+        |      FROM daily WINDOW w AS (ORDER BY day
+        |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, nw,
+        |       CAST(CASE WHEN nw * sxx - sx * sx = 0 THEN NULL
+        |            ELSE (nw * sxy - sx * sy) * 1000 //
+        |                 (nw * sxx - sx * sx) END AS BIGINT)
+        |         AS beta_milli
+        |FROM r ORDER BY ALL""".stripMargin,
+    "q_log_histogram" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_type, CAST(length(bin(cents)) AS BIGINT) AS nbits,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(cents) AS BIGINT) AS lo,
+        |       CAST(max(cents) AS BIGINT) AS hi
+        |FROM e WHERE cents > 0
+        |GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+    "q_peak_hour" ->
+      """WITH h AS (SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+        |        FROM h GROUP BY 1),
+        |rk AS (SELECT event_type, hour, n,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY n DESC, hour ASC) AS rn
+        |       FROM h)
+        |SELECT rk.event_type, CAST(hour AS BIGINT) AS peak_hour,
+        |       n AS n_peak, CAST(n * 10000 // tot AS BIGINT) AS share_bp
+        |FROM rk JOIN tot USING (event_type)
+        |WHERE rn = 1 ORDER BY ALL""".stripMargin
   )
 }

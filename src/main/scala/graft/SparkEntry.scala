@@ -374,6 +374,10 @@ object SparkEntry {
     // §2.52 round-8 IR / search primitives
     "q_phrase_search" -> Corpus.qPhraseSearch _,
     "q_boolean_search" -> Corpus.qBooleanSearch _,
+    // §2.53 round-8 temporal profiling
+    "q_rolling_beta" -> Insights.qRollingBeta _,
+    "q_log_histogram" -> Insights.qLogHistogram _,
+    "q_peak_hour" -> Insights.qPeakHour _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

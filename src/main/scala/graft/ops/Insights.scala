@@ -409,6 +409,77 @@ object Insights {
         col("peak"), col("dd").as("max_dd")))
   }
 
+  /** 7-day rolling OLS beta (§2.53): per day, the trailing-7-row OLS
+    * slope of purchase daily kilo-dollars on view daily kilo-dollars —
+    * the rolling co-movement readout (is purchase volume still tracking
+    * traffic?). Slope (not Pearson r) keeps every intermediate in int64
+    * without squaring the covariance numerator: beta_milli =
+    * (n·Σxy − ΣxΣy)·10³ div (n·Σxx − Σx²), kilo-dollar quantization
+    * declared (headroom to ~4·10⁶ k$/day). Rolling moments are four
+    * sums over one ROWS -6..0 window on the ≤|days| grid; degenerate
+    * windows (zero x-variance) yield NULL in both engines. */
+  def qRollingBeta(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(
+        expr("sum(CASE WHEN event_type = 'purchase' THEN " +
+          "CAST(round(value * 100) AS BIGINT) ELSE 0 END) div 100000")
+          .as("x2"),
+        expr("sum(CASE WHEN event_type = 'view' THEN " +
+          "CAST(round(value * 100) AS BIGINT) ELSE 0 END) div 100000")
+          .as("x1"))
+    val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    orderedAll(daily
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("sx", sum("x1").over(w))
+      .withColumn("sy", sum("x2").over(w))
+      .withColumn("sxx", sum(expr("x1 * x1")).over(w))
+      .withColumn("sxy", sum(expr("x1 * x2")).over(w))
+      .withColumn("beta_milli", expr(
+        "CASE WHEN nw * sxx - sx * sx = 0 THEN NULL " +
+          "ELSE (nw * sxy - sx * sy) * 1000 div (nw * sxx - sx * sx) END"))
+      .select("day", "nw", "beta_milli"))
+  }
+
+  /** Log₂-scaled value histogram (§2.53): per type, events bucketed by
+    * the bit length of their cents (MSB position via length(bin(·)) —
+    * the exact integer ⌊log₂⌋+1, the q_dict_audit device), with count
+    * and exact bin bounds — the heavy-tail profile a linear histogram
+    * (q_histogram) compresses into one bucket. One scan, one mergeable
+    * aggregate, ≤64 bins per type. */
+  def qLogHistogram(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "events")
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .filter(col("cents") > 0)
+      .withColumn("nbits", expr("length(bin(cents))").cast("long"))
+      .groupBy("event_type", "nbits")
+      .agg(count(lit(1)).as("n"), min("cents").as("lo"),
+        max("cents").as("hi")))
+
+  /** Peak-hour profile (§2.53): each type's busiest UTC hour-of-day
+    * with its event count and share in basis points — the
+    * capacity-planning readout (when to schedule compaction, when
+    * traffic peaks). (hour extraction is pure integer arithmetic on
+    * epoch micros, no timezone dialect.) Hour counts are one mergeable
+    * aggregate; the argmax is a rank window over ≤24 rows per type. */
+  def qPeakHour(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val tot = hourly.groupBy(col("event_type").as("e2"))
+      .agg(sum("n").as("tot"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n").desc, col("hour").asc)
+    orderedAll(hourly
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(broadcast(tot), col("event_type") === col("e2"))
+      .withColumn("share_bp", expr("n * 10000 div tot"))
+      .select(col("event_type"), col("hour").as("peak_hour"),
+        col("n").as("n_peak"), col("share_bp")))
+  }
+
   /** Quantile–quantile decile grid (§2.51): for each non-view type vs
     * the 'view' baseline, the discrete decile values of cents
     * (d = 10..90) side by side with the per-decile gap — the
