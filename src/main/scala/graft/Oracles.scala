@@ -4871,6 +4871,46 @@ object Oracles {
         |SELECT rk.event_type, CAST(hour AS BIGINT) AS peak_hour,
         |       n AS n_peak, CAST(n * 10000 // tot AS BIGINT) AS share_bp
         |FROM rk JOIN tot USING (event_type)
-        |WHERE rn = 1 ORDER BY ALL""".stripMargin
+        |WHERE rn = 1 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.54 survey-sampling estimator audits ----
+    "q_ht_estimate" ->
+      """WITH e AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    substring(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+        |      CAST(l_linenumber AS VARCHAR)), 1, 1) = '0' AS ina
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS true_cents,
+        |       CAST(sum(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_sample,
+        |       CAST(sum(CASE WHEN ina THEN cents ELSE 0 END) * 16
+        |            AS BIGINT) AS ht_cents,
+        |       CAST(abs(sum(CASE WHEN ina THEN cents ELSE 0 END) * 16
+        |            - sum(cents)) * 10000 // sum(cents) AS BIGINT)
+        |         AS err_bp
+        |FROM e GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_capture_recapture" ->
+      """WITH u AS (SELECT event_type, user_id,
+        |    max(substring(md5(CAST(user_id AS VARCHAR) || ':cra'), 1, 1)
+        |        IN ('0', '1', '2', '3')) AS in_a,
+        |    max(substring(md5(CAST(user_id AS VARCHAR) || ':crb'), 1, 1)
+        |        IN ('0', '1', '2', '3')) AS in_b
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS true_users,
+        |        CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n1,
+        |        CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n2,
+        |        CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS m
+        |      FROM u GROUP BY 1)
+        |SELECT event_type, true_users, n1, n2, m,
+        |       CAST(CASE WHEN m = 0 THEN NULL
+        |            ELSE n1 * n2 // m END AS BIGINT) AS est_users,
+        |       CAST(abs(CASE WHEN m = 0 THEN NULL
+        |                ELSE n1 * n2 // m END - true_users) * 10000
+        |            // true_users AS BIGINT) AS err_bp
+        |FROM g ORDER BY ALL""".stripMargin
   )
 }

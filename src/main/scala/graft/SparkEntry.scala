@@ -378,6 +378,9 @@ object SparkEntry {
     "q_rolling_beta" -> Insights.qRollingBeta _,
     "q_log_histogram" -> Insights.qLogHistogram _,
     "q_peak_hour" -> Insights.qPeakHour _,
+    // §2.54 round-8 survey-sampling estimator audits
+    "q_ht_estimate" -> Analytics.qHtEstimate _,
+    "q_capture_recapture" -> Analytics.qCaptureRecapture _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

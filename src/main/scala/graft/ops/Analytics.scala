@@ -546,4 +546,54 @@ object Analytics {
       .select(col("n_name"), col("cents"), col("base"),
         col("extra"), (col("base") + col("extra")).as("seats")))
   }
+
+  // ---- §2.54 survey-sampling estimator audits --------------------------
+
+  /** Horvitz–Thompson estimator audit (§2.54): per return flag, the
+    * exact revenue total vs the HT estimate from the deterministic
+    * 1/16 md5 sample (q_sample_det's gate; inclusion probability 1/16 →
+    * estimate = 16·sample sum), with the error in basis points — the
+    * calibration check that says whether sampled dashboards can be
+    * trusted. One conditional-aggregate scan; all integers. */
+  def qHtEstimate(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "lineitem")
+      .withColumn("cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .withColumn("inA", expr(
+        "substring(md5(concat(CAST(l_orderkey AS STRING), '-', " +
+          "CAST(l_linenumber AS STRING))), 1, 1) = '0'"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("cents").as("true_cents"),
+        sum(when(col("inA"), 1L).otherwise(0L)).cast("long").as("n_sample"),
+        (sum(when(col("inA"), col("cents")).otherwise(0L)) * 16)
+          .as("ht_cents"))
+      .withColumn("err_bp",
+        expr("abs(ht_cents - true_cents) * 10000 div true_cents")))
+
+  /** Capture–recapture (Lincoln–Petersen) distinct-count estimate
+    * (§2.54): per event type, the user count estimated from two
+    * independent deterministic samples (md5 gates with different
+    * salts): N̂ = n1·n2 div m vs the true distinct count, error bp —
+    * the sketch-free cardinality estimation audit (the same protocol
+    * ecology uses on fish). Per-(type, user) membership flags are one
+    * mergeable aggregate; the estimate is arithmetic on ≤|types| rows.
+    * m = 0 (disjoint samples) yields NULL in both engines. */
+  def qCaptureRecapture(s: SparkSession, dir: String): DataFrame = {
+    def gate(salt: String) = expr(
+      s"substring(md5(concat(CAST(user_id AS STRING), ':$salt')), 1, 1) " +
+        "IN ('0', '1', '2', '3')")
+    orderedAll(t(s, dir, "events")
+      .groupBy("event_type", "user_id")
+      .agg(max(gate("cra")).as("in_a"), max(gate("crb")).as("in_b"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("true_users"),
+        sum(when(col("in_a"), 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(col("in_b"), 1L).otherwise(0L)).cast("long").as("n2"),
+        sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L))
+          .cast("long").as("m"))
+      .withColumn("est_users", expr(
+        "CASE WHEN m = 0 THEN NULL ELSE n1 * n2 div m END"))
+      .withColumn("err_bp", expr(
+        "abs(est_users - true_users) * 10000 div true_users")))
+  }
 }
