@@ -4911,6 +4911,54 @@ object Oracles {
         |       CAST(abs(CASE WHEN m = 0 THEN NULL
         |                ELSE n1 * n2 // m END - true_users) * 10000
         |            // true_users AS BIGINT) AS err_bp
-        |FROM g ORDER BY ALL""".stripMargin
+        |FROM g ORDER BY ALL""".stripMargin,
+
+    // ---- §2.55 vocabulary health / audience venn ----
+    "q_hapax" ->
+      """WITH c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT source,
+        |          unnest(string_split(lower(text), ' ')) AS token
+        |        FROM documents)
+        |  WHERE token <> '' GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS hapax,
+        |       CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS dis,
+        |       CAST(sum(cnt) AS BIGINT) AS tokens,
+        |       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 10000
+        |            // count(*) AS BIGINT) AS hapax_bp
+        |FROM c GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_venn3" ->
+      """WITH u AS (SELECT user_id,
+        |    sum(CAST(round(value * 100) AS BIGINT)) > 330000 AS a,
+        |    count(DISTINCT epoch_us(ts) // 86400000000) >= 28 AS b,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      >= 13 AS c
+        |  FROM events GROUP BY 1)
+        |SELECT a, b, c, CAST(count(*) AS BIGINT) AS n_users
+        |FROM u GROUP BY 1, 2, 3 ORDER BY ALL""".stripMargin,
+    "q_doclen_disc" ->
+      """WITH h AS (SELECT source, n_chars, CAST(count(*) AS BIGINT)
+        |    AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n
+        |        FROM h GROUP BY 1),
+        |c AS (SELECT h.source, n_chars, n,
+        |        CAST(sum(cnt) OVER (PARTITION BY h.source
+        |          ORDER BY n_chars
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum
+        |      FROM h JOIN tot USING (source)),
+        |p50 AS (SELECT source, CAST(max(n) AS BIGINT) AS n,
+        |          CAST(min(n_chars) AS BIGINT) AS p50
+        |        FROM c WHERE cum * 100 >= n * 50 GROUP BY 1),
+        |p90 AS (SELECT source, CAST(min(n_chars) AS BIGINT) AS p90
+        |        FROM c WHERE cum * 100 >= n * 90 GROUP BY 1),
+        |p99 AS (SELECT source, CAST(min(n_chars) AS BIGINT) AS p99
+        |        FROM c WHERE cum * 100 >= n * 99 GROUP BY 1)
+        |SELECT source, n, p50, p90, p99
+        |FROM p50 JOIN p90 USING (source) JOIN p99 USING (source)
+        |ORDER BY ALL""".stripMargin
   )
 }

@@ -381,6 +381,10 @@ object SparkEntry {
     // §2.54 round-8 survey-sampling estimator audits
     "q_ht_estimate" -> Analytics.qHtEstimate _,
     "q_capture_recapture" -> Analytics.qCaptureRecapture _,
+    // §2.55 round-8 vocabulary health / audience venn
+    "q_hapax" -> CorpusStats.qHapax _,
+    "q_venn3" -> CorpusStats.qVenn3 _,
+    "q_doclen_disc" -> CorpusStats.qDoclenDisc _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

@@ -412,6 +412,69 @@ object CorpusStats {
       .withColumn("prefix_removed_bp",
         expr("(n_exact - n_prefix) * 10000 div n_exact")))
 
+  /** Hapax-legomena profile (§2.55): per source, the vocabulary size,
+    * the count of tokens occurring exactly once (hapax) and exactly
+    * twice (dis), and the hapax share of the vocabulary in basis
+    * points — the vocabulary-health number behind Heaps/Zipf (a
+    * falling hapax share signals the corpus is saturating; a rising
+    * one, contamination by noise). Token counts are one mergeable
+    * aggregate; the profile is a second aggregate over the
+    * (source, token) table. */
+  def qHapax(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).cast("long")
+          .as("hapax"),
+        sum(when(col("cnt") === 2, 1L).otherwise(0L)).cast("long")
+          .as("dis"),
+        sum("cnt").cast("long").as("tokens"))
+      .withColumn("hapax_bp", expr("hapax * 10000 div vocab")))
+
+  /** Three-set audience Venn (§2.55): users bucketed by behavioral
+    * segment membership — a = spend > $3,300, b = active ≥ 28 distinct
+    * days, c = ≥ 13 purchases (thresholds near the sf0.01 medians so
+    * every 2³ region is populated) — the inclusion–exclusion audit
+    * behind q_type_affinity's pairwise numbers (pairwise overlap can
+    * look fine while a triple region is empty). One user-keyed flag
+    * aggregate, then an ≤8-row group. */
+  def qVenn3(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        (sum(expr("CAST(round(value * 100) AS BIGINT)")) > 330000L)
+          .as("a"),
+        (countDistinct(expr("unix_micros(ts) div 86400000000")) >= 28L)
+          .as("b"),
+        (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          >= 13L).as("c"))
+      .groupBy("a", "b", "c")
+      .agg(count(lit(1)).as("n_users")))
+
+  /** Per-source document-length percentiles (§2.55): discrete
+    * p50/p90/p99 of n_chars — the corpus-card length profile (the
+    * q_percentile_disc histogram recipe on the curation axis; mean
+    * alone, q_text_stats, hides the tail a chunker must plan for). */
+  def qDoclenDisc(s: SparkSession, dir: String): DataFrame = {
+    val h = t(s, dir, "documents")
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = h.groupBy(col("source").as("s2")).agg(sum("cnt").as("n"))
+    val cum = h.withColumn("cum", sum("cnt").over(w))
+      .join(broadcast(tot), col("source") === col("s2"))
+    def pick(p: Int) = cum
+      .filter(col("cum") * 100 >= col("n") * p)
+      .groupBy("source")
+      .agg(max("n").as("n"), min("n_chars").as(s"p$p"))
+    orderedAll(pick(50)
+      .join(pick(90).drop("n"), "source")
+      .join(pick(99).drop("n"), "source"))
+  }
+
   /** Conditional bigram entropy (§2.48): per source,
     * H(b|a) = Σ_ab (n_ab/N)·ln(n_a/n_ab) with each ln quantized ×10⁶
     * BEFORE the weighted sum (exact BIGINTs; n_a = bigrams starting
