@@ -4959,6 +4959,81 @@ object Oracles {
         |        FROM c WHERE cum * 100 >= n * 99 GROUP BY 1)
         |SELECT source, n, p50, p90, p99
         |FROM p50 JOIN p90 USING (source) JOIN p99 USING (source)
+        |ORDER BY ALL""".stripMargin,
+
+    // ---- §2.56 diversity / information-theory audits ----
+    "q_simpson" ->
+      """WITH c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source,
+        |          unnest(string_split(lower(text), ' ')) AS token
+        |        FROM documents)
+        |  WHERE token <> '' GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |        CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        CAST(sum(c * (c - 1)) AS BIGINT) AS coll
+        |      FROM c GROUP BY 1)
+        |SELECT source, vocab, n_tokens, coll,
+        |       CAST(coll * 1000000000 // (n_tokens * (n_tokens - 1))
+        |            AS BIGINT) AS simpson_ppb,
+        |       CAST(n_tokens * (n_tokens - 1) * 1000 // coll AS BIGINT)
+        |         AS eff_vocab_milli
+        |FROM g ORDER BY ALL""".stripMargin,
+    "q_jsd_sources" ->
+      """WITH st AS (SELECT source, token
+        |  FROM (SELECT source,
+        |          unnest(string_split(lower(text), ' ')) AS token
+        |        FROM documents)
+        |  WHERE token <> ''),
+        |sc AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c_st
+        |       FROM st GROUP BY 1, 2),
+        |ct AS (SELECT token, CAST(count(*) AS BIGINT) AS c_t
+        |       FROM st GROUP BY 1),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |       FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS nn,
+        |          CAST(count(*) AS BIGINT) AS vv FROM ct),
+        |grid AS (SELECT ns.source, ns.n_s, ct.token, ct.c_t, nn, vv,
+        |           COALESCE(sc.c_st, 0) + 1 AS c1,
+        |           ct.c_t - COALESCE(sc.c_st, 0) + 1 AS c2,
+        |           ns.n_s + vv AS d1, nn - ns.n_s + vv AS d2
+        |         FROM ct CROSS JOIN ns CROSS JOIN tot
+        |         LEFT JOIN sc ON sc.source = ns.source
+        |                     AND sc.token = ct.token),
+        |q AS (SELECT source, n_s, d1, d2,
+        |        c1 * CAST(round(ln(CAST(2 * c1 * d2 AS DOUBLE) /
+        |          CAST(c1 * d2 + c2 * d1 AS DOUBLE)) * 1000000)
+        |          AS BIGINT) AS t1,
+        |        c2 * CAST(round(ln(CAST(2 * c2 * d1 AS DOUBLE) /
+        |          CAST(c1 * d2 + c2 * d1 AS DOUBLE)) * 1000000)
+        |          AS BIGINT) AS t2
+        |      FROM grid)
+        |SELECT source, n_s AS n_tokens,
+        |       CAST(((sum(t1) + d1) // d1 + (sum(t2) + d2) // d2) // 2
+        |            - 1 AS BIGINT) AS jsd_u
+        |FROM q GROUP BY source, n_s, d1, d2 ORDER BY ALL""".stripMargin,
+    "q_mutual_info" ->
+      """WITH cell AS (SELECT event_type AS x,
+        |    (epoch_us(ts) // 3600000000) % 24 AS y,
+        |    CAST(count(*) AS BIGINT) AS n_xy
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x
+        |       FROM cell GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y
+        |       FROM cell GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS nn FROM cell),
+        |mi AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |         CAST(max(nn) AS BIGINT) AS n,
+        |         CAST((sum(n_xy * CAST(round(ln(
+        |           CAST(n_xy * nn AS DOUBLE) /
+        |           CAST(n_x * n_y AS DOUBLE)) * 1000000) AS BIGINT))
+        |           + max(nn)) // max(nn) - 1 AS BIGINT) AS mi_u
+        |       FROM cell JOIN mx USING (x) JOIN my USING (y)
+        |       CROSS JOIN tot),
+        |h AS (SELECT CAST(sum(n_x * CAST(round(ln(
+        |          CAST(nn AS DOUBLE) / n_x) * 1000000) AS BIGINT))
+        |          // max(nn) AS BIGINT) AS h_type_u
+        |      FROM mx CROSS JOIN tot)
+        |SELECT n_cells, n, mi_u, h_type_u FROM mi CROSS JOIN h
         |ORDER BY ALL""".stripMargin
   )
 }

@@ -385,6 +385,10 @@ object SparkEntry {
     "q_hapax" -> CorpusStats.qHapax _,
     "q_venn3" -> CorpusStats.qVenn3 _,
     "q_doclen_disc" -> CorpusStats.qDoclenDisc _,
+    // §2.56 round-8 diversity / information-theory audits
+    "q_simpson" -> CorpusStats.qSimpson _,
+    "q_jsd_sources" -> CorpusStats.qJsdSources _,
+    "q_mutual_info" -> Analytics.qMutualInfo _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

@@ -596,4 +596,47 @@ object Analytics {
       .withColumn("err_bp", expr(
         "abs(est_users - true_users) * 10000 div true_users")))
   }
+
+  /** Categorical mutual information (§2.56): MI(event_type; UTC hour)
+    * in micro-nats — Σ n_xy·lr_u div N with lr_u the ×10⁶-quantized
+    * ln(n_xy·N / (n_x·n_y)) per contingency cell — the dependence
+    * readout q_cramers_v's χ² normalization can't rank (MI is in
+    * interpretable nats and decomposes per cell). Margins join back on
+    * the cell keys — the q_cooccur_pmi partitioning; the contingency
+    * is ≤ |types|·24 rows after one mergeable aggregate, so every join
+    * below the first groupBy is broadcast-sized. Also emits the
+    * ×10⁶-quantized H(type) so MI/H normalization is a reader-side
+    * division. */
+  def qMutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val cell = t(s, dir, "events")
+      .select(col("event_type").as("x"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+    val mx = cell.groupBy(col("x").as("x2")).agg(sum("n_xy").as("n_x"))
+    val my = cell.groupBy(col("y").as("y2")).agg(sum("n_xy").as("n_y"))
+    val tot = cell.agg(sum("n_xy").cast("long").as("nn"))
+    val terms = cell
+      .join(broadcast(mx), col("x") === col("x2"))
+      .join(broadcast(my), col("y") === col("y2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lr_u", expr(
+        "CAST(round(ln(CAST(n_xy * nn AS DOUBLE) / " +
+          "CAST(n_x * n_y AS DOUBLE)) * 1000000) AS BIGINT)"))
+    // wsum ≥ −0.5·N (±0.5 round error per cell, weights summing to N):
+    // the +1 offset keeps the dividend positive so truncating (Spark
+    // div) and flooring (DuckDB //) division agree near MI = 0.
+    val mi = terms.agg(
+      count(lit(1)).as("n_cells"),
+      max(col("nn")).as("n"),
+      sum(expr("n_xy * lr_u")).as("wsum"))
+      .withColumn("mi_u", expr("(wsum + n) div n - 1"))
+    val h = mx.crossJoin(broadcast(tot))
+      .agg(sum(expr(
+        "n_x * CAST(round(ln(CAST(nn AS DOUBLE) / n_x) * 1000000) " +
+          "AS BIGINT)")).as("hsum"),
+        max(col("nn")).as("n2"))
+      .withColumn("h_type_u", expr("hsum div n2"))
+    orderedAll(mi.crossJoin(broadcast(h))
+      .select("n_cells", "n", "mi_u", "h_type_u"))
+  }
 }

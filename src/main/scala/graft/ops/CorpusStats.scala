@@ -507,4 +507,72 @@ object CorpusStats {
         sum("term_u").cast("long").as("h_sum_u"))
       .withColumn("h_u", expr("h_sum_u div n_bigrams")))
   }
+
+  /** Simpson diversity profile (§2.56): per source, the Simpson
+    * concentration λ = Σ c(c−1) / (N(N−1)) over token counts in exact
+    * parts-per-billion integer arithmetic (the probability two random
+    * token draws collide — the diversity twin of q_token_entropy with
+    * NO float in the pipeline), plus the inverse-Simpson effective
+    * vocabulary in milli-tokens (how many equally-common tokens this
+    * concentration corresponds to). Token counts are the q_wordcount
+    * mergeable aggregate; the profile is a second aggregate per
+    * source — nothing vocabulary-sized leaves its partition. */
+  def qSimpson(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum("c").cast("long").as("n_tokens"),
+        sum(expr("c * (c - 1)")).cast("long").as("coll"))
+      .withColumn("simpson_ppb",
+        expr("coll * 1000000000 div (n_tokens * (n_tokens - 1))"))
+      .withColumn("eff_vocab_milli",
+        expr("n_tokens * (n_tokens - 1) * 1000 div coll")))
+
+  /** Source-novelty Jensen–Shannon divergence (§2.56): per source, the
+    * symmetric, ln2-bounded JSD between the source's token distribution
+    * and its corpus complement, add-1 smoothed over the corpus
+    * vocabulary grid (zeros included — the q_kl_sources grid on the
+    * token axis). Each log-ratio ln(2p/(p+q)) reduces to a SINGLE
+    * division of exact integer products (2·c1·d2 over c1·d2 + c2·d1),
+    * quantized ×10⁶ BIGINT before the weighted sums, so both engines
+    * evaluate one identical double op per grid cell. JSD_u =
+    * (Σc1·lr1 div d1 + Σc2·lr2 div d2) div 2. Scale: the grid is
+    * |sources|×|vocab| partitioned by token; only the corpus totals
+    * row broadcasts. */
+  def qJsdSources(s: SparkSession, dir: String): DataFrame = {
+    val st = t(s, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val sc = st.groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+    val ct = st.groupBy("token").agg(count(lit(1)).as("c_t"))
+    val ns = st.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val tot = ct.agg(sum("c_t").cast("long").as("nn"),
+      count(lit(1)).as("vv"))
+    val grid = ct.crossJoin(broadcast(ns))
+      .crossJoin(broadcast(tot))
+      .join(sc, Seq("source", "token"), "left")
+      .withColumn("c1", coalesce(col("c_st"), lit(0L)) + 1L)
+      .withColumn("c2", col("c_t") - coalesce(col("c_st"), lit(0L)) + 1L)
+      .withColumn("d1", col("n_s") + col("vv"))
+      .withColumn("d2", col("nn") - col("n_s") + col("vv"))
+      .withColumn("lr1_u", expr(
+        "CAST(round(ln(CAST(2 * c1 * d2 AS DOUBLE) / " +
+          "CAST(c1 * d2 + c2 * d1 AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .withColumn("lr2_u", expr(
+        "CAST(round(ln(CAST(2 * c2 * d1 AS DOUBLE) / " +
+          "CAST(c1 * d2 + c2 * d1 AS DOUBLE)) * 1000000) AS BIGINT)"))
+    // The quantized KL halves are ≥ −0.5·denominator (round error of
+    // ±0.5 per grid cell, weights summing to the denominator), so a +1
+    // offset before the integer division makes every dividend positive
+    // and truncating (Spark div) vs flooring (DuckDB //) division agree.
+    orderedAll(grid.groupBy("source", "n_s", "d1", "d2")
+      .agg(sum(expr("c1 * lr1_u")).as("w1"),
+        sum(expr("c2 * lr2_u")).as("w2"))
+      .withColumn("jsd_u", expr(
+        "((w1 + d1) div d1 + (w2 + d2) div d2) div 2 - 1"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("jsd_u")))
+  }
 }
