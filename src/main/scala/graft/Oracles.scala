@@ -5034,6 +5034,92 @@ object Oracles {
         |          // max(nn) AS BIGINT) AS h_type_u
         |      FROM mx CROSS JOIN tot)
         |SELECT n_cells, n, mi_u, h_type_u FROM mi CROSS JOIN h
-        |ORDER BY ALL""".stripMargin
+        |ORDER BY ALL""".stripMargin,
+
+    // ---- §2.57 classifier-agreement audits ----
+    "q_cohens_kappa" ->
+      """WITH f AS (SELECT source, n_chars >= 306 AS ra,
+        |    list_contains(string_split(lower(text), ' '), 'join') AND
+        |    list_contains(string_split(lower(text), ' '), 'query')
+        |      AS rb
+        |  FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_agree,
+        |        CAST(sum(CASE WHEN ra THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS a1,
+        |        CAST(sum(CASE WHEN rb THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS b1
+        |      FROM f GROUP BY 1)
+        |SELECT source, n,
+        |       CAST(n_agree * 10000 // n AS BIGINT) AS po_bp,
+        |       CAST((a1 * b1 + (n - a1) * (n - b1)) * 10000 // (n * n)
+        |            AS BIGINT) AS pe_bp,
+        |       CAST(CASE WHEN n * n = a1 * b1 + (n - a1) * (n - b1)
+        |            THEN NULL
+        |            ELSE ((n * n_agree - a1 * b1 - (n - a1) * (n - b1))
+        |                  * 1000
+        |                  + 1001 * (n * n - a1 * b1
+        |                            - (n - a1) * (n - b1)))
+        |                 // (n * n - a1 * b1 - (n - a1) * (n - b1))
+        |                 - 1001 END AS BIGINT) AS kappa_milli
+        |FROM g ORDER BY ALL""".stripMargin,
+    "q_f1_class" ->
+      s"""WITH ${sgnCte(110, 120)},
+         |sc AS (SELECT vec_id, label, j,
+         |         ${planeDot("embedding")} AS dot
+         |       FROM embeddings CROSS JOIN sgn),
+         |pr AS (SELECT CAST(label AS BIGINT) AS truth,
+         |         CAST(j - 110 AS BIGINT) AS pred
+         |       FROM (SELECT vec_id, label, j, ROW_NUMBER() OVER (
+         |               PARTITION BY vec_id
+         |               ORDER BY dot DESC, j ASC) AS rn
+         |             FROM sc) WHERE rn = 1),
+         |r AS (SELECT truth AS class, CAST(count(*) AS BIGINT)
+         |        AS row_tot FROM pr GROUP BY 1),
+         |c AS (SELECT pred AS class, CAST(count(*) AS BIGINT)
+         |        AS col_tot FROM pr GROUP BY 1),
+         |d AS (SELECT truth AS class, CAST(count(*) AS BIGINT) AS tp
+         |      FROM pr WHERE truth = pred GROUP BY 1),
+         |m AS (SELECT COALESCE(r.class, c.class) AS class,
+         |        COALESCE(row_tot, 0) AS row_tot,
+         |        COALESCE(col_tot, 0) AS col_tot
+         |      FROM r FULL OUTER JOIN c ON r.class = c.class)
+         |SELECT m.class, row_tot, col_tot,
+         |       COALESCE(tp, 0) AS tp,
+         |       CAST(CASE WHEN col_tot = 0 THEN NULL
+         |            ELSE COALESCE(tp, 0) * 10000 // col_tot END
+         |            AS BIGINT) AS precision_bp,
+         |       CAST(CASE WHEN row_tot = 0 THEN NULL
+         |            ELSE COALESCE(tp, 0) * 10000 // row_tot END
+         |            AS BIGINT) AS recall_bp,
+         |       CAST(CASE WHEN row_tot + col_tot = 0 THEN NULL
+         |            ELSE 2 * COALESCE(tp, 0) * 10000
+         |                 // (row_tot + col_tot) END AS BIGINT) AS f1_bp
+         |FROM m LEFT JOIN d ON m.class = d.class
+         |ORDER BY ALL""".stripMargin,
+    "q_mcc" ->
+      s"""WITH ${sgnCte(103, 104)},
+         |f AS (SELECT ${planeDot("embedding")} >= 0 AS pred,
+         |        label >= 5 AS truth
+         |      FROM embeddings CROSS JOIN sgn),
+         |g AS (SELECT
+         |    CAST(sum(CASE WHEN pred AND truth THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN NOT pred AND NOT truth THEN 1 ELSE 0
+         |             END) AS BIGINT) AS tn
+         |  FROM f)
+         |SELECT tp, fp, fn, tn,
+         |       CAST(CASE WHEN (tp + fp) * (tp + fn) * (tn + fp)
+         |                      * (tn + fn) = 0 THEN NULL
+         |            ELSE round(CAST(tp * tn - fp * fn AS DOUBLE) * 1000
+         |                 / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+         |                        * (tn + fp) * (tn + fn)))
+         |            END AS BIGINT) AS mcc_milli
+         |FROM g ORDER BY ALL""".stripMargin
   )
 }

@@ -389,6 +389,10 @@ object SparkEntry {
     "q_simpson" -> CorpusStats.qSimpson _,
     "q_jsd_sources" -> CorpusStats.qJsdSources _,
     "q_mutual_info" -> Analytics.qMutualInfo _,
+    // §2.57 round-8 classifier-agreement audits
+    "q_cohens_kappa" -> Quality.qCohensKappa _,
+    "q_f1_class" -> Evaluation.qF1Class _,
+    "q_mcc" -> Evaluation.qMcc _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

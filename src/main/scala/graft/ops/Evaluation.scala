@@ -306,4 +306,71 @@ object Evaluation {
       .withColumn("prec_bp",
         expr("tot_rel * 10000 div (k * n_probes)")))
   }
+
+  /** Per-class one-vs-rest P/R/F1 (§2.57): a deterministic 10-class
+    * hyperplane classifier (pred = argmax over md5 planes 110..119 of
+    * the embedding dot, ties to the smallest plane index via a
+    * (score, −j) struct max) scored against the true label — the
+    * class-level readout q_confusion's cell grid doesn't collapse to.
+    * The prediction is a pure scan (ten codegen'd literal dots, no
+    * join); margins and the diagonal are ≤10-row aggregates joined
+    * broadcast-side. F1 = 2·tp / (row_tot + col_tot), basis points;
+    * never-predicted or absent classes yield NULL precision/recall. */
+  def qF1Class(s: SparkSession, dir: String): DataFrame = {
+    val withScores = (110 to 119).foldLeft(t(s, dir, "embeddings")) {
+      (df, j) => df.withColumn(s"s$j", planeScore(j))
+    }
+    val pred = withScores
+      .withColumn("pred", expr(
+        (110 to 119).map(j => s"struct(s$j AS sc, ${-j} AS nj)")
+          .mkString("greatest(", ", ", ").nj")).cast("long") * -1L
+        - 110L)
+      .select(col("label").cast("long").as("truth"), col("pred"))
+    val diag = pred.filter(col("truth") === col("pred"))
+      .groupBy(col("truth").as("class")).agg(count(lit(1)).as("tp"))
+    val rows = pred.groupBy(col("truth").as("class"))
+      .agg(count(lit(1)).as("row_tot"))
+    val cols = pred.groupBy(col("pred").as("class"))
+      .agg(count(lit(1)).as("col_tot"))
+    orderedAll(rows.join(cols, Seq("class"), "full_outer")
+      .join(diag, Seq("class"), "left")
+      .withColumn("tp", coalesce(col("tp"), lit(0L)))
+      .withColumn("row_tot", coalesce(col("row_tot"), lit(0L)))
+      .withColumn("col_tot", coalesce(col("col_tot"), lit(0L)))
+      .withColumn("precision_bp", expr(
+        "CASE WHEN col_tot = 0 THEN NULL " +
+          "ELSE tp * 10000 div col_tot END"))
+      .withColumn("recall_bp", expr(
+        "CASE WHEN row_tot = 0 THEN NULL " +
+          "ELSE tp * 10000 div row_tot END"))
+      .withColumn("f1_bp", expr(
+        "CASE WHEN row_tot + col_tot = 0 THEN NULL " +
+          "ELSE 2 * tp * 10000 div (row_tot + col_tot) END")))
+  }
+
+  /** Matthews correlation coefficient (§2.57): the binary
+    * q_calibration classifier (md5 plane 103 score ≥ 0 vs label ≥ 5)
+    * collapsed to its 2×2 confusion and the single balance-robust
+    * correlation number — exact BIGINT numerator tp·tn − fp·fn, the
+    * four margin products under one sqrt, MCC in milli (round of one
+    * double division; a zero margin yields NULL in both engines). One
+    * conditional-aggregate scan. */
+  def qMcc(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "embeddings")
+      .withColumn("pred", planeScore(103) >= 0.0)
+      .withColumn("truth", col("label") >= 5)
+      .agg(
+        sum(when(col("pred") && col("truth"), 1L).otherwise(0L))
+          .cast("long").as("tp"),
+        sum(when(col("pred") && !col("truth"), 1L).otherwise(0L))
+          .cast("long").as("fp"),
+        sum(when(!col("pred") && col("truth"), 1L).otherwise(0L))
+          .cast("long").as("fn"),
+        sum(when(!col("pred") && !col("truth"), 1L).otherwise(0L))
+          .cast("long").as("tn"))
+      .withColumn("mcc_milli", expr(
+        "CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) = 0 " +
+          "THEN NULL ELSE CAST(round(CAST(tp * tn - fp * fn AS DOUBLE) " +
+          "* 1000 / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) " +
+          "* (tn + fp) * (tn + fn))) AS BIGINT) END")))
 }

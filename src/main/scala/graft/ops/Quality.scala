@@ -136,4 +136,35 @@ object Quality {
       .agg(count(lit(1)).as("n_urls"),
         countDistinct(col("canon")).as("n_canonical"),
         (count(lit(1)) - countDistinct(col("canon"))).as("dup_urls")))
+
+  /** Cohen's kappa inter-rater agreement (§2.57): per source, the
+    * chance-corrected agreement between two deterministic document
+    * raters — A flags length (n_chars ≥ the corpus median 306), B flags
+    * topic (contains both 'join' and 'query' tokens). Observed and
+    * chance agreement in basis points; κ in milli via the all-integer
+    * identity κ = (n·n_agree − Σ margins) / (n² − Σ margins), with a
+    * +1001·den offset before the division (κ·1000 ∈ [−1000, 1000], so
+    * the dividend stays positive — the sign-safe div policy). One flag
+    * scan + one mergeable aggregate per source. */
+  def qCohensKappa(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "documents")
+      .withColumn("ra", col("n_chars") >= 306L)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("rb", array_contains(col("toks"), "join") &&
+        array_contains(col("toks"), "query"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ra") === col("rb"), 1L).otherwise(0L)).cast("long")
+          .as("n_agree"),
+        sum(when(col("ra"), 1L).otherwise(0L)).cast("long").as("a1"),
+        sum(when(col("rb"), 1L).otherwise(0L)).cast("long").as("b1"))
+      .withColumn("po_bp", expr("n_agree * 10000 div n"))
+      .withColumn("pe_bp", expr(
+        "(a1 * b1 + (n - a1) * (n - b1)) * 10000 div (n * n)"))
+      .withColumn("kappa_milli", expr(
+        "CASE WHEN n * n = a1 * b1 + (n - a1) * (n - b1) THEN NULL " +
+          "ELSE ((n * n_agree - a1 * b1 - (n - a1) * (n - b1)) * 1000 " +
+          "+ 1001 * (n * n - a1 * b1 - (n - a1) * (n - b1))) " +
+          "div (n * n - a1 * b1 - (n - a1) * (n - b1)) - 1001 END"))
+      .select("source", "n", "po_bp", "pe_bp", "kappa_milli"))
 }
