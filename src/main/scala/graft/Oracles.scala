@@ -5120,6 +5120,71 @@ object Oracles {
          |                 / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
          |                        * (tn + fp) * (tn + fn)))
          |            END AS BIGINT) AS mcc_milli
-         |FROM g ORDER BY ALL""".stripMargin
+         |FROM g ORDER BY ALL""".stripMargin,
+
+    // ---- §2.58 concentration / inequality readouts ----
+    "q_lorenz" ->
+      """WITH sp AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         AS BIGINT) AS sp
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sp),
+        |d AS (SELECT (ROW_NUMBER() OVER (ORDER BY sp, o_custkey) - 1)
+        |          * 10 // n AS decile, sp
+        |      FROM sp CROSS JOIN n),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+        |        CAST(sum(sp) AS BIGINT) AS cents
+        |      FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM g)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_cust, cents,
+        |       CAST(cents * 10000 // tot AS BIGINT) AS share_bp,
+        |       CAST(CAST(sum(cents) OVER (ORDER BY decile
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) * 10000 // tot AS BIGINT)
+        |         AS cum_share_bp
+        |FROM g CROSS JOIN tot ORDER BY ALL""".stripMargin,
+    "q_hhi" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |         AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT n_name, rev FROM rev
+        |      JOIN supplier ON l_suppkey = s_suppkey
+        |      JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |       CAST(sum(rev) AS BIGINT) AS tot_cents,
+        |       CAST(sum(CAST(rev AS HUGEINT) * rev) * 1000000
+        |            // (CAST(sum(rev) AS HUGEINT) * sum(rev))
+        |            AS BIGINT) AS hhi_ppm
+        |FROM j GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_crk_share" ->
+      """WITH rb AS (SELECT r_name, p_brand,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |         AS BIGINT) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT r_name, rev, ROW_NUMBER() OVER (
+        |         PARTITION BY r_name ORDER BY rev DESC, p_brand ASC)
+        |         AS rk
+        |       FROM rb),
+        |g AS (SELECT r_name, CAST(count(*) AS BIGINT) AS n_brands,
+        |        CAST(sum(rev) AS BIGINT) AS tot_cents,
+        |        CAST(sum(CASE WHEN rk <= 1 THEN rev ELSE 0 END)
+        |             AS BIGINT) AS top1,
+        |        CAST(sum(CASE WHEN rk <= 4 THEN rev ELSE 0 END)
+        |             AS BIGINT) AS top4,
+        |        CAST(sum(CASE WHEN rk <= 8 THEN rev ELSE 0 END)
+        |             AS BIGINT) AS top8
+        |      FROM rk GROUP BY 1)
+        |SELECT r_name, n_brands, tot_cents,
+        |       CAST(top1 * 10000 // tot_cents AS BIGINT) AS cr1_bp,
+        |       CAST(top4 * 10000 // tot_cents AS BIGINT) AS cr4_bp,
+        |       CAST(top8 * 10000 // tot_cents AS BIGINT) AS cr8_bp
+        |FROM g ORDER BY ALL""".stripMargin
   )
 }

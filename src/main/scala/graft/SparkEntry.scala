@@ -393,6 +393,10 @@ object SparkEntry {
     "q_cohens_kappa" -> Quality.qCohensKappa _,
     "q_f1_class" -> Evaluation.qF1Class _,
     "q_mcc" -> Evaluation.qMcc _,
+    // §2.58 round-8 concentration / inequality readouts
+    "q_lorenz" -> Concentration.qLorenz _,
+    "q_hhi" -> Concentration.qHhi _,
+    "q_crk_share" -> Concentration.qCrkShare _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,
