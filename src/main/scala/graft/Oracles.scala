@@ -5185,6 +5185,83 @@ object Oracles {
         |       CAST(top1 * 10000 // tot_cents AS BIGINT) AS cr1_bp,
         |       CAST(top4 * 10000 // tot_cents AS BIGINT) AS cr4_bp,
         |       CAST(top8 * 10000 // tot_cents AS BIGINT) AS cr8_bp
-        |FROM g ORDER BY ALL""".stripMargin
+        |FROM g ORDER BY ALL""".stripMargin,
+
+    // ---- §2.59 distribution-shape diagnostics ----
+    "q_anova" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+        |        CAST(sum(n_chars) AS BIGINT) AS s_g,
+        |        CAST(sum(n_chars * n_chars) AS BIGINT) AS q_g
+        |      FROM documents GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |        CAST(sum(n_g) AS BIGINT) AS n,
+        |        CAST(sum(s_g) AS BIGINT) AS s,
+        |        CAST(sum(q_g) AS BIGINT) AS q,
+        |        CAST(sum((CAST(s_g AS HUGEINT) * s_g * 1000000) // n_g)
+        |             AS BIGINT) AS a_u
+        |      FROM g),
+        |b AS (SELECT k, n, s, q, a_u,
+        |        a_u - CAST((CAST(s AS HUGEINT) * s * 1000000) // n
+        |                   AS BIGINT) AS ssb_u,
+        |        q * 1000000 - a_u AS ssw_u
+        |      FROM a)
+        |SELECT k, n, ssb_u, ssw_u,
+        |       CAST(CASE WHEN ssw_u = 0 OR k <= 1 THEN NULL
+        |            ELSE round(CAST(ssb_u AS DOUBLE) * (n - k) * 1000
+        |                 / (CAST(ssw_u AS DOUBLE) * (k - 1))) END
+        |            AS BIGINT) AS f_milli
+        |FROM b ORDER BY ALL""".stripMargin,
+    "q_tukey_fences" ->
+      """WITH h AS (SELECT event_type AS grp,
+        |    CAST(round(value * 100) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n
+        |        FROM h GROUP BY 1),
+        |c AS (SELECT h.grp, v, cnt, n,
+        |        CAST(sum(cnt) OVER (PARTITION BY h.grp ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum
+        |      FROM h JOIN tot USING (grp)),
+        |q1 AS (SELECT grp, CAST(min(v) AS BIGINT) AS q1 FROM c
+        |       WHERE cum * 100 >= n * 25 GROUP BY 1),
+        |q3 AS (SELECT grp, CAST(min(v) AS BIGINT) AS q3 FROM c
+        |       WHERE cum * 100 >= n * 75 GROUP BY 1),
+        |f AS (SELECT grp, q1, q3,
+        |        q1 - (3 * (q3 - q1)) // 2 AS lo,
+        |        q3 + (3 * (q3 - q1)) // 2 AS hi
+        |      FROM q1 JOIN q3 USING (grp))
+        |SELECT c.grp AS event_type, CAST(max(n) AS BIGINT) AS n,
+        |       q1, q3, lo, hi,
+        |       CAST(sum(CASE WHEN v < lo THEN cnt ELSE 0 END)
+        |            AS BIGINT) AS n_out_lo,
+        |       CAST(sum(CASE WHEN v > hi THEN cnt ELSE 0 END)
+        |            AS BIGINT) AS n_out_hi
+        |FROM c JOIN f USING (grp)
+        |GROUP BY c.grp, q1, q3, lo, hi ORDER BY ALL""".stripMargin,
+    "q_bowley_skew" ->
+      """WITH h AS (SELECT source AS grp, n_chars AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n
+        |        FROM h GROUP BY 1),
+        |c AS (SELECT h.grp, v, n,
+        |        CAST(sum(cnt) OVER (PARTITION BY h.grp ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum
+        |      FROM h JOIN tot USING (grp)),
+        |q1 AS (SELECT grp, CAST(min(v) AS BIGINT) AS q1 FROM c
+        |       WHERE cum * 100 >= n * 25 GROUP BY 1),
+        |q2 AS (SELECT grp, CAST(min(v) AS BIGINT) AS q2 FROM c
+        |       WHERE cum * 100 >= n * 50 GROUP BY 1),
+        |q3 AS (SELECT grp, CAST(min(v) AS BIGINT) AS q3 FROM c
+        |       WHERE cum * 100 >= n * 75 GROUP BY 1)
+        |SELECT grp AS source, q1, q2, q3,
+        |       CAST(CASE WHEN q3 = q1 THEN NULL
+        |            ELSE ((q1 + q3 - 2 * q2) * 1000
+        |                  + 1001 * (q3 - q1)) // (q3 - q1) - 1001 END
+        |            AS BIGINT) AS bowley_milli
+        |FROM q1 JOIN q2 USING (grp) JOIN q3 USING (grp)
+        |ORDER BY ALL""".stripMargin
   )
 }

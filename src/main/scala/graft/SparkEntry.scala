@@ -397,6 +397,10 @@ object SparkEntry {
     "q_lorenz" -> Concentration.qLorenz _,
     "q_hhi" -> Concentration.qHhi _,
     "q_crk_share" -> Concentration.qCrkShare _,
+    // §2.59 round-8 distribution-shape diagnostics
+    "q_anova" -> Spread.qAnova _,
+    "q_tukey_fences" -> Spread.qTukeyFences _,
+    "q_bowley_skew" -> Spread.qBowleySkew _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

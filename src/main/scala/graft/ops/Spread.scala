@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 distribution-shape diagnostics (SURVEY §2.59): one-way
+  * ANOVA across sources (does source explain doc length at all?),
+  * Tukey-fence outlier accounting per event type (the box-plot rule,
+  * robust where q_events_anomaly's z-score is not), and Bowley quartile
+  * skewness (the robust asymmetry number a mean/stddev pair hides).
+  * The quartiles come from the q_percentile_disc histogram recipe;
+  * ANOVA's sums of squares are floor-quantized ×10⁶ integers so the
+  * only double op is the final F ratio. */
+object Spread {
+
+  /** One-way ANOVA (§2.59): F-statistic for n_chars across sources.
+    * Per-group (n, Σx, Σx²) are one mergeable aggregate; the
+    * between/within sums of squares are assembled in exact BIGINT
+    * micro-units (each s_g² rides DECIMAL(38,0) before its ×10⁶ floor
+    * division by n_g, error ≤ 1 µ-unit per group, identical in both
+    * engines), and the F ratio is ONE double division at the end,
+    * emitted in milli. */
+  def qAnova(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_g"),
+        sum("n_chars").cast("long").as("s_g"),
+        sum(expr("n_chars * n_chars")).cast("long").as("q_g"))
+    orderedAll(g.agg(
+      count(lit(1)).as("k"),
+      sum("n_g").cast("long").as("n"),
+      sum("s_g").cast("long").as("s"),
+      sum("q_g").cast("long").as("q"),
+      sum(expr(
+        "(CAST(s_g AS DECIMAL(38,0)) * s_g * 1000000) div n_g"))
+        .cast("long").as("a_u"))
+      .withColumn("ssb_u", expr(
+        "a_u - CAST((CAST(s AS DECIMAL(38,0)) * s * 1000000) div n " +
+          "AS BIGINT)"))
+      .withColumn("ssw_u", expr("q * 1000000 - a_u"))
+      .withColumn("f_milli", expr(
+        "CASE WHEN ssw_u = 0 OR k <= 1 THEN NULL " +
+          "ELSE CAST(round(CAST(ssb_u AS DOUBLE) * (n - k) * 1000 / " +
+          "(CAST(ssw_u AS DOUBLE) * (k - 1))) AS BIGINT) END"))
+      .select("k", "n", "ssb_u", "ssw_u", "f_milli"))
+  }
+
+  /** Discrete percentile per group from a value histogram: smallest v
+    * with cum·100 ≥ n·p (the shared q_percentile_disc recipe). */
+  private def pick(cum: DataFrame, p: Int, name: String): DataFrame =
+    cum.filter(col("cum") * 100 >= col("n") * p)
+      .groupBy("grp").agg(min("v").as(name))
+
+  private def cumHist(df: DataFrame, grp: Column, v: Column)
+  : DataFrame = {
+    val h = df.select(grp.as("grp"), v.as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as("cnt"))
+    val tot = h.groupBy(col("grp").as("g2")).agg(sum("cnt").as("n"))
+    val w = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.withColumn("cum", sum("cnt").over(w))
+      .join(broadcast(tot), col("grp") === col("g2")).drop("g2")
+  }
+
+  /** Tukey-fence outlier accounting (§2.59): per event type, discrete
+    * Q1/Q3 of value cents, the 1.5·IQR fences in exact integer halves,
+    * and the row counts outside each fence — the box-plot outlier rule
+    * (robust to the heavy tail that inflates a z-score cut). Histogram
+    * + cum window per type; the fence row set is ≤|types| and joins
+    * back broadcast onto the histogram, never the facts. */
+  def qTukeyFences(s: SparkSession, dir: String): DataFrame = {
+    val cum = cumHist(t(s, dir, "events"), col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)"))
+    val fences = pick(cum, 25, "q1")
+      .join(pick(cum, 75, "q3"), "grp")
+      .withColumn("lo", expr("q1 - (3 * (q3 - q1)) div 2"))
+      .withColumn("hi", expr("q3 + (3 * (q3 - q1)) div 2"))
+    orderedAll(cum.join(broadcast(fences), "grp")
+      .groupBy("grp", "q1", "q3", "lo", "hi")
+      .agg(max("n").as("n"),
+        sum(when(col("v") < col("lo"), col("cnt")).otherwise(0L))
+          .cast("long").as("n_out_lo"),
+        sum(when(col("v") > col("hi"), col("cnt")).otherwise(0L))
+          .cast("long").as("n_out_hi"))
+      .select(col("grp").as("event_type"), col("n"), col("q1"),
+        col("q3"), col("lo"), col("hi"), col("n_out_lo"),
+        col("n_out_hi")))
+  }
+
+  /** Bowley quartile skewness (§2.59): per source,
+    * (Q1 + Q3 − 2·Q2) / (Q3 − Q1) over discrete n_chars quartiles, in
+    * milli with the sign-safe +1001·den dividend offset (Bowley ∈
+    * [−1, 1]); a degenerate IQR yields NULL in both engines. Same
+    * histogram machinery as q_tukey_fences on the curation axis. */
+  def qBowleySkew(s: SparkSession, dir: String): DataFrame = {
+    val cum = cumHist(t(s, dir, "documents"), col("source"),
+      col("n_chars"))
+    orderedAll(pick(cum, 25, "q1")
+      .join(pick(cum, 50, "q2"), "grp")
+      .join(pick(cum, 75, "q3"), "grp")
+      .withColumn("bowley_milli", expr(
+        "CASE WHEN q3 = q1 THEN NULL " +
+          "ELSE ((q1 + q3 - 2 * q2) * 1000 + 1001 * (q3 - q1)) " +
+          "div (q3 - q1) - 1001 END"))
+      .select(col("grp").as("source"), col("q1"), col("q2"), col("q3"),
+        col("bowley_milli")))
+  }
+}
