@@ -5262,6 +5262,46 @@ object Oracles {
         |                  + 1001 * (q3 - q1)) // (q3 - q1) - 1001 END
         |            AS BIGINT) AS bowley_milli
         |FROM q1 JOIN q2 USING (grp) JOIN q3 USING (grp)
-        |ORDER BY ALL""".stripMargin
+        |ORDER BY ALL""".stripMargin,
+
+    // ---- §2.60 dataset-profile readouts ----
+    "q_dup_profile" ->
+      """WITH sz AS (SELECT text, CAST(count(*) AS BIGINT) AS k
+        |  FROM documents GROUP BY 1),
+        |h AS (SELECT k, CAST(count(*) AS BIGINT) AS n_clusters
+        |      FROM sz GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+        |        FROM documents)
+        |SELECT k, n_clusters,
+        |       CAST(k * n_clusters AS BIGINT) AS docs,
+        |       CAST((k - 1) * n_clusters AS BIGINT) AS redundant,
+        |       CAST(k * n_clusters * 10000 // n_docs AS BIGINT)
+        |         AS share_bp
+        |FROM h CROSS JOIN tot ORDER BY ALL""".stripMargin,
+    "q_embed_variance" ->
+      """WITH x AS (SELECT CAST(i AS BIGINT) AS pos,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+        |      AS x_u
+        |  FROM embeddings CROSS JOIN range(1, 65) r(i)),
+        |g AS (SELECT pos, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x_u) AS BIGINT) AS s_u,
+        |        CAST(sum(x_u * x_u) AS BIGINT) AS q_u
+        |      FROM x GROUP BY 1)
+        |SELECT pos, n, s_u, q_u,
+        |       CAST((CAST(n AS HUGEINT) * q_u
+        |             - CAST(s_u AS HUGEINT) * s_u)
+        |            // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_cu
+        |FROM g ORDER BY ALL""".stripMargin,
+    "q_order_profile" ->
+      """WITH per AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM per)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(cents) AS BIGINT) AS rev_cents,
+        |       CAST(sum(cents) * 10000 // tot AS BIGINT)
+        |         AS rev_share_bp
+        |FROM per CROSS JOIN tot GROUP BY k, tot ORDER BY ALL""".stripMargin
   )
 }

@@ -401,6 +401,10 @@ object SparkEntry {
     "q_anova" -> Spread.qAnova _,
     "q_tukey_fences" -> Spread.qTukeyFences _,
     "q_bowley_skew" -> Spread.qBowleySkew _,
+    // §2.60 round-8 dataset-profile readouts
+    "q_dup_profile" -> Profiles.qDupProfile _,
+    "q_embed_variance" -> Profiles.qEmbedVariance _,
+    "q_order_profile" -> Profiles.qOrderProfile _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,
