@@ -78,8 +78,12 @@ object Concentration {
     * (revenue, brand) total order — the "does one brand own this
     * market" readout between q_share_of_parent (all rows) and q_hhi
     * (one number). The join tree is the TPC-H Q5 shape with dims
-    * broadcast; facts collapse to (region, brand) partials before the
-    * ≤ |regions|·|brands| rank window. */
+    * broadcast, but the lineitem side collapses to (orderkey, brand)
+    * cents partials BEFORE the orders join — the fact–fact shuffle
+    * then moves an order-grain table, not 60 M line items (the 100×
+    * smoke showed the unreduced join spilling at 35× cost; this shape
+    * stays fact-linear). Facts finish as (region, brand) partials
+    * before the ≤ |regions|·|brands| rank window. */
   def qCrkShare(s: SparkSession, dir: String): DataFrame = {
     val geo = t(s, dir, "customer")
       .join(broadcast(t(s, dir, "nation")),
@@ -88,14 +92,17 @@ object Concentration {
         col("n_regionkey") === col("r_regionkey"))
       .select(col("c_custkey"), col("r_name"))
     val brand = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
-    val rb = t(s, dir, "lineitem")
-      .join(t(s, dir, "orders"),
-        col("l_orderkey") === col("o_orderkey"))
+    val geoOrders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
       .join(geo, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
-      .select(col("r_name"), col("p_brand"),
+      .select(col("o_orderkey"), col("r_name"))
+    val rb = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
-      .groupBy("r_name", "p_brand").agg(sum("cents").as("rev"))
+      .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+      .join(geoOrders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("r_name"), col("p_brand"))
+      .agg(sum("cents").as("rev"))
     val w = Window.partitionBy(col("r_name"))
       .orderBy(col("rev").desc, col("p_brand").asc)
     orderedAll(rb.withColumn("rk", row_number().over(w).cast("long"))
