@@ -5302,6 +5302,84 @@ object Oracles {
         |       CAST(sum(cents) AS BIGINT) AS rev_cents,
         |       CAST(sum(cents) * 10000 // tot AS BIGINT)
         |         AS rev_share_bp
-        |FROM per CROSS JOIN tot GROUP BY k, tot ORDER BY ALL""".stripMargin
+        |FROM per CROSS JOIN tot GROUP BY k, tot ORDER BY ALL""".stripMargin,
+
+    // ---- §2.61 distribution-shift audits ----
+    "q_psi" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) // 1000 AS bin,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |             THEN 0 ELSE 1 END) AS BIGINT) AS n_post
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(n_pre) AS BIGINT) AS tp,
+        |          CAST(sum(n_post) AS BIGINT) AS tq,
+        |          CAST(count(*) AS BIGINT) AS bb
+        |        FROM b GROUP BY 1),
+        |g AS (SELECT b.event_type, n_pre + 1 AS c1, n_post + 1 AS c2,
+        |        tp + bb AS d1, tq + bb AS d2, tp, tq
+        |      FROM b JOIN tot USING (event_type)),
+        |q AS (SELECT event_type, d1, d2, tp, tq,
+        |        c1 * CAST(round(ln(CAST(c1 * d2 AS DOUBLE) /
+        |          CAST(c2 * d1 AS DOUBLE)) * 1000000) AS BIGINT) AS t1,
+        |        c2 * CAST(round(ln(CAST(c1 * d2 AS DOUBLE) /
+        |          CAST(c2 * d1 AS DOUBLE)) * 1000000) AS BIGINT) AS t2
+        |      FROM g)
+        |SELECT event_type, tp AS n_pre, tq AS n_post,
+        |       CAST(count(*) AS BIGINT) AS n_bins,
+        |       CAST(((sum(t1) + 100000000 * d1) // d1 - 100000000)
+        |            - ((sum(t2) + 100000000 * d2) // d2 - 100000000)
+        |            AS BIGINT) AS psi_u
+        |FROM q GROUP BY event_type, d1, d2, tp, tq
+        |ORDER BY ALL""".stripMargin,
+    "q_bhattacharyya" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) // 1000 AS bin,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |             THEN 0 ELSE 1 END) AS BIGINT) AS n_post
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(n_pre) AS BIGINT) AS tp,
+        |          CAST(sum(n_post) AS BIGINT) AS tq,
+        |          CAST(count(*) AS BIGINT) AS bb
+        |        FROM b GROUP BY 1),
+        |g AS (SELECT b.event_type, tp, tq,
+        |        CAST(round(sqrt(
+        |          CAST((n_pre + 1) * (n_post + 1) AS DOUBLE) /
+        |          (CAST(tp + bb AS DOUBLE) * (tq + bb))) * 1000000)
+        |          AS BIGINT) AS bc_term_u
+        |      FROM b JOIN tot USING (event_type)),
+        |a AS (SELECT event_type, tp AS n_pre, tq AS n_post,
+        |        CAST(count(*) AS BIGINT) AS n_bins,
+        |        CAST(sum(bc_term_u) AS BIGINT) AS bc_u
+        |      FROM g GROUP BY 1, 2, 3)
+        |SELECT event_type, n_pre, n_post, n_bins, bc_u,
+        |       CAST(round(-ln(CAST(bc_u AS DOUBLE) / 1000000)
+        |            * 1000000) AS BIGINT) AS bd_u
+        |FROM a ORDER BY ALL""".stripMargin,
+    "q_tail_ratio" ->
+      """WITH h AS (SELECT event_type AS grp,
+        |    CAST(round(value * 100) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n
+        |        FROM h GROUP BY 1),
+        |c AS (SELECT h.grp, v, n,
+        |        CAST(sum(cnt) OVER (PARTITION BY h.grp ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum
+        |      FROM h JOIN tot USING (grp)),
+        |p50 AS (SELECT grp, CAST(max(n) AS BIGINT) AS n,
+        |          CAST(min(v) AS BIGINT) AS p50
+        |        FROM c WHERE cum * 100 >= n * 50 GROUP BY 1),
+        |p99 AS (SELECT grp, CAST(min(v) AS BIGINT) AS p99
+        |        FROM c WHERE cum * 100 >= n * 99 GROUP BY 1)
+        |SELECT grp AS event_type, n, p50, p99,
+        |       CAST(CASE WHEN p50 = 0 THEN NULL
+        |            ELSE p99 * 1000 // p50 END AS BIGINT)
+        |         AS ratio_milli
+        |FROM p50 JOIN p99 USING (grp) ORDER BY ALL""".stripMargin
   )
 }

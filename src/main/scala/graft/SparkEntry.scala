@@ -405,6 +405,10 @@ object SparkEntry {
     "q_dup_profile" -> Profiles.qDupProfile _,
     "q_embed_variance" -> Profiles.qEmbedVariance _,
     "q_order_profile" -> Profiles.qOrderProfile _,
+    // §2.61 round-8 distribution-shift audits
+    "q_psi" -> Shift.qPsi _,
+    "q_bhattacharyya" -> Shift.qBhattacharyya _,
+    "q_tail_ratio" -> Shift.qTailRatio _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,
