@@ -3417,6 +3417,34 @@ object Oracles {
        |  FROM range($lo, $hi) a(j) CROSS JOIN range(64) b(i)
        |  GROUP BY j)""".stripMargin
 
+  /** Sessionized events (30-min gap, (µs, event_id) total order) with
+    * per-session depth and entry/exit types — the §2.62 shared CTE,
+    * mirroring Sessions.sessions. */
+  private def sessCte: String =
+    """e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |      FROM events),
+      |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+      |        ORDER BY us, event_id) AS prev_us FROM e),
+      |n AS (SELECT *, CASE WHEN prev_us IS NULL
+      |          OR us - prev_us > 1800000000 THEN 1 ELSE 0 END
+      |        AS new_sess FROM l),
+      |c AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+      |        ORDER BY us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |        AS sess_id FROM n),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sess_id
+      |          ORDER BY us, event_id) AS ra,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id, sess_id
+      |          ORDER BY us DESC, event_id DESC) AS rd
+      |      FROM c),
+      |sess AS (SELECT user_id, sess_id,
+      |           CAST(count(*) AS BIGINT) AS depth,
+      |           max(CASE WHEN ra = 1 THEN event_type END)
+      |             AS entry_type,
+      |           max(CASE WHEN rd = 1 THEN event_type END)
+      |             AS exit_type
+      |         FROM r GROUP BY 1, 2)""".stripMargin
+
   /** Dot of an embedding against the sgn plane list (sequential fold). */
   private def planeDot(e: String) =
     "list_sum(list_transform(generate_series(1, 64), i -> " +
@@ -5380,6 +5408,42 @@ object Oracles {
         |       CAST(CASE WHEN p50 = 0 THEN NULL
         |            ELSE p99 * 1000 // p50 END AS BIGINT)
         |         AS ratio_milli
-        |FROM p50 JOIN p99 USING (grp) ORDER BY ALL""".stripMargin
+        |FROM p50 JOIN p99 USING (grp) ORDER BY ALL""".stripMargin,
+
+    // ---- §2.62 session analytics ----
+    "q_session_depth" ->
+      s"""WITH $sessCte,
+         |d AS (SELECT depth AS k, CAST(count(*) AS BIGINT)
+         |        AS n_sessions
+         |      FROM sess GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS tot FROM d)
+         |SELECT k, n_sessions,
+         |       CAST(n_sessions * 10000 // tot AS BIGINT) AS share_bp
+         |FROM d CROSS JOIN tot ORDER BY ALL""".stripMargin,
+    "q_bounce_rate" ->
+      s"""WITH $sessCte
+         |SELECT entry_type,
+         |       CAST(count(*) AS BIGINT) AS n_sessions,
+         |       CAST(sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_bounce,
+         |       CAST(sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END)
+         |            * 10000 // count(*) AS BIGINT) AS bounce_bp
+         |FROM sess GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_entry_exit" ->
+      s"""WITH $sessCte,
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM sess),
+         |en AS (SELECT entry_type AS event_type,
+         |         CAST(count(*) AS BIGINT) AS n_entry
+         |       FROM sess GROUP BY 1),
+         |ex AS (SELECT exit_type AS event_type,
+         |         CAST(count(*) AS BIGINT) AS n_exit
+         |       FROM sess GROUP BY 1)
+         |SELECT COALESCE(en.event_type, ex.event_type) AS event_type,
+         |       COALESCE(n_entry, 0) AS n_entry,
+         |       COALESCE(n_exit, 0) AS n_exit,
+         |       CAST(COALESCE(n_entry, 0) * 10000 // tot AS BIGINT)
+         |         AS entry_share_bp
+         |FROM en FULL OUTER JOIN ex ON en.event_type = ex.event_type
+         |CROSS JOIN tot ORDER BY ALL""".stripMargin
   )
 }

@@ -409,6 +409,10 @@ object SparkEntry {
     "q_psi" -> Shift.qPsi _,
     "q_bhattacharyya" -> Shift.qBhattacharyya _,
     "q_tail_ratio" -> Shift.qTailRatio _,
+    // §2.62 round-8 session analytics
+    "q_session_depth" -> Sessions.qSessionDepth _,
+    "q_bounce_rate" -> Sessions.qBounceRate _,
+    "q_entry_exit" -> Sessions.qEntryExit _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,
