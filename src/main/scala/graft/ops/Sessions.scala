@@ -61,9 +61,12 @@ object Sessions {
   /** Entry/exit type profile (§2.62): per event type, how many
     * sessions enter and exit there, with entry share over all
     * sessions — the funnel-boundary readout (full outer across the
-    * two ≤|types| margins: a type can exit sessions it never opens). */
+    * two ≤|types| margins: a type can exit sessions it never opens).
+    * The session table is pinned once: three readout branches hang off
+    * it, and without the pin each re-runs the two-window sessionizer
+    * (the 100× smoke measured 2.5× the single-branch cost). */
   def qEntryExit(s: SparkSession, dir: String): DataFrame = {
-    val ss = sessions(s, dir)
+    val ss = Text.pin(sessions(s, dir), "entry_exit_sessions")
     val tot = ss.agg(count(lit(1)).as("tot"))
     val en = ss.groupBy(col("entry_type").as("event_type"))
       .agg(count(lit(1)).as("n_entry"))
