@@ -5444,6 +5444,63 @@ object Oracles {
          |       CAST(COALESCE(n_entry, 0) * 10000 // tot AS BIGINT)
          |         AS entry_share_bp
          |FROM en FULL OUTER JOIN ex ON en.event_type = ex.event_type
-         |CROSS JOIN tot ORDER BY ALL""".stripMargin
+         |CROSS JOIN tot ORDER BY ALL""".stripMargin,
+
+    // ---- §2.63 commerce-calendar analytics ----
+    "q_discount_lift" ->
+      """WITH b AS (SELECT
+        |    CAST(round(l_discount * 100) AS BIGINT) AS band,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS gross_c,
+        |    CAST(round(CAST(l_extendedprice AS DECIMAL(15,2)) *
+        |         CAST(1.0 - l_discount AS DECIMAL(4,2)) * 100, 0)
+        |         AS BIGINT) AS disc_c,
+        |    CAST(round(l_quantity) AS BIGINT) AS q
+        |  FROM lineitem)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(q) AS BIGINT) AS qty,
+        |       CAST(sum(gross_c) AS BIGINT) AS gross_cents,
+        |       CAST(sum(disc_c) AS BIGINT) AS net_cents,
+        |       CAST(sum(q) * 1000 // count(*) AS BIGINT)
+        |         AS avg_qty_milli
+        |FROM b GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_interpurchase" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    epoch_us(o_orderdate) // 86400000000 AS d
+        |  FROM orders),
+        |l AS (SELECT o_custkey, d, lag(d) OVER (PARTITION BY o_custkey
+        |        ORDER BY d, o_orderkey) AS prev_d
+        |      FROM o),
+        |g AS (SELECT c_mktsegment AS grp, d - prev_d AS v
+        |      FROM l JOIN customer ON o_custkey = c_custkey
+        |      WHERE prev_d IS NOT NULL),
+        |h AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM g GROUP BY 1, 2),
+        |tot AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n
+        |        FROM h GROUP BY 1),
+        |c AS (SELECT h.grp, v, n,
+        |        CAST(sum(cnt) OVER (PARTITION BY h.grp ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum
+        |      FROM h JOIN tot USING (grp)),
+        |p50 AS (SELECT grp, CAST(max(n) AS BIGINT) AS n_gaps,
+        |          CAST(min(v) AS BIGINT) AS p50
+        |        FROM c WHERE cum * 100 >= n * 50 GROUP BY 1),
+        |p90 AS (SELECT grp, CAST(min(v) AS BIGINT) AS p90
+        |        FROM c WHERE cum * 100 >= n * 90 GROUP BY 1)
+        |SELECT grp AS c_mktsegment, n_gaps, p50, p90
+        |FROM p50 JOIN p90 USING (grp) ORDER BY ALL""".stripMargin,
+    "q_dow_profile" ->
+      """WITH d AS (SELECT
+        |    (epoch_us(o_orderdate) // 86400000000 + 3) % 7 + 1 AS dow,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_orders,
+        |        CAST(sum(cents) AS BIGINT) AS rev_cents
+        |      FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS tot FROM g)
+        |SELECT CAST(dow AS BIGINT) AS dow, n_orders, rev_cents,
+        |       CAST(rev_cents * 10000 // tot AS BIGINT)
+        |         AS rev_share_bp
+        |FROM g CROSS JOIN tot ORDER BY ALL""".stripMargin
   )
 }

@@ -413,6 +413,10 @@ object SparkEntry {
     "q_session_depth" -> Sessions.qSessionDepth _,
     "q_bounce_rate" -> Sessions.qBounceRate _,
     "q_entry_exit" -> Sessions.qEntryExit _,
+    // §2.63 round-8 commerce-calendar analytics
+    "q_discount_lift" -> Commerce.qDiscountLift _,
+    "q_interpurchase" -> Commerce.qInterpurchase _,
+    "q_dow_profile" -> Commerce.qDowProfile _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,
