@@ -5501,6 +5501,78 @@ object Oracles {
         |SELECT CAST(dow AS BIGINT) AS dow, n_orders, rev_cents,
         |       CAST(rev_cents * 10000 // tot AS BIGINT)
         |         AS rev_share_bp
-        |FROM g CROSS JOIN tot ORDER BY ALL""".stripMargin
+        |FROM g CROSS JOIN tot ORDER BY ALL""".stripMargin,
+
+    // ---- §2.64 embedding-space audits ----
+    "q_centroid_shift" ->
+      """WITH lane AS (SELECT label, vec_id % 2 = 0 AS even, i,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+        |      AS x_u
+        |  FROM embeddings CROSS JOIN range(1, 65) r(i)),
+        |c AS (SELECT label, even, i, CAST(sum(x_u) AS BIGINT) AS s_u,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM lane GROUP BY 1, 2, 3),
+        |v AS (SELECT label, even, CAST(max(n) AS BIGINT) AS n,
+        |        list(CAST(s_u AS DOUBLE) / n ORDER BY i) AS cv
+        |      FROM c GROUP BY 1, 2),
+        |j AS (SELECT e.label, e.n AS n_even, o.n AS n_odd,
+        |        e.cv AS ca, o.cv AS cb
+        |      FROM v e JOIN v o ON e.label = o.label
+        |      WHERE e.even AND NOT o.even)
+        |SELECT CAST(label AS BIGINT) AS label, n_even, n_odd,
+        |       CAST(round(
+        |         list_sum(list_transform(generate_series(1, 64),
+        |           k -> ca[k] * cb[k])) /
+        |         sqrt(list_sum(list_transform(generate_series(1, 64),
+        |             k -> ca[k] * ca[k])) *
+        |           list_sum(list_transform(generate_series(1, 64),
+        |             k -> cb[k] * cb[k]))) * 10000) AS BIGINT) AS cos_u
+        |FROM j ORDER BY ALL""".stripMargin,
+    "q_pq_distortion" ->
+      """WITH lane AS (SELECT (i - 1) // 8 + 1 AS subspace,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+        |      AS x_u
+        |  FROM embeddings CROSS JOIN range(1, 65) r(i)),
+        |e AS (SELECT subspace,
+        |        x_u - (((x_u + 500500) // 1000) * 1000 - 500000)
+        |          AS err
+        |      FROM lane)
+        |SELECT CAST(subspace AS BIGINT) AS subspace,
+        |       CAST(count(*) AS BIGINT) AS n_lanes,
+        |       CAST(sum(err * err) AS BIGINT) AS sse,
+        |       CAST(sum(err * err) // count(*) AS BIGINT) AS mse_u,
+        |       CAST(max(abs(err)) AS BIGINT) AS max_err
+        |FROM e GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_dim_corr" ->
+      """WITH xu AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT))
+        |      AS xs
+        |  FROM embeddings),
+        |p AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |        xs[i] AS x, xs[j] AS y
+        |      FROM xu CROSS JOIN range(1, 65) a(i)
+        |      CROSS JOIN range(1, 65) b(j)
+        |      WHERE i < j),
+        |m AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx,
+        |        CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * x) AS BIGINT) AS qx,
+        |        CAST(sum(y * y) AS BIGINT) AS qy,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy
+        |      FROM p GROUP BY 1, 2),
+        |sc AS (SELECT i, j, n,
+        |         CASE WHEN n * qx - sx * sx = 0 OR n * qy - sy * sy = 0
+        |         THEN NULL
+        |         ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |              * 1000 / sqrt(CAST(n * qx - sx * sx AS DOUBLE)
+        |              * CAST(n * qy - sy * sy AS DOUBLE))) AS BIGINT)
+        |         END AS corr_milli
+        |       FROM m),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (
+        |         ORDER BY abs(corr_milli) DESC, i, j) AS rk
+        |       FROM sc WHERE corr_milli IS NOT NULL)
+        |SELECT i, j, n, corr_milli FROM rk WHERE rk <= 10
+        |ORDER BY ALL""".stripMargin
   )
 }

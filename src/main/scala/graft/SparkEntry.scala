@@ -417,6 +417,10 @@ object SparkEntry {
     "q_discount_lift" -> Commerce.qDiscountLift _,
     "q_interpurchase" -> Commerce.qInterpurchase _,
     "q_dow_profile" -> Commerce.qDowProfile _,
+    // §2.64 round-8 embedding-space audits
+    "q_centroid_shift" -> EmbedAudit.qCentroidShift _,
+    "q_pq_distortion" -> EmbedAudit.qPqDistortion _,
+    "q_dim_corr" -> EmbedAudit.qDimCorr _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

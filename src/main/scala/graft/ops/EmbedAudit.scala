@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 embedding-space audits (SURVEY §2.64): split-half centroid
+  * drift per label (is the class geometry stable across the corpus?),
+  * scalar-quantization distortion per PQ subspace (the error budget
+  * behind q_vector_pq / q_vector_quantize), and the most-correlated
+  * dimension pairs (the "is this embedding whitened" readout before
+  * anyone trusts a product quantizer's independence assumption).
+  * Coordinates ride the ×10⁴ integer lane policy; cross-engine doubles
+  * appear only in sequential 64-lane folds or one final sqrt. */
+object EmbedAudit {
+
+  /** Split-half centroid cosine (§2.64): per label, the cosine between
+    * the centroid of even vec_ids and odd vec_ids — 1.0 means the
+    * class geometry is stable under the deterministic split; a drop
+    * flags intra-class drift. Centroids are exact ×10⁴ integer-sum
+    * lanes (the q_confusion recipe) divided once; the cosine folds the
+    * 64 lanes SEQUENTIALLY (both engines: identical order). */
+  def qCentroidShift(s: SparkSession, dir: String): DataFrame = {
+    val cent = t(s, dir, "embeddings")
+      .select(col("label"), (col("vec_id") % 2 === 0).as("even"),
+        posexplode(col("embedding")))
+      .groupBy(col("label"), col("even"), (col("pos") + 1).as("i"))
+      .agg(sum(expr("CAST(round(CAST(col AS DOUBLE) * 10000) AS BIGINT)"))
+        .as("s_u"), count(lit(1)).as("n"))
+      .groupBy("label", "even")
+      .agg(max("n").as("n"),
+        transform(
+          array_sort(collect_list(struct(col("i"), col("s_u"), col("n")))),
+          x => x.getField("s_u").cast("double") / x.getField("n"))
+          .as("cv"))
+    val ev = cent.filter(col("even"))
+      .select(col("label"), col("n").as("n_even"), col("cv").as("ca"))
+    val od = cent.filter(!col("even"))
+      .select(col("label").as("l2"), col("n").as("n_odd"),
+        col("cv").as("cb"))
+    val dot = aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
+      acc + element_at(col("ca"), i.cast("int")) *
+        element_at(col("cb"), i.cast("int")))
+    val na = aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
+      acc + element_at(col("ca"), i.cast("int")) *
+        element_at(col("ca"), i.cast("int")))
+    val nb = aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
+      acc + element_at(col("cb"), i.cast("int")) *
+        element_at(col("cb"), i.cast("int")))
+    orderedAll(ev.join(od, col("label") === col("l2"))
+      .withColumn("cos_u",
+        round(dot / sqrt(na * nb) * 10000).cast("long"))
+      .select(col("label").cast("long").as("label"), col("n_even"),
+        col("n_odd"), col("cos_u")))
+  }
+
+  /** Scalar-quantization distortion (§2.64): per 8-dim PQ subspace,
+    * the exact error profile of snapping ×10⁴ integer lanes to a 0.1
+    * grid (step 1000 in lane units, round-half-up via a +500000 shift
+    * so floor division is sign-safe in both engines): lane count, sum
+    * of squared errors (exact BIGINT, in 10⁻⁸ units), MSE µ-units, and
+    * the max |error|. The error-budget table read before shipping a
+    * quantized index. One posexplode + one mergeable aggregate. */
+  def qPqDistortion(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "embeddings")
+      .select(posexplode(col("embedding")))
+      .select(expr("pos div 8 + 1").cast("long").as("subspace"),
+        expr("CAST(round(CAST(col AS DOUBLE) * 10000) AS BIGINT)")
+          .as("x_u"))
+      .withColumn("q_u", expr(
+        "((x_u + 500500) div 1000) * 1000 - 500000"))
+      .withColumn("err", col("x_u") - col("q_u"))
+      .groupBy("subspace")
+      .agg(count(lit(1)).as("n_lanes"),
+        sum(expr("err * err")).cast("long").as("sse"),
+        max(abs(col("err"))).cast("long").as("max_err"))
+      .withColumn("mse_u", expr("sse div n_lanes"))
+      .select("subspace", "n_lanes", "sse", "mse_u", "max_err"))
+
+  /** Most-correlated dimension pairs (§2.64): Pearson r over the ×10⁴
+    * lanes for all 2016 dimension pairs, top 10 by (|r|, i, j) — the
+    * whitening audit behind any PQ independence assumption. Cross
+    * moments are exact BIGINT sums over an IN-ROW pair expansion (the
+    * q_brand_affinity idiom — no self-join); the 2016-row moment table
+    * then ranks in one tiny window. r's numerator is exact; the only
+    * double is the final sqrt division. At 100 TB the expansion rides
+    * a deterministic md5 row sample (the audit needs moments, not the
+    * full corpus) — conf `spark.graft.dimCorrSampleMod`, default off. */
+  def qDimCorr(s: SparkSession, dir: String): DataFrame = {
+    val base0 = t(s, dir, "embeddings")
+    val base = s.conf.getOption("spark.graft.dimCorrSampleMod") match {
+      case Some(m) => base0.filter(
+        expr(s"pmod(CAST(conv(substring(md5(CAST(vec_id AS STRING)), " +
+          s"1, 8), 16, 10) AS BIGINT), $m) = 0"))
+      case None => base0
+    }
+    val lanes = base.withColumn("xu",
+      expr("transform(embedding, v -> " +
+        "CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT))"))
+    // i stops at 63: Spark's sequence(a, b) runs BACKWARDS when a > b,
+    // so sequence(65, 64) would mint a phantom j = 65.
+    val pairs = lanes.select(explode(expr(
+      """flatten(transform(sequence(1, 63), i ->
+        |  transform(sequence(i + 1, 64), j ->
+        |    struct(i AS i, j AS j, xu[i - 1] AS x, xu[j - 1] AS y))))"""
+        .stripMargin)).as("p"))
+      .select(col("p.i").cast("long").as("i"),
+        col("p.j").cast("long").as("j"), col("p.x").as("x"),
+        col("p.y").as("y"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("qx"), sum(expr("y * y")).as("qy"),
+        sum(expr("x * y")).as("sxy"))
+    val scored = pairs.withColumn("corr_milli", expr(
+      "CASE WHEN n * qx - sx * sx = 0 OR n * qy - sy * sy = 0 THEN NULL " +
+        "ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) * 1000 / " +
+        "sqrt(CAST(n * qx - sx * sx AS DOUBLE) * " +
+        "CAST(n * qy - sy * sy AS DOUBLE))) AS BIGINT) END"))
+    val w = Window.orderBy(abs(col("corr_milli")).desc, col("i").asc,
+      col("j").asc)
+    orderedAll(scored.filter(col("corr_milli").isNotNull)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("i", "j", "n", "corr_milli"))
+  }
+}
