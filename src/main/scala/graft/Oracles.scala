@@ -3445,6 +3445,25 @@ object Oracles {
       |             AS exit_type
       |         FROM r GROUP BY 1, 2)""".stripMargin
 
+  /** Per-type pre/post cents moments (§2.65) — mirrors Power.moments. */
+  private def powerMomentsCte: String =
+    """b AS (SELECT event_type,
+      |    ts < TIMESTAMP '2024-01-16 00:00:00' AS pre,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (SELECT event_type,
+      |    CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN pre THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN pre THEN cents ELSE 0 END) AS BIGINT)
+      |      AS s1,
+      |    CAST(sum(CASE WHEN pre THEN 0 ELSE cents END) AS BIGINT)
+      |      AS s2,
+      |    CAST(sum(CASE WHEN pre THEN cents * cents ELSE 0 END)
+      |         AS BIGINT) AS q1,
+      |    CAST(sum(CASE WHEN pre THEN 0 ELSE cents * cents END)
+      |         AS BIGINT) AS q2
+      |  FROM b GROUP BY 1)""".stripMargin
+
   /** Dot of an embedding against the sgn plane list (sequential fold). */
   private def planeDot(e: String) =
     "list_sum(list_transform(generate_series(1, 64), i -> " +
@@ -5573,6 +5592,51 @@ object Oracles {
         |         ORDER BY abs(corr_milli) DESC, i, j) AS rk
         |       FROM sc WHERE corr_milli IS NOT NULL)
         |SELECT i, j, n, corr_milli FROM rk WHERE rk <= 10
-        |ORDER BY ALL""".stripMargin
+        |ORDER BY ALL""".stripMargin,
+
+    // ---- §2.65 experiment-design audits ----
+    "q_power_mde" ->
+      s"""WITH $powerMomentsCte
+         |SELECT event_type, n1, n2,
+         |  CAST(round(sqrt((CAST(q1 + q2 AS DOUBLE) * (n1 + n2)
+         |       - CAST(s1 + s2 AS DOUBLE) * (s1 + s2)) /
+         |       (CAST(n1 + n2 AS DOUBLE) * (n1 + n2))) * 1000)
+         |       AS BIGINT) AS sd_milli,
+         |  CAST(round(28016 * CAST(CAST(round(sqrt(
+         |       (CAST(q1 + q2 AS DOUBLE) * (n1 + n2)
+         |        - CAST(s1 + s2 AS DOUBLE) * (s1 + s2)) /
+         |       (CAST(n1 + n2 AS DOUBLE) * (n1 + n2))) * 1000)
+         |       AS BIGINT) AS DOUBLE) / 10000 *
+         |       sqrt(2.0 / least(n1, n2))) AS BIGINT) AS mde_milli,
+         |  CASE WHEN s1 + s2 = 0 THEN NULL ELSE
+         |  CAST(ceil(2.0 * pow(28016.0 / 10000 * CAST(round(sqrt(
+         |       (CAST(q1 + q2 AS DOUBLE) * (n1 + n2)
+         |        - CAST(s1 + s2 AS DOUBLE) * (s1 + s2)) /
+         |       (CAST(n1 + n2 AS DOUBLE) * (n1 + n2))) * 1000)
+         |       AS BIGINT) /
+         |       (0.05 * (CAST(s1 + s2 AS DOUBLE) * 1000 / (n1 + n2))),
+         |       2)) AS BIGINT) END AS req_n_per_arm
+         |FROM m ORDER BY ALL""".stripMargin,
+    "q_cohens_d" ->
+      s"""WITH $powerMomentsCte
+         |SELECT event_type, n1, n2,
+         |  CAST(CASE WHEN n1 < 2 OR n2 < 2 THEN NULL ELSE
+         |    round((CAST(s2 AS DOUBLE) / n2 - CAST(s1 AS DOUBLE) / n1)
+         |      * 1000 / sqrt(
+         |      ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) +
+         |       (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)) /
+         |      (n1 + n2 - 2))) END AS BIGINT) AS d_milli
+         |FROM m ORDER BY ALL""".stripMargin,
+    "q_variance_ratio" ->
+      s"""WITH $powerMomentsCte
+         |SELECT event_type, n1, n2,
+         |  CAST(CASE WHEN n1 < 2 OR n2 < 2 OR
+         |      CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1 = 0.0
+         |    THEN NULL ELSE
+         |    round(((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+         |        / (n2 - 1)) * 1000 /
+         |      ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+         |        / (n1 - 1))) END AS BIGINT) AS ratio_milli
+         |FROM m ORDER BY ALL""".stripMargin
   )
 }

@@ -421,6 +421,10 @@ object SparkEntry {
     "q_centroid_shift" -> EmbedAudit.qCentroidShift _,
     "q_pq_distortion" -> EmbedAudit.qPqDistortion _,
     "q_dim_corr" -> EmbedAudit.qDimCorr _,
+    // §2.65 round-8 experiment-design audits
+    "q_power_mde" -> Power.qPowerMde _,
+    "q_cohens_d" -> Power.qCohensD _,
+    "q_variance_ratio" -> Power.qVarianceRatio _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,
