@@ -5637,6 +5637,64 @@ object Oracles {
          |        / (n2 - 1)) * 1000 /
          |      ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
          |        / (n1 - 1))) END AS BIGINT) AS ratio_milli
-         |FROM m ORDER BY ALL""".stripMargin
+         |FROM m ORDER BY ALL""".stripMargin,
+
+    // ---- §2.66 policy-lexicon / vocabulary-structure audits ----
+    "q_lexicon_filter" ->
+      """WITH d AS (SELECT source,
+        |    string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |terms AS (SELECT unnest(['slow', 'dup', 'deprecated'])
+        |            AS term),
+        |pt AS (SELECT source, term,
+        |         CAST(sum(CASE WHEN list_contains(toks, term)
+        |              THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+        |         CAST(sum(len(list_filter(toks, x -> x = term)))
+        |              AS BIGINT) AS occurrences
+        |       FROM d CROSS JOIN terms GROUP BY 1, 2),
+        |bs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(CASE WHEN list_contains(toks, 'slow')
+        |              OR list_contains(toks, 'dup')
+        |              OR list_contains(toks, 'deprecated')
+        |              THEN 1 ELSE 0 END) AS BIGINT) AS docs_removed
+        |       FROM d GROUP BY 1)
+        |SELECT source, term, docs_hit, occurrences, n_docs,
+        |       docs_removed,
+        |       CAST(docs_removed * 10000 // n_docs AS BIGINT)
+        |         AS removal_bp
+        |FROM pt JOIN bs USING (source) ORDER BY ALL""".stripMargin,
+    "q_vocab_overlap" ->
+      """WITH st AS (SELECT DISTINCT source, token
+        |  FROM (SELECT source,
+        |          unnest(string_split(lower(text), ' ')) AS token
+        |        FROM documents)
+        |  WHERE token <> ''),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz
+        |       FROM st GROUP BY 1),
+        |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+        |            CAST(count(*) AS BIGINT) AS inter
+        |          FROM st a JOIN st b ON a.token = b.token
+        |                             AND a.source < b.source
+        |          GROUP BY 1, 2)
+        |SELECT src_a, src_b,
+        |       za.sz AS size_a, zb.sz AS size_b, inter,
+        |       CAST(inter * 10000 // (za.sz + zb.sz - inter)
+        |            AS BIGINT) AS jaccard_bp
+        |FROM inter
+        |JOIN sz za ON src_a = za.source
+        |JOIN sz zb ON src_b = zb.source ORDER BY ALL""".stripMargin,
+    "q_char_trigrams" ->
+      """WITH g AS (SELECT lang,
+        |    substring(text, i, 3) AS g,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents
+        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
+        |    length(text) - 2)) AS i) r
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT lang, g, cnt, ROW_NUMBER() OVER (
+        |         PARTITION BY lang ORDER BY cnt DESC, g ASC) AS rk
+        |       FROM g)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, g, cnt
+        |FROM rk WHERE rk <= 10 ORDER BY ALL""".stripMargin
   )
 }

@@ -425,6 +425,10 @@ object SparkEntry {
     "q_power_mde" -> Power.qPowerMde _,
     "q_cohens_d" -> Power.qCohensD _,
     "q_variance_ratio" -> Power.qVarianceRatio _,
+    // §2.66 round-8 policy-lexicon / vocabulary-structure audits
+    "q_lexicon_filter" -> Lexicon.qLexiconFilter _,
+    "q_vocab_overlap" -> Lexicon.qVocabOverlap _,
+    "q_char_trigrams" -> Lexicon.qCharTrigrams _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,
