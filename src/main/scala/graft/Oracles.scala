@@ -3445,6 +3445,13 @@ object Oracles {
       |             AS exit_type
       |         FROM r GROUP BY 1, 2)""".stripMargin
 
+  /** RRF weight literals as a CASE over a rank column (§2.67) — the
+    * same Scala-computed ×10⁶ values Fusion.rrfWeights embeds. */
+  private def rrfCase(r: String): String =
+    graft.ops.Fusion.rrfWeights.zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }
+      .mkString(s"CASE $r ", " ", " ELSE 0 END")
+
   /** Per-type pre/post cents moments (§2.65) — mirrors Power.moments. */
   private def powerMomentsCte: String =
     """b AS (SELECT event_type,
@@ -5695,6 +5702,72 @@ object Oracles {
         |         PARTITION BY lang ORDER BY cnt DESC, g ASC) AS rk
         |       FROM g)
         |SELECT lang, CAST(rk AS BIGINT) AS rk, g, cnt
-        |FROM rk WHERE rk <= 10 ORDER BY ALL""".stripMargin
+        |FROM rk WHERE rk <= 10 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.67 ranking-fusion / time-weighted readouts ----
+    "q_rrf" ->
+      s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe
+         |           FROM embeddings WHERE vec_id < 20),
+         |sc AS (SELECT pid, vec_id,
+         |         list_sum(list_transform(generate_series(1, 64),
+         |           i -> CAST(pe[i] AS DOUBLE)
+         |                * CAST(embedding[i] AS DOUBLE))) /
+         |         sqrt(list_sum(list_transform(generate_series(1, 64),
+         |             i -> CAST(pe[i] AS DOUBLE) * pe[i])) *
+         |           list_sum(list_transform(generate_series(1, 64),
+         |             i -> CAST(embedding[i] AS DOUBLE) * embedding[i])))
+         |           AS cos,
+         |         list_sum(list_transform(generate_series(1, 64),
+         |           i -> CAST(pe[i] AS DOUBLE)
+         |                * CAST(embedding[i] AS DOUBLE))) AS dot
+         |       FROM embeddings CROSS JOIN p WHERE vec_id <> pid),
+         |rk AS (SELECT pid, vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY pid
+         |           ORDER BY cos DESC, vec_id ASC) AS ra,
+         |         ROW_NUMBER() OVER (PARTITION BY pid
+         |           ORDER BY dot DESC, vec_id ASC) AS rb
+         |       FROM sc),
+         |f AS (SELECT pid, vec_id,
+         |        CAST(${rrfCase("ra")} + ${rrfCase("rb")} AS BIGINT)
+         |          AS rrf_u
+         |      FROM rk WHERE ra <= 10 OR rb <= 10),
+         |ff AS (SELECT pid, vec_id, rrf_u, ROW_NUMBER() OVER (
+         |         PARTITION BY pid ORDER BY rrf_u DESC, vec_id ASC)
+         |         AS fused_rank
+         |       FROM f)
+         |SELECT pid, CAST(fused_rank AS BIGINT) AS fused_rank,
+         |       vec_id, rrf_u
+         |FROM ff WHERE fused_rank <= 5 ORDER BY ALL""".stripMargin,
+    "q_vwap" ->
+      """WITH b AS (SELECT
+        |    epoch_us(l_shipdate) // 86400000000 // 30 AS bucket,
+        |    CAST(round(l_quantity) AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(q) AS BIGINT) AS qty,
+        |       CAST(sum(c * q) AS BIGINT) AS pq_cents,
+        |       CAST(sum(c * q) * 1000 // sum(q) AS BIGINT) AS vwap_cm
+        |FROM b GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_decay_score" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    19753 - epoch_us(ts) // 86400000000 AS age
+        |  FROM events),
+        |w AS (SELECT user_id, cents,
+        |        CAST(round(pow(0.5, CAST(age AS DOUBLE) / 7.0)
+        |             * 1000000) AS BIGINT) AS w_u
+        |      FROM e),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |        CAST(sum(cents * w_u) AS BIGINT) AS raw
+        |      FROM w GROUP BY 1),
+        |rk AS (SELECT user_id, n_events, raw // 1000000 AS score_u,
+        |         ROW_NUMBER() OVER (ORDER BY raw // 1000000 DESC,
+        |           user_id ASC) AS rk
+        |       FROM g)
+        |SELECT CAST(rk AS BIGINT) AS rk, user_id, n_events,
+        |       CAST(score_u AS BIGINT) AS score_u
+        |FROM rk WHERE rk <= 20 ORDER BY ALL""".stripMargin
   )
 }

@@ -429,6 +429,10 @@ object SparkEntry {
     "q_lexicon_filter" -> Lexicon.qLexiconFilter _,
     "q_vocab_overlap" -> Lexicon.qVocabOverlap _,
     "q_char_trigrams" -> Lexicon.qCharTrigrams _,
+    // §2.67 round-8 ranking-fusion / time-weighted readouts
+    "q_rrf" -> Fusion.qRrf _,
+    "q_vwap" -> Fusion.qVwap _,
+    "q_decay_score" -> Fusion.qDecayScore _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,
