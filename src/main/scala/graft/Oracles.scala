@@ -5768,6 +5768,67 @@ object Oracles {
         |       FROM g)
         |SELECT CAST(rk AS BIGINT) AS rk, user_id, n_events,
         |       CAST(score_u AS BIGINT) AS score_u
-        |FROM rk WHERE rk <= 20 ORDER BY ALL""".stripMargin
+        |FROM rk WHERE rk <= 20 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.68 retail-quality readouts ----
+    "q_return_rates" ->
+      """WITH j AS (SELECT p_brand, l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+        |            END) AS BIGINT) AS n_returned,
+        |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+        |            END) * 10000 // count(*) AS BIGINT) AS return_bp,
+        |       CAST(sum(c) AS BIGINT) AS cents,
+        |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN c ELSE 0
+        |            END) AS BIGINT) AS returned_cents
+        |FROM j GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_price_dispersion" ->
+      """WITH j AS (SELECT p_brand,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) * 1000
+        |      // CAST(round(l_quantity) AS BIGINT) AS up_mc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE CAST(round(l_quantity) AS BIGINT) > 0),
+        |g AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+        |        CAST(min(up_mc) AS BIGINT) AS min_up,
+        |        CAST(max(up_mc) AS BIGINT) AS max_up
+        |      FROM j GROUP BY 1)
+        |SELECT p_brand, n_lines, min_up, max_up,
+        |       max_up - min_up AS spread,
+        |       CAST(CASE WHEN min_up = 0 THEN NULL
+        |            ELSE (max_up - min_up) * 10000 // min_up END
+        |            AS BIGINT) AS spread_bp
+        |FROM g ORDER BY ALL""".stripMargin,
+    "q_customer_migration" ->
+      """WITH s96 AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         AS BIGINT) AS sp
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1),
+        |n96 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s96),
+        |a AS (SELECT o_custkey AS ck,
+        |        (ROW_NUMBER() OVER (ORDER BY sp, o_custkey) - 1)
+        |          * 4 // n + 1 AS seg_pre
+        |      FROM s96 CROSS JOIN n96),
+        |s97 AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         AS BIGINT) AS sp
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1),
+        |n97 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s97),
+        |b AS (SELECT o_custkey AS ck,
+        |        (ROW_NUMBER() OVER (ORDER BY sp, o_custkey) - 1)
+        |          * 4 // n + 1 AS seg_post
+        |      FROM s97 CROSS JOIN n97)
+        |SELECT CAST(COALESCE(seg_pre, 0) AS BIGINT) AS seg_pre,
+        |       CAST(COALESCE(seg_post, 0) AS BIGINT) AS seg_post,
+        |       CAST(count(*) AS BIGINT) AS n_customers
+        |FROM a FULL OUTER JOIN b ON a.ck = b.ck
+        |GROUP BY 1, 2 ORDER BY ALL""".stripMargin
   )
 }

@@ -433,6 +433,10 @@ object SparkEntry {
     "q_rrf" -> Fusion.qRrf _,
     "q_vwap" -> Fusion.qVwap _,
     "q_decay_score" -> Fusion.qDecayScore _,
+    // §2.68 round-8 retail-quality readouts
+    "q_return_rates" -> Retail.qReturnRates _,
+    "q_price_dispersion" -> Retail.qPriceDispersion _,
+    "q_customer_migration" -> Retail.qCustomerMigration _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 retail-quality readouts (SURVEY §2.68): return-rate
+  * accounting per brand (the merchandising quality gate), unit-price
+  * dispersion per brand (the pricing-governance check: the same part
+  * family selling at wildly different unit prices), and the
+  * pre→post customer spend-quartile migration matrix (the CRM
+  * "who moved where" table). Exact cents/integer arithmetic; quartile
+  * cuts use the explicit (rank−1)·4 div n recipe, not NTILE. */
+object Retail {
+
+  /** Return-rate accounting (§2.68): per part brand, line counts and
+    * exact cents by return flag (R = returned), with the return rate
+    * in basis points — the merchandising gate. Facts collapse to
+    * (brand, flag) partials map-side with the part dim broadcast. */
+  def qReturnRates(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .cast("long").as("n_returned"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .cast("long").as("cents"),
+        sum(when(col("l_returnflag") === "R",
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .otherwise(0L)).cast("long").as("returned_cents"))
+      .withColumn("return_bp", expr("n_returned * 10000 div n_lines"))
+      .select("p_brand", "n_lines", "n_returned", "return_bp", "cents",
+        "returned_cents"))
+
+  /** Unit-price dispersion (§2.68): per brand, the exact milli-cents
+    * unit price (extendedprice·1000·100 div quantity) min/max/spread
+    * and the relative spread in bp of the min — the pricing-
+    * governance check. Per-line unit prices are exact integer floor
+    * divisions; the brand fold is one mergeable aggregate. */
+  def qPriceDispersion(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "lineitem")
+      .filter(expr("CAST(round(l_quantity) AS BIGINT) > 0"))
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("up_mc", expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * 1000 " +
+          "div CAST(round(l_quantity) AS BIGINT)"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        min("up_mc").as("min_up"), max("up_mc").as("max_up"))
+      .withColumn("spread", expr("max_up - min_up"))
+      .withColumn("spread_bp", expr(
+        "CASE WHEN min_up = 0 THEN NULL " +
+          "ELSE (max_up - min_up) * 10000 div min_up END"))
+      .select("p_brand", "n_lines", "min_up", "max_up", "spread",
+        "spread_bp"))
+
+  /** Customer spend-quartile migration (§2.68): per (1996 quartile →
+    * 1997 quartile) cell, how many customers moved — quartiles cut
+    * per year by the explicit (rank−1)·4 div n recipe over exact
+    * cents under the (spend, custkey) total order; customers absent
+    * from a year land in segment 0 ("inactive"). The CRM transition
+    * matrix behind q_growth_accounting's counts. The rank windows run
+    * on the per-year customer-aggregate (account dim); the matrix is
+    * a ≤25-row fold of a full-outer join on custkey. */
+  def qCustomerMigration(s: SparkSession, dir: String): DataFrame = {
+    def yearSeg(year: Int, out: String): DataFrame = {
+      val sp = t(s, dir, "orders")
+        .filter(expr(s"o_orderdate >= TIMESTAMP '$year-01-01 00:00:00'" +
+          s" AND o_orderdate < TIMESTAMP '${year + 1}-01-01 00:00:00'"))
+        .groupBy("o_custkey")
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("sp"))
+      val n = sp.agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("sp").asc, col("o_custkey").asc)
+      sp.crossJoin(broadcast(n))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn(out, expr("(rn - 1) * 4 div n + 1"))
+        .select(col("o_custkey").as(s"ck_$out"), col(out))
+    }
+    val a = yearSeg(1996, "seg_pre")
+    val b = yearSeg(1997, "seg_post")
+    orderedAll(a.join(b, col("ck_seg_pre") === col("ck_seg_post"),
+      "full_outer")
+      .withColumn("seg_pre", coalesce(col("seg_pre"), lit(0L)))
+      .withColumn("seg_post", coalesce(col("seg_post"), lit(0L)))
+      .groupBy("seg_pre", "seg_post")
+      .agg(count(lit(1)).as("n_customers")))
+  }
+}
