@@ -3445,6 +3445,29 @@ object Oracles {
       |             AS exit_type
       |         FROM r GROUP BY 1, 2)""".stripMargin
 
+  /** Candidate near-dup pairs at the loosest sweep cut with exact
+    * Jaccard bp (§2.69) — mirrors DedupAudit.candPairs (cMul=3,
+    * sMul=1 ⟺ J ≥ 0.5). */
+  private def candPairsCte: String =
+    """dt AS (SELECT DISTINCT doc_id, token FROM (
+      |       SELECT doc_id, unnest(string_split(lower(text), ' '))
+      |         AS token
+      |       FROM documents WHERE lang = 'en') WHERE token <> ''),
+      |szc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt
+      |        FROM dt GROUP BY 1),
+      |prc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |          CAST(count(*) AS BIGINT) AS common
+      |        FROM dt a JOIN dt b
+      |        ON a.token = b.token AND a.doc_id < b.doc_id
+      |        GROUP BY 1, 2),
+      |cand AS (SELECT a_id, b_id, common, sa.nt AS na, sb.nt AS nb,
+      |           CAST(common * 10000 // (sa.nt + sb.nt - common)
+      |                AS BIGINT) AS j_bp
+      |         FROM prc
+      |         JOIN szc sa ON a_id = sa.doc_id
+      |         JOIN szc sb ON b_id = sb.doc_id
+      |         WHERE common * 3 >= sa.nt + sb.nt)""".stripMargin
+
   /** RRF weight literals as a CASE over a rank column (§2.67) — the
     * same Scala-computed ×10⁶ values Fusion.rrfWeights embeds. */
   private def rrfCase(r: String): String =
@@ -5829,6 +5852,68 @@ object Oracles {
         |       CAST(COALESCE(seg_post, 0) AS BIGINT) AS seg_post,
         |       CAST(count(*) AS BIGINT) AS n_customers
         |FROM a FULL OUTER JOIN b ON a.ck = b.ck
-        |GROUP BY 1, 2 ORDER BY ALL""".stripMargin
+        |GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.69 dedup-calibration audits ----
+    "q_dedup_sweep" ->
+      s"""WITH $candPairsCte,
+         |cuts AS (SELECT unnest([5000, 7000, 8000, 9000]) AS cut_bp)
+         |SELECT CAST(cut_bp AS BIGINT) AS cut_bp,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(count(DISTINCT a_id) AS BIGINT) AS n_left_docs
+         |FROM cand CROSS JOIN cuts
+         |WHERE j_bp >= cut_bp GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_minhash_accuracy" ->
+      s"""WITH $candPairsCte,
+         |tok2 AS (SELECT doc_id, unnest(list_distinct(list_filter(
+         |           string_split(lower(text), ' '), x -> x <> '')))
+         |           AS token
+         |         FROM documents WHERE lang = 'en'),
+         |lanes AS (SELECT doc_id, j,
+         |    min(substring(md5(CAST(j AS VARCHAR) || ':' || token),
+         |        1, 15)) AS mh
+         |  FROM tok2 CROSS JOIN range(16) t(j) GROUP BY 1, 2),
+         |est AS (SELECT a.doc_id AS ea, b.doc_id AS eb,
+         |          CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+         |               * 10000 // 16 AS BIGINT) AS est_bp
+         |        FROM lanes a JOIN lanes b ON a.j = b.j
+         |                                 AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2),
+         |q AS (SELECT j_bp // 1000 AS band,
+         |        abs(est_bp - j_bp) AS err
+         |      FROM cand JOIN est ON a_id = ea AND b_id = eb)
+         |SELECT CAST(band AS BIGINT) AS band,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(err) // count(*) AS BIGINT) AS mean_err_bp,
+         |       CAST(max(err) AS BIGINT) AS max_err_bp
+         |FROM q GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_component_profile" ->
+      """WITH RECURSIVE dt AS (SELECT DISTINCT doc_id, token FROM (
+        |       SELECT doc_id, unnest(string_split(lower(text), ' '))
+        |         AS token
+        |       FROM documents WHERE lang = 'en') WHERE token <> ''),
+        |sz AS (SELECT doc_id, count(*) AS nt FROM dt GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         count(*) AS common
+        |       FROM dt a JOIN dt b
+        |       ON a.token = b.token AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM pr
+        |          JOIN sz sa ON a_id = sa.doc_id
+        |          JOIN sz sb ON b_id = sb.doc_id
+        |          WHERE common * 9 >= (sa.nt + sb.nt) * 4),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |      UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node),
+        |lab AS (SELECT node AS doc_id, min(r) AS cluster_id
+        |        FROM reach GROUP BY 1),
+        |ks AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS k
+        |       FROM lab GROUP BY 1)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_components,
+        |       CAST(k * count(*) AS BIGINT) AS docs
+        |FROM ks GROUP BY 1 ORDER BY ALL""".stripMargin
   )
 }

@@ -437,6 +437,10 @@ object SparkEntry {
     "q_return_rates" -> Retail.qReturnRates _,
     "q_price_dispersion" -> Retail.qPriceDispersion _,
     "q_customer_migration" -> Retail.qCustomerMigration _,
+    // §2.69 round-8 dedup-calibration audits
+    "q_dedup_sweep" -> DedupAudit.qDedupSweep _,
+    "q_minhash_accuracy" -> DedupAudit.qMinhashAccuracy _,
+    "q_component_profile" -> DedupAudit.qComponentProfile _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 dedup-calibration audits (SURVEY §2.69): the threshold
+  * sensitivity sweep (how many pairs each Jaccard cut would merge —
+  * the tuning table read before anyone picks 0.8), the MinHash
+  * estimator error profile against exact Jaccard (is 16 lanes enough
+  * on THIS corpus?), and the connected-component size profile of the
+  * near-dup graph (the cluster-shape readout behind
+  * q_dedup_clusters' per-doc labels). One candidate generation at the
+  * loosest threshold feeds the first two; the third composes the
+  * existing CC engine. */
+object DedupAudit {
+
+  /** Candidate pairs with exact overlap stats at the loosest sweep
+    * cut: the q_dedup_near inverted-index generation with cMul=3,
+    * sMul=1 — common ≥ (na+nb)/3 ⟺ J = c/(na+nb−c) ≥ 0.5, exactly
+    * the lowest band below. Exact J in bp is re-derived per pair. */
+  private def candPairs(s: SparkSession, dir: String): DataFrame = {
+    val dt = t(s, dir, "documents").filter(col("lang") === "en")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "").distinct()
+    Text.invertedPairs(dt, 3, 1)
+      .withColumn("j_bp", expr(
+        "common * 10000 div (na + nb - common)"))
+  }
+
+  /** Threshold sensitivity sweep (§2.69): pair counts and docs
+    * involved at Jaccard cuts 0.5 / 0.7 / 0.8 / 0.9 from ONE
+    * candidate generation — the dedup tuning table. The threshold
+    * axis is 4 literal rows; counting is conditional aggregation over
+    * the candidate pair set. */
+  def qDedupSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cuts = Seq(5000L, 7000L, 8000L, 9000L).toDF("cut_bp")
+    orderedAll(candPairs(s, dir).crossJoin(broadcast(cuts))
+      .filter(col("j_bp") >= col("cut_bp"))
+      .groupBy("cut_bp")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("a_id")).as("n_left_docs")))
+  }
+
+  /** MinHash estimator error profile (§2.69): for every candidate
+    * pair, the 16-lane md5 MinHash Jaccard estimate (matching lanes
+    * div 16, bp) against exact Jaccard, folded per exact-J decile
+    * band: pair count, mean absolute error bp, max error bp — the
+    * "is the sketch budget enough on this corpus" calibration. Lane
+    * minima are the q_dedup_minhash 15-hex-prefix BIGINTs (order- and
+    * equality-identical to the oracle's hex-string minima). */
+  def qMinhashAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val tokenRows = t(s, dir, "documents").filter(col("lang") === "en")
+      .select(col("doc_id"), explode(
+        array_remove(array_distinct(tokens(col("text"))), ""))
+        .as("token"))
+    val laneMins = (0 until 16).map(j =>
+      min(expr(s"CAST(conv(substring(md5(concat('$j:', token)), 1, " +
+        s"15), 16, 10) AS BIGINT)")).as(s"mh$j"))
+    val sig = tokenRows.groupBy("doc_id")
+      .agg(laneMins.head, laneMins.tail: _*)
+    val sa = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+    val matches = (0 until 16)
+      .map(j => s"CASE WHEN a_mh$j = b_mh$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    orderedAll(candPairs(s, dir)
+      .join(sa, col("a_id") === col("a_doc_id"))
+      .join(sb, col("b_id") === col("b_doc_id"))
+      .withColumn("est_bp", expr(s"($matches) * 10000 div 16"))
+      .withColumn("band", expr("j_bp div 1000"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("abs(est_bp - j_bp)")).cast("long").as("abs_err_sum"),
+        max(expr("abs(est_bp - j_bp)")).cast("long").as("max_err_bp"))
+      .withColumn("mean_err_bp", expr("abs_err_sum div n_pairs"))
+      .select("band", "n_pairs", "mean_err_bp", "max_err_bp"))
+  }
+
+  /** Near-dup component size profile (§2.69): cluster-size histogram
+    * over q_dedup_clusters' connected components (size k →
+    * components, docs) — the cluster-shape readout (a few giant
+    * components mean transitive merging is over-firing; all-pairs of
+    * size 2 mean the threshold is conservative). Composes the
+    * existing CC output; two tiny aggregates on top. */
+  def qComponentProfile(s: SparkSession, dir: String): DataFrame =
+    orderedAll(Text.qDedupClusters(s, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_components"))
+      .withColumn("docs", expr("k * n_components"))
+      .select("k", "n_components", "docs"))
+}
