@@ -15,16 +15,29 @@ import org.apache.spark.sql.functions._
 object DedupAudit {
 
   /** Candidate pairs with exact overlap stats at the loosest sweep
-    * cut: the q_dedup_near inverted-index generation with cMul=3,
-    * sMul=1 — common ≥ (na+nb)/3 ⟺ J = c/(na+nb−c) ≥ 0.5, exactly
-    * the lowest band below. Exact J in bp is re-derived per pair. */
+    * cut (cMul=3, sMul=1 — common ≥ (na+nb)/3 ⟺ J = c/(na+nb−c) ≥
+    * 0.5, exactly the lowest band below). Strategy dispatch mirrors
+    * Text.nearPairs: tiny-vocab corpora take the distinct-mask
+    * popcount path (O(M²) over distinct token sets), everything else
+    * the inverted-index co-occurrence join — a loose cut makes the
+    * posting join strictly heavier, so inheriting the stats-driven
+    * switch matters MORE here than at (9,4). The salted scale-smoke
+    * corpus (vocab > 64, corpus-wide postings) is the documented
+    * §2.11 adversarial case for ANY exact pair listing and is
+    * excluded from the 10×/100× table like q_dedup_near itself.
+    * Exact J in bp is re-derived per pair. */
   private def candPairs(s: SparkSession, dir: String): DataFrame = {
-    val dt = t(s, dir, "documents").filter(col("lang") === "en")
+    val docs = t(s, dir, "documents").filter(col("lang") === "en")
+    val dt = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .filter(col("token") =!= "").distinct()
-    Text.invertedPairs(dt, 3, 1)
-      .withColumn("j_bp", expr(
-        "common * 10000 div (na + nb - common)"))
+    val dictN = dt.select("token").distinct().count()
+    val base =
+      if (dictN <= math.min(64L, Text.maskGroupMaxDict(s)))
+        Text.maskGroupPairs(dt, 3, 1)
+      else Text.invertedPairs(dt, 3, 1)
+    base.withColumn("j_bp", expr(
+      "common * 10000 div (na + nb - common)"))
   }
 
   /** Threshold sensitivity sweep (§2.69): pair counts and docs

@@ -46,7 +46,7 @@ object Text {
     s.conf.getOption("spark.graft.maskGroupMaxMasks")
       .map(_.toLong).getOrElse(1000000L)
 
-  private def pairNljMaxDocs(s: SparkSession): Long =
+  private[graft] def pairNljMaxDocs(s: SparkSession): Long =
     s.conf.getOption("spark.graft.pairNljMaxDocs")
       .map(_.toLong).getOrElse(20000L)
 
