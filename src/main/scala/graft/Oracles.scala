@@ -5914,6 +5914,36 @@ object Oracles {
         |       FROM lab GROUP BY 1)
         |SELECT k, CAST(count(*) AS BIGINT) AS n_components,
         |       CAST(k * count(*) AS BIGINT) AS docs
-        |FROM ks GROUP BY 1 ORDER BY ALL""".stripMargin
+        |FROM ks GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.70 source formats, second batch ----
+    "q_source_xml" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n,
+        |       min(n_name) AS min_nation
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_source_text" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars,
+        |       CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM documents GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         CAST(NULL AS VARCHAR) AS o_orderpriority
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         o_orderpriority
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(cents) AS BIGINT) AS cents
+        |FROM u GROUP BY 1 ORDER BY ALL""".stripMargin
   )
 }

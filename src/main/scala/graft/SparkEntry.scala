@@ -25,6 +25,9 @@ object SparkEntry {
     "q_source_partitioned" -> graft.sources.FileFormats.qSourcePartitioned _,
     "q_join_bucketed" -> graft.sources.FileFormats.qJoinBucketed _,
     "q_source_binary" -> graft.sources.FileFormats.qSourceBinary _,
+    "q_source_xml" -> graft.sources.FileFormats.qSourceXml _,
+    "q_source_text" -> graft.sources.FileFormats.qSourceText _,
+    "q_schema_evolution" -> graft.sources.FileFormats.qSchemaEvolution _,
     // §2.2 filters / predicates
     "q_filter_pred" -> Relational.qFilterPred _,
     "q_filter_in_like" -> Relational.qFilterInLike _,

@@ -201,4 +201,77 @@ object FileFormats {
       .select(element_at(split(col("path"), "/"), -1).as("file"),
         length(col("content")).cast("long").as("bytes"),
         md5(col("content")).as("digest")))
+
+  /** XML sink + source (§2.70): nation round-tripped through Spark 4's
+    * NATIVE XML data source (rowTag elements, explicit schema-on-read
+    * — schema inference on XML is the classic silent-drift trap), then
+    * the region join-agg with a different fold than the CSV twin. The
+    * oracle reads the original Parquet: a broken writer/reader cannot
+    * pass. */
+  def qSourceXml(s: SparkSession, dir: String): DataFrame = {
+    val path = materialize(graft.Tables.table(s, dir, "nation"),
+      s"xml:$dir") { (df, p) =>
+      df.write.mode("overwrite").option("rowTag", "nation")
+        .format("xml").save(p)
+    }
+    val nation = s.read.format("xml").option("rowTag", "nation")
+      .schema(graft.Tables.schemas("nation")).load(path)
+    orderedAll(nation
+      .join(broadcast(graft.Tables.table(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n"), min(col("n_name")).as("min_nation")))
+  }
+
+  /** Line-text sink + source (§2.70): documents serialized to raw
+    * `text` lines under an explicit field delimiter (the log-file
+    * genre: one record per line, schema applied at parse time), read
+    * back with `spark.read.text` and split — then a per-lang fold.
+    * The delimiter is safe by construction (doc text is space-
+    * delimited lowercase words). */
+  def qSourceText(s: SparkSession, dir: String): DataFrame = {
+    val path = materialize(
+      graft.Tables.table(s, dir, "documents")
+        .select(concat_ws("|", col("doc_id"), col("lang"),
+          col("n_chars")).as("value")),
+      s"text:$dir") { (df, p) =>
+      df.coalesce(1).write.mode("overwrite").text(p)
+    }
+    orderedAll(s.read.text(path)
+      .select(split(col("value"), "\\|").as("f"))
+      .select(element_at(col("f"), 1).cast("long").as("doc_id"),
+        element_at(col("f"), 2).as("lang"),
+        element_at(col("f"), 3).cast("long").as("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("chars"),
+        min("doc_id").as("min_doc")))
+  }
+
+  /** Schema-evolution read (§2.70): two Parquet generations of the
+    * orders feed — 1996 written WITHOUT the priority column, 1997 with
+    * it — read together under `mergeSchema` (the schema-on-read
+    * contract every long-lived lake table needs), folded per priority
+    * with the missing generation surfacing as NULL. The oracle mirrors
+    * with a NULL-filled union over the original table. */
+  def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    def year(y: Int) = graft.Tables.table(s, dir, "orders")
+      .filter(expr(s"o_orderdate >= TIMESTAMP '$y-01-01 00:00:00'" +
+        s" AND o_orderdate < TIMESTAMP '${y + 1}-01-01 00:00:00'"))
+    val path = materialize(year(1996)
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")),
+      s"evo:$dir") { (df, p) =>
+      df.write.mode("overwrite").parquet(p + "/gen=1")
+      year(1997).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderpriority"))
+        .write.mode("overwrite").parquet(p + "/gen=2")
+    }
+    orderedAll(s.read.option("mergeSchema", "true")
+      .parquet(path + "/gen=1", path + "/gen=2")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("cents").cast("long").as("cents")))
+  }
 }
