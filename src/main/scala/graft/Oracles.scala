@@ -5944,6 +5944,67 @@ object Oracles {
         |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
         |       CAST(sum(cents) AS BIGINT) AS cents
-        |FROM u GROUP BY 1 ORDER BY ALL""".stripMargin
+        |FROM u GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.71 sampling-quality audits ----
+    "q_sample_bias" ->
+      """WITH e AS (SELECT event_type,
+        |    substring(md5(CAST(event_id AS VARCHAR) || ':bias'), 1, 1)
+        |      = '0' AS ing
+        |  FROM events),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN ing THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_sample
+        |      FROM e GROUP BY 1)
+        |SELECT event_type, n, n_sample,
+        |       CAST(n_sample * 10000 // n AS BIGINT) AS share_bp,
+        |       CAST(n_sample * 10000 // n - 625 AS BIGINT) AS dev_bp
+        |FROM g ORDER BY ALL""".stripMargin,
+    "q_stratified_gain" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    substring(md5(CAST(event_id AS VARCHAR) || ':strat'), 1, 1)
+        |      = '0' AS ing
+        |  FROM events),
+        |st AS (SELECT event_type,
+        |         CAST(sum(cents) AS BIGINT) AS truth_t,
+        |         CAST(sum(CASE WHEN ing THEN cents ELSE 0 END)
+        |              AS BIGINT) AS samp_t
+        |       FROM e GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |        CAST(sum(truth_t) AS BIGINT) AS truth,
+        |        CAST(sum(samp_t) * 16 AS BIGINT) AS est_srs,
+        |        CAST(sum(samp_t * 16) AS BIGINT) AS est_strat
+        |      FROM st)
+        |SELECT n_strata, truth, est_srs, est_strat,
+        |       CAST(abs(est_srs - truth) * 10000 // truth AS BIGINT)
+        |         AS err_srs_bp,
+        |       CAST(abs(est_strat - truth) * 10000 // truth AS BIGINT)
+        |         AS err_strat_bp
+        |FROM a ORDER BY ALL""".stripMargin,
+    "q_sample_ci" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    substring(md5(CAST(event_id AS VARCHAR) || ':ci'), 1, 1)
+        |      = '0' AS ing
+        |  FROM events),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pop,
+        |        CAST(sum(CASE WHEN ing THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n,
+        |        CAST(sum(CASE WHEN ing THEN cents ELSE 0 END)
+        |             AS BIGINT) AS sx,
+        |        CAST(sum(CASE WHEN ing THEN cents * cents ELSE 0 END)
+        |             AS BIGINT) AS qx
+        |      FROM e GROUP BY 1)
+        |SELECT event_type, n_pop, n,
+        |       CAST(CASE WHEN n = 0 THEN NULL
+        |            ELSE sx * 1000 // n END AS BIGINT) AS mean_milli,
+        |       CAST(CASE WHEN n < 2 THEN NULL ELSE
+        |         round(1.96 * sqrt(
+        |           ((CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+        |            / (n - 1)) / n *
+        |           (CAST(n_pop - n AS DOUBLE) / (n_pop - 1))) * 1000)
+        |         END AS BIGINT) AS hw_milli
+        |FROM g ORDER BY ALL""".stripMargin
   )
 }

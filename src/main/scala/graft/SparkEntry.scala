@@ -444,6 +444,10 @@ object SparkEntry {
     "q_dedup_sweep" -> DedupAudit.qDedupSweep _,
     "q_minhash_accuracy" -> DedupAudit.qMinhashAccuracy _,
     "q_component_profile" -> DedupAudit.qComponentProfile _,
+    // §2.71 round-8 sampling-quality audits
+    "q_sample_bias" -> Sampling.qSampleBias _,
+    "q_stratified_gain" -> Sampling.qStratifiedGain _,
+    "q_sample_ci" -> Sampling.qSampleCi _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,

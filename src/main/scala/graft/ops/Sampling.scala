@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 sampling-quality audits (SURVEY §2.71): representativeness
+  * of the deterministic md5 1/16 sample across dimensions (a uniform
+  * gate can still be BIASED per segment), the stratified-vs-simple
+  * estimator comparison (does stratification actually buy accuracy on
+  * this corpus?), and the finite-population CI for a sampled mean
+  * (the error bar a sampled dashboard must print). All gates are the
+  * established md5-nibble samples — deterministic in both engines. */
+object Sampling {
+
+  private def gateExpr(salt: String): String =
+    s"substring(md5(concat(CAST(event_id AS STRING), ':$salt')), " +
+      "1, 1) = '0'"
+
+  /** Sample-bias audit (§2.71): per event type, the 1/16 md5 sample's
+    * actual share in basis points against the 625 bp expectation,
+    * with the signed deviation — uniformity per segment, not just in
+    * aggregate (the check that catches a gate correlated with the
+    * dimension). One conditional-aggregate scan. */
+  def qSampleBias(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "events")
+      .withColumn("ing", expr(gateExpr("bias")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ing"), 1L).otherwise(0L)).cast("long")
+          .as("n_sample"))
+      .withColumn("share_bp", expr("n_sample * 10000 div n"))
+      .withColumn("dev_bp", expr("share_bp - 625")))
+
+  /** Stratified-vs-simple estimator audit (§2.71): estimate the
+    * grand total of cents from the same 1/16 sample two ways —
+    * simple (16 × sample sum) and stratified by event type
+    * (16 × per-type sample sum, then summed — the post-stratified
+    * estimator) — against the exact total, errors in bp. One scan:
+    * both estimators are conditional aggregates over the same gate. */
+  def qStratifiedGain(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events")
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("ing", expr(gateExpr("strat")))
+    val strat = base.groupBy("event_type")
+      .agg(sum("cents").cast("long").as("truth_t"),
+        sum(when(col("ing"), col("cents")).otherwise(0L)).cast("long")
+          .as("samp_t"))
+    orderedAll(strat.agg(
+      sum("truth_t").cast("long").as("truth"),
+      (sum(expr("samp_t")) * 16).cast("long").as("est_srs"),
+      sum(expr("samp_t * 16")).cast("long").as("est_strat"),
+      count(lit(1)).as("n_strata"))
+      .withColumn("err_srs_bp",
+        expr("abs(est_srs - truth) * 10000 div truth"))
+      .withColumn("err_strat_bp",
+        expr("abs(est_strat - truth) * 10000 div truth"))
+      .select("n_strata", "truth", "est_srs", "est_strat",
+        "err_srs_bp", "err_strat_bp"))
+  }
+
+  /** Finite-population CI (§2.71): per event type, the 95% CI
+    * half-width (milli-cents) of the sampled mean with the
+    * finite-population correction √((N−n)/(N−1)) — the error bar a
+    * 1/16-sampled dashboard must print next to every number. Exact
+    * sample moments; the half-width is the one double expression. */
+  def qSampleCi(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "events")
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("ing", expr(gateExpr("ci")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pop"),
+        sum(when(col("ing"), 1L).otherwise(0L)).cast("long").as("n"),
+        sum(when(col("ing"), col("cents")).otherwise(0L)).cast("long")
+          .as("sx"),
+        sum(when(col("ing"), expr("cents * cents")).otherwise(0L))
+          .cast("long").as("qx"))
+      .withColumn("mean_milli", expr(
+        "CASE WHEN n = 0 THEN NULL ELSE sx * 1000 div n END"))
+      .withColumn("hw_milli", expr(
+        "CASE WHEN n < 2 THEN NULL ELSE " +
+          "CAST(round(1.96 * sqrt(" +
+          "((CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) " +
+          "/ (n - 1)) / n * " +
+          "(CAST(n_pop - n AS DOUBLE) / (n_pop - 1))) * 1000) " +
+          "AS BIGINT) END"))
+      .select("event_type", "n_pop", "n", "mean_milli", "hw_milli"))
+}
