@@ -3468,6 +3468,13 @@ object Oracles {
       |         JOIN szc sb ON b_id = sb.doc_id
       |         WHERE common * 3 >= sa.nt + sb.nt)""".stripMargin
 
+  /** Exact integer Σ(round(emb[i]·10⁴))² — the §2.72 quantized-norm
+    * square sum (order-independent: exact integers). */
+  private def laneSqSum: String =
+    "list_sum(list_transform(generate_series(1, 64), i -> " +
+      "CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) * " +
+      "CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)))"
+
   /** RRF weight literals as a CASE over a rank column (§2.67) — the
     * same Scala-computed ×10⁶ values Fusion.rrfWeights embeds. */
   private def rrfCase(r: String): String =
@@ -6005,6 +6012,55 @@ object Oracles {
         |            / (n - 1)) / n *
         |           (CAST(n_pop - n AS DOUBLE) / (n_pop - 1))) * 1000)
         |         END AS BIGINT) AS hw_milli
-        |FROM g ORDER BY ALL""".stripMargin
+        |FROM g ORDER BY ALL""".stripMargin,
+
+    // ---- §2.72 cross-modal alignment audits ----
+    "q_embed_coverage" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN vec_id IS NOT NULL THEN 1 ELSE 0
+        |            END) AS BIGINT) AS n_embedded,
+        |       CAST(sum(CASE WHEN vec_id IS NOT NULL THEN 1 ELSE 0
+        |            END) * 10000 // count(*) AS BIGINT) AS coverage_bp
+        |FROM documents
+        |LEFT JOIN (SELECT vec_id FROM embeddings) e
+        |  ON doc_id = vec_id
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_len_norm_corr" ->
+      s"""WITH nu AS (SELECT vec_id,
+         |    CAST(round(sqrt(CAST($laneSqSum AS DOUBLE))) AS BIGINT)
+         |      AS nu
+         |  FROM embeddings),
+         |j AS (SELECT n_chars AS x, nu AS y
+         |      FROM documents JOIN nu ON doc_id = vec_id),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(x) AS BIGINT) AS sx,
+         |        CAST(sum(y) AS BIGINT) AS sy,
+         |        CAST(sum(x * x) AS BIGINT) AS qx,
+         |        CAST(sum(y * y) AS BIGINT) AS qy,
+         |        CAST(sum(x * y) AS BIGINT) AS sxy
+         |      FROM j)
+         |SELECT n,
+         |       CAST(CASE WHEN n * qx - sx * sx = 0
+         |                   OR n * qy - sy * sy = 0 THEN NULL
+         |            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |              * 1000 / sqrt(CAST(n * qx - sx * sx AS DOUBLE)
+         |              * CAST(n * qy - sy * sy AS DOUBLE))) END
+         |            AS BIGINT) AS corr_milli
+         |FROM m ORDER BY ALL""".stripMargin,
+    "q_norm_by_label" ->
+      s"""WITH nu AS (SELECT CAST(label AS BIGINT) AS label,
+         |    CAST(round(sqrt(CAST($laneSqSum AS DOUBLE))) AS BIGINT)
+         |      AS nu
+         |  FROM embeddings),
+         |g AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(nu) AS BIGINT) AS s_u,
+         |        CAST(sum(nu * nu) AS BIGINT) AS q_u
+         |      FROM nu GROUP BY 1)
+         |SELECT label, n,
+         |       CAST(s_u * 1000 // n AS BIGINT) AS mean_milli,
+         |       CAST((CAST(n AS HUGEINT) * q_u
+         |             - CAST(s_u AS HUGEINT) * s_u)
+         |            // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_u
+         |FROM g ORDER BY ALL""".stripMargin
   )
 }

@@ -448,6 +448,10 @@ object SparkEntry {
     "q_sample_bias" -> Sampling.qSampleBias _,
     "q_stratified_gain" -> Sampling.qStratifiedGain _,
     "q_sample_ci" -> Sampling.qSampleCi _,
+    // §2.72 round-8 cross-modal alignment audits
+    "q_embed_coverage" -> CrossModal.qEmbedCoverage _,
+    "q_len_norm_corr" -> CrossModal.qLenNormCorr _,
+    "q_norm_by_label" -> CrossModal.qNormByLabel _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,
