@@ -6061,6 +6061,62 @@ object Oracles {
          |       CAST((CAST(n AS HUGEINT) * q_u
          |             - CAST(s_u AS HUGEINT) * s_u)
          |            // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_u
-         |FROM g ORDER BY ALL""".stripMargin
+         |FROM g ORDER BY ALL""".stripMargin,
+
+    // ---- §2.73 pipeline-tuning sweeps ----
+    "q_chunk_sweep" ->
+      """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    AS tok FROM documents),
+        |sizes AS (SELECT unnest([128, 256, 512]) AS chunk),
+        |g AS (SELECT CAST(chunk AS BIGINT) AS chunk,
+        |        CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(tok) AS BIGINT) AS tokens,
+        |        CAST(sum((tok + chunk - 1) // chunk) AS BIGINT)
+        |          AS n_chunks
+        |      FROM d CROSS JOIN sizes GROUP BY 1)
+        |SELECT chunk, n_docs, tokens, n_chunks,
+        |       CAST(n_chunks * chunk - tokens AS BIGINT) AS waste,
+        |       CAST((n_chunks * chunk - tokens) * 10000
+        |            // (n_chunks * chunk) AS BIGINT) AS waste_bp
+        |FROM g ORDER BY ALL""".stripMargin,
+    "q_watermark_sweep" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us,
+        |    md5(CAST(event_id AS VARCHAR)) AS arrival
+        |  FROM events),
+        |l AS (SELECT event_type,
+        |        greatest(COALESCE(max(us) OVER (
+        |          PARTITION BY event_type ORDER BY arrival, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          - us, 0), 0) AS late_us
+        |      FROM e),
+        |delays AS (SELECT unnest([60000000, 600000000, 3600000000])
+        |             AS delay_us)
+        |SELECT event_type, CAST(delay_us AS BIGINT) AS delay_us,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN late_us > delay_us THEN 1 ELSE 0
+        |            END) AS BIGINT) AS n_dropped,
+        |       CAST(sum(CASE WHEN late_us > delay_us THEN 1 ELSE 0
+        |            END) * 10000 // count(*) AS BIGINT) AS drop_bp
+        |FROM l CROSS JOIN delays GROUP BY 1, 2
+        |ORDER BY ALL""".stripMargin,
+    "q_gap_hours" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    epoch_us(ts) // 3600000000 AS h
+        |  FROM events),
+        |l AS (SELECT event_type, h, lag(h) OVER (
+        |        PARTITION BY event_type ORDER BY h) AS prev_h
+        |      FROM h),
+        |g AS (SELECT event_type,
+        |        CAST(count(*) AS BIGINT) AS active_hours,
+        |        CAST(max(h) - min(h) + 1 AS BIGINT) AS span_hours,
+        |        CAST(max(COALESCE(h - prev_h - 1, 0)) AS BIGINT)
+        |          AS max_gap
+        |      FROM l GROUP BY 1)
+        |SELECT event_type, span_hours, active_hours,
+        |       span_hours - active_hours AS gap_hours,
+        |       CAST((span_hours - active_hours) * 10000 // span_hours
+        |            AS BIGINT) AS gap_bp,
+        |       max_gap
+        |FROM g ORDER BY ALL""".stripMargin
   )
 }

@@ -452,6 +452,10 @@ object SparkEntry {
     "q_embed_coverage" -> CrossModal.qEmbedCoverage _,
     "q_len_norm_corr" -> CrossModal.qLenNormCorr _,
     "q_norm_by_label" -> CrossModal.qNormByLabel _,
+    // §2.73 round-8 pipeline-tuning sweeps
+    "q_chunk_sweep" -> Tuning.qChunkSweep _,
+    "q_watermark_sweep" -> Tuning.qWatermarkSweep _,
+    "q_gap_hours" -> Tuning.qGapHours _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,
