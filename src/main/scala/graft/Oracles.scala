@@ -3468,6 +3468,30 @@ object Oracles {
       |         JOIN szc sb ON b_id = sb.doc_id
       |         WHERE common * 3 >= sa.nt + sb.nt)""".stripMargin
 
+  /** Per-(cohort, offset) purchase grid (§2.74) — mirrors Ltv.grid. */
+  private def ltvGridCte: String =
+    """evs AS (SELECT user_id, event_type,
+      |    epoch_us(ts) // 604800000000 AS week,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |firsts AS (SELECT user_id, CAST(min(week) AS BIGINT)
+      |             AS cohort_week
+      |           FROM evs GROUP BY 1),
+      |sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT)
+      |            AS n_users
+      |          FROM firsts GROUP BY 1),
+      |grid AS (SELECT f.cohort_week,
+      |           CAST(e.week - f.cohort_week AS BIGINT)
+      |             AS week_offset,
+      |           CAST(count(*) AS BIGINT) AS n_purchases,
+      |           CAST(sum(e.cents) AS BIGINT) AS rev_cents,
+      |           CAST(max(sz.n_users) AS BIGINT) AS n_users
+      |         FROM evs e
+      |         JOIN firsts f ON e.user_id = f.user_id
+      |         JOIN sizes sz ON f.cohort_week = sz.cohort_week
+      |         WHERE e.event_type = 'purchase'
+      |         GROUP BY 1, 2)""".stripMargin
+
   /** Exact integer Σ(round(emb[i]·10⁴))² — the §2.72 quantized-norm
     * square sum (order-independent: exact integers). */
   private def laneSqSum: String =
@@ -6117,6 +6141,52 @@ object Oracles {
         |       CAST((span_hours - active_hours) * 10000 // span_hours
         |            AS BIGINT) AS gap_bp,
         |       max_gap
-        |FROM g ORDER BY ALL""".stripMargin
+        |FROM g ORDER BY ALL""".stripMargin,
+
+    // ---- §2.74 cohort economics ----
+    "q_cohort_ltv" ->
+      s"""WITH $ltvGridCte
+         |SELECT cohort_week, week_offset, n_users, n_purchases,
+         |       rev_cents,
+         |       CAST(CAST(sum(rev_cents) OVER (
+         |              PARTITION BY cohort_week ORDER BY week_offset
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |              CURRENT ROW) AS BIGINT) * 1000 // n_users
+         |            AS BIGINT) AS ltv_milli
+         |FROM grid ORDER BY ALL""".stripMargin,
+    "q_arpu" ->
+      """WITH u AS (SELECT epoch_us(ts) // 2592000000000 AS month,
+        |    user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |         AS BIGINT) AS rev,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |         END) AS BIGINT) AS bought
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT CAST(month AS BIGINT) AS month,
+        |        CAST(count(*) AS BIGINT) AS active_users,
+        |        CAST(sum(bought) AS BIGINT) AS purchasers,
+        |        CAST(sum(rev) AS BIGINT) AS rev_cents
+        |      FROM u GROUP BY 1)
+        |SELECT month, active_users, purchasers, rev_cents,
+        |       CAST(rev_cents * 1000 // active_users AS BIGINT)
+        |         AS arpu_milli,
+        |       CAST(purchasers * 10000 // active_users AS BIGINT)
+        |         AS conversion_bp
+        |FROM g ORDER BY ALL""".stripMargin,
+    "q_payback" ->
+      s"""WITH $ltvGridCte,
+         |c AS (SELECT cohort_week, week_offset, n_users,
+         |        CAST(CAST(sum(rev_cents) OVER (
+         |               PARTITION BY cohort_week ORDER BY week_offset
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |               CURRENT ROW) AS BIGINT) * 1000 // n_users
+         |             AS BIGINT) AS ltv_milli
+         |      FROM grid)
+         |SELECT cohort_week, CAST(max(n_users) AS BIGINT) AS n_users,
+         |       CAST(max(ltv_milli) AS BIGINT) AS final_ltv_milli,
+         |       CAST(min(CASE WHEN ltv_milli >= 1000000
+         |            THEN week_offset END) AS BIGINT) AS payback_week
+         |FROM c GROUP BY 1 ORDER BY ALL""".stripMargin
   )
 }

@@ -456,6 +456,10 @@ object SparkEntry {
     "q_chunk_sweep" -> Tuning.qChunkSweep _,
     "q_watermark_sweep" -> Tuning.qWatermarkSweep _,
     "q_gap_hours" -> Tuning.qGapHours _,
+    // §2.74 round-8 cohort economics
+    "q_cohort_ltv" -> Ltv.qCohortLtv _,
+    "q_arpu" -> Ltv.qArpu _,
+    "q_payback" -> Ltv.qPayback _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,
