@@ -3468,6 +3468,23 @@ object Oracles {
       |         JOIN szc sb ON b_id = sb.doc_id
       |         WHERE common * 3 >= sa.nt + sb.nt)""".stripMargin
 
+  /** Cents value histogram with cum window + discrete p99 per event
+    * type (§2.75) — the shared percentile recipe as a CTE. */
+  private def valueHistCte: String =
+    """h AS (SELECT event_type AS grp,
+      |    CAST(round(value * 100) AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n
+      |        FROM h GROUP BY 1),
+      |cum AS (SELECT h.grp, v, cnt, n,
+      |          CAST(sum(cnt) OVER (PARTITION BY h.grp ORDER BY v
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) AS cum
+      |        FROM h JOIN tot USING (grp)),
+      |p99 AS (SELECT grp, CAST(min(v) AS BIGINT) AS p99 FROM cum
+      |        WHERE cum * 100 >= n * 99 GROUP BY 1)""".stripMargin
+
   /** Per-(cohort, offset) purchase grid (§2.74) — mirrors Ltv.grid. */
   private def ltvGridCte: String =
     """evs AS (SELECT user_id, event_type,
@@ -6187,6 +6204,54 @@ object Oracles {
          |       CAST(max(ltv_milli) AS BIGINT) AS final_ltv_milli,
          |       CAST(min(CASE WHEN ltv_milli >= 1000000
          |            THEN week_offset END) AS BIGINT) AS payback_week
-         |FROM c GROUP BY 1 ORDER BY ALL""".stripMargin
+         |FROM c GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.75 metric-robustness audits ----
+    "q_srm_segments" ->
+      """WITH c AS (SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |seg AS (SELECT user_id, event_type AS segment
+        |        FROM (SELECT user_id, event_type, ROW_NUMBER() OVER (
+        |                PARTITION BY user_id
+        |                ORDER BY cnt DESC, event_type ASC) AS rn
+        |              FROM c) WHERE rn = 1),
+        |a AS (SELECT segment,
+        |        substring(md5(CAST(user_id AS VARCHAR) || ':srmseg'),
+        |          1, 1) < '8' AS arm_a
+        |      FROM seg),
+        |g AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_users,
+        |        CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_a
+        |      FROM a GROUP BY 1)
+        |SELECT segment, n_users, n_a,
+        |       CAST(n_a * 10000 // n_users AS BIGINT) AS share_a_bp,
+        |       CAST(n_a * 10000 // n_users - 5000 AS BIGINT)
+        |         AS dev_bp
+        |FROM g ORDER BY ALL""".stripMargin,
+    "q_winsor_sensitivity" ->
+      s"""WITH $valueHistCte
+         |SELECT grp AS event_type, CAST(max(n) AS BIGINT) AS n, p99,
+         |       CAST(sum(v * cnt) * 1000 // max(n) AS BIGINT)
+         |         AS mean_raw_milli,
+         |       CAST(sum(least(v, p99) * cnt) * 1000 // max(n)
+         |            AS BIGINT) AS mean_win_milli,
+         |       CAST((sum(v * cnt) - sum(least(v, p99) * cnt)) * 10000
+         |            // sum(v * cnt) AS BIGINT) AS shift_bp
+         |FROM cum JOIN p99 USING (grp)
+         |GROUP BY grp, p99 ORDER BY ALL""".stripMargin,
+    "q_whale_share" ->
+      s"""WITH $valueHistCte
+         |SELECT grp AS event_type, CAST(max(n) AS BIGINT) AS n, p99,
+         |       CAST(sum(CASE WHEN v >= p99 THEN cnt ELSE 0 END)
+         |            AS BIGINT) AS whale_rows,
+         |       CAST(sum(CASE WHEN v >= p99 THEN v * cnt ELSE 0 END)
+         |            AS BIGINT) AS whale_cents,
+         |       CAST(sum(v * cnt) AS BIGINT) AS total_cents,
+         |       CAST(sum(CASE WHEN v >= p99 THEN v * cnt ELSE 0 END)
+         |            * 10000 // sum(v * cnt) AS BIGINT)
+         |         AS whale_share_bp
+         |FROM cum JOIN p99 USING (grp)
+         |GROUP BY grp, p99 ORDER BY ALL""".stripMargin
   )
 }

@@ -460,6 +460,10 @@ object SparkEntry {
     "q_cohort_ltv" -> Ltv.qCohortLtv _,
     "q_arpu" -> Ltv.qArpu _,
     "q_payback" -> Ltv.qPayback _,
+    // §2.75 round-8 metric-robustness audits
+    "q_srm_segments" -> Robustness.qSrmSegments _,
+    "q_winsor_sensitivity" -> Robustness.qWinsorSensitivity _,
+    "q_whale_share" -> Robustness.qWhaleShare _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,
