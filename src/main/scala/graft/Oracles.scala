@@ -6252,6 +6252,52 @@ object Oracles {
          |            * 10000 // sum(v * cnt) AS BIGINT)
          |         AS whale_share_bp
          |FROM cum JOIN p99 USING (grp)
-         |GROUP BY grp, p99 ORDER BY ALL""".stripMargin
+         |GROUP BY grp, p99 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.76 tokenizer-design profiles ----
+    "q_token_len_profile" ->
+      """WITH tl AS (SELECT lang, CAST(length(token) AS BIGINT) AS len,
+        |    CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM (SELECT lang,
+        |          unnest(string_split(lower(text), ' ')) AS token
+        |        FROM documents)
+        |  WHERE token <> '' GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tot
+        |        FROM tl GROUP BY 1)
+        |SELECT lang, len, n_tokens,
+        |       CAST(n_tokens * 10000 // tot AS BIGINT) AS share_bp
+        |FROM tl JOIN tot USING (lang) ORDER BY ALL""".stripMargin,
+    "q_bytes_per_token" ->
+      """WITH d AS (SELECT source,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS bytes,
+        |    CAST(length(text) AS BIGINT) AS chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(bytes) AS BIGINT) AS bytes,
+        |        CAST(sum(chars) AS BIGINT) AS chars,
+        |        CAST(sum(toks) AS BIGINT) AS tokens
+        |      FROM d GROUP BY 1)
+        |SELECT source, n_docs, bytes, chars, tokens,
+        |       CAST(bytes * 1000 // tokens AS BIGINT)
+        |         AS bytes_per_tok_milli,
+        |       CAST(chars * 1000 // tokens AS BIGINT)
+        |         AS chars_per_tok_milli
+        |FROM g ORDER BY ALL""".stripMargin,
+    "q_prefix_vocab" ->
+      """WITH v AS (SELECT DISTINCT token
+        |  FROM (SELECT unnest(string_split(lower(text), ' '))
+        |          AS token FROM documents)
+        |  WHERE token <> ''),
+        |ks AS (SELECT unnest([1, 2, 3, 4]) AS k),
+        |p AS (SELECT CAST(k AS BIGINT) AS k,
+        |        substring(token, 1, k) AS prefix,
+        |        CAST(count(*) AS BIGINT) AS bucket
+        |      FROM v CROSS JOIN ks WHERE length(token) >= k
+        |      GROUP BY 1, 2)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_prefixes,
+        |       CAST(sum(bucket) AS BIGINT) AS n_tokens,
+        |       CAST(max(bucket) AS BIGINT) AS max_bucket
+        |FROM p GROUP BY 1 ORDER BY ALL""".stripMargin
   )
 }

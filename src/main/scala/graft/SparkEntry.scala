@@ -464,6 +464,10 @@ object SparkEntry {
     "q_srm_segments" -> Robustness.qSrmSegments _,
     "q_winsor_sensitivity" -> Robustness.qWinsorSensitivity _,
     "q_whale_share" -> Robustness.qWhaleShare _,
+    // §2.76 round-8 tokenizer-design profiles
+    "q_token_len_profile" -> TokenStats.qTokenLenProfile _,
+    "q_bytes_per_token" -> TokenStats.qBytesPerToken _,
+    "q_prefix_vocab" -> TokenStats.qPrefixVocab _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,
