@@ -3468,6 +3468,13 @@ object Oracles {
       |         JOIN szc sb ON b_id = sb.doc_id
       |         WHERE common * 3 >= sa.nt + sb.nt)""".stripMargin
 
+  /** Second-digit Benford expectation ×10⁴ as a CASE over `digit`
+    * (§2.77) — the same Scala-computed literals Forensic embeds. */
+  private def benford2Case: String =
+    graft.ops.Forensic.benford2Bp.zipWithIndex
+      .map { case (bp, d) => s"WHEN $d THEN $bp" }
+      .mkString("CASE digit ", " ", " ELSE 0 END")
+
   /** Cents value histogram with cum window + discrete p99 per event
     * type (§2.75) — the shared percentile recipe as a CTE. */
   private def valueHistCte: String =
@@ -6298,6 +6305,50 @@ object Oracles {
         |SELECT k, CAST(count(*) AS BIGINT) AS n_prefixes,
         |       CAST(sum(bucket) AS BIGINT) AS n_tokens,
         |       CAST(max(bucket) AS BIGINT) AS max_bucket
-        |FROM p GROUP BY 1 ORDER BY ALL""".stripMargin
+        |FROM p GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.77 forensic-accounting audits ----
+    "q_benford2" ->
+      s"""WITH d AS (SELECT o_orderstatus AS status,
+         |    CAST(substring(CAST(CAST(round(o_totalprice * 100)
+         |      AS BIGINT) AS VARCHAR), 2, 1) AS BIGINT) AS digit
+         |  FROM orders
+         |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 10),
+         |g AS (SELECT status, digit, CAST(count(*) AS BIGINT) AS n
+         |      FROM d GROUP BY 1, 2),
+         |t2 AS (SELECT status, CAST(sum(n) AS BIGINT) AS status_n
+         |       FROM g GROUP BY 1)
+         |SELECT status, digit, n,
+         |       CAST(n * 10000 // status_n AS BIGINT) AS share_bp,
+         |       CAST(n * 10000 // status_n - (${benford2Case})
+         |            AS BIGINT) AS dev_bp
+         |FROM g JOIN t2 USING (status) ORDER BY ALL""".stripMargin,
+    "q_round_bias" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) % 100 AS c2
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN c2 = 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_00,
+        |       CAST(sum(CASE WHEN c2 = 50 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_50,
+        |       CAST(sum(CASE WHEN c2 = 99 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_99,
+        |       CAST((sum(CASE WHEN c2 = 0 THEN 1 ELSE 0 END)
+        |             + sum(CASE WHEN c2 = 50 THEN 1 ELSE 0 END)
+        |             + sum(CASE WHEN c2 = 99 THEN 1 ELSE 0 END))
+        |            * 10000 // count(*) - 300 AS BIGINT) AS bias_bp
+        |FROM e GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_dup_payments" ->
+      """WITH k AS (SELECT event_type, user_id,
+        |    CAST(round(value * 100) AS BIGINT) // 100 AS dollars,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM events GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(sum(k - 1) AS BIGINT) AS n_dupes,
+        |       CAST(sum((k - 1) * dollars) AS BIGINT)
+        |         AS dollars_at_risk
+        |FROM k WHERE k >= 2 GROUP BY 1 ORDER BY ALL""".stripMargin
   )
 }

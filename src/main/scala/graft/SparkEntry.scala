@@ -468,6 +468,10 @@ object SparkEntry {
     "q_token_len_profile" -> TokenStats.qTokenLenProfile _,
     "q_bytes_per_token" -> TokenStats.qBytesPerToken _,
     "q_prefix_vocab" -> TokenStats.qPrefixVocab _,
+    // §2.77 round-8 forensic-accounting audits
+    "q_benford2" -> Forensic.qBenford2 _,
+    "q_round_bias" -> Forensic.qRoundBias _,
+    "q_dup_payments" -> Forensic.qDupPayments _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,
