@@ -6349,6 +6349,66 @@ object Oracles {
         |       CAST(sum(k - 1) AS BIGINT) AS n_dupes,
         |       CAST(sum((k - 1) * dollars) AS BIGINT)
         |         AS dollars_at_risk
-        |FROM k WHERE k >= 2 GROUP BY 1 ORDER BY ALL""".stripMargin
+        |FROM k WHERE k >= 2 GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.78 supply-chain risk readouts ----
+    "q_single_source" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(sum(CASE WHEN n_supp = 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS single_sourced,
+        |       CAST(sum(CASE WHEN n_supp = 1 THEN 1 ELSE 0 END)
+        |            * 10000 // count(*) AS BIGINT) AS single_bp,
+        |       CAST(sum(CASE WHEN n_supp = 1 THEN cents ELSE 0 END)
+        |            AS BIGINT) AS single_cents,
+        |       CAST(sum(cents) AS BIGINT) AS cents
+        |FROM pp JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_supplier_dependency" ->
+      """WITH sb AS (SELECT l_suppkey, p_brand,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |         AS BIGINT) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT l_suppkey, p_brand, rev, ROW_NUMBER() OVER (
+        |         PARTITION BY l_suppkey
+        |         ORDER BY rev DESC, p_brand ASC) AS rk
+        |       FROM sb),
+        |g AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_brands,
+        |        CAST(sum(rev) AS BIGINT) AS tot_cents,
+        |        max(CASE WHEN rk = 1 THEN p_brand END) AS top_brand,
+        |        CAST(sum(CASE WHEN rk = 1 THEN rev ELSE 0 END)
+        |             AS BIGINT) AS top_cents
+        |      FROM rk GROUP BY 1)
+        |SELECT l_suppkey, n_brands, tot_cents, top_brand,
+        |       CAST(top_cents * 10000 // tot_cents AS BIGINT)
+        |         AS dep_bp,
+        |       top_cents * 10000 // tot_cents >= 5000 AS concentrated
+        |FROM g ORDER BY ALL""".stripMargin,
+    "q_cross_nation" ->
+      """WITH geo AS (SELECT c_custkey, c_nationkey AS cust_nation,
+        |    r_name
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |go AS (SELECT o_orderkey, cust_nation, r_name
+        |       FROM orders JOIN geo ON o_custkey = c_custkey),
+        |j AS (SELECT r_name,
+        |        s_nationkey <> cust_nation AS xb,
+        |        CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |      FROM lineitem
+        |      JOIN supplier ON l_suppkey = s_suppkey
+        |      JOIN go ON l_orderkey = o_orderkey)
+        |SELECT r_name, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(cents) AS BIGINT) AS cents,
+        |       CAST(sum(CASE WHEN xb THEN cents ELSE 0 END) AS BIGINT)
+        |         AS xborder_cents,
+        |       CAST(sum(CASE WHEN xb THEN cents ELSE 0 END) * 10000
+        |            // sum(cents) AS BIGINT) AS xborder_bp
+        |FROM j GROUP BY 1 ORDER BY ALL""".stripMargin
   )
 }

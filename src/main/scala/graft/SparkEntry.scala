@@ -472,6 +472,10 @@ object SparkEntry {
     "q_benford2" -> Forensic.qBenford2 _,
     "q_round_bias" -> Forensic.qRoundBias _,
     "q_dup_payments" -> Forensic.qDupPayments _,
+    // §2.78 round-8 supply-chain risk readouts
+    "q_single_source" -> Supply.qSingleSource _,
+    "q_supplier_dependency" -> Supply.qSupplierDependency _,
+    "q_cross_nation" -> Supply.qCrossNation _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,
