@@ -3468,6 +3468,19 @@ object Oracles {
       |         JOIN szc sb ON b_id = sb.doc_id
       |         WHERE common * 3 >= sa.nt + sb.nt)""".stripMargin
 
+  /** Per-type daily cents with previous-day cents (§2.79) — mirrors
+    * Volatility.daily (observation-to-observation lag). */
+  private def dailyDeltaCte: String =
+    """d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM events GROUP BY 1, 2),
+      |dd AS (SELECT * FROM (
+      |    SELECT event_type, day, cents,
+      |      lag(cents) OVER (PARTITION BY event_type ORDER BY day)
+      |        AS prev_cents
+      |    FROM d) WHERE prev_cents IS NOT NULL)""".stripMargin
+
   /** Second-digit Benford expectation ×10⁴ as a CASE over `digit`
     * (§2.77) — the same Scala-computed literals Forensic embeds. */
   private def benford2Case: String =
@@ -6409,6 +6422,69 @@ object Oracles {
         |         AS xborder_cents,
         |       CAST(sum(CASE WHEN xb THEN cents ELSE 0 END) * 10000
         |            // sum(cents) AS BIGINT) AS xborder_bp
-        |FROM j GROUP BY 1 ORDER BY ALL""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.79 volatility diagnostics ----
+    "q_realized_vol" ->
+      s"""WITH $dailyDeltaCte,
+         |r AS (SELECT event_type,
+         |        CAST(round(ln(CAST(cents AS DOUBLE) / prev_cents)
+         |             * 1000000) AS BIGINT) AS r_u
+         |      FROM dd),
+         |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         |        CAST(sum(r_u) AS BIGINT) AS sr,
+         |        CAST(sum(r_u * r_u) AS BIGINT) AS qr
+         |      FROM r GROUP BY 1)
+         |SELECT event_type, n_days, sr,
+         |       CAST(CASE WHEN n_days < 2 THEN NULL ELSE
+         |         round(sqrt((CAST(qr AS DOUBLE)
+         |           - CAST(sr AS DOUBLE) * sr / n_days)
+         |           / (n_days - 1))) END AS BIGINT) AS vol_u
+         |FROM g ORDER BY ALL""".stripMargin,
+    "q_var95" ->
+      s"""WITH $dailyDeltaCte,
+         |h AS (SELECT event_type AS grp, cents - prev_cents AS v,
+         |        CAST(count(*) AS BIGINT) AS cnt
+         |      FROM dd GROUP BY 1, 2),
+         |tot AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n
+         |        FROM h GROUP BY 1),
+         |c AS (SELECT h.grp, v, n,
+         |        CAST(sum(cnt) OVER (PARTITION BY h.grp ORDER BY v
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS BIGINT) AS cum
+         |      FROM h JOIN tot USING (grp)),
+         |p AS (SELECT grp, CAST(max(n) AS BIGINT) AS n_days,
+         |        CAST(min(v) AS BIGINT) AS var95_cents
+         |      FROM c WHERE cum * 100 >= n * 5 GROUP BY 1),
+         |w AS (SELECT grp, CAST(min(v) AS BIGINT) AS worst
+         |      FROM h GROUP BY 1)
+         |SELECT grp AS event_type, n_days, var95_cents, worst
+         |FROM p JOIN w USING (grp) ORDER BY ALL""".stripMargin,
+    "q_streaks" ->
+      s"""WITH $dailyDeltaCte,
+         |sg AS (SELECT event_type, day,
+         |         CASE WHEN cents > prev_cents THEN 1
+         |              WHEN cents < prev_cents THEN -1 ELSE 0 END
+         |           AS sign
+         |       FROM dd),
+         |i AS (SELECT event_type, sign,
+         |        ROW_NUMBER() OVER (PARTITION BY event_type
+         |          ORDER BY day)
+         |        - ROW_NUMBER() OVER (PARTITION BY event_type, sign
+         |          ORDER BY day) AS grp_id
+         |      FROM sg),
+         |runs AS (SELECT event_type, sign,
+         |           CAST(count(*) AS BIGINT) AS len
+         |         FROM i GROUP BY event_type, sign, grp_id)
+         |SELECT event_type,
+         |       CAST(sum(CASE WHEN sign = 1 THEN len ELSE 0 END)
+         |            AS BIGINT) AS up_days,
+         |       CAST(sum(CASE WHEN sign = -1 THEN len ELSE 0 END)
+         |            AS BIGINT) AS down_days,
+         |       CAST(max(CASE WHEN sign = 1 THEN len ELSE 0 END)
+         |            AS BIGINT) AS max_up_streak,
+         |       CAST(max(CASE WHEN sign = -1 THEN len ELSE 0 END)
+         |            AS BIGINT) AS max_down_streak
+         |FROM runs GROUP BY 1 ORDER BY ALL""".stripMargin
   )
 }

@@ -476,6 +476,10 @@ object SparkEntry {
     "q_single_source" -> Supply.qSingleSource _,
     "q_supplier_dependency" -> Supply.qSupplierDependency _,
     "q_cross_nation" -> Supply.qCrossNation _,
+    // §2.79 round-8 volatility diagnostics
+    "q_realized_vol" -> Volatility.qRealizedVol _,
+    "q_var95" -> Volatility.qVar95 _,
+    "q_streaks" -> Volatility.qStreaks _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,
