@@ -6485,6 +6485,112 @@ object Oracles {
          |            AS BIGINT) AS max_up_streak,
          |       CAST(max(CASE WHEN sign = -1 THEN len ELSE 0 END)
          |            AS BIGINT) AS max_down_streak
-         |FROM runs GROUP BY 1 ORDER BY ALL""".stripMargin
+         |FROM runs GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.80 curation-policy deltas ----
+    "q_rep_choice" ->
+      """WITH c AS (SELECT text, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(min(doc_id) AS BIGINT) AS first_id
+        |  FROM documents GROUP BY 1),
+        |c2 AS (SELECT text, k, first_id,
+        |         (SELECT d.doc_id FROM documents d
+        |          WHERE d.text = c.text
+        |          ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 1)
+        |           AS longest_id
+        |       FROM c WHERE k >= 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+        |       CAST(sum(k) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN first_id <> longest_id THEN 1
+        |            ELSE 0 END) AS BIGINT) AS n_differ,
+        |       CAST(CASE WHEN count(*) = 0 THEN NULL
+        |            ELSE sum(CASE WHEN first_id <> longest_id THEN 1
+        |                 ELSE 0 END) * 10000 // count(*) END
+        |            AS BIGINT) AS differ_bp
+        |FROM c2 ORDER BY ALL""".stripMargin,
+    "q_split_balance" ->
+      """WITH d AS (SELECT lang,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)
+        |           || ':split'), 1, 2) < '1a' THEN 'val'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)
+        |           || ':split'), 1, 2) < '34' THEN 'test'
+        |         ELSE 'train' END AS split
+        |  FROM documents),
+        |g AS (SELECT split, lang, CAST(count(*) AS BIGINT) AS n
+        |      FROM d GROUP BY 1, 2),
+        |st AS (SELECT split, CAST(sum(n) AS BIGINT) AS n_split
+        |       FROM g GROUP BY 1),
+        |co AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_corpus
+        |       FROM g GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM g)
+        |SELECT split, lang, n,
+        |       CAST(n * 10000 // n_split AS BIGINT) AS share_bp,
+        |       CAST(n_corpus * 10000 // nn AS BIGINT) AS corpus_bp,
+        |       CAST(n * 10000 // n_split
+        |            - n_corpus * 10000 // nn AS BIGINT) AS dev_bp
+        |FROM g JOIN st USING (split) JOIN co USING (lang)
+        |CROSS JOIN tot ORDER BY ALL""".stripMargin,
+    "q_filter_overlap" ->
+      """WITH f AS (SELECT
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |      AS toks, n_chars
+        |  FROM documents),
+        |fl AS (SELECT
+        |    NOT (len(toks) >= 50 AND len(toks) <= 100000) AS r_len,
+        |    NOT (n_chars - (len(toks) - 1) >= len(toks) * 3 AND
+        |         n_chars - (len(toks) - 1) <= len(toks) * 10)
+        |      AS r_wordlen,
+        |    NOT (10 * len(list_distinct(toks)) >= 3 * len(toks))
+        |      AS r_ttr,
+        |    (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(toks, 'in') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(toks, 'is') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(toks, 'for') THEN 1 ELSE 0 END)
+        |      < 2 AS r_stop
+        |  FROM f),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN r_len THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_len,
+        |    CAST(sum(CASE WHEN r_wordlen THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_wordlen,
+        |    CAST(sum(CASE WHEN r_ttr THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ttr,
+        |    CAST(sum(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_stop,
+        |    CAST(sum(CASE WHEN r_len AND r_wordlen THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS b12,
+        |    CAST(sum(CASE WHEN r_len AND r_ttr THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS b13,
+        |    CAST(sum(CASE WHEN r_len AND r_stop THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS b14,
+        |    CAST(sum(CASE WHEN r_wordlen AND r_ttr THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS b23,
+        |    CAST(sum(CASE WHEN r_wordlen AND r_stop THEN 1 ELSE 0
+        |         END) AS BIGINT) AS b24,
+        |    CAST(sum(CASE WHEN r_ttr AND r_stop THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS b34
+        |  FROM fl),
+        |p AS (
+        |  SELECT 'r_len' AS filter_a, 'r_wordlen' AS filter_b,
+        |         n_len AS rej_a, n_wordlen AS rej_b, b12 AS rej_both
+        |  FROM a
+        |  UNION ALL SELECT 'r_len', 'r_ttr', n_len, n_ttr, b13 FROM a
+        |  UNION ALL SELECT 'r_len', 'r_stop', n_len, n_stop, b14
+        |  FROM a
+        |  UNION ALL SELECT 'r_wordlen', 'r_ttr', n_wordlen, n_ttr,
+        |    b23 FROM a
+        |  UNION ALL SELECT 'r_wordlen', 'r_stop', n_wordlen, n_stop,
+        |    b24 FROM a
+        |  UNION ALL SELECT 'r_ttr', 'r_stop', n_ttr, n_stop, b34
+        |  FROM a)
+        |SELECT filter_a, filter_b, rej_a, rej_b, rej_both,
+        |       CAST(CASE WHEN rej_a + rej_b - rej_both = 0 THEN NULL
+        |            ELSE rej_both * 10000
+        |                 // (rej_a + rej_b - rej_both) END AS BIGINT)
+        |         AS jaccard_bp
+        |FROM p ORDER BY ALL""".stripMargin
   )
 }

@@ -480,6 +480,10 @@ object SparkEntry {
     "q_realized_vol" -> Volatility.qRealizedVol _,
     "q_var95" -> Volatility.qVar95 _,
     "q_streaks" -> Volatility.qStreaks _,
+    // §2.80 round-8 curation-policy deltas
+    "q_rep_choice" -> Policy.qRepChoice _,
+    "q_split_balance" -> Policy.qSplitBalance _,
+    "q_filter_overlap" -> Policy.qFilterOverlap _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,
