@@ -6591,6 +6591,87 @@ object Oracles {
         |            ELSE rej_both * 10000
         |                 // (rej_a + rej_b - rej_both) END AS BIGINT)
         |         AS jaccard_bp
-        |FROM p ORDER BY ALL""".stripMargin
+        |FROM p ORDER BY ALL""".stripMargin,
+
+    // ---- §2.81 optimizer-statistics audits ----
+    "q_join_card_audit" ->
+      """WITH ol AS (
+        |  SELECT 'orders_lineitem' AS rel,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n1,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n2,
+        |    (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+        |     FROM orders) AS d1,
+        |    (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+        |     FROM lineitem) AS d2,
+        |    (SELECT CAST(sum(na * nb) AS BIGINT) FROM
+        |      (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS na
+        |       FROM orders GROUP BY 1) a
+        |      JOIN
+        |      (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS nb
+        |       FROM lineitem GROUP BY 1) b USING (k)) AS actual),
+        |co AS (
+        |  SELECT 'customer_orders' AS rel,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n1,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n2,
+        |    (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT)
+        |     FROM customer) AS d1,
+        |    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+        |     FROM orders) AS d2,
+        |    (SELECT CAST(sum(na * nb) AS BIGINT) FROM
+        |      (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS na
+        |       FROM customer GROUP BY 1) a
+        |      JOIN
+        |      (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS nb
+        |       FROM orders GROUP BY 1) b USING (k)) AS actual),
+        |u AS (SELECT * FROM ol UNION ALL SELECT * FROM co)
+        |SELECT rel, n1, n2,
+        |       CAST(greatest(d1, d2) AS BIGINT) AS max_ndv,
+        |       CAST(n1 * n2 // greatest(d1, d2) AS BIGINT) AS est,
+        |       actual,
+        |       CAST(abs(n1 * n2 // greatest(d1, d2) - actual) * 10000
+        |            // actual AS BIGINT) AS err_bp
+        |FROM u ORDER BY ALL""".stripMargin,
+    "q_selectivity_audit" ->
+      """WITH b AS (SELECT epoch_us(l_shipdate) // 86400000000 AS d
+        |  FROM lineitem),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(min(d) AS BIGINT) AS lo,
+        |         CAST(max(d) AS BIGINT) AS hi
+        |       FROM b),
+        |w AS (SELECT unnest([30, 180, 365]) AS win),
+        |g AS (SELECT CAST(win AS BIGINT) AS win,
+        |        CAST(sum(CASE WHEN d >= 9131 AND d < 9131 + win
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS actual
+        |      FROM b CROSS JOIN w GROUP BY 1)
+        |SELECT win, n, actual,
+        |       CAST(n * win // (hi - lo + 1) AS BIGINT) AS est,
+        |       CAST(CASE WHEN actual = 0 THEN NULL
+        |            ELSE abs(n * win // (hi - lo + 1) - actual)
+        |                 * 10000 // actual END AS BIGINT) AS err_bp
+        |FROM g CROSS JOIN st ORDER BY ALL""".stripMargin,
+    "q_fd_strength" ->
+      """WITH o AS (SELECT o_orderstatus, o_orderpriority,
+        |    CAST((epoch_us(o_orderdate) // 86400000000 + 3) % 7 + 1
+        |         AS VARCHAR) AS dow
+        |  FROM orders),
+        |f1 AS (SELECT 'status_to_priority' AS fd,
+        |         o_orderstatus AS av, o_orderpriority AS bv FROM o),
+        |f2 AS (SELECT 'priority_to_status', o_orderpriority,
+        |         o_orderstatus FROM o),
+        |f3 AS (SELECT 'status_to_dow', o_orderstatus, dow FROM o),
+        |u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        |      UNION ALL SELECT * FROM f3),
+        |cells AS (SELECT fd, av, bv, CAST(count(*) AS BIGINT) AS n
+        |          FROM u GROUP BY 1, 2, 3),
+        |m AS (SELECT fd, av, CAST(max(n) AS BIGINT) AS modal_n,
+        |        CAST(sum(n) AS BIGINT) AS n_rows
+        |      FROM cells GROUP BY 1, 2),
+        |g AS (SELECT fd, CAST(count(*) AS BIGINT) AS n_determinants,
+        |        CAST(sum(n_rows) AS BIGINT) AS n,
+        |        CAST(sum(modal_n) AS BIGINT) AS explained
+        |      FROM m GROUP BY 1)
+        |SELECT fd, n_determinants, n, explained,
+        |       CAST(explained * 10000 // n AS BIGINT) AS strength_bp
+        |FROM g ORDER BY ALL""".stripMargin
   )
 }

@@ -484,6 +484,10 @@ object SparkEntry {
     "q_rep_choice" -> Policy.qRepChoice _,
     "q_split_balance" -> Policy.qSplitBalance _,
     "q_filter_overlap" -> Policy.qFilterOverlap _,
+    // §2.81 round-8 optimizer-statistics audits
+    "q_join_card_audit" -> Optimizer.qJoinCardAudit _,
+    "q_selectivity_audit" -> Optimizer.qSelectivityAudit _,
+    "q_fd_strength" -> Optimizer.qFdStrength _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,
