@@ -6672,6 +6672,82 @@ object Oracles {
         |      FROM m GROUP BY 1)
         |SELECT fd, n_determinants, n, explained,
         |       CAST(explained * 10000 // n AS BIGINT) AS strength_bp
-        |FROM g ORDER BY ALL""".stripMargin
+        |FROM g ORDER BY ALL""".stripMargin,
+
+    // ---- §2.82 seasonal-mix readouts ----
+    "q_weekend_effect" ->
+      """WITH d AS (SELECT c_mktsegment,
+        |    epoch_us(o_orderdate) // 86400000000 AS day,
+        |    (epoch_us(o_orderdate) // 86400000000 + 3) % 7 + 1 >= 6
+        |      AS wknd,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT c_mktsegment,
+        |    CAST(count(DISTINCT CASE WHEN NOT wknd THEN day END)
+        |         AS BIGINT) AS wd_days,
+        |    CAST(count(DISTINCT CASE WHEN wknd THEN day END)
+        |         AS BIGINT) AS we_days,
+        |    CAST(sum(CASE WHEN NOT wknd THEN cents ELSE 0 END)
+        |         AS BIGINT) AS wd_cents,
+        |    CAST(sum(CASE WHEN wknd THEN cents ELSE 0 END)
+        |         AS BIGINT) AS we_cents
+        |  FROM d GROUP BY 1)
+        |SELECT c_mktsegment, wd_days, we_days, wd_cents, we_cents,
+        |       CAST(CASE WHEN wd_days = 0 THEN NULL
+        |            ELSE wd_cents * 1000 // wd_days END AS BIGINT)
+        |         AS wd_rate_milli,
+        |       CAST(CASE WHEN we_days = 0 THEN NULL
+        |            ELSE we_cents * 1000 // we_days END AS BIGINT)
+        |         AS we_rate_milli,
+        |       CAST(CASE WHEN wd_days = 0 OR we_days = 0
+        |            OR wd_cents * 1000 // wd_days = 0 THEN NULL
+        |            ELSE ((we_cents * 1000 // we_days
+        |                   - wd_cents * 1000 // wd_days) * 10000
+        |                  + 10001 * (wd_cents * 1000 // wd_days))
+        |                 // (wd_cents * 1000 // wd_days) - 10001 END
+        |            AS BIGINT) AS lift_bp
+        |FROM g ORDER BY ALL""".stripMargin,
+    "q_mix_shift" ->
+      """WITH a AS (SELECT c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS n_a,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         AS BIGINT) AS c_a
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1),
+        |b AS (SELECT c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         AS BIGINT) AS c_b
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1),
+        |j AS (SELECT c_mktsegment, n_a, n_b,
+        |        c_a * 1000 // n_a AS rate_a_u,
+        |        c_b * 1000 // n_b AS rate_b_u, c_a, c_b
+        |      FROM a JOIN b USING (c_mktsegment))
+        |SELECT c_mktsegment, n_a, n_b,
+        |       CAST(rate_a_u AS BIGINT) AS rate_a_u,
+        |       CAST(rate_b_u AS BIGINT) AS rate_b_u,
+        |       CAST((rate_b_u - rate_a_u) * n_a AS BIGINT)
+        |         AS rate_effect_u,
+        |       CAST((n_b - n_a) * rate_b_u AS BIGINT) AS mix_effect_u,
+        |       CAST((c_b - c_a) * 1000 - ((rate_b_u - rate_a_u) * n_a
+        |            + (n_b - n_a) * rate_b_u) AS BIGINT)
+        |         AS residual_u
+        |FROM j ORDER BY ALL""".stripMargin,
+    "q_heat_grid" ->
+      """WITH g AS (SELECT
+        |    (epoch_us(ts) // 86400000000 + 3) % 7 + 1 AS dow,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
+        |SELECT CAST(dow AS BIGINT) AS dow,
+        |       CAST(hour AS BIGINT) AS hour, n,
+        |       CAST(n * 10000 // tot AS BIGINT) AS share_bp
+        |FROM g CROSS JOIN tot ORDER BY ALL""".stripMargin
   )
 }

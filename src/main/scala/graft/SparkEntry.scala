@@ -488,6 +488,10 @@ object SparkEntry {
     "q_join_card_audit" -> Optimizer.qJoinCardAudit _,
     "q_selectivity_audit" -> Optimizer.qSelectivityAudit _,
     "q_fd_strength" -> Optimizer.qFdStrength _,
+    // §2.82 round-8 seasonal-mix readouts
+    "q_weekend_effect" -> Seasonal.qWeekendEffect _,
+    "q_mix_shift" -> Seasonal.qMixShift _,
+    "q_heat_grid" -> Seasonal.qHeatGrid _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,
