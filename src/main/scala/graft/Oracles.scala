@@ -6748,6 +6748,59 @@ object Oracles {
         |SELECT CAST(dow AS BIGINT) AS dow,
         |       CAST(hour AS BIGINT) AS hour, n,
         |       CAST(n * 10000 // tot AS BIGINT) AS share_bp
-        |FROM g CROSS JOIN tot ORDER BY ALL""".stripMargin
+        |FROM g CROSS JOIN tot ORDER BY ALL""".stripMargin,
+
+    // ---- §2.83 operational-SLO readouts ----
+    "q_freshness" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |hw AS (SELECT CAST(max(us) AS BIGINT) AS hw_us,
+        |         CAST(max(day) AS BIGINT) AS hw_day FROM e),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(max(us) AS BIGINT) AS last_us,
+        |        CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+        |        CAST(sum(CASE WHEN day = hw_day THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS last_day_n,
+        |        CAST(max(hw_us) AS BIGINT) AS hw_us2
+        |      FROM e CROSS JOIN hw GROUP BY 1)
+        |SELECT event_type, n, n_days,
+        |       CAST(hw_us2 - last_us AS BIGINT) AS lag_us,
+        |       last_day_n,
+        |       CAST(last_day_n * n_days * 10000 // n AS BIGINT)
+        |         AS last_day_vs_mean_bp
+        |FROM g ORDER BY ALL""".stripMargin,
+    "q_ingest_rate" ->
+      """WITH h AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS h,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type,
+        |        CAST(count(*) AS BIGINT) AS active_hours,
+        |        CAST(sum(n) AS BIGINT) AS n_events,
+        |        CAST(max(n) AS BIGINT) AS peak_hour_n
+        |      FROM h GROUP BY 1)
+        |SELECT event_type, active_hours, n_events,
+        |       CAST(n_events * 1000 // active_hours AS BIGINT)
+        |         AS mean_rate_milli,
+        |       peak_hour_n,
+        |       CAST(peak_hour_n * 1000 * active_hours // n_events
+        |            AS BIGINT) AS peak_to_mean_milli
+        |FROM g ORDER BY ALL""".stripMargin,
+    "q_sla_attainment" ->
+      """WITH j AS (SELECT o_orderpriority,
+        |    epoch_us(l_shipdate) // 86400000000
+        |      - epoch_us(o_orderdate) // 86400000000 AS lat
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CASE WHEN lat <= 7 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS within7,
+        |       CAST(sum(CASE WHEN lat <= 30 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS within30,
+        |       CAST(sum(CASE WHEN lat <= 7 THEN 1 ELSE 0 END)
+        |            * 10000 // count(*) AS BIGINT) AS within7_bp,
+        |       CAST(sum(CASE WHEN lat <= 30 THEN 1 ELSE 0 END)
+        |            * 10000 // count(*) AS BIGINT) AS within30_bp
+        |FROM j GROUP BY 1 ORDER BY ALL""".stripMargin
   )
 }

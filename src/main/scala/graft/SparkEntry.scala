@@ -492,6 +492,10 @@ object SparkEntry {
     "q_weekend_effect" -> Seasonal.qWeekendEffect _,
     "q_mix_shift" -> Seasonal.qMixShift _,
     "q_heat_grid" -> Seasonal.qHeatGrid _,
+    // §2.83 round-8 operational-SLO readouts
+    "q_freshness" -> Slo.qFreshness _,
+    "q_ingest_rate" -> Slo.qIngestRate _,
+    "q_sla_attainment" -> Slo.qSlaAttainment _,
     // §2.14 multimodal columns
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,
