@@ -5118,9 +5118,13 @@ object Oracles {
         |        CAST(sum(c * (c - 1)) AS BIGINT) AS coll
         |      FROM c GROUP BY 1)
         |SELECT source, vocab, n_tokens, coll,
-        |       CAST(coll * 1000000000 // (n_tokens * (n_tokens - 1))
+        |       CAST(CASE WHEN n_tokens < 2 THEN NULL ELSE
+        |         CAST(coll AS HUGEINT) * 1000000000
+        |           // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) END
         |            AS BIGINT) AS simpson_ppb,
-        |       CAST(n_tokens * (n_tokens - 1) * 1000 // coll AS BIGINT)
+        |       CAST(CASE WHEN coll = 0 OR n_tokens < 2 THEN NULL ELSE
+        |         CAST(n_tokens AS HUGEINT) * (n_tokens - 1) * 1000
+        |           // coll END AS BIGINT)
         |         AS eff_vocab_milli
         |FROM g ORDER BY ALL""".stripMargin,
     "q_jsd_sources" ->
@@ -6035,14 +6039,19 @@ object Oracles {
         |      = '0' AS ing
         |  FROM events),
         |st AS (SELECT event_type,
+        |         CAST(count(*) AS BIGINT) AS n_h,
         |         CAST(sum(cents) AS BIGINT) AS truth_t,
+        |         CAST(sum(CASE WHEN ing THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS m_h,
         |         CAST(sum(CASE WHEN ing THEN cents ELSE 0 END)
         |              AS BIGINT) AS samp_t
         |       FROM e GROUP BY 1),
         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
         |        CAST(sum(truth_t) AS BIGINT) AS truth,
         |        CAST(sum(samp_t) * 16 AS BIGINT) AS est_srs,
-        |        CAST(sum(samp_t * 16) AS BIGINT) AS est_strat
+        |        CAST(sum(CASE WHEN m_h > 0 THEN
+        |          CAST(n_h AS HUGEINT) * samp_t // m_h ELSE 0 END)
+        |          AS BIGINT) AS est_strat
         |      FROM st)
         |SELECT n_strata, truth, est_srs, est_strat,
         |       CAST(abs(est_srs - truth) * 10000 // truth AS BIGINT)

@@ -415,10 +415,15 @@ object Analytics {
     * cent-exact monetary total, each scored into quintiles (ntile(5)
     * under explicit tie-broken total orders), rolled up to cell counts
     * and revenue per (r, f, m) cell. The ntiles sort the CUSTOMER
-    * aggregate (≪ order rows); the q_decile_lift two-pass-rank swap
-    * applies beyond ~10 M customers. Day arithmetic stays in integer
-    * epoch-days — no date-diff dialect drift. */
+    * aggregate (≪ order rows); beyond ~10 M customers
+    * `spark.graft.rankBuckets` = B engages the shared [[DistRank]]
+    * two-pass rank per dimension (base pinned once, three parallel
+    * bucket-ranked columns joined back on the customer key, ntile by
+    * the closed-form fill rule) — bit-equal, spec-forced
+    * (Round9RankSpec). Day arithmetic stays in integer epoch-days — no
+    * date-diff dialect drift. */
   def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val b = DistRank.buckets(s)
     val per = t(s, dir, "orders")
       .withColumn("day", // NTZ under Verify's reader; UTC session pins it
         expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
@@ -427,14 +432,34 @@ object Analytics {
       .agg(max("day").as("last_day"), count(lit(1)).as("freq"),
         sum("cents").as("cents"))
     val maxDay = per.agg(max("last_day").as("max_day"))
-    val scored = per.crossJoin(broadcast(maxDay))
+    val base = per.crossJoin(broadcast(maxDay))
       .withColumn("recency", col("max_day") - col("last_day"))
-      .withColumn("r_score", ntile(5).over(Window.orderBy(
-        col("recency").asc, col("o_custkey").asc)).cast("long"))
-      .withColumn("f_score", ntile(5).over(Window.orderBy(
-        col("freq").desc, col("o_custkey").asc)).cast("long"))
-      .withColumn("m_score", ntile(5).over(Window.orderBy(
-        col("cents").desc, col("o_custkey").asc)).cast("long"))
+    val scored =
+      if (b <= 0) base
+        .withColumn("r_score", ntile(5).over(Window.orderBy(
+          col("recency").asc, col("o_custkey").asc)).cast("long"))
+        .withColumn("f_score", ntile(5).over(Window.orderBy(
+          col("freq").desc, col("o_custkey").asc)).cast("long"))
+        .withColumn("m_score", ntile(5).over(Window.orderBy(
+          col("cents").desc, col("o_custkey").asc)).cast("long"))
+      else {
+        // four consumers (count + three rank passes) → pin once
+        val p = Text.pin(base, "rfm_base")
+        val n = p.agg(count(lit(1)).as("n"))
+        def ranked(key: org.apache.spark.sql.Column, out: String) =
+          DistRank.withRank(p, key, col("o_custkey"), b, out)
+            .select("o_custkey", out)
+        p.join(ranked(col("recency"), "__rr"), "o_custkey")
+          .join(ranked(-col("freq"), "__rf"), "o_custkey")
+          .join(ranked(-col("cents"), "__rm"), "o_custkey")
+          .crossJoin(broadcast(n))
+          .withColumn("r_score",
+            expr(DistRank.ntileExpr("__rr", "n", 5)).cast("long"))
+          .withColumn("f_score",
+            expr(DistRank.ntileExpr("__rf", "n", 5)).cast("long"))
+          .withColumn("m_score",
+            expr(DistRank.ntileExpr("__rm", "n", 5)).cast("long"))
+      }
     orderedAll(scored.groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_cust"), sum("cents").cast("long")
         .as("total_cents")))

@@ -22,17 +22,22 @@ object Concentration {
     * share and cumulative share in basis points — the curve whose area
     * deficit q_gini integrates. The global rank is ONE window over the
     * customer dimension (accounts, not facts — ~0.1 × SF rows); at
-    * 100 TB the decile cut moves to approx_percentile thresholds, the
-    * same swap documented on q_abc_class. */
+    * 100 TB `spark.graft.rankBuckets` = B engages the shared
+    * [[DistRank.withRank]] two-pass rank (per-bucket counts → offset
+    * broadcast → local rank), bit-equal by construction and spec-forced
+    * (Round9RankSpec) — no single-partition sort remains in that plan. */
   def qLorenz(s: SparkSession, dir: String): DataFrame = {
+    val b = DistRank.buckets(s)
     val spend = t(s, dir, "orders")
       .select(col("o_custkey"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
       .groupBy("o_custkey").agg(sum(col("cents")).as("sp"))
     val n = spend.agg(count(lit(1)).as("n"))
     val w = Window.orderBy(col("sp").asc, col("o_custkey").asc)
-    val dec = spend.crossJoin(broadcast(n))
-      .withColumn("rn", row_number().over(w).cast("long"))
+    val ranked =
+      if (b <= 0) spend.withColumn("rn", row_number().over(w).cast("long"))
+      else DistRank.withRank(spend, col("sp"), col("o_custkey"), b, "rn")
+    val dec = ranked.crossJoin(broadcast(n))
       .withColumn("decile", expr("(rn - 1) * 10 div n"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_cust"), sum("sp").as("cents"))

@@ -516,7 +516,12 @@ object CorpusStats {
     * vocabulary in milli-tokens (how many equally-common tokens this
     * concentration corresponds to). Token counts are the q_wordcount
     * mergeable aggregate; the profile is a second aggregate per
-    * source — nothing vocabulary-sized leaves its partition. */
+    * source — nothing vocabulary-sized leaves its partition.
+    * Degenerate sources emit NULL (all-unique tokens → coll = 0 has no
+    * inverse; n_tokens < 2 has no pair to draw), and the ppb / inverse
+    * products ride DECIMAL(38,0) (DuckDB mirrors in HUGEINT) — the qHhi
+    * overflow convention, since coll·10⁹ wraps a BIGINT silently in
+    * non-ANSI Spark on a large enough corpus. */
   def qSimpson(s: SparkSession, dir: String): DataFrame =
     orderedAll(t(s, dir, "documents")
       .select(col("source"), explode(tokens(col("text"))).as("token"))
@@ -527,9 +532,14 @@ object CorpusStats {
         sum("c").cast("long").as("n_tokens"),
         sum(expr("c * (c - 1)")).cast("long").as("coll"))
       .withColumn("simpson_ppb",
-        expr("coll * 1000000000 div (n_tokens * (n_tokens - 1))"))
+        expr("CAST(CASE WHEN n_tokens < 2 THEN NULL ELSE " +
+          "CAST(coll AS DECIMAL(38,0)) * 1000000000 div " +
+          "(CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)) END " +
+          "AS BIGINT)"))
       .withColumn("eff_vocab_milli",
-        expr("n_tokens * (n_tokens - 1) * 1000 div coll")))
+        expr("CAST(CASE WHEN coll = 0 OR n_tokens < 2 THEN NULL ELSE " +
+          "CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1) * 1000 " +
+          "div coll END AS BIGINT)")))
 
   /** Source-novelty Jensen–Shannon divergence (§2.56): per source, the
     * symmetric, ln2-bounded JSD between the source's token distribution

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global-order primitives (round-9 item 1): the shared
+  * two-pass rank / prefix-sum machinery behind the dimension-sort query
+  * family (q_rfm, q_lorenz, q_decile_lift, q_abc_class, q_decay_score).
+  *
+  * The problem class: a query needs `row_number()` / `ntile(k)` / a
+  * running sum under a TOTAL order over a dimension-scale aggregate
+  * (customers, parts, users). The declarative spelling — one
+  * `Window.orderBy(...)` with no partition — plans a single-partition
+  * WindowExec: every row funnels through ONE task, the classic 100 TB
+  * ceiling (the q_interarrival 100× smoke measured it directly: 56 s of
+  * one task sorting what 32 could). The fix, proven on q_interarrival and
+  * q_hist_equiheight in round 7, is value-bucketed two-pass rank:
+  *
+  *  1. one aggregate finds the key range; rows bucket by key range into
+  *     B slices (a broadcast, no shuffle beyond the agg);
+  *  2. per-bucket counts (≤ B rows) take an exclusive prefix sum in a
+  *     single tiny window — the only unpartitioned window in the plan,
+  *     and its input is an aggregate, never the data;
+  *  3. `row_number()` runs WITHIN each bucket (parallel across buckets),
+  *     and the global rank is `bucket offset + local row number`.
+  *
+  * Equal keys always land in the same bucket, so tie-breaking stays
+  * entirely bucket-local and the result is BIT-EQUAL to the serial
+  * window (spec-forced in Round9RankSpec). Degenerate distributions
+  * (all keys equal) collapse to one bucket — the serial plan again,
+  * which is also the correct cost there. Descending orders are expressed
+  * by negating the key column (callers pass `-x` — BIGINT keys only, and
+  * every caller's key magnitude × B stays far inside signed 64).
+  *
+  * The family shares ONE conf gate: `spark.graft.rankBuckets` = B > 0
+  * engages the distributed path (default off, pinning fixture plans and
+  * hashes; a 100 TB deployment sets B ≈ a few × the executor count).
+  */
+object DistRank {
+
+  /** The family's shared gate: `spark.graft.rankBuckets`, 0 = serial. */
+  def buckets(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.rankBuckets").map(_.toInt).getOrElse(0)
+
+  /** SQL-expression spelling of the ntile(k) fill rule from a 1-based
+    * global rank and total count n (both engines give the first n mod k
+    * buckets one extra row). Pure arithmetic — turning an ntile into a
+    * rank query is exactly what makes it distributable. The ELSE branch
+    * divides by (n div k), which is 0 only when n < k — and then the
+    * WHEN branch covers every rank, so the division never evaluates. */
+  def ntileExpr(rank: String, n: String, k: Int): String = {
+    val q = s"(($n) div $k)"
+    val rem = s"(($n) % $k)"
+    s"CASE WHEN ($rank) <= $rem * ($q + 1) " +
+      s"THEN (($rank) - 1) div ($q + 1) + 1 " +
+      s"ELSE $rem + (($rank) - 1 - $rem * ($q + 1)) div $q + 1 END"
+  }
+
+  /** Internal: bucket rows by the range of `key` into `b` slices and
+    * attach, per bucket, the exclusive prefix `agg` over all earlier
+    * buckets (count or sum — the two consumers below). Adds `__key`
+    * (the materialized sort key — BIGINT integer div needs a name),
+    * `__vbkt` and `__before`; callers drop all three. */
+  private def bucketed(df: DataFrame, key: Column, b: Int,
+                       perBucket: Column): DataFrame = {
+    val wk = df.withColumn("__key", key.cast("long"))
+    val stats = wk.agg(min("__key").as("__kmin"), max("__key").as("__kmax"))
+    val vb = wk.crossJoin(broadcast(stats))
+      .withColumn("__vbkt",
+        expr(s"((__key - __kmin) * $b) div (__kmax - __kmin + 1)"))
+      .drop("__kmin", "__kmax")
+    val offsets = vb.groupBy("__vbkt").agg(perBucket.as("__bagg"))
+      .withColumn("__before", coalesce(sum("__bagg").over(
+        Window.orderBy("__vbkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__vbkt", "__before")
+    vb.join(broadcast(offsets), "__vbkt")
+  }
+
+  /** `row_number()` over (key asc, tie asc) with no single-partition
+    * sort; emits it 1-based as LONG column `out`. `maxRank` > 0 prunes
+    * rows that cannot rank ≤ maxRank (whole buckets whose offset is
+    * already past it) BEFORE the per-bucket sort — the distributed
+    * top-k: only boundary buckets are ever sorted. */
+  def withRank(df: DataFrame, key: Column, tie: Column, b: Int,
+               out: String, maxRank: Long = 0L): DataFrame = {
+    val base = bucketed(df, key, b, count(lit(1)).cast("long"))
+    val pruned =
+      if (maxRank > 0L) base.filter(col("__before") < maxRank) else base
+    pruned
+      .withColumn(out, (col("__before") + row_number().over(
+        Window.partitionBy("__vbkt").orderBy(col("__key").asc, tie.asc)))
+        .cast("long"))
+      .drop("__key", "__vbkt", "__before")
+  }
+
+  /** EXCLUSIVE running sum of `value` over the (key asc, tie asc) total
+    * order with no single-partition window: bucket offsets carry the sum
+    * of all earlier buckets; the within-bucket exclusive sum runs
+    * partitioned. Emits LONG column `out`. Integer addition is
+    * associative, so the stitched sum is bit-equal to the serial one. */
+  def withPrefixSum(df: DataFrame, key: Column, tie: Column, value: Column,
+                    b: Int, out: String): DataFrame =
+    bucketed(df, key, b, sum(value).cast("long"))
+      .withColumn(out, col("__before") + coalesce(sum(value).over(
+        Window.partitionBy("__vbkt").orderBy(col("__key").asc, tie.asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__key", "__vbkt", "__before")
+}

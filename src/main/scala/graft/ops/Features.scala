@@ -69,15 +69,23 @@ object Features {
     * decile's revenue share and cumulative share in exact basis points —
     * the marketing/risk gains chart. The per-customer aggregate
     * map-combines; the ntile sort runs over the CUSTOMER aggregate (≪
-    * fact rows; at 100 TB swap the global sort for a two-pass rank:
-    * per-partition counts → offset broadcast → local rank). */
+    * fact rows); `spark.graft.rankBuckets` = B swaps it for the shared
+    * [[DistRank]] two-pass rank + the closed-form ntile fill rule —
+    * bit-equal (Round9RankSpec), no single-partition sort in the plan. */
   def qDecileLift(s: SparkSession, dir: String): DataFrame = {
+    val b = DistRank.buckets(s)
     val spend = t(s, dir, "orders")
       .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
       .groupBy("o_custkey").agg(sum("cents").as("spend"))
-    val dec = spend
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("spend").desc, col("o_custkey").asc)).cast("long"))
+    val bucketed =
+      if (b <= 0) spend.withColumn("decile", ntile(10).over(
+        Window.orderBy(col("spend").desc, col("o_custkey").asc))
+        .cast("long"))
+      else DistRank.withRank(spend, -col("spend"), col("o_custkey"), b, "rk")
+        .crossJoin(broadcast(spend.agg(count(lit(1)).as("n"))))
+        .withColumn("decile", expr(DistRank.ntileExpr("rk", "n", 10))
+          .cast("long"))
+    val dec = bucketed
       .groupBy("decile")
       .agg(count(lit(1)).as("n_cust"), sum("spend").as("cents"))
     val tot = dec.agg(sum("cents").cast("long").as("total"))

@@ -94,9 +94,18 @@ object Fusion {
       .agg(count(lit(1)).as("n_events"),
         sum(expr("cents * w_u")).cast("long").as("raw"))
       .withColumn("score_u", expr("raw div 1000000"))
+    // top-20 under a global order: the serial spelling is one
+    // unpartitioned window over the USER aggregate; at scale
+    // `spark.graft.rankBuckets` = B engages the shared [[DistRank]]
+    // two-pass rank with maxRank pruning — only the buckets that can
+    // contain ranks ≤ 20 are ever sorted (bit-equal, Round9RankSpec).
+    val b = DistRank.buckets(s)
     val w = Window.orderBy(col("score_u").desc, col("user_id").asc)
-    orderedAll(scored
-      .withColumn("rk", row_number().over(w).cast("long"))
+    val top =
+      if (b <= 0) scored.withColumn("rk", row_number().over(w).cast("long"))
+      else DistRank.withRank(scored, -col("score_u"), col("user_id"), b,
+        "rk", maxRank = 20L)
+    orderedAll(top
       .filter(col("rk") <= 20)
       .select("rk", "user_id", "n_events", "score_u"))
   }

@@ -519,8 +519,13 @@ object Insights {
     * 5·cum < 4·tot and 20·cum < 19·tot). Emits per class: parts,
     * revenue units, and share bp — the stocking-policy report. The
     * rank/cumulative windows run over the PART-level aggregate
-    * (≪ lineitem); the fact table is scanned once. */
+    * (≪ lineitem); the fact table is scanned once. At scale
+    * `spark.graft.rankBuckets` = B replaces the global-order running sum
+    * with the shared [[DistRank.withPrefixSum]] stitched prefix
+    * (bucket offsets + partitioned within-bucket sums) — bit-equal by
+    * integer associativity, spec-forced (Round9RankSpec). */
   def qAbcClass(s: SparkSession, dir: String): DataFrame = {
+    val b = DistRank.buckets(s)
     val rev = t(s, dir, "lineitem")
       .groupBy("l_partkey")
       .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT) * " +
@@ -528,8 +533,12 @@ object Insights {
     val w = Window.orderBy(col("rev10k").desc, col("l_partkey").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val tot = rev.agg(sum("rev10k").as("tot"))
-    orderedAll(rev
-      .withColumn("cum_before", coalesce(sum("rev10k").over(w), lit(0L)))
+    val cum =
+      if (b <= 0) rev
+        .withColumn("cum_before", coalesce(sum("rev10k").over(w), lit(0L)))
+      else DistRank.withPrefixSum(rev, -col("rev10k"), col("l_partkey"),
+        col("rev10k"), b, "cum_before")
+    orderedAll(cum
       .crossJoin(broadcast(tot))
       .withColumn("cls", expr(
         "CASE WHEN cum_before * 5 < tot * 4 THEN 'A' " +

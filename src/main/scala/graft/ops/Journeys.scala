@@ -51,9 +51,15 @@ object Journeys {
     * at the same µs (touching sessions don't overlap), and permuting
     * equal (us, delta) rows yields the same prefix-sum SET, so the day
     * max is deterministic even though per-row running values are not.
-    * Scale: the sweep is one global-ordered window — at 100 TB the same
-    * plan runs range-partitioned by time (day buckets already make the
-    * max mergeable); the session derivation shards by user_id. */
+    * Scale (round-9 item 2): `spark.graft.rankBuckets` > 0 engages the
+    * range-partitioned sweep — the running sum runs WITHIN each calendar
+    * day (parallel across days, the same partitioning the output
+    * aggregates by) and each day inherits the closing sum of all earlier
+    * days as a broadcast carry (the q_interarrival seam trick; ≤ #days
+    * rows take the only unpartitioned window). Bit-equal by integer
+    * associativity — time buckets are order-aligned with `us`, and equal
+    * (us, delta) rows never straddle a day — spec-forced
+    * (Round9RankSpec). The session derivation shards by user_id. */
   def qIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
     val wU = Window.partitionBy("user_id").orderBy("us", "event_id")
     val sess = ev(s, dir)
@@ -67,11 +73,27 @@ object Journeys {
     val points = sess.select(col("start_us").as("us"), lit(1L).as("delta"))
       .unionAll(sess.select((col("end_us") + 1).as("us"),
         lit(-1L).as("delta")))
-    val wSweep = Window.orderBy("us", "delta")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    orderedAll(points
-      .withColumn("conc", sum("delta").over(wSweep))
-      .groupBy(expr("us div 86400000000").as("day"))
+    val swept =
+      if (DistRank.buckets(s) <= 0) {
+        val wSweep = Window.orderBy("us", "delta")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        points.withColumn("conc", sum("delta").over(wSweep))
+          .withColumn("day", expr("us div 86400000000"))
+      } else {
+        val pts = points.withColumn("day", expr("us div 86400000000"))
+        val carries = pts.groupBy("day").agg(sum("delta").as("__dsum"))
+          .withColumn("__carry", coalesce(sum("__dsum").over(
+            Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("day", "__carry")
+        pts.join(broadcast(carries), "day")
+          .withColumn("conc", col("__carry") + sum("delta").over(
+            Window.partitionBy("day").orderBy("us", "delta")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .drop("__carry")
+      }
+    orderedAll(swept
+      .groupBy("day")
       .agg(max("conc").as("max_concurrent"),
         count(lit(1)).as("n_points")))
   }

@@ -33,22 +33,33 @@ object Sampling {
 
   /** Stratified-vs-simple estimator audit (§2.71): estimate the
     * grand total of cents from the same 1/16 sample two ways —
-    * simple (16 × sample sum) and stratified by event type
-    * (16 × per-type sample sum, then summed — the post-stratified
-    * estimator) — against the exact total, errors in bp. One scan:
-    * both estimators are conditional aggregates over the same gate. */
+    * simple expansion (16 × sample sum: the design-based inverse of
+    * the sampling fraction) and POST-STRATIFIED by event type
+    * (Σ_h N_h · x̄_h = Σ_h N_h · samp_sum_h div m_h over the known
+    * per-stratum population counts N_h; a stratum the gate missed
+    * entirely — m_h = 0 — contributes 0, the standard collapsed-cell
+    * convention) — against the exact total, errors in bp. The two
+    * estimators genuinely differ whenever realized per-stratum
+    * sampling rates deviate from 1/16, which is exactly the accuracy
+    * gain post-stratification buys. N_h · samp_sum_h rides
+    * DECIMAL(38,0) (DuckDB: HUGEINT) per the overflow convention.
+    * One scan: both estimators are conditional aggregates over the
+    * same gate. */
   def qStratifiedGain(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "events")
       .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
       .withColumn("ing", expr(gateExpr("strat")))
     val strat = base.groupBy("event_type")
-      .agg(sum("cents").cast("long").as("truth_t"),
+      .agg(count(lit(1)).as("n_h"),
+        sum("cents").cast("long").as("truth_t"),
+        sum(when(col("ing"), 1L).otherwise(0L)).cast("long").as("m_h"),
         sum(when(col("ing"), col("cents")).otherwise(0L)).cast("long")
           .as("samp_t"))
     orderedAll(strat.agg(
       sum("truth_t").cast("long").as("truth"),
       (sum(expr("samp_t")) * 16).cast("long").as("est_srs"),
-      sum(expr("samp_t * 16")).cast("long").as("est_strat"),
+      sum(expr("CASE WHEN m_h > 0 THEN CAST(n_h AS DECIMAL(38,0)) " +
+        "* samp_t div m_h ELSE 0 END")).cast("long").as("est_strat"),
       count(lit(1)).as("n_strata"))
       .withColumn("err_srs_bp",
         expr("abs(est_srs - truth) * 10000 div truth"))

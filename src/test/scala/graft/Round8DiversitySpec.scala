@@ -14,12 +14,16 @@ class Round8DiversitySpec extends SparkSpec {
 
   test("q_simpson matches exact integer collision arithmetic") {
     val counts = sourceTokenCounts
+    // BigInt mirrors the DECIMAL(38,0)/HUGEINT promotion; the guards
+    // mirror the degenerate-source NULLs (no such source exists in the
+    // fixture — asserted below — so the Long getters stay safe)
     val expected = counts.toSeq.groupBy(_._1._1).map { case (src, ts) =>
       val n = ts.map(_._2).sum
       val coll = ts.map(c => c._2 * (c._2 - 1)).sum
+      assert(n >= 2 && coll > 0, s"fixture source $src degenerated")
       (src, ts.size.toLong, n, coll,
-        coll * 1000000000L / (n * (n - 1)),
-        n * (n - 1) * 1000L / coll)
+        (BigInt(coll) * 1000000000L / (BigInt(n) * (n - 1))).toLong,
+        (BigInt(n) * (n - 1) * 1000L / coll).toLong)
     }.toSet
     val got = run("q_simpson").collect().map(r => (r.getString(0),
       r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),

@@ -32,19 +32,28 @@ class Round8SamplingSpec extends SparkSpec {
       .selectExpr("event_type", "event_id",
         "CAST(round(value * 100) AS BIGINT)")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // per stratum: population N_h, exact total, sample count m_h,
+    // sample sum — the post-stratified estimator is Σ N_h·x̄_h
     val st = ev.groupBy(_._1).map { case (_, rs) =>
-      (rs.map(_._3).sum,
-        rs.filter(r => md5Gate(r._2, "strat")).map(_._3).sum)
+      val smp = rs.filter(r => md5Gate(r._2, "strat"))
+      (rs.length.toLong, rs.map(_._3).sum,
+        smp.length.toLong, smp.map(_._3).sum)
     }.toSeq
-    val truth = st.map(_._1).sum
-    val srs = st.map(_._2).sum * 16
-    val strat = st.map(_._2 * 16).sum
+    val truth = st.map(_._2).sum
+    val srs = st.map(_._4).sum * 16
+    val strat = st.map { case (nh, _, mh, ss) =>
+      if (mh > 0) nh * ss / mh else 0L }.sum
     val r = run("q_stratified_gain").collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4), r.getLong(5)) ==
       ((st.size.toLong, truth, srs, strat,
         math.abs(srs - truth) * 10000 / truth,
         math.abs(strat - truth) * 10000 / truth)))
+    // the fix's point: the two estimators are no longer algebraically
+    // identical — on this fixture the realized per-stratum rates differ
+    // from 1/16, so the estimates must actually diverge
+    assert(r.getLong(2) != r.getLong(3),
+      "post-stratified estimate degenerated back to the simple expansion")
   }
 
   test("q_sample_ci matches brute force and half-widths are positive") {
