@@ -186,20 +186,18 @@ object CorpusStats {
     // numbers unbiasedly because both sides restrict to the same induced
     // doc subset.
     val mod = s.conf.get("spark.graft.lshRecallSampleMod", "1").toInt
-    val d0 = dt(s, dir)
+    // Round 9: postings and lane signatures come from the session pin
+    // shared with q_dedup_minhash (Sketches.enPostings / mdLaneSigs —
+    // identical token universe, so the audit measures exactly the
+    // banding the dedup query runs). Per-doc signatures are independent
+    // of other docs, so the sample gate filters the PINNED sig table —
+    // same rows as re-deriving from filtered postings.
+    val d0 = Sketches.enPostings(s, dir)
     val d = if (mod <= 1) d0 else d0.filter(col("doc_id") % mod === 0)
     val truth = Text.maskGroupPairs(d, 3, 1).select("a_id", "b_id")
-    val laneMins = (0 until 16).map(j =>
-      min(expr(s"CAST(conv(substring(md5(concat('$j:', token)), 1, 15)," +
-        s" 16, 10) AS BIGINT)")).as(s"mh$j"))
-    val sig = d.groupBy("doc_id").agg(laneMins.head, laneMins.tail: _*)
-    val bands = sig.select(col("doc_id"), explode(expr(
-        (0 until 8).map(b =>
-          s"struct($b AS band, struct(mh${2 * b} AS k1, mh${2 * b + 1}" +
-            s" AS k2) AS bkey)")
-          .mkString("array(", ", ", ")"))).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"),
-        col("bs.bkey").as("bkey"))
+    val sig0 = Sketches.mdLaneSigs(s, dir)
+    val bands = Sketches.mdBands(
+      if (mod <= 1) sig0 else sig0.filter(col("doc_id") % mod === 0))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bkey") === col("y.bkey") &&

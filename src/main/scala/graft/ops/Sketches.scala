@@ -32,6 +32,56 @@ object Sketches {
     s.conf.getOption("spark.graft.sketchNljMaxDocs")
       .map(_.toLong).getOrElse(20000L)
 
+  // ---- shared md5-lane signature pin (round 9 item 4) ------------------
+
+  /** DISTINCT (doc_id, token) postings of the en corpus, pinned once per
+    * (session, dir): the shared leaf of the md5-lane sketch family.
+    * q_dedup_minhash, q_dedup_minhash_agg and q_lsh_recall all fold the
+    * SAME postings — through round 8 each re-derived them (a corpus scan
+    * + explode + distinct shuffle apiece, three times per session). Same
+    * pinning pattern (and cluster-durability caveat) as
+    * [[Graphs]]' strictEdges / [[Text.pin]]. */
+  private val postingsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private[ops] def enPostings(s: SparkSession, dir: String): DataFrame =
+    postingsCache.computeIfAbsent((s, dir), _ =>
+      Text.pin(t(s, dir, "documents").filter(col("lang") === "en")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "").distinct(),
+        s"mh_postings_${new java.io.File(dir).getName}"))
+
+  /** The 16 md5-lane minima per doc (the ENGINE-PORTABLE 15-hex-char
+    * sketch documented on [[qDedupMinhash]]), pinned once per
+    * (session, dir): q_dedup_minhash and q_lsh_recall consume the
+    * IDENTICAL signature table — recomputing it was round 8's measured
+    * waste (q_lsh_recall spent most of its 9 s re-minimizing the same
+    * lanes the dedup query had already folded). */
+  private val sigCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private[ops] def mdLaneSigs(s: SparkSession, dir: String): DataFrame =
+    sigCache.computeIfAbsent((s, dir), _ => {
+      val laneMins = (0 until 16).map(j =>
+        min(expr(s"CAST(conv(substring(md5(concat('$j:', token)), 1, 15)," +
+          s" 16, 10) AS BIGINT)")).as(s"mh$j"))
+      Text.pin(enPostings(s, dir).groupBy("doc_id")
+        .agg(laneMins.head, laneMins.tail: _*),
+        s"mh_sigs_${new java.io.File(dir).getName}")
+    })
+
+  /** 8×2 band rows (doc_id, band, bkey) off a lane-signature table — a
+    * pure projection + in-row explode; consumers re-derive it from the
+    * pinned sigs instead of pinning the 8×-wider band rows. */
+  private[ops] def mdBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(expr(
+        (0 until 8).map(b =>
+          s"struct($b AS band, struct(mh${2 * b} AS k1, mh${2 * b + 1}" +
+            s" AS k2) AS bkey)")
+          .mkString("array(", ", ", ")"))).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.bkey").as("bkey"))
+
   /** Density gate for the pair-listing contract. Pair ENUMERATION is
     * Ω(pairs), which grows quadratically with duplication density — at
     * high density the contract itself is wrong for production dedup
@@ -120,21 +170,12 @@ object Sketches {
     // spellings, measured on the 100× smoke corpus: explode tokens ×16
     // lane rows + min(string) — a 16×-wider all-rows shuffle, 119 s; the
     // same 16-column aggregate with STRING minima — min(string) forces
-    // the ObjectHashAggregate fallback, 212 s. This shape: 12 s. */
-    val tokenRows = docs.select(col("doc_id"), explode(col("toks")).as("token"))
-    val laneMins = (0 until 16).map(j =>
-      min(expr(s"CAST(conv(substring(md5(concat('$j:', token)), 1, 15)," +
-        s" 16, 10) AS BIGINT)")).as(s"mh$j"))
-    val sigRow = tokenRows.groupBy("doc_id")
-      .agg(laneMins.head, laneMins.tail: _*)
-    val bands = sigRow
-      .select(col("doc_id"), explode(expr(
-        (0 until 8).map(b =>
-          s"struct($b AS band, struct(mh${2 * b} AS k1, mh${2 * b + 1}" +
-            s" AS k2) AS bkey)")
-          .mkString("array(", ", ", ")"))).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"),
-        col("bs.bkey").as("bkey"))
+    // the ObjectHashAggregate fallback, 212 s. This shape: 12 s.
+    // Round 9: the signature table is the session-pinned [[mdLaneSigs]]
+    // shared with q_lsh_recall (its token universe — Text.tokDf distinct,
+    // empties dropped — is exactly enPostings, keeping the Jaccard
+    // denominators and precision-1.0 guarantee aligned as before).
+    val bands = mdBands(mdLaneSigs(s, dir))
     // Candidate generation, stats-driven (same pattern as the vocab≤64
     // bitmask choice below): a pair is a candidate iff SOME band key
     // matches — identical set under either physical strategy.
@@ -150,14 +191,13 @@ object Sketches {
     val stats = docs.agg(count(lit(1)), max(col("doc_id"))).head
     val nDocs = stats.getLong(0)
     val maxId = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-    // Density-gated output contract (default OFF). When the gate conf is
-    // set, the signature/band pipeline is pinned once so the density
-    // probe and whichever output path wins share the materialization
-    // instead of re-deriving the sketch.
-    val gateOn = s.conf.getOption("spark.graft.dedupMaxPairsPerDoc").isDefined
-    val bandsEff = if (gateOn) Text.pin(bands, "mh_bands") else bands
-    if (pairDensityExceeded(s, bandsEff, Seq("band", "bkey"), nDocs))
-      return bucketClusters(s, bandsEff, Seq("band", "bkey"), "mh")
+    // Density-gated output contract (default OFF). The density probe and
+    // whichever output path wins all re-derive band rows from the pinned
+    // signature table (a projection each — the round-8 band-row pin is
+    // subsumed by the shared sig pin).
+    if (pairDensityExceeded(s, bands, Seq("band", "bkey"), nDocs))
+      return bucketClusters(s, bands, Seq("band", "bkey"), "mh")
+    val bandsEff = bands
     val cand = if (nDocs <= nljMaxDocs(s)) {
       val sigs = bandsEff.groupBy("doc_id")
         .agg(expr("transform(array_sort(collect_list(struct(band, bkey)))," +
@@ -246,11 +286,10 @@ object Sketches {
     * combinatorial at this threshold, not probabilistic). */
   def qDedupMinhashAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = t(s, dir, "documents").filter(col("lang") === "en")
-      .select(col("doc_id"),
-        explode(array_remove(array_distinct(tokens(col("text"))), ""))
-          .as("token"))
-      .as[(Long, String)]
+    // same distinct (doc_id, token) universe as the relational pipeline —
+    // shared through the session pin (round 9); the typed Aggregator fold
+    // itself stays this query's own tier (it IS the component under test)
+    val toks = enPostings(s, dir).as[(Long, String)]
     val sigs = toks.groupByKey(_._1).mapValues(_._2)
       .agg(new graft.functions.MinHashAggregator(16).toColumn.name("sig"))
       .toDF("doc_id", "sig")
