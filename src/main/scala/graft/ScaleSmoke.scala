@@ -51,8 +51,38 @@ object ScaleSmoke {
     args(0) match {
       case "gen" => gen(spark, args(1), args(2), args(3).toInt)
       case "run" => run(spark, args(1), args(2).split(",").toIndexedSeq)
+      case "graphgen" => graphGen(spark, args(1), args(2).toInt)
     }
     spark.stop()
+  }
+
+  /** Synthetic community-sparse edge fixture (round-9 item 3): `nComm`
+    * communities of 12 nodes; within-community pairs kept by a
+    * deterministic 60% xxhash64 gate (expected degree ≈ 6.6 — a solid
+    * 3-core with peelable stragglers), plus a 50%-gated bridge edge
+    * between consecutive community anchors (inter-community structure
+    * for modularity/label-prop). ~40 edges/community: nComm = 750
+    * matches the sf0.1 strict graph's ~30k edges (1×); 75 000 ≈ 100×.
+    * Entirely hash-driven — no RNG, bit-identical across runs — and
+    * generated distributed (one `range` + in-row pair explode, no
+    * driver-side materialization). Consumed via
+    * `spark.graft.graphEdgesPath` (see Graphs.strictEdges). */
+  private def graphGen(s: SparkSession, dst: String, nComm: Int): Unit = {
+    val k = 12
+    val within = s.range(nComm.toLong).selectExpr("id AS c")
+      .selectExpr("c",
+        s"explode(flatten(transform(sequence(0, ${k - 2}), i -> " +
+          s"transform(sequence(i + 1, ${k - 1}), j -> " +
+          "struct(i AS i, j AS j))))) AS p")
+      .selectExpr(s"c * $k + p.i AS a_id", s"c * $k + p.j AS b_id")
+      .filter("pmod(xxhash64(a_id, b_id), 10) < 6")
+    val bridges = s.range((nComm - 1).toLong)
+      .selectExpr(s"id * $k AS a_id", s"(id + 1) * $k AS b_id")
+      .filter("pmod(xxhash64(a_id, b_id), 2) = 0")
+    within.unionAll(bridges).repartition(32)
+      .write.mode("overwrite").parquet(dst)
+    println(s"[graphgen] $dst: ${s.read.parquet(dst).count()} edges, " +
+      s"$nComm communities")
   }
 
   private def gen(s: SparkSession, src: String, dst: String,

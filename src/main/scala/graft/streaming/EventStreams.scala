@@ -74,6 +74,22 @@ object EventStreams {
       .select(col("window.start").as("day"), col("event_type"),
         col("n"), col("sv"))
 
+  /** Watermarked streaming key-dedup (round-9 item 5) — the streaming
+    * twin of q_events_late_dedup's KEY SPACE: one row per
+    * (user_id, event_type), replays and late duplicates inside the
+    * watermark dropped by state lookup. `dropDuplicatesWithinWatermark`
+    * (not plain dropDuplicates) is the at-scale form: state for a key is
+    * evictable once the watermark passes its last-seen event time, so
+    * the state store stays bounded by the active-key window instead of
+    * growing with all history. Semantics note vs the batch query: the
+    * batch twin keeps the LATEST event per key (a desc row_number);
+    * streaming keeps the FIRST ARRIVAL — the dedup contract is the key
+    * set, asserted batch-equal in FileStreamSpec. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+
   /** Custom-state sessionization (SURVEY §2.9): per-user inactivity-gap
     * sessions via `flatMapGroupsWithState` with an event-time timeout —
     * the arbitrary-state API the engine offers where `session_window()`'s

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+
+/** AQE-interplay pins (round-9 item 6): PlanSpec asserts the pre-AQE
+  * sparkPlan; this suite asserts the load-bearing shapes SURVIVE in the
+  * FINAL adaptive plan with `spark.sql.adaptive.enabled=true` explicitly
+  * set — the 100 TB deployment default, where AQE re-plans at runtime and
+  * could in principle demote a shape the static plan promised (e.g.
+  * re-introduce an exchange under a bucketed join, or drop a broadcast).
+  * Each query is EXECUTED (AQE only finalizes plans at runtime) and the
+  * adaptive plan is flattened through query-stage leaves, which hide
+  * their subplans from the default TreeNode collect. */
+class AqePlanSpec extends SparkSpec {
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+    case q: QueryStageExec => p +: flatten(q.plan)
+    case r: ReusedExchangeExec => p +: flatten(r.child)
+    case _ => p +: p.children.flatMap(flatten)
+  }
+
+  private def finalPlan(name: String): Seq[SparkPlan] = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.count() // materialize: the adaptive plan only finalizes on run
+      flatten(df.queryExecution.executedPlan)
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("q_join_bucketed: exchange-free join survives AQE") {
+    val nodes = finalPlan("q_join_bucketed")
+    val smj = nodes.collect { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, "bucketed join lost its sort-merge shape under AQE")
+    // no shuffle anywhere below the join — the bucketed co-location
+    // contract; the only exchange in the whole plan is orderedAll's
+    // final 1-partition presentation repartition ABOVE the aggregate
+    val below = smj.flatMap(flatten(_).drop(1)).collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(below.isEmpty, s"AQE re-introduced a shuffle: $below")
+  }
+
+  test("q_join_broadcast: dimension broadcast survives AQE") {
+    assert(finalPlan("q_join_broadcast").exists {
+      case _: BroadcastHashJoinExec => true
+      case _ => false
+    }, "broadcast dim join demoted under AQE")
+  }
+
+  test("q_join_salted: salt stays in the join key under AQE") {
+    val joins = finalPlan("q_join_salted").collect {
+      case j: BroadcastHashJoinExec => (j.leftKeys, j.rightKeys)
+      case j: SortMergeJoinExec => (j.leftKeys, j.rightKeys)
+      case j: ShuffledHashJoinExec => (j.leftKeys, j.rightKeys)
+    }
+    assert(joins.nonEmpty, "salted join planned no equi-join")
+    assert(joins.exists { case (l, r) =>
+      l.exists(_.toString.contains("salt")) &&
+        r.exists(_.toString.contains("salt"))
+    }, s"salt dropped from join keys: $joins")
+  }
+
+  test("q_source_partitioned: directory pruning survives AQE") {
+    val scans = finalPlan("q_source_partitioned").collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.partitionFilters.exists(
+      _.toString.contains("event_type"))),
+      "partition filter lost under AQE")
+  }
+
+  test("q_filter_pred: parquet pushdown survives AQE") {
+    val scans = finalPlan("q_filter_pred").collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"$c not pushed under AQE: $pushed")
+  }
+}

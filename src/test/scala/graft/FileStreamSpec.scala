@@ -116,4 +116,30 @@ class FileStreamSpec extends SparkSpec {
     assert(mustEmit.subsetOf(streamed),
       s"closed-but-unemitted: ${mustEmit.diff(streamed).take(3)}")
   }
+
+  test("dropDuplicatesWithinWatermark over the fixture matches batch keys") {
+    val base = Files.createTempDirectory("graft_ddwm")
+    val srcDir = Files.createDirectory(base.resolve("src"))
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val dedup = EventStreams.dedupWithinWatermark(
+      EventStreams.source(spark, srcDir.toString))
+    EventStreams.runToParquet(dedup, s"$base/out", s"$base/chk")
+
+    val streamed = spark.read.parquet(s"$base/out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    // batch twin = q_events_late_dedup's key space: exactly one row per
+    // (user_id, event_type). One file → one microbatch → no mid-batch
+    // state eviction, so the streaming dedup is exact here.
+    val batchKeys = SparkEntry.queries("q_events_late_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(batchKeys.distinct.size == batchKeys.size)
+    assert(streamed.distinct.size == streamed.size,
+      "a key emitted more than once")
+    assert(streamed.toSet == batchKeys.toSet,
+      s"missing=${batchKeys.toSet.diff(streamed.toSet).take(3)} " +
+        s"extra=${streamed.toSet.diff(batchKeys.toSet).take(3)}")
+  }
 }
