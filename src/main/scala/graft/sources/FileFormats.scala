@@ -197,10 +197,15 @@ object FileFormats {
     * shuffle, and the tiny file-count output here is already
     * metadata-only. */
   def qSourceBinary(s: SparkSession, dir: String): DataFrame =
+    // Digest = md5 over the UPPERCASE-HEX spelling of the bytes (not the
+    // raw bytes): DuckDB 1.0 has no md5(BLOB), but md5(to_hex(content))
+    // is exact and engine-portable — to_hex(BLOB) and Spark hex(BINARY)
+    // are both uppercase. That upgrade (round 9) moves this query from
+    // rows-only to fully oracle-checked via read_blob() over the files.
     orderedAll(s.read.format("binaryFile").load(dir + "/*.parquet")
       .select(element_at(split(col("path"), "/"), -1).as("file"),
         length(col("content")).cast("long").as("bytes"),
-        md5(col("content")).as("digest")))
+        md5(hex(col("content"))).as("digest")))
 
   /** XML sink + source (§2.70): nation round-tripped through Spark 4's
     * NATIVE XML data source (rowTag elements, explicit schema-on-read

@@ -13,15 +13,15 @@ class QueriesSpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
     val omitted = q.diff(o)
-    // q_dedup_minhash/q_ann_lsh graduated to full oracle checks in round 6
-    // and q_dedup_simhash/q_dedup_minhash_agg in round 7 (engine-portable
-    // md5 lane hashes / nibble votes). What remains is legitimately
+    // q_dedup_minhash/q_ann_lsh graduated to full oracle checks in round 6,
+    // q_dedup_simhash/q_dedup_minhash_agg in round 7 (engine-portable
+    // md5 lane hashes / nibble votes), and q_source_binary in round 9
+    // (read_blob + uppercase-hex md5). What remains is legitimately
     // engine-specific: approx sketches, the HLL estimate, the IVF recall
-    // contract, and the mapPartitions/file-digest multimodal plumbing.
+    // contract, and the mapPartitions multimodal plumbing.
     assert(omitted == Set("q_approx_distinct", "q_hll_custom",
       "q_approx_percentile", "q_ann_ivf",
-      "q_multimodal_features", "q_multimodal_resize", "q_multimodal_frames",
-      "q_source_binary"),
+      "q_multimodal_features", "q_multimodal_resize", "q_multimodal_frames"),
       s"unexpected oracle omissions: $omitted")
   }
 

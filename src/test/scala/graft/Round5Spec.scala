@@ -303,8 +303,12 @@ class Round5Spec extends SparkSpec {
     assert(dirFiles.nonEmpty && got.size == dirFiles.length)
     for (f <- dirFiles) {
       val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      // digest contract (round 9): md5 over the uppercase-hex spelling of
+      // the bytes — the DuckDB-1.0-portable form (no md5(BLOB) there)
+      val hexStr = bytes.map("%02X".format(_)).mkString
       val md = java.security.MessageDigest.getInstance("MD5")
-      val digest = md.digest(bytes).map("%02x".format(_)).mkString
+      val digest = md.digest(hexStr.getBytes("US-ASCII"))
+        .map("%02x".format(_)).mkString
       assert(got(f.getName) == (bytes.length.toLong, digest),
         s"${f.getName}: ${got(f.getName)} vs (${bytes.length}, $digest)")
     }
