@@ -6822,6 +6822,455 @@ object Oracles {
         |            * 10000 // count(*) AS BIGINT) AS within7_bp,
         |       CAST(sum(CASE WHEN lat <= 30 THEN 1 ELSE 0 END)
         |            * 10000 // count(*) AS BIGINT) AS within30_bp
-        |FROM j GROUP BY 1 ORDER BY ALL""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.84 market-basket analytics (round 9) ----
+    "q_basket_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT x.l_partkey AS p1, y.l_partkey AS p2,
+        |        CAST(count(*) AS BIGINT) AS n_ab
+        |      FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+        |        AND x.l_partkey < y.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |m AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_p
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+        |      FROM b)
+        |SELECT p1, p2, n_ab, ma.n_p AS n_a, mb.n_p AS n_b,
+        |       CAST(CAST(n_ab AS HUGEINT) * n * 1000000
+        |            // (CAST(ma.n_p AS HUGEINT) * mb.n_p) AS BIGINT)
+        |         AS lift_e6
+        |FROM p JOIN m ma ON p.p1 = ma.l_partkey
+        |       JOIN m mb ON p.p2 = mb.l_partkey
+        |       CROSS JOIN t ORDER BY ALL""".stripMargin,
+    "q_cross_sell" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |co AS (SELECT x.l_partkey AS anchor, y.l_partkey AS co_part,
+        |         CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+        |         AND x.l_partkey <> y.l_partkey
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |r AS (SELECT anchor, co_part, n_ab,
+        |        CAST(row_number() OVER (PARTITION BY anchor
+        |          ORDER BY n_ab DESC, co_part ASC) AS BIGINT) AS rk
+        |      FROM co)
+        |SELECT anchor, rk, co_part, n_ab
+        |FROM r WHERE rk <= 3 ORDER BY ALL""".stripMargin,
+    "q_segment_mix" ->
+      """WITH l AS (SELECT c_mktsegment AS segment, p_brand AS brand
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN part ON l_partkey = p_partkey),
+        |c AS (SELECT segment, brand, CAST(count(*) AS BIGINT) AS n_sb
+        |      FROM l GROUP BY 1, 2),
+        |sN AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_s
+        |       FROM l GROUP BY 1),
+        |bN AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_b
+        |       FROM l GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM l)
+        |SELECT segment, brand, n_sb, n_s, n_b,
+        |       CAST(CAST(n_sb AS HUGEINT) * n * 10000
+        |            // (CAST(n_s AS HUGEINT) * n_b) AS BIGINT) AS index_bp
+        |FROM c JOIN sN USING (segment) JOIN bN USING (brand)
+        |       CROSS JOIN t ORDER BY ALL""".stripMargin,
+
+    // ---- §2.85 nonparametric statistics (round 9) ----
+    "q_kendall" ->
+      """WITH cells AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_quantity) AS BIGINT) AS x,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS y,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |p AS (SELECT a.flag,
+        |    CAST(sum(CASE WHEN a.y < b.y THEN CAST(a.c AS HUGEINT) * b.c
+        |             ELSE 0 END) AS BIGINT) AS concordant,
+        |    CAST(sum(CASE WHEN a.y > b.y THEN CAST(a.c AS HUGEINT) * b.c
+        |             ELSE 0 END) AS BIGINT) AS discordant
+        |  FROM cells a JOIN cells b
+        |    ON a.flag = b.flag AND a.x < b.x
+        |  GROUP BY 1)
+        |SELECT flag, concordant, discordant,
+        |       CASE WHEN concordant + discordant = 0 THEN NULL ELSE
+        |         (concordant - discordant) * 1000
+        |           // (concordant + discordant) END AS gamma_milli
+        |FROM p ORDER BY ALL""".stripMargin,
+    "q_runs_test" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(cents) AS BIGINT) AS s
+        |      FROM e GROUP BY 1),
+        |f AS (SELECT e.event_type, us, event_id, n,
+        |        CASE WHEN CAST(cents AS HUGEINT) * n >
+        |          CAST(s AS HUGEINT) THEN 1 ELSE 0 END AS above
+        |      FROM e JOIN g USING (event_type)),
+        |l AS (SELECT event_type, n, above,
+        |        lag(above) OVER (PARTITION BY event_type
+        |          ORDER BY us, event_id) AS prev
+        |      FROM f)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |       CAST(sum(above) AS BIGINT) AS n_above,
+        |       CAST(max(n) - sum(above) AS BIGINT) AS n_below,
+        |       CAST(sum(CASE WHEN prev IS NULL OR above <> prev
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+        |       CAST(1000 + CAST(2000 AS HUGEINT) * sum(above)
+        |            * (max(n) - sum(above)) // max(n) AS BIGINT)
+        |         AS expected_milli,
+        |       CAST(sum(CASE WHEN prev IS NULL OR above <> prev
+        |              THEN 1 ELSE 0 END) * 1000
+        |            - (1000 + CAST(2000 AS HUGEINT) * sum(above)
+        |               * (max(n) - sum(above)) // max(n)) AS BIGINT)
+        |         AS excess_milli
+        |FROM l GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_jackknife" ->
+      """WITH st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_h,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s_h
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_h) AS BIGINT) AS n,
+        |        CAST(sum(s_h) AS BIGINT) AS s FROM st)
+        |SELECT event_type, n_h,
+        |       CAST(CAST(s AS HUGEINT) * 1000 // n AS BIGINT)
+        |         AS mean_full_milli,
+        |       CAST(CAST(s - s_h AS HUGEINT) * 1000 // (n - n_h)
+        |            AS BIGINT) AS mean_loo_milli,
+        |       CAST(n * (CAST(s AS HUGEINT) * 1000 // n)
+        |            - (n - n_h) * (CAST(s - s_h AS HUGEINT) * 1000
+        |                           // (n - n_h)) AS BIGINT)
+        |         AS pseudo_milli
+        |FROM st CROSS JOIN t ORDER BY ALL""".stripMargin,
+
+    // ---- §2.86 privacy-risk audits (round 9) ----
+    "q_tcloseness" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |    c_mktsegment AS mktsegment,
+        |    CAST(round(c_acctbal) AS BIGINT) // 1000 AS band
+        |  FROM customer),
+        |bands AS (SELECT DISTINCT band FROM c),
+        |grp AS (SELECT nationkey, mktsegment,
+        |          CAST(count(*) AS BIGINT) AS k
+        |        FROM c GROUP BY 1, 2),
+        |cell AS (SELECT nationkey, mktsegment, band,
+        |           CAST(count(*) AS BIGINT) AS cc
+        |         FROM c GROUP BY 1, 2, 3),
+        |gl AS (SELECT band, CAST(count(*) AS BIGINT) AS g
+        |       FROM c GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bands FROM bands),
+        |grid AS (SELECT grp.nationkey, grp.mktsegment, grp.k,
+        |    bands.band,
+        |    COALESCE(cell.cc, 0) * 10000 // grp.k AS sh_g_bp,
+        |    gl.g * 10000 // t.n AS sh_all_bp
+        |  FROM grp CROSS JOIN bands
+        |  LEFT JOIN cell ON cell.nationkey = grp.nationkey
+        |    AND cell.mktsegment = grp.mktsegment
+        |    AND cell.band = bands.band
+        |  JOIN gl ON gl.band = bands.band CROSS JOIN t),
+        |cum AS (SELECT nationkey, mktsegment, k,
+        |    sum(sh_g_bp) OVER (PARTITION BY nationkey, mktsegment
+        |      ORDER BY band ROWS UNBOUNDED PRECEDING) AS cum_g,
+        |    sum(sh_all_bp) OVER (PARTITION BY nationkey, mktsegment
+        |      ORDER BY band ROWS UNBOUNDED PRECEDING) AS cum_all
+        |  FROM grid)
+        |SELECT nationkey, mktsegment, CAST(max(k) AS BIGINT) AS k,
+        |       CAST(sum(abs(cum_g - cum_all))
+        |            // (max(n_bands) - 1) AS BIGINT) AS emd_bp
+        |FROM cum CROSS JOIN nb
+        |GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+    "q_quasi_width" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |    c_mktsegment AS mktsegment,
+        |    CAST(round(c_acctbal) AS BIGINT) // 1000 AS band
+        |  FROM customer),
+        |l1 AS (SELECT count(*) AS k FROM c GROUP BY nationkey),
+        |l2 AS (SELECT count(*) AS k FROM c
+        |       GROUP BY nationkey, mktsegment),
+        |l3 AS (SELECT count(*) AS k FROM c
+        |       GROUP BY nationkey, mktsegment, band),
+        |u AS (
+        |  SELECT CAST(1 AS BIGINT) AS width,
+        |    CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_unique,
+        |    CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+        |      AS rows_at_risk,
+        |    CAST(sum(k) AS BIGINT) AS n_rows FROM l1
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT),
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT),
+        |    CAST(sum(k) AS BIGINT) FROM l2
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT),
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT),
+        |    CAST(sum(k) AS BIGINT) FROM l3)
+        |SELECT width, n_groups, n_unique, rows_at_risk,
+        |       CAST(rows_at_risk * 10000 // n_rows AS BIGINT) AS risk_bp
+        |FROM u ORDER BY ALL""".stripMargin,
+    "q_suppression_cost" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |    c_mktsegment AS mktsegment,
+        |    CAST(round(c_acctbal) AS BIGINT) // 1000 AS band
+        |  FROM customer),
+        |g AS (SELECT nationkey, mktsegment, band,
+        |        CAST(count(*) AS BIGINT) AS k
+        |      FROM c GROUP BY 1, 2, 3)
+        |SELECT nationkey, CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS groups_lost,
+        |       CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+        |         AS rows_lost,
+        |       CAST(sum(k) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) * 10000
+        |            // sum(k) AS BIGINT) AS cost_bp
+        |FROM g GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.87 graph structure diagnostics (round 9) ----
+    "q_bridge_edges" ->
+      s"""$graphCte,
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_tri_edges FROM (
+        |    SELECT DISTINCT x, y FROM wg
+        |    WHERE EXISTS (SELECT 1 FROM ed
+        |                  WHERE a_id = x AND b_id = y))),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ed)
+        |SELECT n_edges, n_tri_edges,
+        |       CAST(n_edges - n_tri_edges AS BIGINT) AS n_bridge_edges,
+        |       CASE WHEN n_edges = 0 THEN NULL ELSE
+        |         CAST((n_edges - n_tri_edges) * 10000 // n_edges
+        |              AS BIGINT) END AS bridge_bp
+        |FROM ne CROSS JOIN tri ORDER BY ALL""".stripMargin,
+    "q_degree_hist" ->
+      s"""$graphCte,
+        |b AS (SELECT CAST(CASE WHEN deg < 2 THEN 0 WHEN deg < 4 THEN 1
+        |        WHEN deg < 8 THEN 2 WHEN deg < 16 THEN 3
+        |        WHEN deg < 32 THEN 4 ELSE 5 END AS BIGINT) AS band,
+        |        CAST(count(*) AS BIGINT) AS n_nodes,
+        |        CAST(sum(deg) AS BIGINT) AS sum_deg
+        |      FROM dg GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS nn,
+        |        CAST(sum(sum_deg) AS BIGINT) AS ends FROM b)
+        |SELECT band, n_nodes, sum_deg,
+        |       CAST(n_nodes * 10000 // nn AS BIGINT) AS node_bp,
+        |       CAST(sum_deg * 10000 // ends AS BIGINT) AS end_bp
+        |FROM b CROSS JOIN t ORDER BY ALL""".stripMargin,
+    "q_closure_by_degree" ->
+      s"""$graphCte,
+        |wd AS (SELECT wg.c,
+        |         CASE WHEN EXISTS (SELECT 1 FROM ed
+        |           WHERE a_id = wg.x AND b_id = wg.y)
+        |           THEN 1 ELSE 0 END AS closed
+        |       FROM wg),
+        |g AS (SELECT CAST(CASE WHEN deg < 2 THEN 0 WHEN deg < 4 THEN 1
+        |        WHEN deg < 8 THEN 2 WHEN deg < 16 THEN 3
+        |        WHEN deg < 32 THEN 4 ELSE 5 END AS BIGINT) AS band,
+        |        CAST(count(*) AS BIGINT) AS n_wedges,
+        |        CAST(sum(closed) AS BIGINT) AS n_closed
+        |      FROM wd JOIN dg ON wd.c = dg.u GROUP BY 1)
+        |SELECT band, n_wedges, n_closed,
+        |       CAST(n_closed * 10000 // n_wedges AS BIGINT) AS closure_bp
+        |FROM g ORDER BY ALL""".stripMargin,
+
+    // ---- §2.88 threshold sweeps / score-quality readouts (round 9) ----
+    "q_pr_curve" ->
+      s"""WITH ${sgnCte(100, 101)},
+         |sc AS (SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos,
+         |    CAST(round(${planeDot("embedding")} * 10000) AS BIGINT)
+         |      AS score_u
+         |  FROM embeddings CROSS JOIN sgn),
+         |th AS (SELECT CAST(unnest([-20000, -15000, -10000, -5000, 0,
+         |    5000, 10000, 15000, 20000]) AS BIGINT) AS t),
+         |g AS (SELECT t,
+         |    CAST(sum(CASE WHEN score_u >= t THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_pred,
+         |    CAST(sum(CASE WHEN score_u >= t THEN pos ELSE 0 END)
+         |         AS BIGINT) AS tp,
+         |    CAST(sum(pos) AS BIGINT) AS n_pos
+         |  FROM sc CROSS JOIN th GROUP BY 1)
+         |SELECT t, n_pred, tp, n_pos,
+         |       CASE WHEN n_pred = 0 THEN NULL ELSE
+         |         CAST(tp * 10000 // n_pred AS BIGINT) END
+         |         AS precision_bp,
+         |       CAST(tp * 10000 // n_pos AS BIGINT) AS recall_bp,
+         |       CASE WHEN n_pred + n_pos = 0 THEN NULL ELSE
+         |         CAST(2 * tp * 10000 // (n_pred + n_pos) AS BIGINT) END
+         |         AS f1_bp
+         |FROM g ORDER BY ALL""".stripMargin,
+    "q_log_loss" ->
+      s"""WITH ${sgnCte(100, 103)},
+         |sc AS (SELECT j - 100 AS plane,
+         |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos,
+         |    CAST(round(${planeDot("embedding")} * 10000) AS BIGINT)
+         |      AS score_u
+         |  FROM embeddings CROSS JOIN sgn),
+         |p AS (SELECT plane, pos,
+         |    least(greatest((score_u + 10000) // 20, 1), 999) AS p_milli
+         |  FROM sc),
+         |r AS (SELECT plane, pos, p_milli,
+         |    -CAST(round(ln(CAST(CASE WHEN pos = 1 THEN p_milli
+         |        ELSE 1000 - p_milli END AS DOUBLE) / 1000.0)
+         |      * 1000000) AS BIGINT) AS loss_u,
+         |    (p_milli - pos * 1000) * (p_milli - pos * 1000) AS brier_sq
+         |  FROM p)
+         |SELECT CAST(plane AS BIGINT) AS plane,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(loss_u) // count(*) AS BIGINT) AS mean_loss_u,
+         |       CAST(sum(brier_sq) // count(*) AS BIGINT) AS mean_brier_u
+         |FROM r GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_rank_overlap" ->
+      s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe
+         |           FROM embeddings WHERE vec_id < 50),
+         |c AS (SELECT vec_id AS nid, embedding AS e FROM embeddings),
+         |s AS (SELECT pid, nid, $dot64 AS dot, $pn64 AS na2, $en64 AS nb2,
+         |    list_sum(list_transform(generate_series(1, 32), i ->
+         |      CAST(pe[i] AS DOUBLE) * CAST(e[i] AS DOUBLE))) AS dot32,
+         |    list_sum(list_transform(generate_series(1, 32), i ->
+         |      CAST(pe[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE))) AS na32,
+         |    list_sum(list_transform(generate_series(1, 32), i ->
+         |      CAST(e[i] AS DOUBLE) * CAST(e[i] AS DOUBLE))) AS nb32
+         |      FROM p JOIN c ON nid <> pid),
+         |r AS (SELECT pid, nid,
+         |    row_number() OVER (PARTITION BY pid
+         |      ORDER BY dot / sqrt(na2 * nb2) DESC, nid) AS rc,
+         |    row_number() OVER (PARTITION BY pid
+         |      ORDER BY dot32 / sqrt(na32 * nb32) DESC, nid) AS rd
+         |  FROM s),
+         |o AS (SELECT pid,
+         |    CAST(sum(CASE WHEN rc <= 10 AND rd <= 10 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS overlap
+         |  FROM r WHERE rc <= 10 OR rd <= 10 GROUP BY 1)
+         |SELECT pid, overlap,
+         |       CAST(overlap * 10000 // (20 - overlap) AS BIGINT)
+         |         AS jaccard_bp
+         |FROM o ORDER BY ALL""".stripMargin,
+
+    // ---- §2.89 event-sequence dynamics (round 9) ----
+    "q_switch_rate" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |l AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL
+        |      AND prev <> event_type THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_switch
+        |  FROM l GROUP BY 1),
+        |b AS (SELECT *, n_events - 1 AS n_trans,
+        |    CAST(CASE WHEN n_events - 1 = 0 THEN -1 ELSE
+        |      least(n_switch * 10000 // (n_events - 1), 9999) // 2000
+        |      END AS BIGINT) AS band
+        |  FROM u)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(n_trans) AS BIGINT) AS n_trans,
+        |       CAST(sum(n_switch) AS BIGINT) AS n_switch
+        |FROM b GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_dwell_bins" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |g AS (SELECT event_type,
+        |    us - lag(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS gap
+        |  FROM e),
+        |f AS (SELECT event_type,
+        |    CAST(CASE WHEN gap < 1000000 THEN 0
+        |      WHEN gap < 10000000 THEN 1 WHEN gap < 60000000 THEN 2
+        |      WHEN gap < 600000000 THEN 3 WHEN gap < 3600000000 THEN 4
+        |      ELSE 5 END AS BIGINT) AS band
+        |  FROM g WHERE gap IS NOT NULL),
+        |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps
+        |       FROM f GROUP BY 1)
+        |SELECT event_type, band, CAST(count(*) AS BIGINT) AS n, n_gaps,
+        |       CAST(count(*) * 10000 // n_gaps AS BIGINT) AS share_bp
+        |FROM f JOIN pt USING (event_type)
+        |GROUP BY 1, 2, n_gaps ORDER BY ALL""".stripMargin,
+    "q_ping_pong" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |l AS (SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS p1,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS p2
+        |  FROM e)
+        |SELECT event_type AS a, p1 AS b,
+        |       CAST(count(*) AS BIGINT) AS n_pingpong,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM l
+        |WHERE p2 IS NOT NULL AND p2 = event_type AND p1 <> event_type
+        |GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.90 warehouse staples (round 9) ----
+    "q_time_grain_rollup" ->
+      """WITH b AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |    CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |    CAST(month(o_orderdate) AS BIGINT) AS m,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT COALESCE(y, -1) AS y, COALESCE(q, -1) AS q,
+        |       COALESCE(m, -1) AS m,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(cents) AS BIGINT) AS cents
+        |FROM b GROUP BY ROLLUP (y, q, m) ORDER BY ALL""".stripMargin,
+    "q_pk_audit" ->
+      """WITH u AS (
+        |  SELECT 'orders' AS table_name, CAST(count(*) AS BIGINT)
+        |      AS n_rows,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+        |  FROM orders
+        |  UNION ALL SELECT 'customer', count(*),
+        |    count(DISTINCT c_custkey) FROM customer
+        |  UNION ALL SELECT 'part', count(*),
+        |    count(DISTINCT p_partkey) FROM part
+        |  UNION ALL SELECT 'supplier', count(*),
+        |    count(DISTINCT s_suppkey) FROM supplier
+        |  UNION ALL SELECT 'events', count(*),
+        |    count(DISTINCT event_id) FROM events
+        |  UNION ALL SELECT 'lineitem', count(*),
+        |    count(DISTINCT concat(l_orderkey, ':', l_linenumber))
+        |  FROM lineitem)
+        |SELECT table_name, n_rows, n_keys,
+        |       CAST(n_rows - n_keys AS BIGINT) AS n_dup_rows
+        |FROM u ORDER BY ALL""".stripMargin,
+    "q_tail_mass" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |hv AS (SELECT *, cents * cnt AS vsum FROM h),
+        |tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(sum(vsum) AS BIGINT) AS total FROM hv GROUP BY 1),
+        |c AS (SELECT hv.event_type, cents, n,
+        |    CAST(sum(cnt) OVER (PARTITION BY hv.event_type
+        |      ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM hv JOIN tot USING (event_type)),
+        |p50 AS (SELECT event_type, CAST(min(cents) AS BIGINT) AS p50
+        |  FROM c WHERE cum * 100 >= n * 50 GROUP BY 1),
+        |p90 AS (SELECT event_type, CAST(min(cents) AS BIGINT) AS p90
+        |  FROM c WHERE cum * 100 >= n * 90 GROUP BY 1),
+        |p99 AS (SELECT event_type, CAST(min(cents) AS BIGINT) AS p99
+        |  FROM c WHERE cum * 100 >= n * 99 GROUP BY 1),
+        |mk AS (SELECT * FROM p50 JOIN p90 USING (event_type)
+        |       JOIN p99 USING (event_type)),
+        |ms AS (SELECT hv.event_type,
+        |    CAST(sum(CASE WHEN cents > p50 THEN vsum ELSE 0 END)
+        |         AS BIGINT) AS mass50,
+        |    CAST(sum(CASE WHEN cents > p90 THEN vsum ELSE 0 END)
+        |         AS BIGINT) AS mass90,
+        |    CAST(sum(CASE WHEN cents > p99 THEN vsum ELSE 0 END)
+        |         AS BIGINT) AS mass99
+        |  FROM hv JOIN mk USING (event_type) GROUP BY 1)
+        |SELECT event_type, n, total AS total_cents, p50, p90, p99,
+        |       CAST(mass50 * 10000 // total AS BIGINT) AS above_p50_bp,
+        |       CAST(mass90 * 10000 // total AS BIGINT) AS above_p90_bp,
+        |       CAST(mass99 * 10000 // total AS BIGINT) AS above_p99_bp
+        |FROM tot JOIN mk USING (event_type) JOIN ms USING (event_type)
+        |ORDER BY ALL""".stripMargin
   )
 }

@@ -52,8 +52,30 @@ object ScaleSmoke {
       case "gen" => gen(spark, args(1), args(2), args(3).toInt)
       case "run" => run(spark, args(1), args(2).split(",").toIndexedSeq)
       case "graphgen" => graphGen(spark, args(1), args(2).toInt)
+      case "top15" => top15(spark, args(1), args(2))
     }
     spark.stop()
+  }
+
+  /** Standing 100× regression gate (round-9 item 7): run EXACTLY the 15
+    * slowest keys of a driver bench capture against `dir` in one
+    * invocation — `ScaleSmoke top15 <dir> <BENCH_rN.json>` — so each
+    * round's hottest queries get a dated at-scale datapoint in
+    * BASELINE.md instead of ad-hoc per-batch smokes. The bench JSON line
+    * arrives embedded (escaped) in the driver's "tail" capture; unescape
+    * and take the LAST queries map. */
+  private def top15(s: SparkSession, dir: String, benchJson: String): Unit = {
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(benchJson)), "UTF-8").replace("\\\"", "\"")
+    val qmap = """"queries":\{([^}]*)\}""".r
+    val kv = """"(q_[a-z0-9_]+)":([0-9.]+)""".r
+    val m = qmap.findAllMatchIn(raw).toSeq.lastOption.getOrElse(
+      sys.error(s"no queries map found in $benchJson"))
+    val keys = kv.findAllMatchIn(m.group(1))
+      .map(x => x.group(1) -> x.group(2).toDouble).toSeq
+      .sortBy(-_._2).take(15).map(_._1)
+    println(s"[top15] from $benchJson: ${keys.mkString(",")}")
+    run(s, dir, keys)
   }
 
   /** Synthetic community-sparse edge fixture (round-9 item 3): `nComm`

@@ -500,7 +500,35 @@ object SparkEntry {
     "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
     "q_multimodal_features" -> Multimodal.qMultimodalFeatures _,
     "q_multimodal_resize" -> Multimodal.qMultimodalResize _,
-    "q_multimodal_frames" -> Multimodal.qMultimodalFrames _
+    "q_multimodal_frames" -> Multimodal.qMultimodalFrames _,
+    // §2.84 round-9 market-basket analytics
+    "q_basket_pairs" -> Baskets.qBasketPairs _,
+    "q_cross_sell" -> Baskets.qCrossSell _,
+    "q_segment_mix" -> Baskets.qSegmentMix _,
+    // §2.85 round-9 nonparametric statistics
+    "q_kendall" -> Nonparam.qKendall _,
+    "q_runs_test" -> Nonparam.qRunsTest _,
+    "q_jackknife" -> Nonparam.qJackknife _,
+    // §2.86 round-9 privacy-risk audits
+    "q_tcloseness" -> Privacy.qTcloseness _,
+    "q_quasi_width" -> Privacy.qQuasiWidth _,
+    "q_suppression_cost" -> Privacy.qSuppressionCost _,
+    // §2.87 round-9 graph structure diagnostics
+    "q_bridge_edges" -> Graphs.qBridgeEdges _,
+    "q_degree_hist" -> Graphs.qDegreeHist _,
+    "q_closure_by_degree" -> Graphs.qClosureByDegree _,
+    // §2.88 round-9 threshold sweeps / score quality
+    "q_pr_curve" -> Evaluation.qPrCurve _,
+    "q_log_loss" -> Evaluation.qLogLoss _,
+    "q_rank_overlap" -> Evaluation.qRankOverlap _,
+    // §2.89 round-9 event-sequence dynamics
+    "q_switch_rate" -> Sequences.qSwitchRate _,
+    "q_dwell_bins" -> Sequences.qDwellBins _,
+    "q_ping_pong" -> Sequences.qPingPong _,
+    // §2.90 round-9 warehouse staples
+    "q_time_grain_rollup" -> Grains.qTimeGrainRollup _,
+    "q_pk_audit" -> Grains.qPkAudit _,
+    "q_tail_mass" -> Grains.qTailMass _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

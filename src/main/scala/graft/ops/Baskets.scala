@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 market-basket analytics (SURVEY §2.84): within-order part
+  * co-occurrence with lift (the association-rule staple), the top-3
+  * cross-sell table per anchor part, and the segment×brand over-index
+  * matrix (assortment planning). All-integer outputs (counts, ×10⁶
+  * lifts, bp indices) — no float drift against the DuckDB twins; the
+  * count×count×scale products ride DECIMAL(38,0) (DuckDB: HUGEINT),
+  * the qHhi overflow convention, since n_ab·N·10⁶ wraps a BIGINT at
+  * warehouse order counts.
+  *
+  * Scale shape: the pair generator is the DISTINCT (order, part)
+  * self-join on l_orderkey — per-order quadratic, bounded by order
+  * width (≤7 in the fixture, O(10) in any real basket), never by the
+  * catalog; marginals are broadcast-sized (parts, segments). This is
+  * the classic MR market-basket shape re-expressed as one shuffle on
+  * the order key.
+  */
+object Baskets {
+
+  /** DISTINCT (l_orderkey, l_partkey) pairs — the basket rows. */
+  private def baskets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+
+  /** Part-pair co-occurrence with lift (§2.84): pairs of parts bought in
+    * the same order (p1 < p2) with support ≥ 3 orders, each pair's
+    * per-part order counts, and lift ×10⁶ = n_ab·N div (n_a·n_b) over
+    * N = total orders with any line. Support-filtered OUTPUT stays
+    * sparse while the pair space stays per-order-bounded. */
+  def qBasketPairs(s: SparkSession, dir: String): DataFrame = {
+    val b = baskets(s, dir)
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("p1"), col("y.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    val marg = b.groupBy("l_partkey").agg(count(lit(1)).as("n_p"))
+    val tot = b.select("l_orderkey").distinct().agg(count(lit(1)).as("n"))
+    orderedAll(pairs
+      .join(broadcast(marg.select(col("l_partkey").as("p1"),
+        col("n_p").as("n_a"))), "p1")
+      .join(broadcast(marg.select(col("l_partkey").as("p2"),
+        col("n_p").as("n_b"))), "p2")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_e6", expr(
+        "CAST(CAST(n_ab AS DECIMAL(38,0)) * n * 1000000 div " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
+      .select("p1", "p2", "n_ab", "n_a", "n_b", "lift_e6"))
+  }
+
+  /** Cross-sell top-3 (§2.84): for each anchor part, its 3 most
+    * co-purchased parts (ties → smaller co-part id), co-count ≥ 2. The
+    * rank window partitions by ANCHOR — parallel across the catalog,
+    * never a global sort. */
+  def qCrossSell(s: SparkSession, dir: String): DataFrame = {
+    val b = baskets(s, dir)
+    val co = b.as("x").join(b.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") =!= col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("anchor"),
+        col("y.l_partkey").as("co_part"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    val w = Window.partitionBy("anchor")
+      .orderBy(col("n_ab").desc, col("co_part").asc)
+    orderedAll(co.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("anchor", "rk", "co_part", "n_ab"))
+  }
+
+  /** Segment×brand over-index (§2.84): per (c_mktsegment, p_brand), line
+    * counts and the assortment index in bp — segment share of the brand
+    * vs segment share overall: n_sb·N·10000 div (n_s·n_b). 10000 bp =
+    * neutral; above = the segment over-buys the brand. One fact-fact
+    * join on the order key (lineitem⋈orders), dims broadcast. */
+  def qSegmentMix(s: SparkSession, dir: String): DataFrame = {
+    val lines = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("c_mktsegment").as("segment"), col("p_brand").as("brand"))
+    val cell = lines.groupBy("segment", "brand")
+      .agg(count(lit(1)).as("n_sb"))
+    val segN = lines.groupBy("segment").agg(count(lit(1)).as("n_s"))
+    val brandN = lines.groupBy("brand").agg(count(lit(1)).as("n_b"))
+    val tot = lines.agg(count(lit(1)).as("n"))
+    orderedAll(cell
+      .join(broadcast(segN), "segment")
+      .join(broadcast(brandN), "brand")
+      .crossJoin(broadcast(tot))
+      .withColumn("index_bp", expr(
+        "CAST(CAST(n_sb AS DECIMAL(38,0)) * n * 10000 div " +
+          "(CAST(n_s AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
+      .select("segment", "brand", "n_sb", "n_s", "n_b", "index_bp"))
+  }
+}

@@ -373,4 +373,102 @@ object Evaluation {
           "THEN NULL ELSE CAST(round(CAST(tp * tn - fp * fn AS DOUBLE) " +
           "* 1000 / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) " +
           "* (tn + fp) * (tn + fn))) AS BIGINT) END")))
+
+  // ---- §2.88 threshold sweeps / score-quality readouts (round 9) -------
+
+  /** Precision–recall sweep (§2.88): the plane-100 score against label
+    * ≥ 5 at 9 fixed score_u thresholds — per threshold: predictions,
+    * true positives, precision/recall/F1 in bp. A broadcast 9-row
+    * threshold spine × the scored scan, folded per threshold (the
+    * conditional-aggregate spelling of a PR curve; the spine factor is
+    * a constant, so the expansion stays mergeable map-side). */
+  def qPrCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sc = t(s, dir, "embeddings")
+      .select((col("label") >= 5).cast("long").as("pos"),
+        round(planeScore(100) * 10000).cast("long").as("score_u"))
+    val th = Seq(-20000L, -15000L, -10000L, -5000L, 0L,
+      5000L, 10000L, 15000L, 20000L).toDF("t")
+    orderedAll(sc.crossJoin(broadcast(th))
+      .groupBy("t")
+      .agg(sum(when(col("score_u") >= col("t"), 1L).otherwise(0L))
+        .cast("long").as("n_pred"),
+        sum(when(col("score_u") >= col("t"), col("pos")).otherwise(0L))
+          .cast("long").as("tp"),
+        sum("pos").cast("long").as("n_pos"))
+      .withColumn("precision_bp", expr(
+        "CASE WHEN n_pred = 0 THEN NULL " +
+          "ELSE tp * 10000 div n_pred END"))
+      .withColumn("recall_bp", expr("tp * 10000 div n_pos"))
+      .withColumn("f1_bp", expr(
+        "CASE WHEN n_pred + n_pos = 0 THEN NULL " +
+          "ELSE 2 * tp * 10000 div (n_pred + n_pos) END"))
+      .select("t", "n_pred", "tp", "n_pos", "precision_bp", "recall_bp",
+        "f1_bp"))
+  }
+
+  /** Log-loss + Brier score (§2.88): each plane's score mapped to a
+    * milli-probability by the fixed affine clamp p_milli =
+    * clamp((score_u + 10000) div 20, 1, 999), then per-row
+    * ×10⁶-quantized cross-entropy (the ln of a SMALL RATIONAL —
+    * identical IEEE double in both engines, the q_ngram_lm convention)
+    * and the exact-integer Brier term (p_milli − y·1000)². Emits per
+    * plane the means in micro-units. One scan, mergeable. */
+  def qLogLoss(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val scored = Seq(100, 101, 102).map { j =>
+      emb.select(lit((j - 100).toLong).as("plane"),
+        (col("label") >= 5).cast("long").as("pos"),
+        round(planeScore(j) * 10000).cast("long").as("score_u"))
+    }.reduce(_ unionAll _)
+      .withColumn("p_milli", expr(
+        "least(greatest((score_u + 10000) div 20, CAST(1 AS BIGINT))," +
+          " CAST(999 AS BIGINT))"))
+      .withColumn("loss_u", expr(
+        "-CAST(round(ln(CAST(CASE WHEN pos = 1 THEN p_milli " +
+          "ELSE 1000 - p_milli END AS DOUBLE) / 1000.0) * 1000000) " +
+          "AS BIGINT)"))
+      .withColumn("brier_sq", expr(
+        "(p_milli - pos * 1000) * (p_milli - pos * 1000)"))
+    orderedAll(scored.groupBy("plane")
+      .agg(count(lit(1)).as("n"),
+        sum("loss_u").cast("long").as("sum_loss_u"),
+        sum("brier_sq").cast("long").as("sum_brier"))
+      .withColumn("mean_loss_u", expr("sum_loss_u div n"))
+      // per-row brier term is milli² = micro-units already
+      .withColumn("mean_brier_u", expr("sum_brier div n"))
+      .select("plane", "n", "mean_loss_u", "mean_brier_u"))
+  }
+
+  /** Ranker agreement under dimension truncation (§2.88): per probe
+    * (vec_id < 50), the overlap of the full-64-dim cosine top-10 and
+    * the FIRST-32-DIMS cosine top-10 over the rest of the corpus
+    * (ties → smaller vec_id in both), plus the overlap Jaccard in
+    * bp — the "can retrieval run on half the vector" audit behind
+    * dimension-reduction / PQ-prefix decisions. (The fixture
+    * embeddings are unit-norm, so cosine-vs-dot agreement is vacuous;
+    * truncation is the comparison with signal.) Both ranks come from
+    * ONE probe-partitioned pass (two windows, same partitioning). */
+  def qRankOverlap(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val scored = emb.join(broadcast(probes), col("vec_id") =!= col("pid"))
+      .withColumn("cos", Vectors.cosine(col("pe"), col("embedding")))
+      .withColumn("cos32", Vectors.cosine(
+        slice(col("pe"), 1, 32), slice(col("embedding"), 1, 32)))
+    val wc = Window.partitionBy("pid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val wd = Window.partitionBy("pid")
+      .orderBy(col("cos32").desc, col("vec_id").asc)
+    orderedAll(scored
+      .withColumn("rc", row_number().over(wc))
+      .withColumn("rd", row_number().over(wd))
+      .filter(col("rc") <= 10 || col("rd") <= 10)
+      .groupBy("pid")
+      .agg(sum(when(col("rc") <= 10 && col("rd") <= 10, 1L).otherwise(0L))
+        .cast("long").as("overlap"))
+      .withColumn("jaccard_bp", expr("overlap * 10000 div (20 - overlap)"))
+      .select("pid", "overlap", "jaccard_bp"))
+  }
 }

@@ -250,8 +250,15 @@ object Graphs {
     val ed = strictEdges(s, dir)
     val dg = degrees(und(ed))
     val nn = dg.agg(count(lit(1)).as("n_nodes"))
+    // decile cut gates on the shared [[DistRank]] two-pass rank
+    // (round 9) — replaces the r8-declared approx-quantile swap with
+    // the bit-equal exact machinery the rest of the family uses
+    val b = DistRank.buckets(s)
     val w = Window.orderBy(col("deg").desc, col("u").asc)
-    val rich = dg.withColumn("rn", row_number().over(w))
+    val ranked =
+      if (b <= 0) dg.withColumn("rn", row_number().over(w).cast("long"))
+      else DistRank.withRank(dg, -col("deg"), col("u"), b, "rn")
+    val rich = ranked
       .crossJoin(broadcast(nn))
       .filter(expr("rn <= (n_nodes + 9) div 10"))
       .select("u")
@@ -264,5 +271,79 @@ object Graphs {
       .withColumn("possible", expr("n_rich * (n_rich - 1) div 2"))
       .withColumn("phi_bp", expr("e_rich * 10000 div possible"))
       .select("n_nodes", "n_rich", "e_rich", "possible", "phi_bp"))
+  }
+
+  // ---- §2.87 graph structure diagnostics (round 9) ---------------------
+
+  /** Doubling degree bands (1, 2–3, 4–7, 8–15, 16–31, 32+): exact
+    * integer CASE — no float log2, whose floor() disagrees between
+    * engines at power-of-two boundaries. */
+  private def degBand(c: String): String =
+    s"CAST(CASE WHEN $c < 2 THEN 0 WHEN $c < 4 THEN 1 " +
+      s"WHEN $c < 8 THEN 2 WHEN $c < 16 THEN 3 WHEN $c < 32 THEN 4 " +
+      s"ELSE 5 END AS BIGINT)"
+
+  /** Triangle-support summary (§2.87): how many edges sit in ≥ 1
+    * triangle vs how many have NO common neighbor (local bridges — the
+    * links whose removal lengthens paths, Granovetter's weak ties).
+    * An edge is triangle-supported iff its endpoints appear as some
+    * wedge's ordered endpoint pair; one distinct-wedge-endpoints semi
+    * join against the edge list. O(1) output. */
+  def qBridgeEdges(s: SparkSession, dir: String): DataFrame = {
+    val ed = strictEdges(s, dir)
+    val un = und(ed)
+    val tri = wedges(un).select("x", "y").distinct()
+      .join(ed, col("x") === col("a_id") && col("y") === col("b_id"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_tri_edges"))
+    orderedAll(ed.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(tri))
+      .withColumn("n_bridge_edges", expr("n_edges - n_tri_edges"))
+      .withColumn("bridge_bp", expr(
+        "CASE WHEN n_edges = 0 THEN NULL " +
+          "ELSE n_bridge_edges * 10000 div n_edges END"))
+      .select("n_edges", "n_tri_edges", "n_bridge_edges", "bridge_bp"))
+  }
+
+  /** Degree histogram over doubling bands (§2.87): per band, node
+    * count, total degree (edge ends), and both shares in bp — the
+    * skew profile that decides whether hub mitigation (salting,
+    * degree-splitting) is worth wiring. Aggregate of the degree
+    * table (node-dim, ≪ edges). */
+  def qDegreeHist(s: SparkSession, dir: String): DataFrame = {
+    val dg = degrees(und(strictEdges(s, dir)))
+    val tot = dg.agg(count(lit(1)).as("nn"),
+      sum("deg").cast("long").as("ends"))
+    orderedAll(dg.withColumn("band", expr(degBand("deg")))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum("deg").cast("long").as("sum_deg"))
+      .crossJoin(broadcast(tot))
+      .withColumn("node_bp", expr("n_nodes * 10000 div nn"))
+      .withColumn("end_bp", expr("sum_deg * 10000 div ends"))
+      .select("band", "n_nodes", "sum_deg", "node_bp", "end_bp"))
+  }
+
+  /** Wedge-closure rate by center-degree band (§2.87): per band of the
+    * wedge CENTER, open wedges vs closed (triangle) wedges and the
+    * closure rate in bp — "do hubs close their wedges" at the cohort
+    * level, the q_clustering_coeff signal without the per-node fan-out.
+    * One wedge aggregate + the closure hash join, both edge-linear on
+    * community-sparse graphs. */
+  def qClosureByDegree(s: SparkSession, dir: String): DataFrame = {
+    val ed = strictEdges(s, dir)
+    val un = und(ed)
+    val wd = wedges(un)
+      .join(ed.withColumn("closed", lit(1L)),
+        col("x") === col("a_id") && col("y") === col("b_id"), "left")
+      .select(col("c"), coalesce(col("closed"), lit(0L)).as("closed"))
+    orderedAll(wd
+      .join(degrees(un).select(col("u").as("c"), col("deg")), "c")
+      .withColumn("band", expr(degBand("deg")))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_wedges"),
+        sum("closed").cast("long").as("n_closed"))
+      .withColumn("closure_bp", expr("n_closed * 10000 div n_wedges"))
+      .select("band", "n_wedges", "n_closed", "closure_bp"))
   }
 }

