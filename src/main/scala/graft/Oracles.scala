@@ -7271,6 +7271,64 @@ object Oracles {
         |       CAST(mass90 * 10000 // total AS BIGINT) AS above_p90_bp,
         |       CAST(mass99 * 10000 // total AS BIGINT) AS above_p99_bp
         |FROM tot JOIN mk USING (event_type) JOIN ms USING (event_type)
-        |ORDER BY ALL""".stripMargin
+        |ORDER BY ALL""".stripMargin,
+
+    // ---- §2.91 data-mixing policy (round 9) ----
+    "q_temperature_mix" ->
+      """WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |pt AS (SELECT tau_milli, source, n_docs, n_tokens,
+        |    CAST(round(exp(ln(CAST(n_tokens AS DOUBLE))
+        |      * tau_milli / 1000.0) * 1000) AS BIGINT) AS w_u
+        |  FROM st CROSS JOIN (SELECT CAST(unnest([500, 700, 1000])
+        |    AS BIGINT) AS tau_milli)),
+        |tot AS (SELECT tau_milli, CAST(sum(w_u) AS BIGINT) AS w_tot
+        |        FROM pt GROUP BY 1)
+        |SELECT tau_milli, source, n_docs, n_tokens, w_u,
+        |       CAST(w_u * 10000 // w_tot AS BIGINT) AS share_bp
+        |FROM pt JOIN tot USING (tau_milli) ORDER BY ALL""".stripMargin,
+    "q_mix_entropy" ->
+      """WITH st AS (SELECT source,
+        |    CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |pt AS (SELECT tau_milli, source,
+        |    CAST(round(exp(ln(CAST(n_tokens AS DOUBLE))
+        |      * tau_milli / 1000.0) * 1000) AS BIGINT) AS w_u
+        |  FROM st CROSS JOIN (SELECT CAST(unnest([500, 700, 1000])
+        |    AS BIGINT) AS tau_milli)),
+        |tot AS (SELECT tau_milli, CAST(sum(w_u) AS BIGINT) AS w_tot,
+        |    CAST(count(*) AS BIGINT) AS n_sources
+        |  FROM pt GROUP BY 1),
+        |sh AS (SELECT pt.tau_milli, n_sources,
+        |    w_u * 10000 // w_tot AS share_bp
+        |  FROM pt JOIN tot USING (tau_milli)),
+        |tm AS (SELECT tau_milli, n_sources,
+        |    CASE WHEN share_bp = 0 THEN 0 ELSE
+        |      share_bp * -CAST(round(ln(CAST(share_bp AS DOUBLE)
+        |        / 10000.0) * 1000000) AS BIGINT) END AS term_u
+        |  FROM sh)
+        |SELECT tau_milli, CAST(max(n_sources) AS BIGINT) AS n_sources,
+        |       CAST(sum(term_u) // 10000 AS BIGINT)
+        |         AS entropy_micro_nats
+        |FROM tm GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_epoch_plan" ->
+      """WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_tokens,
+        |    CAST(round(exp(ln(CAST(n_tokens AS DOUBLE)) * 700 / 1000.0)
+        |      * 1000) AS BIGINT) AS w_u
+        |  FROM st),
+        |tot AS (SELECT CAST(sum(w_u) AS BIGINT) AS w_tot FROM w)
+        |SELECT source, n_tokens, w_u,
+        |       CAST(CAST(1000000 AS HUGEINT) * w_u // w_tot AS BIGINT)
+        |         AS alloc_tokens,
+        |       CAST((CAST(1000000 AS HUGEINT) * w_u // w_tot) * 1000
+        |            // n_tokens AS BIGINT) AS epochs_milli
+        |FROM w CROSS JOIN tot ORDER BY ALL""".stripMargin
   )
 }

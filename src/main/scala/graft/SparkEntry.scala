@@ -528,7 +528,11 @@ object SparkEntry {
     // §2.90 round-9 warehouse staples
     "q_time_grain_rollup" -> Grains.qTimeGrainRollup _,
     "q_pk_audit" -> Grains.qPkAudit _,
-    "q_tail_mass" -> Grains.qTailMass _
+    "q_tail_mass" -> Grains.qTailMass _,
+    // §2.91 round-9 data-mixing policy
+    "q_temperature_mix" -> Mixing.qTemperatureMix _,
+    "q_mix_entropy" -> Mixing.qMixEntropy _,
+    "q_epoch_plan" -> Mixing.qEpochPlan _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
