@@ -29,6 +29,41 @@ case class SessState(start: Long, end: Long, n: Long)
 /** Per-user backlog of open sessions (sorted, pairwise gap-separated). */
 case class SessBacklog(sessions: Seq[SessState])
 
+/** Running per-user totals emitted by [[EventStreams.runningUserTotals]]
+  * — one row per (user, microbatch) carrying the count/cents SO FAR. */
+case class UserTotals(user_id: Long, n: Long, cents: Long)
+
+/** Spark-4 `transformWithState` stateful processor (round 9): the
+  * arbitrary-state API v2 that supersedes flatMapGroupsWithState —
+  * typed ValueState, TTL configs, timers, and a RocksDB-backed state
+  * store. This processor keeps one (count, cents) ValueState per user
+  * and emits the running totals each microbatch — the incremental-
+  * aggregation contract whose final row per user equals the batch
+  * groupBy (spec-forced in StreamingSpec across multiple batches,
+  * which proves the cross-batch state merge). */
+class UserTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), UserTotals] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+  @transient private var st: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("totals",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[UserTotals] = {
+    var (n, cents) = if (st.exists()) st.get() else (0L, 0L)
+    rows.foreach { r => n += 1; cents += r._2 }
+    st.update((n, cents))
+    Iterator.single(UserTotals(user, n, cents))
+  }
+}
+
 object EventStreams {
 
   /** Schema for streaming reads over the legacy TIMESTAMP(NANOS) fixture:
@@ -169,6 +204,26 @@ object EventStreams {
       .select(col("p_user").as("user_id"),
         unix_micros(col("s_ts")).as("s_us"),
         unix_micros(col("p_ts")).as("p_us"))
+  }
+
+  /** Running per-user totals through the Spark-4 `transformWithState`
+    * API (see [[UserTotalsProcessor]]). Requires the RocksDB state-store
+    * provider (`spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider — transformWithState's only supported
+    * backend; rocksdbjni ships with Spark). Input: any events frame with
+    * user_id + value. */
+  def runningUserTotals(events: DataFrame)
+      : org.apache.spark.sql.Dataset[UserTotals] = {
+    val s = events.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new UserTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Run a pipeline to a parquet sink, processing everything currently in

@@ -57,6 +57,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running totals merge across microbatches") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    // transformWithState only supports the RocksDB state store
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val totals = graft.streaming.EventStreams
+        .runningUserTotals(mem.toDF())
+      val q = totals.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("tws_out").start()
+      try {
+        // batch 1: user 1 twice, user 2 once
+        mem.addData(Ev(ts(1), 1, 1.00), Ev(ts(2), 1, 2.00),
+          Ev(ts(3), 2, 5.00))
+        q.processAllAvailable()
+        // batch 2: user 1 again, user 3 new — state must CARRY
+        mem.addData(Ev(ts(4), 1, 3.00), Ev(ts(5), 3, 7.00))
+        q.processAllAvailable()
+        val rows = s.sql("SELECT user_id, n, cents FROM tws_out")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        // final (max-n) row per user equals the batch groupBy
+        val fin = rows.groupBy(_._1).view
+          .mapValues(_.maxBy(_._2)).toMap
+        assert(fin(1L) == ((1L, 3L, 600L)), s"user1: ${fin(1L)}")
+        assert(fin(2L) == ((2L, 1L, 500L)))
+        assert(fin(3L) == ((3L, 1L, 700L)))
+        // user 1 emitted an intermediate row in batch 1 (n=2) — the
+        // running contract, proving cross-batch state rather than a
+        // single-batch recompute
+        assert(rows.contains((1L, 2L, 300L)), s"rows: ${rows.toSeq}")
+      } finally q.stop()
+    } finally
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("dropDuplicatesWithinWatermark dedups late replays") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
