@@ -7329,6 +7329,58 @@ object Oracles {
         |         AS alloc_tokens,
         |       CAST((CAST(1000000 AS HUGEINT) * w_u // w_tot) * 1000
         |            // n_tokens AS BIGINT) AS epochs_milli
-        |FROM w CROSS JOIN tot ORDER BY ALL""".stripMargin
+        |FROM w CROSS JOIN tot ORDER BY ALL""".stripMargin,
+
+    // ---- §2.92 cross-source contamination (round 9) ----
+    "q_cross_source_dupes" ->
+      """WITH g AS (SELECT
+        |    md5(array_to_string(
+        |      list_slice(string_split(lower(text), ' '), 1, 8), ' ')) AS h,
+        |    source, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared_hashes,
+        |       CAST(sum(a.c * b.c) AS BIGINT) AS n_dup_pairs
+        |FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+    "q_source_span_matrix" ->
+      """WITH t AS (SELECT source,
+        |             string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |sp AS (SELECT DISTINCT source,
+        |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |         toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+        |         toks[i+6] || ' ' || toks[i+7] AS span
+        |       FROM (SELECT source,
+        |               unnest(generate_series(1, len(toks) - 7)) AS i,
+        |               toks FROM t))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared_spans
+        |FROM sp a JOIN sp b
+        |  ON a.span = b.span AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+    "q_near_dup_sources" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, token FROM (
+        |       SELECT doc_id, unnest(string_split(lower(text), ' '))
+        |         AS token
+        |       FROM documents WHERE lang = 'en') WHERE token <> ''),
+        |sz AS (SELECT doc_id, count(*) AS nt FROM dt GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         count(*) AS common
+        |       FROM dt a JOIN dt b
+        |       ON a.token = b.token AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |pe AS (SELECT a_id, b_id FROM pr
+        |       JOIN sz sa ON a_id = sa.doc_id
+        |       JOIN sz sb ON b_id = sb.doc_id
+        |       WHERE common * 9 >= (sa.nt + sb.nt) * 4)
+        |SELECT least(da.source, db.source) AS source_a,
+        |       greatest(da.source, db.source) AS source_b,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       least(da.source, db.source)
+        |         <> greatest(da.source, db.source) AS cross_source
+        |FROM pe JOIN documents da ON pe.a_id = da.doc_id
+        |        JOIN documents db ON pe.b_id = db.doc_id
+        |GROUP BY 1, 2, 4 ORDER BY ALL""".stripMargin
   )
 }

@@ -532,7 +532,11 @@ object SparkEntry {
     // §2.91 round-9 data-mixing policy
     "q_temperature_mix" -> Mixing.qTemperatureMix _,
     "q_mix_entropy" -> Mixing.qMixEntropy _,
-    "q_epoch_plan" -> Mixing.qEpochPlan _
+    "q_epoch_plan" -> Mixing.qEpochPlan _,
+    // §2.92 round-9 cross-source contamination
+    "q_cross_source_dupes" -> CrossSource.qCrossSourceDupes _,
+    "q_source_span_matrix" -> CrossSource.qSourceSpanMatrix _,
+    "q_near_dup_sources" -> CrossSource.qNearDupSources _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -237,7 +237,7 @@ object Text {
     * shared by qDedupNear (which adds the oracle's ordering contract) and
     * qDedupClusters (which only consumes the pair SET and shouldn't pay a
     * single-partition sort of ~500k rows). */
-  private def nearPairs(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def nearPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("lang") === "en")
     val dt = tokDf(docs).distinct()
     // Deterministic dense token ids: alphabetical rank (dictionary is tiny
