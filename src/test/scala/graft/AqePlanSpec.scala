@@ -27,7 +27,9 @@ class AqePlanSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     try {
       val df = SparkEntry.queries(name)(spark, sf)
-      df.count() // materialize: the adaptive plan only finalizes on run
+      // materialize THIS queryExecution (df.count() would build and run
+      // a different plan, leaving this one un-finalized)
+      df.queryExecution.toRdd.count()
       flatten(df.queryExecution.executedPlan)
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
@@ -73,6 +75,48 @@ class AqePlanSpec extends SparkSpec {
     assert(scans.forall(_.partitionFilters.exists(
       _.toString.contains("event_type"))),
       "partition filter lost under AQE")
+  }
+
+  test("AQE skew-join splits a skewed partition (the 100 TB salting peer)") {
+    // Mechanism pin: the engine's runtime skew mitigation must actually
+    // engage when a join key is pathologically hot — the adaptive
+    // complement to q_join_salted's static salting. Micro-frame (not a
+    // fixture): 180k rows on ONE key vs 20k spread, thresholds lowered
+    // so the skew detector can trip at test scale.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      // BOTH broadcast knobs: AQE's runtime demotion reads its own
+      // adaptive threshold, not just the static planner's
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, when, lit}
+      val fact = spark.range(200000L).toDF("id")
+        .withColumn("k", when(col("id") < 180000L, 0L).otherwise(col("id")))
+      val dim = spark.range(1000L).toDF("k")
+        .withColumn("v", col("k") * 2)
+      val joined = fact.join(dim, "k")
+      // only k = 0 lands in the dim range (the tail keys are ≥ 180000);
+      // execute joined's OWN queryExecution so AQE finalizes it
+      assert(joined.queryExecution.toRdd.count() == 180000L)
+      val skewed = flatten(joined.queryExecution.executedPlan).collect {
+        case j: SortMergeJoinExec if j.isSkewJoin => j
+        case j: ShuffledHashJoinExec if j.isSkewJoin => j
+      }
+      assert(skewed.nonEmpty,
+        "AQE did not engage skew-join handling on a 90%-hot key")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("q_filter_pred: parquet pushdown survives AQE") {
