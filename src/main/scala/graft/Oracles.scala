@@ -7381,6 +7381,70 @@ object Oracles {
         |         <> greatest(da.source, db.source) AS cross_source
         |FROM pe JOIN documents da ON pe.a_id = da.doc_id
         |        JOIN documents db ON pe.b_id = db.doc_id
-        |GROUP BY 1, 2, 4 ORDER BY ALL""".stripMargin
+        |GROUP BY 1, 2, 4 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.93 remaining staples (round 9) ----
+    "q_window_nth" ->
+      """WITH o AS (SELECT o_orderpriority, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey < 500),
+        |w AS (SELECT o_orderpriority, o_orderkey, cents,
+        |    CAST(row_number() OVER pw AS BIGINT) AS rn,
+        |    CAST(nth_value(cents, 3) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY cents DESC, o_orderkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS BIGINT) AS third_cents,
+        |    lead(o_orderkey, 2) OVER pw AS lead2,
+        |    lag(o_orderkey, 2) OVER pw AS lag2
+        |  FROM o
+        |  WINDOW pw AS (PARTITION BY o_orderpriority
+        |    ORDER BY cents DESC, o_orderkey ASC))
+        |SELECT o_orderpriority, rn, o_orderkey, cents, third_cents,
+        |       lead2, lag2
+        |FROM w WHERE rn <= 25 ORDER BY ALL""".stripMargin,
+    "q_dup_quality" ->
+      """WITH d AS (SELECT
+        |    md5(array_to_string(
+        |      list_slice(string_split(lower(text), ' '), 1, 8), ' '))
+        |      AS h,
+        |    n_chars,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_distinct(string_split(lower(text), ' ')))
+        |      AS BIGINT) AS ndt
+        |  FROM documents),
+        |g AS (SELECT h, CAST(count(*) AS BIGINT) AS gs
+        |      FROM d GROUP BY 1),
+        |b AS (SELECT CAST(CASE WHEN gs = 1 THEN 0 WHEN gs <= 3 THEN 1
+        |        ELSE 2 END AS BIGINT) AS band, n_chars,
+        |        ndt * 10000 // nt AS ratio_bp
+        |      FROM d JOIN g USING (h))
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) * 1000 // count(*) AS BIGINT)
+        |         AS mean_chars_milli,
+        |       CAST(sum(ratio_bp) // count(*) AS BIGINT) AS mean_uniq_bp
+        |FROM b GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_sharpe" ->
+      """WITH d AS (SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP))
+        |      // 86400000000 AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(cents) AS BIGINT) AS total,
+        |    sum(CAST(cents AS HUGEINT) * cents) AS sq
+        |  FROM d)
+        |SELECT n_days, total,
+        |       CAST(total // n_days AS BIGINT) AS mean_cents,
+        |       CAST(round(sqrt((CAST(sq AS DOUBLE)
+        |         - CAST(total AS DOUBLE) * total / n_days) / n_days))
+        |         AS BIGINT) AS sd_cents,
+        |       CASE WHEN round(sqrt((CAST(sq AS DOUBLE)
+        |           - CAST(total AS DOUBLE) * total / n_days) / n_days))
+        |           = 0 THEN NULL ELSE
+        |         CAST(round(CAST(total AS DOUBLE) / n_days * 1000
+        |           / round(sqrt((CAST(sq AS DOUBLE)
+        |             - CAST(total AS DOUBLE) * total / n_days)
+        |             / n_days))) AS BIGINT) END AS sharpe_milli
+        |FROM m ORDER BY ALL""".stripMargin
   )
 }

@@ -536,7 +536,11 @@ object SparkEntry {
     // §2.92 round-9 cross-source contamination
     "q_cross_source_dupes" -> CrossSource.qCrossSourceDupes _,
     "q_source_span_matrix" -> CrossSource.qSourceSpanMatrix _,
-    "q_near_dup_sources" -> CrossSource.qNearDupSources _
+    "q_near_dup_sources" -> CrossSource.qNearDupSources _,
+    // §2.93 round-9 remaining staples
+    "q_window_nth" -> Staples.qWindowNth _,
+    "q_dup_quality" -> Staples.qDupQuality _,
+    "q_sharpe" -> Staples.qSharpe _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
