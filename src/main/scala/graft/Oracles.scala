@@ -7445,6 +7445,53 @@ object Oracles {
         |           / round(sqrt((CAST(sq AS DOUBLE)
         |             - CAST(total AS DOUBLE) * total / n_days)
         |             / n_days))) AS BIGINT) END AS sharpe_milli
-        |FROM m ORDER BY ALL""".stripMargin
+        |FROM m ORDER BY ALL""".stripMargin,
+
+    // ---- §2.94 user-lifecycle readouts (round 9) ----
+    "q_new_vs_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day
+        |      FROM ud GROUP BY 1)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+        |       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_new,
+        |       CAST(count(*) - sum(CASE WHEN day = first_day THEN 1
+        |            ELSE 0 END) AS BIGINT) AS n_returning,
+        |       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |            * 10000 // count(*) AS BIGINT) AS new_share_bp
+        |FROM ud JOIN f USING (user_id)
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_lifespan_bands" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+        |    max(day) - min(day) + 1 AS span
+        |  FROM e GROUP BY 1),
+        |d AS (SELECT *, n_days * 10000 // span AS density_bp FROM u)
+        |SELECT CAST(CASE WHEN density_bp < 7000 THEN 0
+        |         WHEN density_bp < 8000 THEN 1
+        |         WHEN density_bp < 9000 THEN 2 ELSE 3 END AS BIGINT)
+        |         AS band,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(n_days) AS BIGINT) AS active_days,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events
+        |FROM d GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_reactivation" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |l AS (SELECT day,
+        |    day - lag(day) OVER (PARTITION BY user_id ORDER BY day)
+        |      AS gap
+        |  FROM ud),
+        |g AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(sum(CASE WHEN gap > 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_reactivated
+        |  FROM l GROUP BY 1)
+        |SELECT day, n_active, n_reactivated,
+        |       CAST(n_reactivated * 10000 // n_active AS BIGINT)
+        |         AS react_bp
+        |FROM g WHERE n_reactivated > 0 ORDER BY ALL""".stripMargin
   )
 }

@@ -540,7 +540,11 @@ object SparkEntry {
     // §2.93 round-9 remaining staples
     "q_window_nth" -> Staples.qWindowNth _,
     "q_dup_quality" -> Staples.qDupQuality _,
-    "q_sharpe" -> Staples.qSharpe _
+    "q_sharpe" -> Staples.qSharpe _,
+    // §2.94 round-9 user-lifecycle readouts
+    "q_new_vs_returning" -> Lifecycle.qNewVsReturning _,
+    "q_lifespan_bands" -> Lifecycle.qLifespanBands _,
+    "q_reactivation" -> Lifecycle.qReactivation _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 user-lifecycle readouts (SURVEY §2.94): daily new-vs-
+  * returning actives (the DAU decomposition next to the monthly
+  * q_growth_accounting), lifespan bands (first-to-last-seen span per
+  * user), and reactivations (returns after a ≥ 7-day absence). All
+  * shapes: (user, day) distinct collapse first, then user-partitioned
+  * windows or user-dim aggregates rolled to day/band dimensions. */
+object Lifecycle {
+
+  /** DISTINCT (user_id, epoch-day) activity rows. */
+  private def userDays(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+
+  /** Daily new vs returning (§2.94): per day, distinct actives split by
+    * first-ever-seen-today vs returning, with the new share in bp. The
+    * first-seen day is one user-dim aggregate broadcast back. */
+  def qNewVsReturning(s: SparkSession, dir: String): DataFrame = {
+    val ud = userDays(s, dir)
+    val first = ud.groupBy("user_id").agg(min("day").as("first_day"))
+    orderedAll(ud.join(first, "user_id")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .cast("long").as("n_new"))
+      .withColumn("n_returning", expr("n_active - n_new"))
+      .withColumn("new_share_bp", expr("n_new * 10000 div n_active")))
+  }
+
+  /** Activity-density bands (§2.94): per user, the share of their
+    * first-to-last-seen span they were actually active
+    * (n_days·10⁴ div span, bp), banded < 7000 / 7000–7999 / 8000–8999 /
+    * ≥ 9000 — per band: users, active days, events. The engagement-
+    * shape number behind q_active_days/q_stickiness (the fixture's
+    * users all span the window, so SPAN itself is degenerate — density
+    * is the discriminating axis). */
+  def qLifespanBands(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val perUser = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("day").as("n_days"),
+        (max("day") - min("day") + 1).as("span"))
+    orderedAll(perUser
+      .withColumn("density_bp", expr("n_days * 10000 div span"))
+      .withColumn("band", expr(
+        "CAST(CASE WHEN density_bp < 7000 THEN 0 " +
+          "WHEN density_bp < 8000 THEN 1 WHEN density_bp < 9000 THEN 2 " +
+          "ELSE 3 END AS BIGINT)"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_users"),
+        sum("n_days").cast("long").as("active_days"),
+        sum("n_events").cast("long").as("n_events")))
+  }
+
+  /** Reactivations (§2.94): per day, users returning after a ≥ 3-day
+    * absence (distinct activity days per user, lag gap > 2) and the
+    * share of that day's actives in bp — the winback readout, scaled to
+    * the fixture's 30-day window (a 7-day bar is vacuous there). One
+    * user-partitioned lag over the (user, day) rows. */
+  def qReactivation(s: SparkSession, dir: String): DataFrame = {
+    val ud = userDays(s, dir)
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val marked = ud
+      .withColumn("gap", col("day") - lag("day", 1).over(w))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("gap") > 2, 1L).otherwise(0L)).cast("long")
+          .as("n_reactivated"))
+    orderedAll(marked
+      .withColumn("react_bp", expr("n_reactivated * 10000 div n_active"))
+      .filter(col("n_reactivated") > 0))
+  }
+}
