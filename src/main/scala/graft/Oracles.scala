@@ -7136,14 +7136,16 @@ object Oracles {
          |    row_number() OVER (PARTITION BY pid
          |      ORDER BY dot / sqrt(na2 * nb2) DESC, nid) AS rc,
          |    row_number() OVER (PARTITION BY pid
-         |      ORDER BY dot32 / sqrt(na32 * nb32) DESC, nid) AS rd
+         |      ORDER BY dot32 / sqrt(na32 * nb32) DESC, nid) AS rd,
+         |    count(*) OVER (PARTITION BY pid) AS ncand
          |  FROM s),
          |o AS (SELECT pid,
          |    CAST(sum(CASE WHEN rc <= 10 AND rd <= 10 THEN 1 ELSE 0 END)
-         |         AS BIGINT) AS overlap
+         |         AS BIGINT) AS overlap,
+         |    CAST(max(least(10, ncand)) AS BIGINT) AS ls
          |  FROM r WHERE rc <= 10 OR rd <= 10 GROUP BY 1)
          |SELECT pid, overlap,
-         |       CAST(overlap * 10000 // (20 - overlap) AS BIGINT)
+         |       CAST(overlap * 10000 // (2 * ls - overlap) AS BIGINT)
          |         AS jaccard_bp
          |FROM o ORDER BY ALL""".stripMargin,
 

@@ -67,13 +67,29 @@ object ScaleSmoke {
   private def top15(s: SparkSession, dir: String, benchJson: String): Unit = {
     val raw = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(benchJson)), "UTF-8").replace("\\\"", "\"")
-    val qmap = """"queries":\{([^}]*)\}""".r
-    val kv = """"(q_[a-z0-9_]+)":([0-9.]+)""".r
-    val m = qmap.findAllMatchIn(raw).toSeq.lastOption.getOrElse(
-      sys.error(s"no queries map found in $benchJson"))
-    val keys = kv.findAllMatchIn(m.group(1))
-      .map(x => x.group(1) -> x.group(2).toDouble).toSeq
-      .sortBy(-_._2).take(15).map(_._1)
+    // The Bench contract is a FLAT "queries" map of "q_key":seconds pairs,
+    // so the first '}' after the last "queries":{ closes it — but never
+    // assume silently: every comma-separated entry must parse as exactly
+    // one key:number pair, and a full bench map has hundreds. A count
+    // mismatch (nesting, truncation, an escape this unescape missed)
+    // fails loudly instead of yielding a quietly-wrong top-15 list.
+    val tag = "\"queries\":{"
+    val start = raw.lastIndexOf(tag)
+    require(start >= 0, s"no queries map found in $benchJson")
+    val body = raw.substring(start + tag.length)
+    val end = body.indexOf('}')
+    require(end >= 0, s"unterminated queries map in $benchJson")
+    val inner = body.substring(0, end)
+    val kv = """^"(q_[a-z0-9_]+)"\s*:\s*([0-9.eE+-]+)$""".r
+    val pairs = inner.split(",").toSeq.map(_.trim).map {
+      case kv(k, v) => k -> v.toDouble
+      case other => sys.error(
+        s"unparseable queries entry in $benchJson: '$other'")
+    }
+    require(pairs.size >= 15,
+      s"queries map in $benchJson has only ${pairs.size} entries — " +
+        "not a full bench capture")
+    val keys = pairs.sortBy(-_._2).take(15).map(_._1)
     println(s"[top15] from $benchJson: ${keys.mkString(",")}")
     run(s, dir, keys)
   }

@@ -423,7 +423,6 @@ object Analytics {
     * (Round9RankSpec). Day arithmetic stays in integer epoch-days — no
     * date-diff dialect drift. */
   def qRfm(s: SparkSession, dir: String): DataFrame = {
-    val b = DistRank.buckets(s)
     val per = t(s, dir, "orders")
       .withColumn("day", // NTZ under Verify's reader; UTC session pins it
         expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
@@ -434,6 +433,8 @@ object Analytics {
     val maxDay = per.agg(max("last_day").as("max_day"))
     val base = per.crossJoin(broadcast(maxDay))
       .withColumn("recency", col("max_day") - col("last_day"))
+    // customer-dim rank replaces the serial sort outright → low crossover
+    val b = DistRank.effectiveBuckets(s, base, 1000000L)
     val scored =
       if (b <= 0) base
         .withColumn("r_score", ntile(5).over(Window.orderBy(

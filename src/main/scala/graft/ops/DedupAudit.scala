@@ -25,20 +25,28 @@ object DedupAudit {
     * corpus (vocab > 64, corpus-wide postings) is the documented
     * §2.11 adversarial case for ANY exact pair listing and is
     * excluded from the 10×/100× table like q_dedup_near itself.
-    * Exact J in bp is re-derived per pair. */
-  private def candPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").filter(col("lang") === "en")
-    val dt = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "").distinct()
-    val dictN = dt.select("token").distinct().count()
-    val base =
-      if (dictN <= math.min(64L, Text.maskGroupMaxDict(s)))
-        Text.maskGroupPairs(dt, 3, 1)
-      else Text.invertedPairs(dt, 3, 1)
-    base.withColumn("j_bp", expr(
-      "common * 10000 div (na + nb - common)"))
-  }
+    * Exact J in bp is re-derived per pair.
+    *
+    * Round 10: the token postings come from the session-pinned
+    * [[Sketches.enPostings]] (identical universe: en docs, whitespace
+    * tokens, empties dropped, distinct) instead of a private re-scan,
+    * and the loose pair set itself is pinned once per (session, dir) —
+    * q_dedup_sweep and q_minhash_accuracy fold the SAME candidates. */
+  private val candCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def candPairs(s: SparkSession, dir: String): DataFrame =
+    candCache.computeIfAbsent((s, dir), _ => {
+      val dt = Sketches.enPostings(s, dir)
+      val dictN = dt.select("token").distinct().count()
+      val base =
+        if (dictN <= math.min(64L, Text.maskGroupMaxDict(s)))
+          Text.maskGroupPairs(dt, 3, 1)
+        else Text.invertedPairs(dt, 3, 1)
+      Text.pin(base.withColumn("j_bp", expr(
+        "common * 10000 div (na + nb - common)")),
+        s"cand_pairs_${new java.io.File(dir).getName}")
+    })
 
   /** Threshold sensitivity sweep (§2.69): pair counts and docs
     * involved at Jaccard cuts 0.5 / 0.7 / 0.8 / 0.9 from ONE
@@ -61,17 +69,13 @@ object DedupAudit {
     * band: pair count, mean absolute error bp, max error bp — the
     * "is the sketch budget enough on this corpus" calibration. Lane
     * minima are the q_dedup_minhash 15-hex-prefix BIGINTs (order- and
-    * equality-identical to the oracle's hex-string minima). */
+    * equality-identical to the oracle's hex-string minima). Round 10:
+    * the signature table is the session-pinned [[Sketches.mdLaneSigs]]
+    * shared with q_dedup_minhash / q_lsh_recall — this was the one md5
+    * sketch consumer still re-minimizing the 16 lanes inline (the r9
+    * bench charged the omission 9×). */
   def qMinhashAccuracy(s: SparkSession, dir: String): DataFrame = {
-    val tokenRows = t(s, dir, "documents").filter(col("lang") === "en")
-      .select(col("doc_id"), explode(
-        array_remove(array_distinct(tokens(col("text"))), ""))
-        .as("token"))
-    val laneMins = (0 until 16).map(j =>
-      min(expr(s"CAST(conv(substring(md5(concat('$j:', token)), 1, " +
-        s"15), 16, 10) AS BIGINT)")).as(s"mh$j"))
-    val sig = tokenRows.groupBy("doc_id")
-      .agg(laneMins.head, laneMins.tail: _*)
+    val sig = Sketches.mdLaneSigs(s, dir)
     val sa = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
     val sb = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
     val matches = (0 until 16)
@@ -95,9 +99,12 @@ object DedupAudit {
     * components, docs) — the cluster-shape readout (a few giant
     * components mean transitive merging is over-firing; all-pairs of
     * size 2 mean the threshold is conservative). Composes the
-    * existing CC output; two tiny aggregates on top. */
+    * existing CC output; two tiny aggregates on top — over the
+    * session-PINNED label table (Text.dedupClusterLabels), not a re-run
+    * of the pair derivation + fixpoint (round 9's second-largest bench
+    * regression was exactly that re-run). */
   def qComponentProfile(s: SparkSession, dir: String): DataFrame =
-    orderedAll(Text.qDedupClusters(s, dir)
+    orderedAll(Text.dedupClusterLabels(s, dir)
       .groupBy("cluster_id").agg(count(lit(1)).as("k"))
       .groupBy("k").agg(count(lit(1)).as("n_components"))
       .withColumn("docs", expr("k * n_components"))

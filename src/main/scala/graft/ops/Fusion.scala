@@ -99,7 +99,10 @@ object Fusion {
     // `spark.graft.rankBuckets` = B engages the shared [[DistRank]]
     // two-pass rank with maxRank pruning — only the buckets that can
     // contain ranks ≤ 20 are ever sorted (bit-equal, Round9RankSpec).
-    val b = DistRank.buckets(s)
+    // High crossover: the serial plan is a cheap top-20 over a user
+    // aggregate (BASELINE.md 100×: serial 2.1 s vs gated 3.1 s) — the
+    // bucket pass only wins once the user dim outgrows one task.
+    val b = DistRank.effectiveBuckets(s, scored, 10000000L)
     val w = Window.orderBy(col("score_u").desc, col("user_id").asc)
     val top =
       if (b <= 0) scored.withColumn("rk", row_number().over(w).cast("long"))

@@ -44,7 +44,20 @@ object Graphs {
     val ext = s.conf.getOption("spark.graft.graphEdgesPath")
     edgeCache.computeIfAbsent((s, ext.getOrElse(dir)), _ => ext match {
       case Some(p) =>
-        Text.pin(s.read.parquet(p).select("a_id", "b_id"),
+        val raw = s.read.parquet(p).select("a_id", "b_id")
+        // Injected fixtures must satisfy the invariants the derived edge
+        // set guarantees by construction (a_id < b_id — which also rules
+        // out self-loops — and no duplicate rows): und()/wedges()/closure
+        // joins silently double- or self-count on a violating frame
+        // rather than fail. One aggregate, paid only on the smoke path.
+        val chk = raw.agg(count(lit(1)).as("n"),
+          count(when(col("a_id") >= col("b_id"), 1)).as("bad_order"),
+          countDistinct(col("a_id"), col("b_id")).as("n_distinct")).head
+        require(chk.getLong(1) == 0L && chk.getLong(2) == chk.getLong(0),
+          s"graphEdgesPath $p violates the edge contract: " +
+            s"${chk.getLong(1)} rows with a_id >= b_id, " +
+            s"${chk.getLong(0) - chk.getLong(2)} duplicate rows")
+        Text.pin(raw,
           s"graph8_edges_ext_${new java.io.File(p).getName}")
       case None =>
         val dt = t(s, dir, "documents").filter(col("lang") === "en")
@@ -252,8 +265,9 @@ object Graphs {
     val nn = dg.agg(count(lit(1)).as("n_nodes"))
     // decile cut gates on the shared [[DistRank]] two-pass rank
     // (round 9) — replaces the r8-declared approx-quantile swap with
-    // the bit-equal exact machinery the rest of the family uses
-    val b = DistRank.buckets(s)
+    // the bit-equal exact machinery the rest of the family uses;
+    // node-dim rank replaces the serial sort outright → low crossover
+    val b = DistRank.effectiveBuckets(s, dg, 1000000L)
     val w = Window.orderBy(col("deg").desc, col("u").asc)
     val ranked =
       if (b <= 0) dg.withColumn("rn", row_number().over(w).cast("long"))

@@ -73,8 +73,11 @@ object Journeys {
     val points = sess.select(col("start_us").as("us"), lit(1L).as("delta"))
       .unionAll(sess.select((col("end_us") + 1).as("us"),
         lit(-1L).as("delta")))
+    // high crossover: the gated day-carry join pays per point row and
+    // only beats one task past ~10⁷ points (BASELINE.md 100× table:
+    // serial 4.1 s vs gated 7.1 s at ~10⁶ — auto stays serial there)
     val swept =
-      if (DistRank.buckets(s) <= 0) {
+      if (DistRank.effectiveBuckets(s, points, 10000000L) <= 0) {
         val wSweep = Window.orderBy("us", "delta")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         points.withColumn("conc", sum("delta").over(wSweep))

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 /** Round-9 user-lifecycle readouts (SURVEY §2.94): daily new-vs-
   * returning actives (the DAU decomposition next to the monthly
   * q_growth_accounting), lifespan bands (first-to-last-seen span per
-  * user), and reactivations (returns after a ≥ 7-day absence). All
+  * user), and reactivations (returns after a gap between active days
+  * > 2, i.e. ≥ 2 fully absent days — see qReactivation). All
   * shapes: (user, day) distinct collapse first, then user-partitioned
   * windows or user-dim aggregates rolled to day/band dimensions. */
 object Lifecycle {
@@ -61,8 +62,8 @@ object Lifecycle {
         sum("n_events").cast("long").as("n_events")))
   }
 
-  /** Reactivations (§2.94): per day, users returning after a ≥ 3-day
-    * absence (distinct activity days per user, lag gap > 2) and the
+  /** Reactivations (§2.94): per day, users returning after ≥ 2 fully
+    * absent days (distinct activity days per user, lag gap > 2) and the
     * share of that day's actives in bp — the winback readout, scaled to
     * the fixture's 30-day window (a 7-day bar is vacuous there). One
     * user-partitioned lag over the (user, day) rows. */

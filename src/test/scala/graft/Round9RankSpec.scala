@@ -58,6 +58,57 @@ class Round9RankSpec extends SparkSpec {
     }
   }
 
+  // Round-10 item 4: auto-engage. Forced on via the stats knobs (probe
+  // floor 0 → always probe; crossover 1 → any input engages), every
+  // family member must stay bit-equal to the serial plan with
+  // rankBuckets UNSET — the auto path and the manual path share the
+  // same machinery, but the decision ladder itself is under test here.
+  for (name <- gated) {
+    test(s"$name: auto-engaged path is bit-equal to the serial plan") {
+      val serial = rows(name)
+      spark.conf.set("spark.graft.rankAutoProbeBytes", "0")
+      spark.conf.set("spark.graft.rankAutoCrossoverRows", "1")
+      spark.conf.set("spark.graft.rankAutoBuckets", "7")
+      try {
+        val auto = rows(name)
+        assert(auto == serial,
+          s"auto-gated $name diverged: ${auto.diff(serial).take(3)} vs " +
+            s"${serial.diff(auto).take(3)}")
+      } finally {
+        spark.conf.unset("spark.graft.rankAutoProbeBytes")
+        spark.conf.unset("spark.graft.rankAutoCrossoverRows")
+        spark.conf.unset("spark.graft.rankAutoBuckets")
+      }
+    }
+  }
+
+  test("auto-engage never probes below the sizeInBytes floor") {
+    // fixture-scale inputs sit far under the 256 MiB default floor: the
+    // decision must be 'serial' and must come from the plan statistic
+    // alone. The tripwire: a filter UDF that throws on ANY evaluation —
+    // a count() probe would execute it; a stats-only decision cannot.
+    import org.apache.spark.sql.functions.{col, udf}
+    val bomb = udf((_: Long) =>
+      sys.error("auto-engage probed below the floor"): Boolean)
+    val probe = ops.t(spark, sf, "orders").filter(bomb(col("o_orderkey")))
+    assert(ops.DistRank.effectiveBuckets(spark, probe) == 0,
+      "fixture-scale input must stay serial under auto")
+  }
+
+  test("auto-engage respects the manual rankBuckets override") {
+    val probe = ops.t(spark, sf, "orders").groupBy("o_custkey").count()
+    spark.conf.set("spark.graft.rankBuckets", "5")
+    // even with auto knobs screaming 'engage', manual wins verbatim
+    spark.conf.set("spark.graft.rankAutoProbeBytes", "0")
+    spark.conf.set("spark.graft.rankAutoCrossoverRows", "1")
+    try assert(ops.DistRank.effectiveBuckets(spark, probe) == 5)
+    finally {
+      spark.conf.unset("spark.graft.rankBuckets")
+      spark.conf.unset("spark.graft.rankAutoProbeBytes")
+      spark.conf.unset("spark.graft.rankAutoCrossoverRows")
+    }
+  }
+
   test("ntileExpr matches SQL ntile fill rule across n and k") {
     // brute-force the closed form against the reference rule for every
     // (n, k, rank) in a grid covering n < k, n % k == 0, and ragged fills
