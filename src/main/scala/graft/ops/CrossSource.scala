@@ -64,17 +64,50 @@ object CrossSource {
     * (token Jaccard ≥ 0.8 on en docs) attributed to canonically-ordered
     * source pairs — within-source pairs land on the diagonal
     * (source_a = source_b). Rides the §2.11 stats-driven pair
-    * machinery; the matrix fold is one ≤ sources² aggregate. */
+    * machinery (now session-PINNED — one derivation feeds the whole
+    * exact family); the matrix fold is one ≤ sources² aggregate.
+    *
+    * Density gate (round-10 item 6, default OFF): when
+    * `spark.graft.dedupMaxPairsPerDoc` is set and the md5-band
+    * collision estimate trips it (Sketches.gatedClusters), exact pair
+    * enumeration is output-bound — the matrix folds over the
+    * LSH-cluster MEMBERSHIP instead: per (cluster, source) member
+    * counts c, cross cells Σ c_a·c_b and diagonal Σ C(c,2) per
+    * cluster. That counts the transitive within-cluster pair closure —
+    * the production dedup contract at that density (same swap the
+    * minhash family made in rounds 7/9) — and its cost is
+    * clusters × sources², never Ω(pairs). Spec-forced against an
+    * independent fold over the same gated labels
+    * (Round10GateSpec). */
   def qNearDupSources(s: SparkSession, dir: String): DataFrame = {
     val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
-    orderedAll(Text.nearPairs(s, dir).select("a_id", "b_id")
-      .join(src.select(col("doc_id").as("a_id"),
-        col("source").as("s_a")), "a_id")
-      .join(src.select(col("doc_id").as("b_id"),
-        col("source").as("s_b")), "b_id")
-      .groupBy(least(col("s_a"), col("s_b")).as("source_a"),
-        greatest(col("s_a"), col("s_b")).as("source_b"))
-      .agg(count(lit(1)).as("n_pairs"))
-      .withColumn("cross_source", col("source_a") =!= col("source_b")))
+    Sketches.gatedClusters(s, dir) match {
+      case Some(cl) =>
+        val cs = cl.join(src, "doc_id")
+          .groupBy("cluster_id", "source").agg(count(lit(1)).as("c"))
+        val cross = cs.as("a").join(cs.as("b"),
+            col("a.cluster_id") === col("b.cluster_id") &&
+              col("a.source") < col("b.source"))
+          .select(col("a.source").as("source_a"),
+            col("b.source").as("source_b"),
+            (col("a.c") * col("b.c")).as("np"))
+        val diag = cs.select(col("source").as("source_a"),
+          col("source").as("source_b"), expr("c * (c - 1) div 2").as("np"))
+        orderedAll(cross.unionAll(diag)
+          .groupBy("source_a", "source_b")
+          .agg(sum("np").cast("long").as("n_pairs"))
+          .filter(col("n_pairs") > 0)
+          .withColumn("cross_source", col("source_a") =!= col("source_b")))
+      case None =>
+        orderedAll(Text.nearPairs(s, dir).select("a_id", "b_id")
+          .join(src.select(col("doc_id").as("a_id"),
+            col("source").as("s_a")), "a_id")
+          .join(src.select(col("doc_id").as("b_id"),
+            col("source").as("s_b")), "b_id")
+          .groupBy(least(col("s_a"), col("s_b")).as("source_a"),
+            greatest(col("s_a"), col("s_b")).as("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("cross_source", col("source_a") =!= col("source_b")))
+    }
   }
 }

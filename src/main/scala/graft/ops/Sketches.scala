@@ -133,6 +133,26 @@ object Sketches {
     Text.clusterLabels(s, star, slotPrefix)
   }
 
+  /** The density-gated cluster-representative mode, exposed for the
+    * near-dup SOURCE matrix (round-10 item 6): Some(labels in the
+    * q_dedup_clusters shape) when `spark.graft.dedupMaxPairsPerDoc` is
+    * set AND the md5-band collision estimate exceeds it — i.e. exactly
+    * when the exact pair list the matrix would otherwise fold is
+    * output-bound; None below the gate (the exact path stays the
+    * contract). Bands re-derive as a projection off the pinned
+    * signature table; its own slot prefix keeps the reliable-checkpoint
+    * slot set disjoint from qDedupMinhash's. */
+  private[ops] def gatedClusters(s: SparkSession,
+                                 dir: String): Option[DataFrame] = {
+    if (s.conf.getOption("spark.graft.dedupMaxPairsPerDoc").isEmpty)
+      return None
+    val sigs = mdLaneSigs(s, dir)
+    val bands = mdBands(sigs)
+    if (pairDensityExceeded(s, bands, Seq("band", "bkey"), sigs.count()))
+      Some(bucketClusters(s, bands, Seq("band", "bkey"), "nds"))
+    else None
+  }
+
   /** MinHash + LSH near-dup: 16 minhashes per doc, 8 bands × 2 rows,
     * candidate pairs from band-bucket collisions, then EXACT verification
     * (bitmask/array_intersect Jaccard ≥ 0.8) — precision 1.0 vs
