@@ -406,7 +406,8 @@ object Oracles {
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY ALL""".stripMargin
-  ) ++ scalarSql ++ windowSql ++ textSql ++ vectorSql ++ pipelineSql
+  ) ++ scalarSql ++ windowSql ++ textSql ++ vectorSql ++ pipelineSql ++
+    round10Sql
 
   // ---- §2.14 pipeline extensions (sketch queries intentionally have no
   // oracle: they hinge on Spark's xxhash64/murmur3) ----
@@ -7495,5 +7496,229 @@ object Oracles {
         |       CAST(n_reactivated * 10000 // n_active AS BIGINT)
         |         AS react_bp
         |FROM g WHERE n_reactivated > 0 ORDER BY ALL""".stripMargin
+  )
+
+  // ---- §2.95 round-10 extensions ----
+  private def round10Sql: Map[String, String] = Map(
+    // reuses the q_dedup_clusters recursive-CTE CC labels, folded into
+    // the per-source before/after token accounting
+    "q_dedup_impact" ->
+      """WITH RECURSIVE dt AS (SELECT DISTINCT doc_id, token FROM (
+        |       SELECT doc_id, unnest(string_split(lower(text), ' '))
+        |         AS token
+        |       FROM documents WHERE lang = 'en') WHERE token <> ''),
+        |sz AS (SELECT doc_id, count(*) AS nt FROM dt GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         count(*) AS common
+        |       FROM dt a JOIN dt b
+        |       ON a.token = b.token AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM pr
+        |          JOIN sz sa ON a_id = sa.doc_id
+        |          JOIN sz sb ON b_id = sb.doc_id
+        |          WHERE common * 9 >= (sa.nt + sb.nt) * 4),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |      UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node),
+        |lab AS (SELECT node AS doc_id, node = min(r) AS keep
+        |        FROM reach GROUP BY 1),
+        |d AS (SELECT doc_id, source,
+        |        len(string_split(lower(text), ' ')) AS n_toks
+        |      FROM documents WHERE lang = 'en'),
+        |j AS (SELECT d.source, d.n_toks,
+        |        CASE WHEN lab.keep IS NOT NULL AND NOT lab.keep
+        |             THEN 1 ELSE 0 END AS dropped
+        |      FROM d LEFT JOIN lab ON d.doc_id = lab.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(dropped) AS BIGINT) AS n_dropped,
+        |       CAST(sum(n_toks) AS BIGINT) AS toks_total,
+        |       CAST(sum(CASE WHEN dropped = 1 THEN n_toks ELSE 0 END)
+        |            AS BIGINT) AS toks_dropped,
+        |       CAST(sum(CASE WHEN dropped = 1 THEN n_toks ELSE 0 END)
+        |            * 10000 // sum(n_toks) AS BIGINT) AS reduction_bp
+        |FROM j GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // the q_dedup_minhash lane CTE under three band layouts; configs
+    // with zero candidates keep their row via the LEFT JOIN
+    "q_band_sweep" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(list_filter(string_split(lower(text), ' '),
+        |                              x -> x <> '')) AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        |lanes AS (SELECT doc_id, j,
+        |    min(substring(md5(CAST(j AS VARCHAR) || ':' || token), 1, 15))
+        |      AS mh
+        |  FROM tok CROSS JOIN range(16) t(j) GROUP BY 1, 2),
+        |cfg AS (SELECT * FROM (VALUES (8, 2), (4, 4), (2, 8)) c(b, r)),
+        |bands AS (SELECT doc_id, b, r, j // r AS band,
+        |    string_agg(mh, ':' ORDER BY j) AS bkey
+        |  FROM lanes CROSS JOIN cfg GROUP BY doc_id, b, r, j // r),
+        |cand AS (SELECT DISTINCT x.b, x.r, x.doc_id AS a_id,
+        |    y.doc_id AS b_id
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.r = y.r AND x.band = y.band
+        |   AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |agg AS (SELECT b, r, count(*) AS np,
+        |    count(DISTINCT a_id) AS nd
+        |  FROM cand GROUP BY 1, 2)
+        |SELECT CAST(c.b AS BIGINT) AS b, CAST(c.r AS BIGINT) AS r,
+        |       CAST(coalesce(a.np, 0) AS BIGINT) AS n_cand_pairs,
+        |       CAST(coalesce(a.nd, 0) AS BIGINT) AS n_left_docs,
+        |       CAST(round((1 - pow(1 - pow(0.8, c.r), c.b)) * 10000)
+        |            AS BIGINT) AS theo_recall_bp
+        |FROM cfg c LEFT JOIN agg a ON c.b = a.b AND c.r = a.r
+        |ORDER BY ALL""".stripMargin,
+
+    "q_join_asof_forward" ->
+      """SELECT event_id, user_id, event_type,
+        |       min(CASE WHEN event_type = 'purchase'
+        |                THEN epoch_us(ts) END)
+        |         OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |         AS next_purchase_us
+        |FROM events ORDER BY ALL""".stripMargin,
+
+    "q_top_bottom" ->
+      """WITH rev AS (SELECT l_suppkey AS suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT n.n_name AS nation, r.suppkey, r.cents
+        |      FROM rev r JOIN supplier s ON r.suppkey = s.s_suppkey
+        |      JOIN nation n ON s.s_nationkey = n.n_nationkey),
+        |rk AS (SELECT nation, suppkey, cents,
+        |    row_number() OVER (PARTITION BY nation
+        |      ORDER BY cents DESC, suppkey) AS rt,
+        |    row_number() OVER (PARTITION BY nation
+        |      ORDER BY cents ASC, suppkey) AS rb
+        |  FROM j)
+        |SELECT * FROM (
+        |  SELECT nation, 'top' AS side, CAST(rt AS BIGINT) AS rk,
+        |         suppkey, cents FROM rk WHERE rt <= 3
+        |  UNION ALL
+        |  SELECT nation, 'bottom', CAST(rb AS BIGINT), suppkey, cents
+        |  FROM rk WHERE rb <= 3)
+        |ORDER BY ALL""".stripMargin,
+
+    "q_dormancy" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |           FROM events),
+        |pu AS (SELECT user_id, count(*) AS n_events,
+        |         count(DISTINCT day) AS n_days, max(day) AS last_day
+        |       FROM e GROUP BY 1),
+        |ref AS (SELECT max(last_day) AS ref_day FROM pu),
+        |g AS (SELECT pu.*, ref.ref_day - pu.last_day AS gap FROM pu, ref)
+        |SELECT CAST(CASE WHEN gap < 1 THEN 0 WHEN gap < 2 THEN 1
+        |                 WHEN gap < 7 THEN 2 ELSE 3 END AS BIGINT)
+        |         AS band,
+        |       count(*) AS n_users,
+        |       CAST(sum(n_days) // count(*) AS BIGINT)
+        |         AS avg_active_days,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events
+        |FROM g GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // the q_vector_pq assignment CTE folded to per-block code occupancy
+    "q_pq_balance" ->
+      """WITH cb AS (SELECT vec_id AS cid, embedding AS ce
+        |            FROM embeddings WHERE vec_id < 16),
+        |blocks AS (SELECT unnest(generate_series(0, 7)) AS b),
+        |dist AS (SELECT e.vec_id, b.b, cb.cid,
+        |           list_sum(list_transform(generate_series(1, 8), i ->
+        |             (CAST(e.embedding[b.b * 8 + i] AS DOUBLE) -
+        |              CAST(cb.ce[b.b * 8 + i] AS DOUBLE)) *
+        |             (CAST(e.embedding[b.b * 8 + i] AS DOUBLE) -
+        |              CAST(cb.ce[b.b * 8 + i] AS DOUBLE)))) AS d2
+        |         FROM embeddings e CROSS JOIN blocks b CROSS JOIN cb),
+        |rk AS (SELECT vec_id, b, cid, row_number() OVER (
+        |         PARTITION BY vec_id, b ORDER BY d2, cid) AS rn FROM dist),
+        |occ AS (SELECT b AS block, cid AS code, count(*) AS c
+        |        FROM rk WHERE rn = 1 GROUP BY 1, 2)
+        |SELECT CAST(block AS BIGINT) AS block, count(*) AS codes_used,
+        |       CAST(max(c) AS BIGINT) AS max_occ,
+        |       CAST(min(c) AS BIGINT) AS min_occ,
+        |       CAST(sum(c) AS BIGINT) AS n_vecs,
+        |       CAST(max(c) * 16 * 10000 // sum(c) AS BIGINT)
+        |         AS imbalance_bp
+        |FROM occ GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // gaps-and-islands on token positions; the 1-based subscripts only
+    // shift the island key by a constant
+    "q_token_run" ->
+      """WITH p AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+        |             unnest(toks) AS token
+        |           FROM (SELECT doc_id, string_split(lower(text), ' ')
+        |                   AS toks FROM documents)),
+        |r AS (SELECT doc_id, token,
+        |        pos - row_number() OVER (PARTITION BY doc_id, token
+        |                                 ORDER BY pos) AS grp
+        |      FROM p),
+        |runs AS (SELECT doc_id, count(*) AS run FROM r
+        |         GROUP BY doc_id, token, grp),
+        |pd AS (SELECT doc_id, max(run) AS max_run FROM runs GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_all FROM pd)
+        |SELECT CAST(max_run AS BIGINT) AS run_len, count(*) AS n_docs,
+        |       CAST(count(*) * 10000 // n_all AS BIGINT) AS share_bp
+        |FROM pd, tot GROUP BY max_run, n_all ORDER BY ALL""".stripMargin,
+
+    "q_sample_systematic" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+        |    ('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || ':sys'),
+        |      1, 15))::BIGINT AS h
+        |  FROM customer),
+        |r AS (SELECT *, row_number() OVER (ORDER BY h, c_custkey) AS rn
+        |      FROM c)
+        |SELECT c_mktsegment AS mktsegment, count(*) AS n_pop,
+        |       CAST(sum(CASE WHEN (rn - 1) % 20 = 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_samp,
+        |       CAST(sum(cents) AS BIGINT) AS cents_pop,
+        |       CAST(sum(CASE WHEN (rn - 1) % 20 = 0 THEN cents
+        |                     ELSE 0 END) AS BIGINT) AS cents_samp
+        |FROM r GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    "q_rate_limit" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |           FROM events),
+        |c AS (SELECT user_id, count(*) OVER (PARTITION BY user_id
+        |        ORDER BY us
+        |        RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+        |        AS cnt
+        |      FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        |       CAST(max(cnt) AS BIGINT) AS max_burst,
+        |       CAST(sum(CASE WHEN cnt > 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_violations
+        |FROM c GROUP BY 1 HAVING max(cnt) > 2 ORDER BY ALL""".stripMargin,
+
+    "q_knn_classify" ->
+      s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe,
+         |             label AS true_label
+         |           FROM embeddings WHERE vec_id < 30),
+         |c AS (SELECT vec_id AS nid, embedding AS e, label
+         |      FROM embeddings WHERE vec_id >= 30),
+         |s AS (SELECT pid, true_label, nid, label, $dot64 AS dot,
+         |        $pn64 AS na2, $en64 AS nb2
+         |      FROM p, c),
+         |r AS (SELECT pid, true_label, label,
+         |        row_number() OVER (PARTITION BY pid
+         |          ORDER BY dot / sqrt(na2 * nb2) DESC, nid) AS rn
+         |      FROM s),
+         |v AS (SELECT pid, true_label, label, count(*) AS v FROM r
+         |      WHERE rn <= 5 GROUP BY 1, 2, 3),
+         |w AS (SELECT pid, true_label, label,
+         |        row_number() OVER (PARTITION BY pid
+         |          ORDER BY v DESC, label) AS vr
+         |      FROM v)
+         |SELECT CAST(true_label AS BIGINT) AS true_label,
+         |       count(*) AS n_probes,
+         |       CAST(sum(CASE WHEN label = true_label THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_correct,
+         |       CAST(sum(CASE WHEN label = true_label THEN 1 ELSE 0 END)
+         |            * 10000 // count(*) AS BIGINT) AS acc_bp
+         |FROM w WHERE vr = 1 GROUP BY 1 ORDER BY ALL""".stripMargin
   )
 }

@@ -544,7 +544,19 @@ object SparkEntry {
     // §2.94 round-9 user-lifecycle readouts
     "q_new_vs_returning" -> Lifecycle.qNewVsReturning _,
     "q_lifespan_bands" -> Lifecycle.qLifespanBands _,
-    "q_reactivation" -> Lifecycle.qReactivation _
+    "q_reactivation" -> Lifecycle.qReactivation _,
+    // §2.95 round-10 extensions: dedup accounting, retrieval eval,
+    // rate limiting, sampling and BI staples
+    "q_dedup_impact" -> DedupAudit.qDedupImpact _,
+    "q_band_sweep" -> DedupAudit.qBandSweep _,
+    "q_join_asof_forward" -> Windows.qJoinAsofForward _,
+    "q_top_bottom" -> Insights.qTopBottom _,
+    "q_dormancy" -> Lifecycle.qDormancy _,
+    "q_pq_balance" -> EmbedAudit.qPqBalance _,
+    "q_token_run" -> CorpusStats.qTokenRun _,
+    "q_sample_systematic" -> Sampling.qSampleSystematic _,
+    "q_rate_limit" -> Slo.qRateLimit _,
+    "q_knn_classify" -> Evaluation.qKnnClassify _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -34,7 +34,7 @@ object Baskets {
     * standard cap in production basket mining, where a pathological
     * basket is a crawler or a data bug, not a co-purchase signal.
     * Fixture width ≤ 7: the graded plan is untouched unless the conf is
-    * set, and Round10BasketSpec forces W=64 equality + wide-order
+    * set, and Round10GateSpec forces W=64 equality + wide-order
     * exclusion on a crafted fixture. */
   private def baskets(s: SparkSession, dir: String): DataFrame = {
     val b = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")

@@ -583,4 +583,34 @@ object CorpusStats {
         "((w1 + d1) div d1 + (w2 + d2) div d2) div 2 - 1"))
       .select(col("source"), col("n_s").as("n_tokens"), col("jsd_u")))
   }
+
+  /** Max repeated-token run histogram (§2.95): per doc the longest run
+    * of one token repeated consecutively ("batch batch batch" → 3),
+    * folded to (run_len → docs, share bp) — the degenerate-generation /
+    * stutter signal SUBSTRING-level dedup and quality filters key on,
+    * orthogonal to q_repetition_ratio (distinct-share: insensitive to
+    * adjacency) and q_burstiness (within-doc dispersion). Runs via the
+    * gaps-and-islands trick on positions: pos − row_number over
+    * (doc, token) is constant exactly within a consecutive run. The
+    * only shuffle keys on doc_id (the posexplode is in-row); run/doc
+    * folds are mergeable. */
+  def qTokenRun(s: SparkSession, dir: String): DataFrame = {
+    val pos = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
+    val w = Window.partitionBy("doc_id", "token").orderBy("pos")
+    val runs = pos
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "token", "grp")
+      .agg(count(lit(1)).as("run"))
+    val perDoc = runs.groupBy("doc_id").agg(max("run").as("max_run"))
+    val tot = perDoc.agg(count(lit(1)).as("n_all"))
+    orderedAll(perDoc.groupBy("max_run")
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_bp", expr("n_docs * 10000 div n_all"))
+      .select(col("max_run").as("run_len"), col("n_docs"),
+        col("share_bp")))
+  }
 }

@@ -109,4 +109,65 @@ object DedupAudit {
       .groupBy("k").agg(count(lit(1)).as("n_components"))
       .withColumn("docs", expr("k * n_components"))
       .select("k", "n_components", "docs"))
+
+  /** Dedup impact statement (§2.95): per source over the en corpus, what
+    * cluster dedup actually BUYS — docs and whitespace-token volume
+    * before vs after dropping non-representatives (keep=false in the
+    * q_dedup_clusters contract; docs in no cluster are kept), and the
+    * token reduction in bp. The number a training-data run reads before
+    * paying for dedup at all. Consumes the session-PINNED label table —
+    * zero re-derivation — plus one broadcast-joined doc-dim fold. */
+  def qDedupImpact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("lang") === "en")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+    val dropped = Text.dedupClusterLabels(s, dir)
+      .filter(!col("keep")).select(col("doc_id"), lit(1L).as("is_drop"))
+    orderedAll(docs.join(dropped, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_drop"), lit(0L))).cast("long")
+          .as("n_dropped"),
+        sum(col("n_toks")).cast("long").as("toks_total"),
+        sum(when(col("is_drop").isNotNull, col("n_toks")).otherwise(0L))
+          .cast("long").as("toks_dropped"))
+      .withColumn("reduction_bp",
+        expr("toks_dropped * 10000 div toks_total")))
+  }
+
+  /** LSH band-scheme sweep (§2.95): for the three 16-lane band layouts
+    * (b bands × r rows: 8×2, 4×4, 2×8), the measured candidate-pair
+    * count and docs touched on THIS corpus next to the closed-form
+    * recall 1−(1−J^r)^b at the J=0.8 contract threshold — the table
+    * read before committing a banding scheme (more rows per band =
+    * fewer false candidates, lower recall). All three layouts are
+    * projections + self-joins off the session-PINNED signature table;
+    * nothing re-hashes. */
+  def qBandSweep(s: SparkSession, dir: String): DataFrame = {
+    val sig = Sketches.mdLaneSigs(s, dir)
+    val configs = Seq((8, 2), (4, 4), (2, 8))
+    val perConfig = configs.map { case (b, r) =>
+      val bands = sig.select(col("doc_id"), explode(expr(
+          (0 until b).map(i => s"struct($i AS band, struct(" +
+            (0 until r).map(k => s"mh${i * r + k} AS k$k").mkString(", ") +
+            ") AS bkey)")
+            .mkString("array(", ", ", ")"))).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"),
+          col("bs.bkey").as("bkey"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val recallBp = math.round(
+        (1.0 - math.pow(1.0 - math.pow(0.8, r), b)) * 10000)
+      cand.agg(count(lit(1)).as("n_cand_pairs"),
+          countDistinct(col("a_id")).as("n_left_docs"))
+        .select(lit(b.toLong).as("b"), lit(r.toLong).as("r"),
+          col("n_cand_pairs"), col("n_left_docs"),
+          lit(recallBp).as("theo_recall_bp"))
+    }
+    orderedAll(perConfig.reduce(_ unionAll _))
+  }
 }

@@ -124,4 +124,25 @@ object EmbedAudit {
       .filter(col("rk") <= 10)
       .select("i", "j", "n", "corr_milli"))
   }
+
+  /** PQ codebook occupancy balance (§2.95): per 8-dim block, how evenly
+    * the 16 codes share the corpus — codes used, max/min occupancy, and
+    * the imbalance factor max·K·10⁴ div N in bp (10 000 = perfectly
+    * uniform). A skewed block means its codebook wastes bits (half the
+    * codes idle) AND its inverted lists go lopsided at query time — the
+    * audit read next to q_pq_distortion before shipping a quantizer.
+    * Folds q_vector_pq's assignment (same codebook contract); two tiny
+    * aggregates on top. */
+  def qPqBalance(s: SparkSession, dir: String): DataFrame = {
+    val occ = Vectors.qVectorPq(s, dir)
+      .groupBy("block", "code").agg(count(lit(1)).as("c"))
+    orderedAll(occ.groupBy("block")
+      .agg(countDistinct("code").as("codes_used"),
+        max("c").as("max_occ"), min("c").as("min_occ"),
+        sum("c").cast("long").as("n_vecs"))
+      .withColumn("imbalance_bp",
+        expr("max_occ * 16 * 10000 div n_vecs"))
+      .select("block", "codes_used", "max_occ", "min_occ", "n_vecs",
+        "imbalance_bp"))
+  }
 }

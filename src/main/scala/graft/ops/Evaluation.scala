@@ -481,4 +481,39 @@ object Evaluation {
         expr("overlap * 10000 div (2 * ls - overlap)"))
       .select("pid", "overlap", "jaccard_bp"))
   }
+
+  /** kNN label classification accuracy (§2.95): probes (vec_id < 30)
+    * classified by majority label of their 5 nearest candidates
+    * (vec_id ≥ 30 — no probe leaks into its own neighbor list), folded
+    * to per-true-label accuracy in bp — the "are these embeddings good
+    * for anything" sanity eval run before any retrieval ships.
+    * Deterministic end to end: cosine ties break to smaller vec_id,
+    * vote ties to the smaller label. Probes broadcast; both rank
+    * windows shard by probe. */
+  def qKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+        col("label").as("true_label"))
+    val scored = emb.filter(col("vec_id") >= 30)
+      .join(broadcast(probes), col("vec_id") =!= col("pid"))
+      .withColumn("cos", Vectors.cosine(col("pe"), col("embedding")))
+    val wNn = Window.partitionBy("pid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val votes = scored
+      .withColumn("rn", row_number().over(wNn))
+      .filter(col("rn") <= 5)
+      .groupBy("pid", "true_label", "label")
+      .agg(count(lit(1)).as("v"))
+    val wVote = Window.partitionBy("pid")
+      .orderBy(col("v").desc, col("label").asc)
+    orderedAll(votes
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .groupBy(col("true_label").cast("long").as("true_label"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("label") === col("true_label"), 1L).otherwise(0L))
+          .cast("long").as("n_correct"))
+      .withColumn("acc_bp", expr("n_correct * 10000 div n_probes")))
+  }
 }

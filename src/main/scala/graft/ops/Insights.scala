@@ -613,4 +613,38 @@ object Insights {
       .withColumn("ss_bp", expr("ssb * 10000 div sst"))
       .select("event_type", "n_days", "ssb", "sst", "ss_bp"))
   }
+
+  /** Top-3 / bottom-3 suppliers per nation by lineitem revenue (§2.95):
+    * the two-ended leaderboard every ops review opens with, in ONE pass —
+    * both rank windows share the nation partitioning (one shuffle, two
+    * sorts), revenue is exact cents. `side` tags which leaderboard a row
+    * belongs to; ties break to the smaller suppkey on both ends. A
+    * supplier can appear on both ends when a nation has ≤ 6 suppliers —
+    * the honest small-group semantics (mirrors the oracle). */
+  def qTopBottom(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("cents"))
+      .join(broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("n_name").as("nation"), col("l_suppkey").as("suppkey"),
+        col("cents"))
+    val wTop = Window.partitionBy("nation")
+      .orderBy(col("cents").desc, col("suppkey").asc)
+    val wBot = Window.partitionBy("nation")
+      .orderBy(col("cents").asc, col("suppkey").asc)
+    val ranked = rev
+      .withColumn("rk_top", row_number().over(wTop).cast("long"))
+      .withColumn("rk_bot", row_number().over(wBot).cast("long"))
+    orderedAll(ranked.filter(col("rk_top") <= 3)
+      .select(col("nation"), lit("top").as("side"),
+        col("rk_top").as("rk"), col("suppkey"), col("cents"))
+      .unionAll(ranked.filter(col("rk_bot") <= 3)
+        .select(col("nation"), lit("bottom").as("side"),
+          col("rk_bot").as("rk"), col("suppkey"), col("cents"))))
+  }
 }

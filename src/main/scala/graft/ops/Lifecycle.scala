@@ -80,4 +80,31 @@ object Lifecycle {
       .withColumn("react_bp", expr("n_reactivated * 10000 div n_active"))
       .filter(col("n_reactivated") > 0))
   }
+
+  /** Dormancy bands (§2.95): users banded by days since their LAST
+    * activity, measured against the corpus max day (0 / 1 / 2–6 / 7+ —
+    * cuts scaled to the fixture's 30-day window and near-daily actives;
+    * a production winback board uses 7/14/30 with the identical plan) —
+    * the targeting cut next to [[qReactivation]]'s realized returns:
+    * band 1–2 users are reachable, band 3 is churn. Per band: users,
+    * their average lifetime active days (integer div), total events.
+    * One user-dim aggregate; the ref day is a broadcast scalar. */
+  def qDormancy(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val perUser = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("day").as("n_days"), max("day").as("last_day"))
+    val ref = perUser.agg(max("last_day").as("ref_day"))
+    orderedAll(perUser.crossJoin(broadcast(ref))
+      .withColumn("gap", col("ref_day") - col("last_day"))
+      .withColumn("band", expr(
+        "CAST(CASE WHEN gap < 1 THEN 0 WHEN gap < 2 THEN 1 " +
+          "WHEN gap < 7 THEN 2 ELSE 3 END AS BIGINT)"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_users"),
+        expr("sum(n_days) div count(1)").as("avg_active_days"),
+        sum("n_events").cast("long").as("n_events")))
+  }
 }

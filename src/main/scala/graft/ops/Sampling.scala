@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-8 sampling-quality audits (SURVEY §2.71): representativeness
@@ -95,4 +96,34 @@ object Sampling {
           "(CAST(n_pop - n AS DOUBLE) / (n_pop - 1))) * 1000) " +
           "AS BIGINT) END"))
       .select("event_type", "n_pop", "n", "mean_milli", "hw_milli"))
+
+  /** Systematic sample (§2.95): every 20th customer under a total order
+    * by a deterministic md5 key — the textbook alternative to Bernoulli
+    * gates (q_sample_det): EXACTLY ⌈N/20⌉ units, zero size variance,
+    * unbiased under hash order (which cannot correlate with any real
+    * attribute). Per segment: population vs sampled counts and exact
+    * cent sums (no ratio emitted — acctbal is signed and truncating vs
+    * flooring division disagree on negatives). The global rank is the
+    * DistRank family's problem class: serial window at fixture scale,
+    * auto-engaged two-pass rank past the stats floor. */
+  def qSampleSystematic(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat(CAST(c_custkey AS STRING), " +
+          "':sys')), 1, 15), 16, 10) AS BIGINT)"))
+    val b = DistRank.effectiveBuckets(s, c, 1000000L)
+    val ranked =
+      if (b <= 0) c.withColumn("rn", row_number().over(
+        Window.orderBy(col("h").asc, col("c_custkey").asc)).cast("long"))
+      else DistRank.withRank(c, col("h"), col("c_custkey"), b, "rn")
+    orderedAll(ranked.groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("n_pop"),
+        sum(when(expr("(rn - 1) % 20 = 0"), 1L).otherwise(0L))
+          .cast("long").as("n_samp"),
+        sum("cents").cast("long").as("cents_pop"),
+        sum(when(expr("(rn - 1) % 20 = 0"), col("cents")).otherwise(0L))
+          .cast("long").as("cents_samp")))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-8 operational-SLO readouts (SURVEY §2.83): per-type data
@@ -78,5 +79,29 @@ object Slo {
           .cast("long").as("within30"))
       .withColumn("within7_bp", expr("within7 * 10000 div n_lines"))
       .withColumn("within30_bp", expr("within30 * 10000 div n_lines")))
+  }
+
+  /** Rate-limit audit (§2.95): per user, events whose trailing-1-hour
+    * count (RANGE frame over epoch-µs, inclusive of the current row and
+    * its timestamp peers) exceeds 2 — the abuse/bot sweep a streaming
+    * gate would enforce online, run here as the batch backfill that
+    * calibrates the threshold (the bar is scaled to the fixture's
+    * ~14 events/user/month; a production limit is orders of magnitude
+    * higher with the identical plan). Users with no violation are
+    * dropped. The range window shards by user; equal-timestamp peers
+    * all see the full peer count in both engines, so the boundary
+    * decision is deterministic. */
+  def qRateLimit(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3599999999L, 0L)
+    orderedAll(e.withColumn("cnt", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max("cnt").cast("long").as("max_burst"),
+        sum(when(col("cnt") > 2, 1L).otherwise(0L)).cast("long")
+          .as("n_violations"))
+      .filter(col("max_burst") > 2))
   }
 }

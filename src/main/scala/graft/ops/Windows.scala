@@ -218,6 +218,22 @@ object Windows {
         .as("last_signup_us")))
   }
 
+  /** FORWARD as-of join (§2.95): each event paired with the user's next
+    * STRICTLY LATER purchase — the mirror of [[qJoinAsof]] (which looks
+    * back) and the primitive behind conversion attribution windows
+    * ("what did this click lead to"). Same union-free window idiom,
+    * frame flipped: min(purchase ts) over all strictly-following rows in
+    * (us, event_id) order. One sort per user partition, no self-join. */
+  def qJoinAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("us", unix_micros(col("ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    orderedAll(e.select(col("event_id"), col("user_id"), col("event_type"),
+      min(when(col("event_type") === "purchase", col("us"))).over(w)
+        .as("next_purchase_us")))
+  }
+
   /** Z-score outliers (§2.17): events whose value is > 2.5σ from the
     * per-type mean — the metric-anomaly sweep of every event pipeline.
     * The moments go through EXACT decimal sums (value is a 2-dp column,
