@@ -431,10 +431,10 @@ object Analytics {
       .agg(max("day").as("last_day"), count(lit(1)).as("freq"),
         sum("cents").as("cents"))
     val maxDay = per.agg(max("last_day").as("max_day"))
-    val base = per.crossJoin(broadcast(maxDay))
+    val base0 = per.crossJoin(broadcast(maxDay))
       .withColumn("recency", col("max_day") - col("last_day"))
     // customer-dim rank replaces the serial sort outright → low crossover
-    val b = DistRank.effectiveBuckets(s, base, 1000000L)
+    val (b, base) = DistRank.gate(s, base0, 1000000L, "rfm_auto")
     val scored =
       if (b <= 0) base
         .withColumn("r_score", ntile(5).over(Window.orderBy(

@@ -27,13 +27,13 @@ object Concentration {
     * broadcast → local rank), bit-equal by construction and spec-forced
     * (Round9RankSpec) — no single-partition sort remains in that plan. */
   def qLorenz(s: SparkSession, dir: String): DataFrame = {
-    val spend = t(s, dir, "orders")
+    val spend0 = t(s, dir, "orders")
       .select(col("o_custkey"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
       .groupBy("o_custkey").agg(sum(col("cents")).as("sp"))
     // customer-dim rank replaces the serial sort outright → low
     // crossover (gated won 5.7 vs 9.9 s at the 100× smoke)
-    val b = DistRank.effectiveBuckets(s, spend, 1000000L)
+    val (b, spend) = DistRank.gate(s, spend0, 1000000L, "lorenz_auto")
     val n = spend.agg(count(lit(1)).as("n"))
     val w = Window.orderBy(col("sp").asc, col("o_custkey").asc)
     val ranked =

@@ -73,11 +73,11 @@ object Features {
     * [[DistRank]] two-pass rank + the closed-form ntile fill rule —
     * bit-equal (Round9RankSpec), no single-partition sort in the plan. */
   def qDecileLift(s: SparkSession, dir: String): DataFrame = {
-    val spend = t(s, dir, "orders")
+    val spend0 = t(s, dir, "orders")
       .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
       .groupBy("o_custkey").agg(sum("cents").as("spend"))
     // customer-dim rank replaces the serial sort outright → low crossover
-    val b = DistRank.effectiveBuckets(s, spend, 1000000L)
+    val (b, spend) = DistRank.gate(s, spend0, 1000000L, "decile_auto")
     val bucketed =
       if (b <= 0) spend.withColumn("decile", ntile(10).over(
         Window.orderBy(col("spend").desc, col("o_custkey").asc))

@@ -267,11 +267,11 @@ object Graphs {
     // (round 9) — replaces the r8-declared approx-quantile swap with
     // the bit-equal exact machinery the rest of the family uses;
     // node-dim rank replaces the serial sort outright → low crossover
-    val b = DistRank.effectiveBuckets(s, dg, 1000000L)
+    val (b, dgG) = DistRank.gate(s, dg, 1000000L, "richclub_auto")
     val w = Window.orderBy(col("deg").desc, col("u").asc)
     val ranked =
-      if (b <= 0) dg.withColumn("rn", row_number().over(w).cast("long"))
-      else DistRank.withRank(dg, -col("deg"), col("u"), b, "rn")
+      if (b <= 0) dgG.withColumn("rn", row_number().over(w).cast("long"))
+      else DistRank.withRank(dgG, -col("deg"), col("u"), b, "rn")
     val rich = ranked
       .crossJoin(broadcast(nn))
       .filter(expr("rn <= (n_nodes + 9) div 10"))

@@ -525,12 +525,12 @@ object Insights {
     * (bucket offsets + partitioned within-bucket sums) — bit-equal by
     * integer associativity, spec-forced (Round9RankSpec). */
   def qAbcClass(s: SparkSession, dir: String): DataFrame = {
-    val rev = t(s, dir, "lineitem")
+    val rev0 = t(s, dir, "lineitem")
       .groupBy("l_partkey")
       .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT) * " +
         "CAST(round((1 - l_discount) * 100) AS BIGINT)")).as("rev10k"))
     // part-dim prefix sum replaces the serial sort → low crossover
-    val b = DistRank.effectiveBuckets(s, rev, 1000000L)
+    val (b, rev) = DistRank.gate(s, rev0, 1000000L, "abc_auto")
     val w = Window.orderBy(col("rev10k").desc, col("l_partkey").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val tot = rev.agg(sum("rev10k").as("tot"))

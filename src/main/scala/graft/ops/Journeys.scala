@@ -76,14 +76,15 @@ object Journeys {
     // high crossover: the gated day-carry join pays per point row and
     // only beats one task past ~10⁷ points (BASELINE.md 100× table:
     // serial 4.1 s vs gated 7.1 s at ~10⁶ — auto stays serial there)
+    val (ib, pointsG) = DistRank.gate(s, points, 10000000L, "iov_auto")
     val swept =
-      if (DistRank.effectiveBuckets(s, points, 10000000L) <= 0) {
+      if (ib <= 0) {
         val wSweep = Window.orderBy("us", "delta")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        points.withColumn("conc", sum("delta").over(wSweep))
+        pointsG.withColumn("conc", sum("delta").over(wSweep))
           .withColumn("day", expr("us div 86400000000"))
       } else {
-        val pts = points.withColumn("day", expr("us div 86400000000"))
+        val pts = pointsG.withColumn("day", expr("us div 86400000000"))
         val carries = pts.groupBy("day").agg(sum("delta").as("__dsum"))
           .withColumn("__carry", coalesce(sum("__dsum").over(
             Window.orderBy("day")

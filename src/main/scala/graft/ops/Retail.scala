@@ -80,12 +80,12 @@ object Retail {
           .as("sp"))
       // per-year customer-dim rank: replaces the serial sort → low
       // crossover (the q_lorenz class of the BASELINE.md 100× table)
-      val nb = DistRank.effectiveBuckets(s, sp, 1000000L)
-      val n = sp.agg(count(lit(1)).as("n"))
+      val (nb, spG) = DistRank.gate(s, sp, 1000000L, s"cm_auto_$year")
+      val n = spG.agg(count(lit(1)).as("n"))
       val w = Window.orderBy(col("sp").asc, col("o_custkey").asc)
       val ranked =
-        if (nb <= 0) sp.withColumn("rn", row_number().over(w).cast("long"))
-        else DistRank.withRank(sp, col("sp"), col("o_custkey"), nb, "rn")
+        if (nb <= 0) spG.withColumn("rn", row_number().over(w).cast("long"))
+        else DistRank.withRank(spG, col("sp"), col("o_custkey"), nb, "rn")
       ranked.crossJoin(broadcast(n))
         .withColumn(out, expr("(rn - 1) * 4 div n + 1"))
         .select(col("o_custkey").as(s"ck_$out"), col(out))

@@ -107,13 +107,13 @@ object Sampling {
     * DistRank family's problem class: serial window at fixture scale,
     * auto-engaged two-pass rank past the stats floor. */
   def qSampleSystematic(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer")
+    val c0 = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"),
         expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
       .withColumn("h", expr(
         "CAST(conv(substring(md5(concat(CAST(c_custkey AS STRING), " +
           "':sys')), 1, 15), 16, 10) AS BIGINT)"))
-    val b = DistRank.effectiveBuckets(s, c, 1000000L)
+    val (b, c) = DistRank.gate(s, c0, 1000000L, "sys_auto")
     val ranked =
       if (b <= 0) c.withColumn("rn", row_number().over(
         Window.orderBy(col("h").asc, col("c_custkey").asc)).cast("long"))

@@ -95,6 +95,92 @@ class StreamingSpec extends SparkSpec {
       s.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming running totals twin DistRank.withPrefixSum") {
+    // Round-10 item 8: the batch total-order prefix sum (DistRank's
+    // bucket-stitched spelling) and the streaming cumulative state
+    // (transformWithState) must tell the same story over the same rows.
+    // Feed one logical key in the batch side's (key, tie) total order,
+    // two microbatches; every emitted running total must equal the
+    // batch INCLUSIVE prefix (exclusive + own value) at that row count.
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val vals = Seq(3.00, 1.00, 4.00, 1.00, 5.00, 9.00)
+      val batch = vals.zipWithIndex
+        .map { case (v, i) => (i.toLong, math.round(v * 100)) }
+        .toDF("k", "cents")
+      val ps = ops.DistRank.withPrefixSum(batch,
+        org.apache.spark.sql.functions.col("k"),
+        org.apache.spark.sql.functions.col("k"),
+        org.apache.spark.sql.functions.col("cents"), 3, "ps")
+        .collect().map(r => r.getLong(0) -> (r.getLong(2) + r.getLong(1)))
+        .toMap // k -> inclusive prefix cents
+      val mem = MemoryStream[Ev]
+      val q = graft.streaming.EventStreams.runningUserTotals(mem.toDF())
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("ps_twin_out").start()
+      try {
+        mem.addData(vals.take(3).zipWithIndex.map { case (v, i) =>
+          Ev(ts(i + 1), 1L, v)
+        }: _*)
+        q.processAllAvailable()
+        mem.addData(vals.drop(3).zipWithIndex.map { case (v, i) =>
+          Ev(ts(i + 4), 1L, v)
+        }: _*)
+        q.processAllAvailable()
+        val emitted = s.sql("SELECT n, cents FROM ps_twin_out")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // emitted running total after n rows == batch inclusive prefix
+        // of the n-th row in total order (keys arrive in that order)
+        for ((n, cents) <- emitted)
+          assert(cents == ps(n - 1),
+            s"stream says $cents after $n rows, batch prefix ${ps(n - 1)}")
+        assert(emitted.nonEmpty)
+      } finally q.stop()
+    } finally
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("StreamingQueryListener observes rows and stateful progress") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val statefulOps = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        seen.addAndGet(e.progress.numInputRows)
+        statefulOps.addAndGet(e.progress.stateOperators.length.toLong)
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    s.streams.addListener(listener)
+    try {
+      val mem = MemoryStream[Ev]
+      val agg = mem.toDF()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName("listener_out").start()
+      try {
+        mem.addData(Ev(ts(1), 1, 1), Ev(ts(2), 2, 2), Ev(ts(3), 1, 3))
+        q.processAllAvailable()
+        // listener events are async; the bus drains on awaitTermination
+        // or stop — poll briefly instead of sleeping blind
+        val deadline = System.nanoTime() + 10_000_000_000L
+        while (seen.get() < 3 && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        assert(seen.get() == 3, s"listener saw ${seen.get()} input rows")
+        assert(statefulOps.get() >= 1,
+          "the stateful aggregation must report a state operator")
+      } finally q.stop()
+    } finally s.streams.removeListener(listener)
+  }
+
   test("dropDuplicatesWithinWatermark dedups late replays") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
