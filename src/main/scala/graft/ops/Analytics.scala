@@ -444,8 +444,9 @@ object Analytics {
         .withColumn("m_score", ntile(5).over(Window.orderBy(
           col("cents").desc, col("o_custkey").asc)).cast("long"))
       else {
-        // four consumers (count + three rank passes) → pin once
-        val p = Text.pin(base, "rfm_base")
+        // four consumers (count + three rank passes) — already pinned
+        // by DistRank.gate on every engaged path (auto or manual)
+        val p = base
         val n = p.agg(count(lit(1)).as("n"))
         def ranked(key: org.apache.spark.sql.Column, out: String) =
           DistRank.withRank(p, key, col("o_custkey"), b, out)

@@ -88,7 +88,11 @@ object DistRank {
            crossoverRows: Long = 1000000L,
            slot: String = "rank_auto"): (Int, DataFrame) =
     s.conf.getOption("spark.graft.rankBuckets").map(_.toInt) match {
-      case Some(b) => (b, input)
+      // manual ENGAGE also pins: every engaged caller reads the input
+      // at least twice (range stats + bucket join, often an n-count
+      // too) — materializing once is strictly cheaper than re-running
+      // the aggregate per consumer. Manual-off (0) stays untouched.
+      case Some(b) => if (b > 0) (b, Text.pin(input, slot)) else (0, input)
       case None =>
         val probeFloor = s.conf.getOption("spark.graft.rankAutoProbeBytes")
           .map(BigInt(_)).getOrElse(BigInt(256L << 20))
