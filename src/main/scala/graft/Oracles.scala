@@ -3494,6 +3494,14 @@ object Oracles {
       |        AS prev_cents
       |    FROM d) WHERE prev_cents IS NOT NULL)""".stripMargin
 
+  /** Truncated-RBO@10 per-item weight ×10⁹ as a CASE over the max of
+    * the two ranks (§2.96) — the same Scala-computed literals
+    * Evaluation.rboWeightsE9 embeds on the engine side. */
+  private def rboWeightCase(rankExpr: String): String =
+    graft.ops.Evaluation.rboWeightsE9.zipWithIndex
+      .map { case (w, m) => s"WHEN ${m + 1} THEN $w" }
+      .mkString(s"CASE $rankExpr ", " ", " ELSE 0 END")
+
   /** Second-digit Benford expectation ×10⁴ as a CASE over `digit`
     * (§2.77) — the same Scala-computed literals Forensic embeds. */
   private def benford2Case: String =
@@ -7719,6 +7727,261 @@ object Oracles {
          |            AS BIGINT) AS n_correct,
          |       CAST(sum(CASE WHEN label = true_label THEN 1 ELSE 0 END)
          |            * 10000 // count(*) AS BIGINT) AS acc_bp
-         |FROM w WHERE vr = 1 GROUP BY 1 ORDER BY ALL""".stripMargin
+         |FROM w WHERE vr = 1 GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.96 round-10 second batch ----
+    // SimHash catch-rate vs exact Jaccard (DedupAudit.qSimhashAccuracy):
+    // the signature CTE is the q_dedup_simhash recipe (lo/hi halves);
+    // candidates are the shared loose candPairs CTE.
+    "q_simhash_accuracy" ->
+      s"""WITH $candPairsCte,
+         |votes AS (SELECT doc_id, k,
+         |    sum(CASE WHEN (((strpos('0123456789abcdef',
+         |          substring(md5(token), k // 4 + 1, 1)) - 1)
+         |          >> (k % 4)) & 1) = 1
+         |        THEN 1 ELSE -1 END) AS v
+         |  FROM dt CROSS JOIN range(64) t(k) GROUP BY 1, 2),
+         |sig AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN v > 0 AND k < 32
+         |          THEN CAST(1 AS BIGINT) << CAST(k AS INT)
+         |          ELSE 0 END) AS BIGINT) AS lo,
+         |    CAST(sum(CASE WHEN v > 0 AND k >= 32
+         |          THEN CAST(1 AS BIGINT) << CAST(k - 32 AS INT)
+         |          ELSE 0 END) AS BIGINT) AS hi
+         |  FROM votes GROUP BY 1),
+         |q AS (SELECT j_bp // 1000 AS band,
+         |    bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+         |      AS ham
+         |  FROM cand JOIN sig a ON a_id = a.doc_id
+         |            JOIN sig b ON b_id = b.doc_id)
+         |SELECT CAST(band AS BIGINT) AS band,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(CASE WHEN ham <= 8 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_caught,
+         |       CAST(sum(CASE WHEN ham <= 8 THEN 1 ELSE 0 END) * 10000
+         |            // count(*) AS BIGINT) AS catch_bp,
+         |       CAST(sum(ham) // count(*) AS BIGINT) AS mean_hamming,
+         |       CAST(max(ham) AS BIGINT) AS max_hamming
+         |FROM q GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // MA crossover (Volatility.qMaCross): 4·sum7 vs sum28 over calendar
+    // RANGE frames clears the 7/28 denominators exactly.
+    "q_ma_cross" ->
+      """WITH d AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day,
+        |    sum(cents) OVER (PARTITION BY event_type ORDER BY day
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) * 4
+        |    - sum(cents) OVER (PARTITION BY event_type ORDER BY day
+        |      RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) AS diff
+        |  FROM d),
+        |l AS (SELECT event_type, day, diff,
+        |    lag(diff) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS prev_diff
+        |  FROM w)
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |       CASE WHEN diff > 0 THEN 'golden' ELSE 'death' END
+        |         AS direction,
+        |       CAST(diff AS BIGINT) AS diff,
+        |       CAST(prev_diff AS BIGINT) AS prev_diff
+        |FROM l
+        |WHERE prev_diff IS NOT NULL
+        |  AND ((diff > 0 AND prev_diff < 0)
+        |    OR (diff < 0 AND prev_diff > 0))
+        |ORDER BY ALL""".stripMargin,
+
+    // Daily open-order backlog (Supply.qBacklog): day-grain ±1 deltas,
+    // then one prefix sum over the day spine.
+    "q_backlog" ->
+      """WITH mx AS (SELECT l_orderkey,
+        |    max(epoch_us(l_shipdate) // 86400000000) AS d1
+        |  FROM lineitem GROUP BY 1),
+        |sp AS (SELECT epoch_us(o_orderdate) // 86400000000 AS d0, d1
+        |       FROM orders JOIN mx ON o_orderkey = l_orderkey),
+        |dl AS (SELECT day, CAST(sum(delta) AS BIGINT) AS delta FROM (
+        |    SELECT d0 AS day, 1 AS delta FROM sp
+        |    UNION ALL
+        |    SELECT greatest(d1, d0) + 1 AS day, -1 AS delta FROM sp)
+        |  GROUP BY 1)
+        |SELECT CAST(day AS BIGINT) AS day, delta,
+        |       CAST(sum(delta) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS open_orders
+        |FROM dl ORDER BY ALL""".stripMargin,
+
+    // Period-end balance (Warehouse.qPeriodEndBalance): per-(customer,
+    // month) argmax on (o_orderdate, o_orderkey), month-dim fold.
+    "q_period_end_balance" ->
+      """WITH r AS (SELECT o_custkey,
+        |    (year(o_orderdate) - 1990) * 12 + month(o_orderdate) - 1
+        |      AS month_idx,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_custkey,
+        |      (year(o_orderdate) - 1990) * 12 + month(o_orderdate) - 1
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT CAST(month_idx AS BIGINT) AS month_idx,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(cents) AS BIGINT) AS balance_cents
+        |FROM r WHERE rn = 1 GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // Weighted quantiles (Warehouse.qWeightedQuantile): lower-bound
+    // discrete definition, 100·cumw >= p·W all-integer.
+    "q_weighted_quantile" ->
+      """WITH g AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS gw
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, cents, gw,
+        |    sum(gw) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM g),
+        |tw AS (SELECT l_returnflag AS f2,
+        |    CAST(sum(gw) AS BIGINT) AS tot_w FROM g GROUP BY 1),
+        |ps AS (SELECT unnest([25, 50, 75, 90]) AS p)
+        |SELECT l_returnflag, CAST(p AS BIGINT) AS p, tot_w,
+        |       CAST(min(cents) AS BIGINT) AS wq_cents
+        |FROM c JOIN tw ON l_returnflag = f2 CROSS JOIN ps
+        |WHERE cum * 100 >= tot_w * p
+        |GROUP BY 1, 2, 3 ORDER BY ALL""".stripMargin,
+
+    // Truncated RBO@10 (Evaluation.qRbo): the per-item weight CASE
+    // embeds the SAME Scala-computed e9 literals as the engine
+    // (Evaluation.rboWeightsE9 — the Forensic.benford2Bp pattern).
+    "q_rbo" ->
+      s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe
+         |           FROM embeddings WHERE vec_id < 50),
+         |c AS (SELECT vec_id AS nid, embedding AS e FROM embeddings),
+         |s AS (SELECT pid, nid, $dot64 AS dot, $pn64 AS na2, $en64 AS nb2,
+         |    list_sum(list_transform(generate_series(1, 32), i ->
+         |      CAST(pe[i] AS DOUBLE) * CAST(e[i] AS DOUBLE))) AS dot32,
+         |    list_sum(list_transform(generate_series(1, 32), i ->
+         |      CAST(pe[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE))) AS na32,
+         |    list_sum(list_transform(generate_series(1, 32), i ->
+         |      CAST(e[i] AS DOUBLE) * CAST(e[i] AS DOUBLE))) AS nb32
+         |      FROM p JOIN c ON nid <> pid),
+         |r AS (SELECT pid, nid,
+         |    row_number() OVER (PARTITION BY pid
+         |      ORDER BY dot / sqrt(na2 * nb2) DESC, nid) AS rc,
+         |    row_number() OVER (PARTITION BY pid
+         |      ORDER BY dot32 / sqrt(na32 * nb32) DESC, nid) AS rd
+         |  FROM s)
+         |SELECT pid,
+         |    CAST(sum(CASE WHEN rc <= 10 AND rd <= 10 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_both,
+         |    CAST(sum(CASE WHEN rc <= 10 AND rd <= 10 THEN
+         |      ${rboWeightCase("greatest(rc, rd)")} ELSE 0 END)
+         |         AS BIGINT) AS rbo_e9
+         |FROM r WHERE rc <= 10 OR rd <= 10
+         |GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // Tokenizer fertility (TokenStats.qFertility): word-piece-style
+    // segmentation via the same RE2-compatible regex.
+    "q_fertility" ->
+      """WITH d AS (SELECT lang, source,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_pieces
+        |  FROM documents)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_words) AS BIGINT) AS words,
+        |       CAST(sum(n_pieces) AS BIGINT) AS pieces,
+        |       CAST(CASE WHEN sum(n_words) = 0 THEN NULL
+        |         ELSE sum(n_pieces) * 10000 // sum(n_words) END
+        |         AS BIGINT) AS fertility_bp
+        |FROM d GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+
+    // Column profile (Integrity.qColProfile): one aggregate CTE, six
+    // per-column rows unioned off it (the stack() mirror).
+    "q_col_profile" ->
+      """WITH o AS (SELECT *,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(o_orderdate AS DATE) AS odate FROM orders),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k_nulls,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS k_dist,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS k_min,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS k_max,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c_nulls,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS c_dist,
+        |    CAST(min(o_custkey) AS VARCHAR) AS c_min,
+        |    CAST(max(o_custkey) AS VARCHAR) AS c_max,
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS s_nulls,
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS s_dist,
+        |    min(o_orderstatus) AS s_min, max(o_orderstatus) AS s_max,
+        |    CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS t_nulls,
+        |    CAST(count(DISTINCT cents) AS BIGINT) AS t_dist,
+        |    CAST(min(cents) AS VARCHAR) AS t_min,
+        |    CAST(max(cents) AS VARCHAR) AS t_max,
+        |    CAST(sum(CASE WHEN odate IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d_nulls,
+        |    CAST(count(DISTINCT odate) AS BIGINT) AS d_dist,
+        |    CAST(min(odate) AS VARCHAR) AS d_min,
+        |    CAST(max(odate) AS VARCHAR) AS d_max,
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0
+        |      END) AS BIGINT) AS p_nulls,
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS p_dist,
+        |    min(o_orderpriority) AS p_min, max(o_orderpriority) AS p_max
+        |  FROM o)
+        |SELECT 'o_orderkey' AS col_name, n_rows, k_nulls AS n_nulls,
+        |       k_dist AS n_distinct, k_min AS min_v, k_max AS max_v
+        |FROM a
+        |UNION ALL SELECT 'o_custkey', n_rows, c_nulls, c_dist, c_min,
+        |       c_max FROM a
+        |UNION ALL SELECT 'o_orderstatus', n_rows, s_nulls, s_dist,
+        |       s_min, s_max FROM a
+        |UNION ALL SELECT 'o_totalprice_cents', n_rows, t_nulls, t_dist,
+        |       t_min, t_max FROM a
+        |UNION ALL SELECT 'o_orderdate', n_rows, d_nulls, d_dist, d_min,
+        |       d_max FROM a
+        |UNION ALL SELECT 'o_orderpriority', n_rows, p_nulls, p_dist,
+        |       p_min, p_max FROM a
+        |ORDER BY ALL""".stripMargin,
+
+    // Exact z-score outliers (Spread.qZscoreOutliers): z² as a HUGEINT
+    // rational — (n·x − s)² / (n·q − s²), no square root taken; the
+    // 1.5σ bar (4·num² ≥ 9·den) suits bounded distributions.
+    "q_zscore_outliers" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |m AS (SELECT c_mktsegment AS seg,
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(cents) AS HUGEINT) AS ss,
+        |    sum(CAST(cents AS HUGEINT) * cents) AS qq
+        |  FROM c GROUP BY 1),
+        |z AS (SELECT c_mktsegment, c_custkey, cents,
+        |    n * cents - ss AS num, n * qq - ss * ss AS den
+        |  FROM c JOIN m ON c_mktsegment = seg)
+        |SELECT c_mktsegment, c_custkey, cents,
+        |       CAST(num * num * 1000000 // den AS BIGINT) AS z2_e6
+        |FROM z WHERE den > 0 AND 4 * num * num >= 9 * den
+        |ORDER BY ALL""".stripMargin,
+
+    // Min-max scaling audit (Features.qMinmaxScale).
+    "q_minmax_scale" ->
+      """WITH p AS (SELECT p_brand,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+        |  FROM part),
+        |r AS (SELECT p_brand AS b2, min(cents) AS lo, max(cents) AS hi
+        |      FROM p GROUP BY 1),
+        |sc AS (SELECT p_brand,
+        |    CASE WHEN hi = lo THEN 0
+        |      ELSE (cents - lo) * 10000 // (hi - lo) END AS scaled_bp
+        |  FROM p JOIN r ON p_brand = b2)
+        |SELECT p_brand, CAST(least(scaled_bp // 1000, 9) AS BIGINT)
+        |         AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(min(scaled_bp) AS BIGINT) AS min_bp,
+        |       CAST(max(scaled_bp) AS BIGINT) AS max_bp
+        |FROM sc GROUP BY 1, 2 ORDER BY ALL""".stripMargin
   )
 }

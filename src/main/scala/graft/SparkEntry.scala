@@ -556,7 +556,19 @@ object SparkEntry {
     "q_token_run" -> CorpusStats.qTokenRun _,
     "q_sample_systematic" -> Sampling.qSampleSystematic _,
     "q_rate_limit" -> Slo.qRateLimit _,
-    "q_knn_classify" -> Evaluation.qKnnClassify _
+    "q_knn_classify" -> Evaluation.qKnnClassify _,
+    // §2.96 round-10 extensions, second batch: sketch calibration,
+    // finance/warehouse staples, feature scaling, DQ profiling
+    "q_simhash_accuracy" -> DedupAudit.qSimhashAccuracy _,
+    "q_ma_cross" -> Volatility.qMaCross _,
+    "q_backlog" -> Supply.qBacklog _,
+    "q_period_end_balance" -> Warehouse.qPeriodEndBalance _,
+    "q_weighted_quantile" -> Warehouse.qWeightedQuantile _,
+    "q_rbo" -> Evaluation.qRbo _,
+    "q_fertility" -> TokenStats.qFertility _,
+    "q_col_profile" -> Integrity.qColProfile _,
+    "q_zscore_outliers" -> Spread.qZscoreOutliers _,
+    "q_minmax_scale" -> Features.qMinmaxScale _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

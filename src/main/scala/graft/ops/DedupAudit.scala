@@ -48,6 +48,13 @@ object DedupAudit {
         s"cand_pairs_${new java.io.File(dir).getName}")
     })
 
+  /** Test hook (Round10Batch2Spec): the pinned loose candidate set —
+    * exposes the SAME frame the audits fold, so cross-query
+    * consistency can be asserted without a re-derivation. */
+  private[graft] def candPairsForTest(s: SparkSession,
+                                      dir: String): DataFrame =
+    candPairs(s, dir)
+
   /** Threshold sensitivity sweep (§2.69): pair counts and docs
     * involved at Jaccard cuts 0.5 / 0.7 / 0.8 / 0.9 from ONE
     * candidate generation — the dedup tuning table. The threshold
@@ -92,6 +99,38 @@ object DedupAudit {
         max(expr("abs(est_bp - j_bp)")).cast("long").as("max_err_bp"))
       .withColumn("mean_err_bp", expr("abs_err_sum div n_pairs"))
       .select("band", "n_pairs", "mean_err_bp", "max_err_bp"))
+  }
+
+  /** SimHash catch-rate profile (§2.96): for every loose candidate
+    * pair, whether the 64-bit SimHash would surface it at the graded
+    * Hamming ≤ 8 cut, folded per exact-Jaccard decile band — pair
+    * count, pairs caught, catch rate bp, mean and max Hamming. The
+    * simhash twin of [[qMinhashAccuracy]]: where that calibrates the
+    * ESTIMATOR error of the 16-lane sketch, this calibrates the
+    * RECALL of the Hamming cut against exact Jaccard (simhash is a
+    * cosine-family sketch, so its J-recall curve is the number a
+    * dedup-tuning pass actually needs before swapping sketches). Both
+    * inputs are session pins (candPairs + [[Sketches.shSigs]]) —
+    * zero re-derivation. */
+  def qSimhashAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val sig = Sketches.shSigs(s, dir)
+    orderedAll(candPairs(s, dir)
+      .join(sig.select(col("doc_id").as("a_id"),
+        col("simhash").as("sa")), "a_id")
+      .join(sig.select(col("doc_id").as("b_id"),
+        col("simhash").as("sb")), "b_id")
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .withColumn("band", expr("j_bp div 1000"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("hamming") <= 8, 1L).otherwise(0L)).cast("long")
+          .as("n_caught"),
+        sum("hamming").cast("long").as("ham_sum"),
+        max("hamming").cast("long").as("max_hamming"))
+      .withColumn("catch_bp", expr("n_caught * 10000 div n_pairs"))
+      .withColumn("mean_hamming", expr("ham_sum div n_pairs"))
+      .select("band", "n_pairs", "n_caught", "catch_bp",
+        "mean_hamming", "max_hamming"))
   }
 
   /** Near-dup component size profile (§2.69): cluster-size histogram

@@ -516,4 +516,67 @@ object Evaluation {
           .cast("long").as("n_correct"))
       .withColumn("acc_bp", expr("n_correct * 10000 div n_probes")))
   }
+
+  /** Truncated-RBO@10 tail weights ×10⁹, p = 0.9: an item present in
+    * both top-10 lists at ranks (rc, rd) contributes to the agreement
+    * term of every depth d ≥ max(rc, rd), so its total weight is
+    * w_m = (1−p)·Σ_{d=m..10} p^(d−1)/d with m = max(rc, rd) — the
+    * per-item regrouping of RBO's per-depth sum. Computed EXACTLY in
+    * rationals here (p = 9/10), rounded once to e9; the oracle embeds
+    * the SAME Scala-computed literals (the Forensic.benford2Bp
+    * pattern), so cross-engine parity is by construction. Identical
+    * full lists sum to 1 − p¹⁰ = 0.6513…e9 — RBO@10 is prefix-
+    * truncated, not extrapolated. */
+  val rboWeightsE9: IndexedSeq[Long] = {
+    import scala.math.BigInt
+    // (1-p)·Σ p^(d-1)/d over d=m..10 in exact rationals: each term
+    // (1/10)·9^(d-1)/(10^(d-1)·d) = 9^(d-1)·10^(10-d)·(L/d) over the
+    // common denominator 10^10·L, L = lcm(1..10) = 2520 (the 10^(10-d)
+    // = 10^(11-d)/10 already carries the (1-p) = 1/10 factor).
+    val L = 2520L
+    (1 to 10).map { m =>
+      val num = (m to 10).map { d =>
+        BigInt(9).pow(d - 1) * BigInt(10).pow(10 - d) * (L / d)
+      }.sum
+      val scaled = num * BigInt(1000000000L)  // target e9 scale
+      val den = BigInt(10).pow(10) * L
+      ((scaled + den / 2) / den).toLong  // round half up
+    }
+  }
+
+  /** Rank-biased overlap @10 (§2.96): per probe (vec_id < 50), the
+    * truncated RBO (p = 0.9) between the full-64-dim cosine top-10 and
+    * the first-32-dims top-10 over the rest of the corpus — the
+    * top-weighted cousin of q_rank_overlap's flat Jaccard (RBO rewards
+    * agreeing at rank 1 ~6× more than at rank 10, which is what a
+    * retrieval UI actually experiences). Ties break to smaller vec_id
+    * in both rankings; everything after the two shared-partition rank
+    * windows is an integer fold over [[rboWeightsE9]]. */
+  def qRbo(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val scored = emb.join(broadcast(probes), col("vec_id") =!= col("pid"))
+      .withColumn("cos", Vectors.cosine(col("pe"), col("embedding")))
+      .withColumn("cos32", Vectors.cosine(
+        slice(col("pe"), 1, 32), slice(col("embedding"), 1, 32)))
+    val wc = Window.partitionBy("pid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val wd = Window.partitionBy("pid")
+      .orderBy(col("cos32").desc, col("vec_id").asc)
+    val wCase = rboWeightsE9.zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN ${w}L" }
+      .mkString("CASE greatest(rc, rd) ", " ", " ELSE 0L END")
+    orderedAll(scored
+      .withColumn("rc", row_number().over(wc))
+      .withColumn("rd", row_number().over(wd))
+      .filter(col("rc") <= 10 || col("rd") <= 10)
+      .withColumn("w_e9", expr(
+        s"CASE WHEN rc <= 10 AND rd <= 10 THEN $wCase ELSE 0L END"))
+      .groupBy("pid")
+      .agg(sum(when(col("rc") <= 10 && col("rd") <= 10, 1L)
+        .otherwise(0L)).cast("long").as("n_both"),
+        sum("w_e9").cast("long").as("rbo_e9"))
+      .select("pid", "n_both", "rbo_e9"))
+  }
 }

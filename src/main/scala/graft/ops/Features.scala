@@ -240,4 +240,30 @@ object Features {
       .selectExpr("event_id", "event_type", "cents",
         "((rn - 1) * 10000) div greatest(n - 1, 1) AS qnorm_bp"))
   }
+
+  /** Min-max scaling audit (§2.96): per part brand, parts binned by
+    * their min-max-scaled retail price — scaled_bp = (x − min)·10⁴
+    * div (max − min) over the brand's cents range, rolled into the 10
+    * [0,1000), …, [9000,10000] decile bins (the max lands in the top
+    * bin via least()). The third normalizer next to q_quantile_norm
+    * (rank-based) and q_zscore_outliers (moment-based): range-based,
+    * the one bounded-activation feature pipelines use. Degenerate
+    * ranges (max = min) scale to 0 by convention. Two mergeable
+    * aggregates over one brand shuffle; output is brands × ≤10 rows. */
+  def qMinmaxScale(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .select(col("p_brand"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cents"))
+    val rng = p.groupBy(col("p_brand").as("b2"))
+      .agg(min("cents").as("lo"), max("cents").as("hi"))
+    orderedAll(p.join(broadcast(rng), col("p_brand") === col("b2"))
+      .withColumn("scaled_bp", expr(
+        "CASE WHEN hi = lo THEN 0L " +
+          "ELSE (cents - lo) * 10000 div (hi - lo) END"))
+      .withColumn("bin", expr("least(scaled_bp div 1000, 9L)"))
+      .groupBy("p_brand", "bin")
+      .agg(count(lit(1)).as("n_parts"),
+        min("scaled_bp").as("min_bp"), max("scaled_bp").as("max_bp"))
+      .select("p_brand", "bin", "n_parts", "min_bp", "max_bp"))
+  }
 }

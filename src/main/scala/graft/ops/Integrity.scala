@@ -180,4 +180,43 @@ object Integrity {
         t(s, dir, "customer").select("c_nationkey"), "c_nationkey",
         t(s, dir, "nation").select("n_nationkey"), "n_nationkey")))
   }
+
+  /** Table column profile (§2.96): the classic one-row-per-column DQ
+    * profile of `orders` — row count, nulls, distinct values, min and
+    * max rendered as strings under a FIXED per-type rendering (cents
+    * BIGINT for money, DATE for timestamps) so both engines print the
+    * identical value. One pass: a single aggregate computes every
+    * column's stats side by side (count_distinct is a partial-merge
+    * aggregate per column), then stack() unpivots the 6-column report
+    * — no per-column rescans. */
+  def qColProfile(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .withColumn("cents", expr(
+        "CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .withColumn("odate", col("o_orderdate").cast("date"))
+    def stats(c: String, v: Column): Seq[Column] = Seq(
+      sum(when(v.isNull, 1L).otherwise(0L)).cast("long")
+        .as(s"${c}_nulls"),
+      countDistinct(v).as(s"${c}_dist"),
+      min(v).cast("string").as(s"${c}_min"),
+      max(v).cast("string").as(s"${c}_max"))
+    val cols = Seq(
+      "o_orderkey" -> col("o_orderkey"),
+      "o_custkey" -> col("o_custkey"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_totalprice_cents" -> col("cents"),
+      "o_orderdate" -> col("odate"),
+      "o_orderpriority" -> col("o_orderpriority"))
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap {
+      case (n, v) => stats(n, v)
+    }
+    val stackExpr = cols.map { case (n, _) =>
+      s"'$n', ${n}_nulls, ${n}_dist, ${n}_min, ${n}_max"
+    }.mkString(s"stack(${cols.size}, ", ", ", ")")
+    orderedAll(o.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"$stackExpr AS (col_name, n_nulls, n_distinct, min_v, max_v)")
+      .select("col_name", "n_rows", "n_nulls", "n_distinct",
+        "min_v", "max_v"))
+  }
 }

@@ -70,6 +70,34 @@ object Sketches {
         s"mh_sigs_${new java.io.File(dir).getName}")
     })
 
+  /** 64-bit SimHash signature per en doc (the [[qDedupSimhash]] vote
+    * recipe — bit k set iff the ±1 md5-nibble vote at bit k is
+    * positive), pinned once per (session, dir): q_dedup_simhash and
+    * q_simhash_accuracy fold the SAME signature table, off the shared
+    * [[enPostings]] leaf (identical token universe: en docs, whitespace
+    * tokens, empties dropped, distinct) — the same dedup-family pin
+    * that closed the md5-lane and exact-pair re-derivation regressions
+    * in rounds 9-10. */
+  private val shCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private[ops] def shSigs(s: SparkSession, dir: String): DataFrame =
+    shCache.computeIfAbsent((s, dir), _ =>
+      Text.pin(enPostings(s, dir)
+        .withColumn("hhex", md5(col("token")))
+        .select(col("doc_id"), col("hhex"),
+          explode(expr("sequence(0, 63)")).as("k"))
+        .withColumn("nib", expr("instr('0123456789abcdef', " +
+          "substring(hhex, CAST(k div 4 AS INT) + 1, 1)) - 1"))
+        .withColumn("vote",
+          expr("IF((shiftright(nib, CAST(k % 4 AS INT)) & 1) = 1, 1, -1)"))
+        .groupBy("doc_id", "k").agg(sum(col("vote")).as("v"))
+        .groupBy("doc_id")
+        .agg(expr(
+          """sum(IF(v > 0, shiftleft(CAST(1 AS BIGINT), k),
+            |       CAST(0 AS BIGINT)))""".stripMargin).as("simhash")),
+        s"sh_sigs_${new java.io.File(dir).getName}"))
+
   /** 8×2 band rows (doc_id, band, bkey) off a lane-signature table — a
     * pure projection + in-row explode; consumers re-derive it from the
     * pinned sigs instead of pinning the 8×-wider band rows. */
@@ -386,23 +414,11 @@ object Sketches {
     // Same relational restructuring as qDedupMinhash: the 64·|tokens| bit
     // votes stream as rows through codegen'd aggregates instead of nested
     // interpreted folds (~5× faster here, partial-mergeable at scale).
-    val docs = t(s, dir, "documents").filter(col("lang") === "en")
-      .select(col("doc_id"),
-        explode(array_remove(array_distinct(tokens(col("text"))), ""))
-          .as("token"))
-      .withColumn("hhex", md5(col("token")))
-      .select(col("doc_id"), col("hhex"),
-        explode(expr("sequence(0, 63)")).as("k"))
-      .withColumn("nib", expr(
-        "instr('0123456789abcdef', substring(hhex, CAST(k div 4 AS INT) + 1, 1)) - 1"))
-      .withColumn("vote",
-        expr("IF((shiftright(nib, CAST(k % 4 AS INT)) & 1) = 1, 1, -1)"))
-      .groupBy("doc_id", "k").agg(sum(col("vote")).as("v"))
-      .groupBy("doc_id")
-      .agg(expr(
-        """sum(IF(v > 0, shiftleft(CAST(1 AS BIGINT), k),
-          |       CAST(0 AS BIGINT)))""".stripMargin).as("simhash"))
-      .select(col("doc_id"), col("simhash"))
+    // Round 10: the signature table itself is the session-pinned
+    // [[shSigs]] shared with q_simhash_accuracy, folded off the pinned
+    // enPostings leaf — this was the last sketch query with a private
+    // corpus re-scan.
+    val docs = shSigs(s, dir)
     // Pigeonhole banding instead of the all-pairs O(n²) NLJ: split the
     // 64-bit signature into 9 disjoint segments (8×7 bits + 1×8 bits).
     // Hamming ≤ 8 means at most 8 bits differ, so at least one of the 9

@@ -106,4 +106,38 @@ object Spread {
       .select(col("grp").as("source"), col("q1"), col("q2"), col("q3"),
         col("bowley_milli")))
   }
+
+  /** Z-score outliers, exactly (§2.96): customers whose account
+    * balance sits ≥ 1.5 population standard deviations from their
+    * market segment's mean — computed WITHOUT ever taking a square
+    * root: z² = (n·x − s)² / (n·q − s²) over per-segment cents moments
+    * (s = Σx, q = Σx²), so z² ≥ 9/4 is the integer comparison
+    * 4·num² ≥ 9·den. The 1.5σ bar (not the gaussian 3σ) because a
+    * BOUNDED distribution caps |z| at √((n−1)) but uniform-ish data
+    * (this fixture's acctbal) caps it near √3 ≈ 1.73 — a 3σ cut is
+    * vacuous there; 1.5σ flags the real tails of bounded data. All
+    * products ride DECIMAL(38,0) ((n·x − s)² alone reaches ~10²⁰ at
+    * sf0.1 — past BIGINT); z2_e6 is emitted quantized. Two passes over
+    * one shuffle: segment moments (mergeable), then a broadcast-join
+    * filter — the degenerate-variance segment emits nothing. */
+  def qZscoreOutliers(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+    val m = c.groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"),
+        sum("cents").as("ss"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("qq"))
+    orderedAll(c.join(broadcast(m), col("c_mktsegment") === col("seg"))
+      .withColumn("num", expr(
+        "CAST(n AS DECIMAL(38,0)) * cents - ss"))
+      .withColumn("den", expr(
+        "CAST(n AS DECIMAL(38,0)) * qq - CAST(ss AS DECIMAL(38,0)) * ss"))
+      .filter(col("den") > 0 &&
+        expr("4 * num * num >= 9 * den"))
+      .withColumn("z2_e6", expr(
+        "CAST(num * num * 1000000 div den AS BIGINT)"))
+      .select(col("c_mktsegment"), col("c_custkey"), col("cents"),
+        col("z2_e6")))
+  }
 }

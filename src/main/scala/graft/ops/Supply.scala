@@ -104,4 +104,36 @@ object Supply {
       .select("r_name", "n_lines", "cents", "xborder_cents",
         "xborder_bp"))
   }
+
+  /** Daily open-order backlog (§2.96): how many orders are in flight
+    * each day — placed (o_orderdate) but not yet fully shipped (the
+    * order's LAST l_shipdate closes it; the day after, it leaves the
+    * backlog). The sweep-line recipe at the day grain: ±1 boundary
+    * deltas are aggregated per day FIRST, then one prefix sum runs
+    * over the tiny day spine — the scale-correct shape when events
+    * collapse to a bounded calendar (contrast q_interval_overlap,
+    * whose µs-grain points keep full cardinality and need the
+    * DistRank-gated sweep). Orders with no lineitem never enter.
+    * Only days with a boundary are emitted (the backlog is constant
+    * between boundaries). */
+  def qBacklog(s: SparkSession, dir: String): DataFrame = {
+    val span = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("d0"))
+      .join(t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(expr("max(unix_micros(l_shipdate) div 86400000000)")
+          .as("d1")),
+        col("o_orderkey") === col("l_orderkey"))
+    val deltas = span
+      .select(col("d0").as("day"), lit(1L).as("delta"))
+      .unionAll(span.select((greatest(col("d1"), col("d0")) + 1)
+        .as("day"), lit(-1L).as("delta")))
+      .groupBy("day").agg(sum("delta").as("delta"))
+    val wd = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orderedAll(deltas
+      .withColumn("open_orders", sum("delta").over(wd).cast("long"))
+      .select("day", "delta", "open_orders"))
+  }
 }

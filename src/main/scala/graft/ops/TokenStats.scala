@@ -66,4 +66,31 @@ object TokenStats {
         sum("bucket").cast("long").as("n_tokens"),
         max("bucket").cast("long").as("max_bucket")))
   }
+
+  /** Tokenizer fertility (§2.96): per (lang, source), pieces per
+    * whitespace word in bp, where "pieces" is a word-piece-style
+    * segmentation — maximal [a-z0-9]+ runs plus every other non-space
+    * character as its own piece (the pre-tokenization rule BPE-family
+    * tokenizers start from). Fertility ≈ 1 means whitespace ≈ the
+    * tokenizer; ≫ 1 flags scripts/sources the subword budget will pay
+    * extra for. The regex is engine-portable (same RE2-compatible
+    * pattern in DuckDB); counts fold as exact BIGINTs — one scan, one
+    * mergeable aggregate. */
+  def qFertility(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "documents")
+      .select(col("lang"), col("source"),
+        size(array_remove(tokens(col("text")), "")).cast("long")
+          .as("n_words"),
+        size(expr(
+          "regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_pieces"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").cast("long").as("words"),
+        sum("n_pieces").cast("long").as("pieces"))
+      .withColumn("fertility_bp", expr(
+        "CASE WHEN words = 0 THEN NULL " +
+          "ELSE pieces * 10000 div words END"))
+      .select("lang", "source", "n_docs", "words", "pieces",
+        "fertility_bp"))
 }

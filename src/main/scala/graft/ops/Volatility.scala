@@ -96,4 +96,36 @@ object Volatility {
         max(when(col("sign") === -1, col("len")).otherwise(0L))
           .cast("long").as("max_down_streak")))
   }
+
+  /** Moving-average crossover signals (§2.96): per event type, days
+    * where the trailing-7-calendar-day cents total crosses the
+    * trailing-28-day total — the classic fast/slow MA trade signal,
+    * made EXACT by clearing denominators (avg7 > avg28 ⟺ 4·sum7 >
+    * sum28, since 28 = 4·7; both sums are exact BIGINT cents over
+    * calendar RANGE frames, so sparse days weigh correctly). A cross
+    * is a strict sign change of d = 4·sum7 − sum28 against the
+    * previous OBSERVED day (d = 0 days break streaks both ways but
+    * emit nothing). Day-grain input: the scan collapses to
+    * (type, day) before any window — bounded rows per type. */
+  def qMaCross(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val w7 = Window.partitionBy("event_type").orderBy("day")
+      .rangeBetween(-6, 0)
+    val w28 = Window.partitionBy("event_type").orderBy("day")
+      .rangeBetween(-27, 0)
+    val wl = Window.partitionBy("event_type").orderBy("day")
+    orderedAll(d
+      .withColumn("diff",
+        sum("cents").over(w7) * 4 - sum("cents").over(w28))
+      .withColumn("prev_diff", lag("diff", 1).over(wl))
+      .filter(col("prev_diff").isNotNull &&
+        ((col("diff") > 0 && col("prev_diff") < 0) ||
+          (col("diff") < 0 && col("prev_diff") > 0)))
+      .withColumn("direction",
+        when(col("diff") > 0, "golden").otherwise("death"))
+      .select("event_type", "day", "direction", "diff", "prev_diff"))
+  }
 }

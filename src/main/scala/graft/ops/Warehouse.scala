@@ -420,4 +420,55 @@ object Warehouse {
       .unionByName(profile(o, "o_orderstatus"))
       .unionByName(profile(o, "o_orderpriority")))
   }
+
+  /** Period-end balance roll-up (§2.96): per month, the sum over
+    * customers of each customer's LAST order total in that month —
+    * the semi-additive-measure pattern (balances sum across accounts
+    * but NOT across time; month-end snapshot first, then the additive
+    * axis). Last-in-month is a per-(customer, month) argmax on
+    * (o_orderdate, o_orderkey) — deterministic under order-date ties.
+    * One shuffle on (custkey, month), then a month-dim fold. */
+  def qPeriodEndBalance(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        expr("CAST((year(o_orderdate) - 1990) * 12 " +
+          "+ month(o_orderdate) - 1 AS BIGINT)").as("month_idx"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val wLast = Window.partitionBy("o_custkey", "month_idx")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    orderedAll(o
+      .withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .groupBy("month_idx")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("cents").cast("long").as("balance_cents")))
+  }
+
+  /** Weighted quantiles (§2.96): per return flag, the p25/p50/p75/p90
+    * of l_extendedprice cents weighted by integer-valued l_quantity —
+    * the lower-bound discrete definition (smallest x whose cumulative
+    * weight reaches ⌈p·W⌉, cleared to 100·cumw ≥ p·W so everything
+    * stays integer). Generalizes [[qWeightedMedian]] to a quantile
+    * vector from ONE cents-grain collapse + one cumulative window per
+    * flag; the 4 probe points are a literal cross join. */
+  def qWeightedQuantile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(l_quantity AS BIGINT)").as("w"))
+      .groupBy("l_returnflag", "cents").agg(sum("w").as("gw"))
+    val wc = Window.partitionBy("l_returnflag").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = g.groupBy(col("l_returnflag").as("f2"))
+      .agg(sum("gw").as("tot_w"))
+    val ps = Seq(25L, 50L, 75L, 90L).toDF("p")
+    orderedAll(g.withColumn("cum", sum("gw").over(wc))
+      .join(broadcast(tot), col("l_returnflag") === col("f2"))
+      .crossJoin(broadcast(ps))
+      .filter(col("cum") * 100 >= col("tot_w") * col("p"))
+      .groupBy("l_returnflag", "p", "tot_w")
+      .agg(min("cents").as("wq_cents"))
+      .select("l_returnflag", "p", "tot_w", "wq_cents"))
+  }
 }
