@@ -7966,6 +7966,143 @@ object Oracles {
         |FROM z WHERE den > 0 AND 4 * num * num >= 9 * den
         |ORDER BY ALL""".stripMargin,
 
+    // ---- §2.97 round-10 third batch ----
+    // Daily value percentiles (Slo.qDailyPercentiles): the
+    // percentile_disc recipe sharded by day.
+    "q_daily_percentiles" ->
+      """WITH h AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT day AS d2, CAST(sum(cnt) AS BIGINT) AS n
+        |        FROM h GROUP BY 1),
+        |c AS (SELECT day, v, n,
+        |    sum(cnt) OVER (PARTITION BY day ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h JOIN tot ON day = d2),
+        |p50 AS (SELECT day, n, min(v) AS p50_cents FROM c
+        |        WHERE cum * 100 >= n * 50 GROUP BY 1, 2),
+        |p95 AS (SELECT day AS d3, min(v) AS p95_cents FROM c
+        |        WHERE cum * 100 >= n * 95 GROUP BY 1)
+        |SELECT CAST(day AS BIGINT) AS day, n, p50_cents, p95_cents
+        |FROM p50 JOIN p95 ON day = d3 ORDER BY ALL""".stripMargin,
+
+    // Monthly rank movers (Insights.qRankMovers).
+    "q_rank_movers" ->
+      """WITH rev AS (SELECT
+        |    CAST((year(o_orderdate) - 1990) * 12 + month(o_orderdate)
+        |      - 1 AS BIGINT) AS month_idx,
+        |    n_name,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT month_idx, n_name,
+        |    CAST(row_number() OVER (PARTITION BY month_idx
+        |      ORDER BY cents DESC, n_name) AS BIGINT) AS rk
+        |  FROM rev),
+        |l AS (SELECT month_idx, n_name, rk,
+        |    lag(rk) OVER (PARTITION BY n_name ORDER BY month_idx)
+        |      AS prev_rk
+        |  FROM r)
+        |SELECT month_idx, n_name, rk, prev_rk,
+        |       CAST(prev_rk - rk AS BIGINT) AS delta
+        |FROM l WHERE prev_rk IS NOT NULL AND abs(rk - prev_rk) >= 3
+        |ORDER BY ALL""".stripMargin,
+
+    // Nearest as-of (Windows.qJoinAsofNearest): strictly-back and
+    // strictly-forward conditional extrema on one user ordering.
+    "q_join_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |w AS (SELECT event_id, user_id, us,
+        |    max(CASE WHEN event_type = 'purchase' THEN us END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_us,
+        |    min(CASE WHEN event_type = 'purchase' THEN us END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS next_us
+        |  FROM e)
+        |SELECT event_id, user_id,
+        |       CAST(least(us - prev_us, next_us - us) AS BIGINT)
+        |         AS nearest_us,
+        |       CASE WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+        |         WHEN next_us IS NULL THEN 'prev'
+        |         WHEN prev_us IS NULL THEN 'next'
+        |         WHEN us - prev_us <= next_us - us THEN 'prev'
+        |         ELSE 'next' END AS side
+        |FROM w ORDER BY ALL""".stripMargin,
+
+    // Cumulative user growth (Lifecycle.qCumulativeUsers).
+    "q_cumulative_users" ->
+      """WITH f AS (SELECT user_id,
+        |    min(epoch_us(ts) // 86400000000) AS day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+        |      FROM f GROUP BY 1)
+        |SELECT CAST(day AS BIGINT) AS day, new_users,
+        |       CAST(sum(new_users) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS cum_users
+        |FROM d ORDER BY ALL""".stripMargin,
+
+    // Per-SKU price changes (Retail.qPriceChanges): exact integer unit
+    // cents (line cents // integer quantity), one lag per part.
+    "q_price_changes" ->
+      """WITH li AS (SELECT l_partkey, l_orderkey, l_linenumber,
+        |    epoch_us(l_shipdate) AS us,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      // CAST(l_quantity AS BIGINT) AS unit_c
+        |  FROM lineitem),
+        |l AS (SELECT l_partkey, unit_c,
+        |    lag(unit_c) OVER (PARTITION BY l_partkey
+        |      ORDER BY us, l_orderkey, l_linenumber) AS prev_c
+        |  FROM li)
+        |SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_obs,
+        |       CAST(sum(CASE WHEN prev_c IS NOT NULL
+        |         AND prev_c <> unit_c THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_changes,
+        |       CAST(min(unit_c) AS BIGINT) AS min_unit_c,
+        |       CAST(max(unit_c) AS BIGINT) AS max_unit_c
+        |FROM l GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // Label balance (EmbedAudit.qLabelBalance).
+    "q_label_balance" ->
+      """WITH l AS (SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(count(*) AS BIGINT) AS n_vecs
+        |  FROM embeddings GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total,
+        |             CAST(min(n_vecs) AS BIGINT) AS n_min FROM l)
+        |SELECT label, n_vecs,
+        |       CAST(n_vecs * 10000 // n_total AS BIGINT) AS share_bp,
+        |       CAST(n_vecs * 1000 // n_min AS BIGINT) AS vs_min_milli
+        |FROM l CROSS JOIN t ORDER BY ALL""".stripMargin,
+
+    // kNN margin (Evaluation.qKnnMargin): top-2 cosine gap per probe.
+    "q_knn_margin" ->
+      s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe
+         |           FROM embeddings WHERE vec_id < 50),
+         |c AS (SELECT vec_id AS nid, embedding AS e FROM embeddings),
+         |s AS (SELECT pid, nid, $dot64 AS dot, $pn64 AS na2, $en64 AS nb2
+         |      FROM p JOIN c ON nid <> pid),
+         |r AS (SELECT pid, nid, dot / sqrt(na2 * nb2) AS cos,
+         |    row_number() OVER (PARTITION BY pid
+         |      ORDER BY dot / sqrt(na2 * nb2) DESC, nid) AS rn
+         |  FROM s)
+         |SELECT pid,
+         |       CAST(min(CASE WHEN rn = 1 THEN nid END) AS BIGINT)
+         |         AS n1,
+         |       CAST(min(CASE WHEN rn = 2 THEN nid END) AS BIGINT)
+         |         AS n2,
+         |       CAST(round((max(CASE WHEN rn = 1 THEN cos END)
+         |         - max(CASE WHEN rn = 2 THEN cos END)) * 10000)
+         |         AS BIGINT) AS margin_e4
+         |FROM r WHERE rn <= 2 GROUP BY 1 ORDER BY ALL""".stripMargin,
+
     // Min-max scaling audit (Features.qMinmaxScale).
     "q_minmax_scale" ->
       """WITH p AS (SELECT p_brand,

@@ -568,7 +568,16 @@ object SparkEntry {
     "q_fertility" -> TokenStats.qFertility _,
     "q_col_profile" -> Integrity.qColProfile _,
     "q_zscore_outliers" -> Spread.qZscoreOutliers _,
-    "q_minmax_scale" -> Features.qMinmaxScale _
+    "q_minmax_scale" -> Features.qMinmaxScale _,
+    // §2.97 round-10 extensions, third batch: time-series BI, the
+    // nearest as-of, growth curves, retail and retrieval audits
+    "q_daily_percentiles" -> Slo.qDailyPercentiles _,
+    "q_rank_movers" -> Insights.qRankMovers _,
+    "q_join_asof_nearest" -> Windows.qJoinAsofNearest _,
+    "q_cumulative_users" -> Lifecycle.qCumulativeUsers _,
+    "q_price_changes" -> Retail.qPriceChanges _,
+    "q_label_balance" -> EmbedAudit.qLabelBalance _,
+    "q_knn_margin" -> Evaluation.qKnnMargin _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

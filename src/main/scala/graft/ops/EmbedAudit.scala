@@ -145,4 +145,22 @@ object EmbedAudit {
       .select("block", "codes_used", "max_occ", "min_occ", "n_vecs",
         "imbalance_bp"))
   }
+
+  /** Label balance audit (§2.97): the class distribution of the
+    * embeddings' label column — count, share bp, and each class's
+    * size relative to the SMALLEST class (×10³) — the imbalance
+    * check run before any classifier or contrastive-sampling job
+    * (q_knn_classify's accuracies mean little if one label dominates).
+    * One mergeable label fold + one 1-row broadcast back. */
+  def qLabelBalance(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "embeddings")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val tot = l.agg(sum("n_vecs").as("n_total"),
+      min("n_vecs").as("n_min"))
+    orderedAll(l.crossJoin(broadcast(tot))
+      .withColumn("share_bp", expr("n_vecs * 10000 div n_total"))
+      .withColumn("vs_min_milli", expr("n_vecs * 1000 div n_min"))
+      .select("label", "n_vecs", "share_bp", "vs_min_milli"))
+  }
 }

@@ -579,4 +579,32 @@ object Evaluation {
         sum("w_e9").cast("long").as("rbo_e9"))
       .select("pid", "n_both", "rbo_e9"))
   }
+
+  /** kNN margin audit (§2.97): per probe (vec_id < 50), the cosine
+    * gap between its 1st and 2nd nearest candidates, ×10⁴ — the
+    * retrieval-confidence histogramless readout (a thin margin means
+    * the top hit is interchangeable; ANN error there is invisible to
+    * users, which is why margins gate ANN rollouts). One rank window
+    * on the broadcast-probe NLJ; both cosines are bit-identical
+    * doubles in the two engines (the q_knn_cosine contract), so the
+    * single round(·,4)-style quantization is deterministic. Ties in
+    * cosine break to smaller vec_id — n1 < n2 then disambiguates. */
+  def qKnnMargin(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val w = Window.partitionBy("pid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    orderedAll(emb.join(broadcast(probes), col("vec_id") =!= col("pid"))
+      .withColumn("cos", Vectors.cosine(col("pe"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("pid")
+      .agg(min(when(col("rn") === 1, col("vec_id"))).as("n1"),
+        min(when(col("rn") === 2, col("vec_id"))).as("n2"),
+        expr("CAST(round((max(CASE WHEN rn = 1 THEN cos END)" +
+          " - max(CASE WHEN rn = 2 THEN cos END)) * 10000) AS BIGINT)")
+          .as("margin_e4"))
+      .select("pid", "n1", "n2", "margin_e4"))
+  }
 }

@@ -647,4 +647,37 @@ object Insights {
         .select(col("nation"), lit("bottom").as("side"),
           col("rk_bot").as("rk"), col("suppkey"), col("cents"))))
   }
+
+  /** Monthly rank movers (§2.97): nations whose revenue RANK moved by
+    * ≥ 3 places against the previous observed month — the "biggest
+    * movers" box of every BI leaderboard, where the rank delta (an
+    * order statistic) matters more than the revenue delta. Rank is
+    * per-month over exact cents (ties → nation name asc, so the rank
+    * itself is deterministic); the previous rank is an
+    * observation-to-observation lag per nation (months with no orders
+    * for a nation are skipped, the q_ma_cross convention). Facts
+    * collapse to (month, nation) — ≤ 25 rows per month — before any
+    * window. */
+  def qRankMovers(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(expr("CAST((year(o_orderdate) - 1990) * 12" +
+        " + month(o_orderdate) - 1 AS BIGINT)").as("month_idx"),
+        col("n_name"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val wRank = Window.partitionBy("month_idx")
+      .orderBy(col("cents").desc, col("n_name").asc)
+    val wLag = Window.partitionBy("n_name").orderBy("month_idx")
+    orderedAll(rev
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("prev_rk", lag("rk", 1).over(wLag))
+      .filter(col("prev_rk").isNotNull &&
+        abs(col("rk") - col("prev_rk")) >= 3)
+      .withColumn("delta", col("prev_rk") - col("rk"))
+      .select("month_idx", "n_name", "rk", "prev_rk", "delta"))
+  }
 }

@@ -107,4 +107,25 @@ object Lifecycle {
         expr("sum(n_days) div count(1)").as("avg_active_days"),
         sum("n_events").cast("long").as("n_events")))
   }
+
+  /** Cumulative user growth (§2.97): per day, users seen for the
+    * first time and the running total of distinct users ever seen —
+    * the growth curve whose slope every launch review reads. The
+    * distinct-user axis collapses to ONE row per user (min day)
+    * before anything else, the day spine is bounded, and the running
+    * total is a prefix sum over that tiny spine — never a
+    * distinct-count over an expanding window (which would rescan
+    * user×day at every step). Days with no first-timers don't emit
+    * (the curve is flat there). */
+  def qCumulativeUsers(s: SparkSession, dir: String): DataFrame = {
+    val firsts = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(min(expr("unix_micros(ts) div 86400000000")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val wd = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orderedAll(firsts
+      .withColumn("cum_users", sum("new_users").over(wd).cast("long"))
+      .select("day", "new_users", "cum_users"))
+  }
 }

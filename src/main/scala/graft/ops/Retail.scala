@@ -99,4 +99,32 @@ object Retail {
       .groupBy("seg_pre", "seg_post")
       .agg(count(lit(1)).as("n_customers")))
   }
+
+  /** Per-SKU price-change audit (§2.97): for every part, how many
+    * times its observed UNIT price changed along the ship-date
+    * timeline, plus the unit-price band — the repricing-frequency
+    * readout behind price-integrity monitoring. Unit cents are exact
+    * integers (line cents div integer quantity — no double division),
+    * the change flag is one lag window per part (the natural shard
+    * axis: timelines never span parts), and everything after is a
+    * mergeable per-part fold. Output is part-dimensional. */
+  def qPriceChanges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        expr("unix_micros(l_shipdate)").as("us"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+          " div CAST(l_quantity AS BIGINT)").as("unit_c"))
+    val w = Window.partitionBy("l_partkey")
+      .orderBy(col("us").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    orderedAll(li
+      .withColumn("prev_c", lag("unit_c", 1).over(w))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("prev_c").isNotNull &&
+          col("prev_c") =!= col("unit_c"), 1L).otherwise(0L))
+          .cast("long").as("n_changes"),
+        min("unit_c").as("min_unit_c"),
+        max("unit_c").as("max_unit_c")))
+  }
 }

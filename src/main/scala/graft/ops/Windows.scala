@@ -234,6 +234,39 @@ object Windows {
         .as("next_purchase_us")))
   }
 
+  /** Nearest as-of join (§2.97): each event matched to the CLOSEST
+    * purchase of the same user in either direction — the third member
+    * of the as-of family (backward [[qJoinAsof]], forward
+    * [[qJoinAsofForward]]); a sensor-fusion/attribution staple when
+    * causality is unknown. Both candidate timestamps come from the
+    * SAME user-sharded (us, event_id) ordering — one window frame
+    * looking strictly back, one strictly forward — so the whole query
+    * is one shuffle; ties (equidistant) resolve to the EARLIER
+    * purchase, and same-µs purchases at other row positions count as
+    * the strictly-prev/next row just as the two parent queries define
+    * it. nearest_us is the absolute distance; side says which one won
+    * (NULL when the user has no purchase at all). */
+  def qJoinAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("us", unix_micros(col("ts")))
+    val base = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val isP = when(col("event_type") === "purchase", col("us"))
+    orderedAll(e
+      .withColumn("prev_us",
+        max(isP).over(base.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("next_us",
+        min(isP).over(base.rowsBetween(1, Window.unboundedFollowing)))
+      .withColumn("d_prev", col("us") - col("prev_us"))
+      .withColumn("d_next", col("next_us") - col("us"))
+      .withColumn("nearest_us", least(col("d_prev"), col("d_next")))
+      .withColumn("side", expr(
+        "CASE WHEN d_prev IS NULL AND d_next IS NULL THEN NULL " +
+          "WHEN d_next IS NULL THEN 'prev' " +
+          "WHEN d_prev IS NULL THEN 'next' " +
+          "WHEN d_prev <= d_next THEN 'prev' ELSE 'next' END"))
+      .select("event_id", "user_id", "nearest_us", "side"))
+  }
+
   /** Z-score outliers (§2.17): events whose value is > 2.5σ from the
     * per-type mean — the metric-anomaly sweep of every event pipeline.
     * The moments go through EXACT decimal sums (value is a 2-dp column,
