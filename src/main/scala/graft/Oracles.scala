@@ -8103,6 +8103,190 @@ object Oracles {
          |         AS BIGINT) AS margin_e4
          |FROM r WHERE rn <= 2 GROUP BY 1 ORDER BY ALL""".stripMargin,
 
+    // ---- §2.98 round-10 fourth batch ----
+    // Point-in-time lookup (Warehouse.qPitLookup): the q_scd2 dimension
+    // CTE + an as-of-(day − 30) interval stab, rolled to the
+    // (prio_then, prio_now) transition matrix.
+    "q_pit_lookup" ->
+      """WITH v AS (SELECT o_custkey, o_orderkey,
+        |    o_orderpriority AS prio,
+        |    epoch_us(o_orderdate) // 86400000000 AS day,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY epoch_us(o_orderdate) // 86400000000, o_orderkey)
+        |      AS prev
+        |  FROM orders),
+        |dim AS (SELECT o_custkey AS d_ck, prio AS prio_then, day
+        |      AS valid_from,
+        |    lead(day) OVER (PARTITION BY o_custkey ORDER BY day,
+        |      o_orderkey) AS valid_to
+        |  FROM v WHERE prev IS NULL OR prev <> prio),
+        |f AS (SELECT o_custkey, o_orderpriority AS prio_now,
+        |    epoch_us(o_orderdate) // 86400000000 - 30 AS asof_day
+        |  FROM orders)
+        |SELECT coalesce(prio_then, 'none') AS prio_then, prio_now,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM f LEFT JOIN dim ON o_custkey = d_ck
+        |  AND valid_from <= asof_day
+        |  AND (valid_to IS NULL OR valid_to > asof_day)
+        |GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+
+    // Multiprobe LSH ANN (Sketches.qAnnMultiprobe): the q_ann_lsh
+    // bucket CTE; the probe side unnests its 9 Hamming<=1 buckets.
+    "q_ann_multiprobe" ->
+      s"""WITH sgn AS (SELECT j,
+         |    list(CASE WHEN (strpos('0123456789abcdef',
+         |        substring(md5(CAST(j * 64 + i AS VARCHAR)), 1, 1)) - 1)
+         |        % 2 = 0
+         |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+         |      ORDER BY i) AS sv
+         |  FROM range(8) a(j) CROSS JOIN range(64) b(i) GROUP BY j),
+         |bkt AS (SELECT vec_id, embedding,
+         |    CAST(sum(CASE WHEN list_sum(list_transform(
+         |        generate_series(1, 64),
+         |        i -> CAST(embedding[i] AS DOUBLE) * sv[i])) > 0
+         |      THEN 1 << j ELSE 0 END) AS INT) AS bucket
+         |  FROM embeddings CROSS JOIN sgn GROUP BY 1, 2),
+         |p AS (SELECT vec_id AS pid, embedding AS pe,
+         |    unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+         |      xor(bucket, 4), xor(bucket, 8), xor(bucket, 16),
+         |      xor(bucket, 32), xor(bucket, 64), xor(bucket, 128)])
+         |      AS pb
+         |  FROM bkt WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nid, embedding AS e, bucket AS cb
+         |      FROM bkt),
+         |s AS (SELECT pid, nid, $dot64 AS dot, $pn64 AS na2, $en64 AS nb2
+         |      FROM p JOIN c ON cb = pb AND nid <> pid),
+         |r AS (SELECT pid, nid, dot / sqrt(na2 * nb2) AS cos,
+         |             row_number() OVER (PARTITION BY pid
+         |               ORDER BY dot / sqrt(na2 * nb2) DESC, nid) AS rn
+         |      FROM s)
+         |SELECT pid, nid, rn, round(cos, 4) AS sim FROM r WHERE rn <= 5
+         |ORDER BY ALL""".stripMargin,
+
+    // Linear multi-touch attribution (Journeys.qLinearAttribution):
+    // 4 conditional running counts on one user ordering.
+    "q_linear_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |c AS (SELECT event_type,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END)
+        |      OVER w AS c_click,
+        |    count(CASE WHEN event_type = 'error' THEN 1 END)
+        |      OVER w AS c_error,
+        |    count(CASE WHEN event_type = 'signup' THEN 1 END)
+        |      OVER w AS c_signup,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END)
+        |      OVER w AS c_view
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |pur AS (SELECT c_click, c_error, c_signup, c_view,
+        |    c_click + c_error + c_signup + c_view AS n
+        |  FROM c WHERE event_type = 'purchase'
+        |    AND c_click + c_error + c_signup + c_view > 0),
+        |u AS (SELECT 'click' AS touch_type, c_click AS cnt, n FROM pur
+        |  UNION ALL SELECT 'error', c_error, n FROM pur
+        |  UNION ALL SELECT 'signup', c_signup, n FROM pur
+        |  UNION ALL SELECT 'view', c_view, n FROM pur)
+        |SELECT touch_type,
+        |       CAST(count(CASE WHEN cnt > 0 THEN 1 END) AS BIGINT)
+        |         AS n_purchases,
+        |       CAST(sum(cnt * 1000000 // n) AS BIGINT) AS credit_e6
+        |FROM u GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // New-product revenue ramp (Commerce.qItemRamp).
+    "q_item_ramp" ->
+      """WITH pm AS (SELECT l_partkey,
+        |    CAST((year(l_shipdate) - 1990) * 12 + month(l_shipdate) - 1
+        |      AS BIGINT) AS m,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |f AS (SELECT l_partkey AS pk, min(m) AS m0 FROM pm GROUP BY 1),
+        |r AS (SELECT m0, m - m0 AS off,
+        |    CAST(sum(cents) AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS n_selling_parts
+        |  FROM pm JOIN f ON l_partkey = pk WHERE m - m0 <= 2
+        |  GROUP BY 1, 2),
+        |coh AS (SELECT m0 AS m0c, CAST(count(*) AS BIGINT) AS n_parts
+        |        FROM f GROUP BY 1)
+        |SELECT m0, CAST(off AS BIGINT) AS off, n_parts,
+        |       n_selling_parts, cents
+        |FROM r JOIN coh ON m0 = m0c ORDER BY ALL""".stripMargin,
+
+    // Simpson's-paradox detector (Causal.qTrendReversal): exact
+    // HUGEINT covariance numerators, signs only.
+    "q_trend_reversal" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS x, y
+        |  FROM customer JOIN (
+        |    SELECT o_custkey,
+        |      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |        AS BIGINT) AS y
+        |    FROM orders GROUP BY 1) o ON c_custkey = o_custkey),
+        |seg AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT)
+        |      AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM cust GROUP BY 1),
+        |pool AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT)
+        |      AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM cust)
+        |SELECT c_mktsegment, seg.n,
+        |       CAST(sign(CAST(seg.n AS HUGEINT) * seg.sxy
+        |         - seg.sx * seg.sy) AS BIGINT) AS sign,
+        |       CAST(sign(pool.n * pool.sxy - pool.sx * pool.sy)
+        |         AS BIGINT) AS pooled_sign,
+        |       CAST(sign(CAST(seg.n AS HUGEINT) * seg.sxy
+        |           - seg.sx * seg.sy) AS BIGINT)
+        |         <> CAST(sign(pool.n * pool.sxy - pool.sx * pool.sy)
+        |           AS BIGINT) AS reversal
+        |FROM seg CROSS JOIN pool ORDER BY ALL""".stripMargin,
+
+    // Hash-collision sweep (Learning.qHashCollisions): the shared
+    // md5-prefix BIGINT hash, mod three literal table sizes.
+    "q_hash_collisions" -> {
+      // the 15-hex-char (60-bit) md5 prefix as a BIGINT via the nibble
+      // positional sum — the h24 idiom of q_feature_hash, widened
+      val h60 = (1 to 15).map(i =>
+        s"(${nibSql("hx", i)}) * ${1L << (4 * (15 - i))}")
+        .mkString(" + ")
+      s"""WITH v AS (SELECT DISTINCT token FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS token
+        |    FROM documents WHERE lang = 'en') WHERE token <> ''),
+        |hh AS (SELECT token, md5(token) AS hx FROM v),
+        |h AS (SELECT token, CAST($h60 AS BIGINT) AS hv FROM hh),
+        |ks AS (SELECT unnest([8, 12, 16]) AS k),
+        |b AS (SELECT k, CAST(1 AS BIGINT) << k AS m,
+        |    hv % (CAST(1 AS BIGINT) << k) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS load
+        |  FROM h CROSS JOIN ks GROUP BY 1, 2, 3)
+        |SELECT CAST(k AS BIGINT) AS k, m,
+        |       CAST(sum(load) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS buckets_used,
+        |       CAST(sum(load) - count(*) AS BIGINT) AS collisions,
+        |       CAST((sum(load) - count(*)) * 10000 // sum(load)
+        |         AS BIGINT) AS coll_bp,
+        |       CAST(max(load) AS BIGINT) AS max_load
+        |FROM b GROUP BY 1, 2 ORDER BY ALL""".stripMargin
+    },
+
+    // Prefix autocomplete (Lexicon.qAutocomplete).
+    "q_autocomplete" ->
+      """WITH tok AS (SELECT unnest(string_split(lower(text), ' '))
+        |      AS token
+        |    FROM documents WHERE lang = 'en'),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok
+        |      WHERE length(token) >= 3 GROUP BY 1 HAVING count(*) >= 5),
+        |r AS (SELECT substring(token, 1, 2) AS prefix, token, n,
+        |    CAST(row_number() OVER (PARTITION BY substring(token, 1, 2)
+        |      ORDER BY n DESC, token) AS BIGINT) AS rk
+        |  FROM c)
+        |SELECT prefix, rk, token, n FROM r WHERE rk <= 3
+        |ORDER BY ALL""".stripMargin,
+
     // Min-max scaling audit (Features.qMinmaxScale).
     "q_minmax_scale" ->
       """WITH p AS (SELECT p_brand,

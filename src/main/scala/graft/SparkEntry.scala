@@ -577,7 +577,16 @@ object SparkEntry {
     "q_cumulative_users" -> Lifecycle.qCumulativeUsers _,
     "q_price_changes" -> Retail.qPriceChanges _,
     "q_label_balance" -> EmbedAudit.qLabelBalance _,
-    "q_knn_margin" -> Evaluation.qKnnMargin _
+    "q_knn_margin" -> Evaluation.qKnnMargin _,
+    // §2.98 round-10 extensions, fourth batch: PIT correctness,
+    // multiprobe ANN, attribution, product ramps, hashing audits
+    "q_pit_lookup" -> Warehouse.qPitLookup _,
+    "q_ann_multiprobe" -> Sketches.qAnnMultiprobe _,
+    "q_linear_attribution" -> Journeys.qLinearAttribution _,
+    "q_item_ramp" -> Commerce.qItemRamp _,
+    "q_trend_reversal" -> Causal.qTrendReversal _,
+    "q_hash_collisions" -> Learning.qHashCollisions _,
+    "q_autocomplete" -> Lexicon.qAutocomplete _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

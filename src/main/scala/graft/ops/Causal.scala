@@ -179,4 +179,40 @@ object Causal {
         "chi2_e3 * 10000 div (1000 * n * least(r - 1, c - 1))"))
       .select("n", "r", "c", "chi2_e3", "v2_bp"))
   }
+
+  /** Simpson's-paradox detector (§2.98): per market segment, the SIGN
+    * of the covariance between a customer's account balance and their
+    * total order spend, against the pooled sign — a reversal
+    * (segment sign ≠ pooled sign) is the aggregation trap every
+    * observational read of this pair would fall into. Signs come from
+    * the EXACT integer covariance numerator n·Σxy − Σx·Σy in
+    * DECIMAL(38,0) (≈10²⁰ at sf0.1 — past BIGINT), so the boundary
+    * decision never flaps; one customer-grain collapse feeds both the
+    * segment and pooled moments. */
+  def qTrendReversal(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"),  col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("x"))
+      .join(t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("y")),
+        col("c_custkey") === col("o_custkey"))
+    def covSign(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val g = if (keys.isEmpty) df.groupBy() else df.groupBy(keys.head,
+        keys.tail: _*)
+      g.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+        .withColumn("sign", expr(
+          "CAST(sign(CAST(n AS DECIMAL(38,0)) * sxy" +
+            " - CAST(sx AS DECIMAL(38,0)) * sy) AS BIGINT)"))
+    }
+    val pooled = covSign(cust, Nil)
+      .select(col("sign").as("pooled_sign"))
+    orderedAll(covSign(cust, Seq("c_mktsegment"))
+      .crossJoin(broadcast(pooled))
+      .withColumn("reversal", col("sign") =!= col("pooled_sign"))
+      .select("c_mktsegment", "n", "sign", "pooled_sign", "reversal"))
+  }
 }

@@ -86,4 +86,33 @@ object Commerce {
       .withColumn("rev_share_bp", expr("rev_cents * 10000 div tot"))
       .select("dow", "n_orders", "rev_cents", "rev_share_bp"))
   }
+
+  /** New-product revenue ramp (§2.98): parts cohorted by their FIRST
+    * ship month, revenue folded at month offsets 0/1/2 — the product
+    * version of the user cohort triangle (does a launch month's
+    * catalog keep selling, or spike and die?). Facts collapse to
+    * (part, month) cents first; the cohort month is one part-dim
+    * aggregate joined back (co-partitioned on partkey); offsets > 2
+    * fall out of the report. n_parts counts the cohort ONCE (offset-
+    * independent) so ramp rows are comparable. */
+  def qItemRamp(s: SparkSession, dir: String): DataFrame = {
+    val pm = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"),
+        expr("CAST((year(l_shipdate) - 1990) * 12" +
+          " + month(l_shipdate) - 1 AS BIGINT)").as("m"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val first = pm.groupBy(col("l_partkey").as("pk"))
+      .agg(min("m").as("m0"))
+    val ramp = pm.join(first, col("l_partkey") === col("pk"))
+      .withColumn("off", col("m") - col("m0"))
+      .filter(col("off") <= 2)
+      .groupBy("m0", "off")
+      .agg(sum("cents").cast("long").as("cents"),
+        count(lit(1)).as("n_selling_parts"))
+    val cohort = first.groupBy(col("m0").as("m0c"))
+      .agg(count(lit(1)).as("n_parts"))
+    orderedAll(ramp.join(broadcast(cohort), col("m0") === col("m0c"))
+      .select("m0", "off", "n_parts", "n_selling_parts", "cents"))
+  }
 }

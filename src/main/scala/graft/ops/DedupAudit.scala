@@ -36,7 +36,7 @@ object DedupAudit {
     (SparkSession, String), DataFrame]()
 
   private def candPairs(s: SparkSession, dir: String): DataFrame =
-    candCache.computeIfAbsent((s, dir), _ => {
+    candCache.computeIfAbsent(Text.pinKey(s, dir), _ => {
       val dt = Sketches.enPostings(s, dir)
       val dictN = dt.select("token").distinct().count()
       val base =

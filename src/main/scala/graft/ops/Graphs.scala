@@ -42,7 +42,7 @@ object Graphs {
     // (whose vocabulary-widened masks would measure the PAIR PIN, not
     // the graph operators). Unset (the graded default) nothing changes.
     val ext = s.conf.getOption("spark.graft.graphEdgesPath")
-    edgeCache.computeIfAbsent((s, ext.getOrElse(dir)), _ => ext match {
+    edgeCache.computeIfAbsent(Text.pinKey(s, ext.getOrElse(dir)), _ => ext match {
       case Some(p) =>
         val raw = s.read.parquet(p).select("a_id", "b_id")
         // Injected fixtures must satisfy the invariants the derived edge

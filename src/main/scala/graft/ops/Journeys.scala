@@ -168,4 +168,38 @@ object Journeys {
         min("delay_us").as("min_delay_us"),
         max("delay_us").as("max_delay_us")))
   }
+
+  /** Linear multi-touch attribution (§2.98): each purchase splits one
+    * unit of credit (×10⁶) EQUALLY across all of the user's prior
+    * touches, folded per touch type — the equal-weight counterpart of
+    * q_attribution's last-touch rule (last-touch rewards whatever
+    * fires just before checkout; linear credits the whole path). Per
+    * purchase the per-type touch counts come from 4 conditional
+    * running counts over ONE user-sharded ordering (the touch
+    * vocabulary is the fixture's 4 non-purchase types, literal), so
+    * there is no purchase×touch join; credit = cnt_t·10⁶ div n floors
+    * identically in both engines. Purchases with no prior touch drop
+    * (no credit to assign). */
+  def qLinearAttribution(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "signup", "view")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val counted = types.foldLeft(e) { (df, tp) =>
+      df.withColumn(s"c_$tp",
+        count(when(col("event_type") === tp, 1)).over(w))
+    }.filter(col("event_type") === "purchase")
+      .withColumn("n", types.map(tp => col(s"c_$tp")).reduce(_ + _))
+      .filter(col("n") > 0)
+    val perType = types.map(tp => counted.select(
+      lit(tp).as("touch_type"), col(s"c_$tp").as("cnt"),
+      expr(s"c_$tp * 1000000 div n").as("credit_e6")))
+    orderedAll(perType.reduce(_ unionAll _)
+      .groupBy("touch_type")
+      .agg(count(when(col("cnt") > 0, 1)).as("n_purchases"),
+        sum("credit_e6").cast("long").as("credit_e6")))
+  }
 }

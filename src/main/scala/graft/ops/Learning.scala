@@ -287,4 +287,32 @@ object Learning {
         "greatest(coalesce(mx_base, 0), coalesce(mx_delta, 0)) " +
           "AS max_orderkey"))
   }
+
+  /** Hash-collision sweep (§2.98): the feature-hashing trade-off table
+    * behind [[qFeatureHash]]'s bucket choice — for table sizes 2⁸, 2¹²
+    * and 2¹⁶, how many DISTINCT vocabulary tokens collide (tokens −
+    * occupied buckets), the collision share bp, and the worst bucket's
+    * load. Hash: the engine-portable md5-prefix BIGINT used across the
+    * sketch family (60-bit, mod 2ᵏ — identical in DuckDB). One distinct
+    * vocab collapse feeds three literal-k folds; everything merges. */
+  def qHashCollisions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = t(s, dir, "documents").filter(col("lang") === "en")
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "").distinct()
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT)"))
+    val ks = Seq(8, 12, 16).map(k => (k.toLong, 1L << k)).toDF("k", "m")
+    orderedAll(vocab.crossJoin(broadcast(ks))
+      .withColumn("bucket", expr("h % m"))
+      .groupBy("k", "m", "bucket").agg(count(lit(1)).as("load"))
+      .groupBy("k", "m")
+      .agg(sum("load").cast("long").as("n_tokens"),
+        count(lit(1)).as("buckets_used"),
+        max("load").cast("long").as("max_load"))
+      .withColumn("collisions", expr("n_tokens - buckets_used"))
+      .withColumn("coll_bp", expr("collisions * 10000 div n_tokens"))
+      .select("k", "m", "n_tokens", "buckets_used", "collisions",
+        "coll_bp", "max_load"))
+  }
 }

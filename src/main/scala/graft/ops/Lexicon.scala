@@ -105,4 +105,26 @@ object Lexicon {
       .filter(col("rk") <= 10)
       .select("lang", "rk", "g", "cnt"))
   }
+
+  /** Prefix autocomplete table (§2.98): for every 2-character prefix
+    * of the en corpus, the top-3 completions by occurrence count
+    * (ties → token asc), completions shorter than 3 chars or rarer
+    * than 5 occurrences excluded — the materialized suggest index a
+    * search box reads. Token counts collapse BEFORE the prefix rank
+    * window (vocab-sized input, not corpus-sized); output is
+    * prefixes × ≤3. */
+  def qAutocomplete(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents").filter(col("lang") === "en")
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) >= 3)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+      .withColumn("prefix", substring(col("token"), 1, 2))
+    val w = Window.partitionBy("prefix")
+      .orderBy(col("n").desc, col("token").asc)
+    orderedAll(counts
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("prefix", "rk", "token", "n"))
+  }
 }

@@ -45,7 +45,7 @@ object Sketches {
     (SparkSession, String), DataFrame]()
 
   private[ops] def enPostings(s: SparkSession, dir: String): DataFrame =
-    postingsCache.computeIfAbsent((s, dir), _ =>
+    postingsCache.computeIfAbsent(Text.pinKey(s, dir), _ =>
       Text.pin(t(s, dir, "documents").filter(col("lang") === "en")
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .filter(col("token") =!= "").distinct(),
@@ -61,7 +61,7 @@ object Sketches {
     (SparkSession, String), DataFrame]()
 
   private[ops] def mdLaneSigs(s: SparkSession, dir: String): DataFrame =
-    sigCache.computeIfAbsent((s, dir), _ => {
+    sigCache.computeIfAbsent(Text.pinKey(s, dir), _ => {
       val laneMins = (0 until 16).map(j =>
         min(expr(s"CAST(conv(substring(md5(concat('$j:', token)), 1, 15)," +
           s" 16, 10) AS BIGINT)")).as(s"mh$j"))
@@ -82,7 +82,7 @@ object Sketches {
     (SparkSession, String), DataFrame]()
 
   private[ops] def shSigs(s: SparkSession, dir: String): DataFrame =
-    shCache.computeIfAbsent((s, dir), _ =>
+    shCache.computeIfAbsent(Text.pinKey(s, dir), _ =>
       Text.pin(enPostings(s, dir)
         .withColumn("hhex", md5(col("token")))
         .select(col("doc_id"), col("hhex"),
@@ -468,13 +468,16 @@ object Sketches {
     * every vector in the same bucket), sign-bit bucket, probes join only
     * their bucket, cosine top-5 within it. The brute-force exact twin is
     * q_knn_cosine; recall is whatever the 8-bit partition gives (tested). */
-  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    // The ±1 hyperplane patterns are data-INDEPENDENT (md5 parity of the
-    // constant lane index), so they fold to literal arrays at plan
-    // time; each of the 8 sign projections is then one codegen'd
-    // FloatVecDot against a literal vector instead of a 64-step
-    // interpreted lambda fold per row per plane (~8× less interpreted
-    // work). Same fold order and operands → bit-identical buckets.
+  /** The embeddings table with the 8-bit hyperplane LSH bucket attached
+    * — the shared leaf of [[qAnnLsh]] and [[qAnnMultiprobe]].
+    *
+    * The ±1 hyperplane patterns are data-INDEPENDENT (md5 parity of the
+    * constant lane index), so they fold to literal arrays at plan
+    * time; each of the 8 sign projections is then one codegen'd
+    * FloatVecDot against a literal vector instead of a 64-step
+    * interpreted lambda fold per row per plane (~8× less interpreted
+    * work). Same fold order and operands → bit-identical buckets. */
+  private def lshBucketed(s: SparkSession, dir: String): DataFrame = {
     def signs(j: Int): Array[Float] = Array.tabulate(64) { i =>
       // Mirrors the oracle's
       //   (strpos('0123456789abcdef', substring(md5(idx), 1, 1)) - 1) % 2
@@ -487,12 +490,44 @@ object Sketches {
       when(Vectors.dot(col("embedding"), typedLit(signs(j))) > 0,
         lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
-    val emb = t(s, dir, "embeddings").withColumn("bucket", bucketExpr)
+    t(s, dir, "embeddings").withColumn("bucket", bucketExpr)
+  }
+
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = lshBucketed(s, dir)
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("pid"), col("embedding").as("pe"),
         col("bucket").as("pbucket"))
     val pairs = emb.join(broadcast(probes),
         col("bucket") === col("pbucket") && col("vec_id") =!= col("pid"))
+      .withColumn("cos", Vectors.cosine(col("pe"), col("embedding")))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    orderedAll(pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("pid"), col("vec_id").as("nid"),
+        col("rn").cast("long").as("rn"), round(col("cos"), 4).as("sim")))
+  }
+
+  /** Multiprobe LSH ANN (§2.98): [[qAnnLsh]] widened to the 9 buckets
+    * within Hamming ≤ 1 of each probe's own bucket — the standard
+    * recall repair for sign-LSH (a vector near a hyperplane lands one
+    * bit away; probing the single-flip neighbours recovers exactly
+    * those misses at 9× the bucket reads, still ≪ brute force). The
+    * probe side explodes into its 9 DISTINCT bucket keys and the join
+    * stays the same bucket-local equi-join, so no candidate can match
+    * twice (no distinct pass); top-5 cosine as the single-probe query.
+    * Recall vs the exact q_knn_cosine truth is spec-asserted to be
+    * ≥ the single-probe query's on every probe. */
+  def qAnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val emb = lshBucketed(s, dir)
+    val flips = (0 until 8).map(j => s"bucket ^ ${1 << j}")
+      .mkString("array(bucket, ", ", ", ")")
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+        explode(expr(flips)).as("pb"))
+    val pairs = emb.join(broadcast(probes),
+        col("bucket") === col("pb") && col("vec_id") =!= col("pid"))
       .withColumn("cos", Vectors.cosine(col("pe"), col("embedding")))
     val w = Window.partitionBy(col("pid"))
       .orderBy(col("cos").desc, col("vec_id").asc)

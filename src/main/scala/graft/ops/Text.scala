@@ -245,8 +245,19 @@ object Text {
   private val nearPairsCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
+  /** Session-cache key for pinned frames: folds the checkpoint MODE
+    * into the key, so flipping `spark.graft.reliableCheckpoint`
+    * mid-session re-derives through the requested durability class
+    * instead of serving the other mode's materialization (AdvancedSpec
+    * flips the conf to prove the reliable path writes its parquet
+    * slots — a mode-blind cache would short-circuit that run). */
+  private[ops] def pinKey(s: SparkSession,
+                          dir: String): (SparkSession, String) =
+    (s, dir + "|" + s.conf.getOption("spark.graft.reliableCheckpoint")
+      .getOrElse("false"))
+
   private[ops] def nearPairs(s: SparkSession, dir: String): DataFrame =
-    nearPairsCache.computeIfAbsent((s, dir), _ =>
+    nearPairsCache.computeIfAbsent(pinKey(s, dir), _ =>
       pin(nearPairsDerive(s, dir),
         s"near_pairs_${new java.io.File(dir).getName}"))
 
@@ -430,7 +441,7 @@ object Text {
 
   private[ops] def dedupClusterLabels(s: SparkSession,
                                       dir: String): DataFrame =
-    clusterCache.computeIfAbsent((s, dir), _ =>
+    clusterCache.computeIfAbsent(pinKey(s, dir), _ =>
       pin(clusterLabels(s, nearPairs(s, dir).select("a_id", "b_id"), "cc"),
         s"cc_final_${new java.io.File(dir).getName}"))
 

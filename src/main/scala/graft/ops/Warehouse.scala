@@ -471,4 +471,41 @@ object Warehouse {
       .agg(min("cents").as("wq_cents"))
       .select("l_returnflag", "p", "tot_w", "wq_cents"))
   }
+
+  /** Point-in-time lookup (§2.98): every order joined to the SCD2
+    * priority dimension [[qScd2]] builds, AS OF 30 days BEFORE the
+    * order — the point-in-time-correctness primitive behind feature
+    * stores and ML training joins (training rows must see the
+    * attribute value that was CURRENT at label time, not today's).
+    * The interval stab is an equi-join on custkey (the dimension's
+    * natural co-location key; version chains are short) + the
+    * validity filter; orders inside the first 30 days have no
+    * as-of version → 'none'. Output is the (prio_then, prio_now)
+    * transition matrix — the drift readout of the attribute. */
+  def qPitLookup(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate").cast("date"),
+      lit("1970-01-01").cast("date")).cast("long")
+    val wOrd = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val dim = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderpriority").as("prio"), day.as("day"))
+      .withColumn("prev", lag(col("prio"), 1).over(wOrd))
+      .filter(col("prev").isNull || col("prev") =!= col("prio"))
+      .withColumn("valid_to", lead(col("day"), 1).over(wOrd))
+      .select(col("o_custkey").as("d_ck"), col("prio").as("prio_then"),
+        col("day").as("valid_from"), col("valid_to"))
+    val facts = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderpriority").as("prio_now"),
+        (day - 30).as("asof_day"))
+    orderedAll(facts
+      .join(dim, col("o_custkey") === col("d_ck") &&
+        col("valid_from") <= col("asof_day") &&
+        (col("valid_to").isNull || col("valid_to") > col("asof_day")),
+        "left")
+      .groupBy(coalesce(col("prio_then"), lit("none")).as("prio_then"),
+        col("prio_now"))
+      .agg(count(lit(1)).as("n_orders")))
+  }
 }
