@@ -8303,6 +8303,132 @@ object Oracles {
         |       CAST(count(*) AS BIGINT) AS n_parts,
         |       CAST(min(scaled_bp) AS BIGINT) AS min_bp,
         |       CAST(max(scaled_bp) AS BIGINT) AS max_bp
-        |FROM sc GROUP BY 1, 2 ORDER BY ALL""".stripMargin
+        |FROM sc GROUP BY 1, 2 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.99 distribution-comparison toolbox close-out ----
+    // Mood's median test inputs (Nonparam.qMedianTest): global discrete
+    // median pivot (the percentile_disc recipe), per-priority counts.
+    "q_median_test" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |h AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM o GROUP BY 1),
+        |c AS (SELECT cents, cnt, sum(cnt) OVER (ORDER BY cents
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS cum, sum(cnt) OVER () AS n_all
+        |      FROM h),
+        |piv AS (SELECT min(cents) AS pivot_cents FROM c
+        |        WHERE cum * 2 >= n_all)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN cents > pivot_cents THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_above,
+        |       CAST(sum(CASE WHEN cents > pivot_cents THEN 1 ELSE 0 END)
+        |         * 10000 // count(*) AS BIGINT) AS above_bp,
+        |       pivot_cents
+        |FROM o CROSS JOIN piv GROUP BY 1, 5 ORDER BY ALL""".stripMargin,
+
+    // Brown–Forsythe Levene (Spread.qLevene): ANOVA on |v − median_g|,
+    // whole-dollar values, whole-z² units, HUGEINT mirror of the
+    // Spark DECIMAL(38,0) rails; W is the one double ratio in milli.
+    "q_levene" ->
+      """WITH o AS (SELECT o_orderpriority AS grp,
+        |    CAST(round(o_totalprice) AS BIGINT) AS v
+        |  FROM orders),
+        |h AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM o GROUP BY 1, 2),
+        |c AS (SELECT grp, v, cnt,
+        |        sum(cnt) OVER (PARTITION BY grp ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cum,
+        |        sum(cnt) OVER (PARTITION BY grp) AS n
+        |      FROM h),
+        |med AS (SELECT grp, min(v) AS med FROM c
+        |        WHERE cum * 100 >= n * 50 GROUP BY 1),
+        |z AS (SELECT o.grp, abs(v - med) AS z
+        |      FROM o JOIN med ON o.grp = med.grp),
+        |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+        |        CAST(sum(z) AS BIGINT) AS s_g,
+        |        CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS q_g
+        |      FROM z GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |        CAST(sum(n_g) AS BIGINT) AS n,
+        |        CAST(sum(s_g) AS BIGINT) AS s,
+        |        CAST(sum(q_g) AS HUGEINT) AS q,
+        |        CAST(sum((CAST(s_g AS HUGEINT) * s_g) // n_g)
+        |             AS HUGEINT) AS a
+        |      FROM g),
+        |b AS (SELECT k, n,
+        |        CAST(a - (CAST(s AS HUGEINT) * s) // n AS BIGINT)
+        |          AS ssb,
+        |        CAST(q - a AS BIGINT) AS ssw
+        |      FROM a)
+        |SELECT k, n, ssb, ssw,
+        |       CAST(CASE WHEN ssw = 0 OR k <= 1 THEN NULL
+        |            ELSE round(CAST(ssb AS DOUBLE) * (n - k) * 1000
+        |                 / (CAST(ssw AS DOUBLE) * (k - 1))) END
+        |            AS BIGINT) AS w_milli
+        |FROM b ORDER BY ALL""".stripMargin,
+
+    // Cochran's Q inputs (Nonparam.qCochranQ): (user, day) × type
+    // presence matrix folds; exact integer Q in milli.
+    "q_cochran_q" ->
+      """WITH pres AS (SELECT DISTINCT user_id,
+        |      epoch_us(ts) // 86400000000 AS day, event_type
+        |    FROM events),
+        |r AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |        CAST(sum(r) AS BIGINT) AS sum_r,
+        |        CAST(sum(r * r) AS BIGINT) AS sum_r2
+        |      FROM (SELECT user_id, day, CAST(count(*) AS BIGINT) AS r
+        |            FROM pres GROUP BY 1, 2)),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |        CAST(sum(c) AS BIGINT) AS sum_c,
+        |        CAST(sum(c * c) AS BIGINT) AS sum_c2
+        |      FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS c
+        |            FROM pres GROUP BY 1))
+        |SELECT k, n_blocks, sum_c, sum_c2, sum_r, sum_r2,
+        |       CAST(CASE WHEN k * sum_r - sum_r2 = 0 THEN NULL
+        |            ELSE (k - 1) * (k * sum_c2 - sum_c * sum_c) * 1000
+        |                 // (k * sum_r - sum_r2) END AS BIGINT)
+        |         AS q_milli
+        |FROM c CROSS JOIN r ORDER BY ALL""".stripMargin,
+
+    // Murphy Brier decomposition (Evaluation.qBrierDecomp): plane-103
+    // score min-max rescaled to p_u ∈ [0, 10⁴], 10 floor bins,
+    // truncate-before-square reliability/resolution terms.
+    "q_brier_decomp" ->
+      s"""WITH ${sgnCte(103, 104)},
+         |sc AS (SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos,
+         |    CAST(round(${planeDot("embedding")} * 10000) AS BIGINT)
+         |      AS score_u
+         |  FROM embeddings CROSS JOIN sgn),
+         |rng AS (SELECT min(score_u) AS lo, max(score_u) AS hi,
+         |        CAST(count(*) AS BIGINT) AS n_all,
+         |        CAST(sum(pos) AS BIGINT) AS pos_all
+         |      FROM sc),
+         |p AS (SELECT pos,
+         |        CASE WHEN hi = lo THEN 0
+         |          ELSE (score_u - lo) * 10000 // (hi - lo) END AS p_u,
+         |        n_all, pos_all
+         |      FROM sc CROSS JOIN rng),
+         |g AS (SELECT least(p_u // 1000, 9) AS bin,
+         |        CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(p_u) AS BIGINT) AS p_sum,
+         |        CAST(sum(pos) AS BIGINT) AS n_pos,
+         |        max(n_all) AS n_all, max(pos_all) AS pos_all
+         |      FROM p GROUP BY 1),
+         |m AS (SELECT bin, n, p_sum // n AS pbar_u,
+         |        n_pos * 10000 // n AS ybar_u,
+         |        pos_all * 10000 // n_all AS ybar_all_u
+         |      FROM g)
+         |SELECT CAST(bin AS BIGINT) AS bin, n,
+         |       CAST(pbar_u AS BIGINT) AS pbar_u,
+         |       CAST(ybar_u AS BIGINT) AS ybar_u,
+         |       CAST(ybar_all_u AS BIGINT) AS ybar_all_u,
+         |       CAST(n * (pbar_u - ybar_u) * (pbar_u - ybar_u)
+         |         AS BIGINT) AS rel_u,
+         |       CAST(n * (ybar_u - ybar_all_u) * (ybar_u - ybar_all_u)
+         |         AS BIGINT) AS res_u
+         |FROM m ORDER BY ALL""".stripMargin
   )
 }

@@ -586,7 +586,14 @@ object SparkEntry {
     "q_item_ramp" -> Commerce.qItemRamp _,
     "q_trend_reversal" -> Causal.qTrendReversal _,
     "q_hash_collisions" -> Learning.qHashCollisions _,
-    "q_autocomplete" -> Lexicon.qAutocomplete _
+    "q_autocomplete" -> Lexicon.qAutocomplete _,
+    // §2.99 round-10 extensions, fifth batch: the distribution-
+    // comparison toolbox close-out (location, spread, binary
+    // repeated-measures) and forecast-quality decomposition
+    "q_median_test" -> Nonparam.qMedianTest _,
+    "q_levene" -> Spread.qLevene _,
+    "q_cochran_q" -> Nonparam.qCochranQ _,
+    "q_brier_decomp" -> Evaluation.qBrierDecomp _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

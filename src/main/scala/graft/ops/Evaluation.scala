@@ -607,4 +607,43 @@ object Evaluation {
           .as("margin_e4"))
       .select("pid", "n1", "n2", "margin_e4"))
   }
+
+  /** Murphy decomposition of the Brier score (§2.99): the q_calibration
+    * score (plane 103) min-max rescaled to an exact integer forecast
+    * p_u ∈ [0, 10⁴] (the q_minmax_scale idiom — no sigmoid, no
+    * transcendental), floor-binned into 10 forecast bands, then the
+    * per-bin reliability n·(p̄_b − ȳ_b)² and resolution n·(ȳ_b − ȳ)²
+    * terms in exact 10⁴-unit² integers — reliability says the forecast
+    * is miscalibrated, resolution says it separates; summing the
+    * columns downstream yields the classic REL − RES + UNC identity up
+    * to the shared truncation. The score range and global base rate are
+    * 1-row broadcast folds; the rest is one mergeable aggregate. Bin
+    * means truncate (div) BEFORE squaring, identically in both
+    * engines, so every emitted value is a BIGINT with no float in the
+    * pipeline. */
+  def qBrierDecomp(s: SparkSession, dir: String): DataFrame = {
+    val sc = t(s, dir, "embeddings")
+      .select((col("label") >= 5).cast("long").as("pos"),
+        round(planeScore(103) * 10000).cast("long").as("score_u"))
+    val rng = sc.agg(min("score_u").as("lo"), max("score_u").as("hi"),
+      count(lit(1)).as("n_all"), sum("pos").cast("long").as("pos_all"))
+    orderedAll(sc.crossJoin(broadcast(rng))
+      .withColumn("p_u", when(col("hi") === col("lo"), 0L)
+        .otherwise(expr("(score_u - lo) * 10000 div (hi - lo)")))
+      .withColumn("bin", least(expr("p_u div 1000"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum("p_u").cast("long").as("p_sum"),
+        sum("pos").cast("long").as("n_pos"),
+        max("n_all").as("n_all"), max("pos_all").as("pos_all"))
+      .withColumn("pbar_u", expr("p_sum div n"))
+      .withColumn("ybar_u", expr("n_pos * 10000 div n"))
+      .withColumn("ybar_all_u", expr("pos_all * 10000 div n_all"))
+      .withColumn("rel_u", expr(
+        "n * (pbar_u - ybar_u) * (pbar_u - ybar_u)"))
+      .withColumn("res_u", expr(
+        "n * (ybar_u - ybar_all_u) * (ybar_u - ybar_all_u)"))
+      .select("bin", "n", "pbar_u", "ybar_u", "ybar_all_u", "rel_u",
+        "res_u"))
+  }
 }

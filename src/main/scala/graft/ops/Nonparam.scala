@@ -116,4 +116,69 @@ object Nonparam {
       .select("event_type", "n_h", "mean_full_milli", "mean_loo_milli",
         "pseudo_milli"))
   }
+
+  /** Mood's median test inputs (§2.99): per order priority, how many
+    * orders sit strictly above the GLOBAL discrete median of
+    * o_totalprice cents — the k-sample location test that needs no
+    * distributional assumption at all (the χ² on these counts is the
+    * textbook finish; the emitted table IS its contingency). The pivot
+    * comes from the shared q_percentile_disc recipe on a global value
+    * histogram: the only unpartitioned window runs over the AGGREGATED
+    * (cents, cnt) table, whose size is bounded by the value domain, not
+    * the row count — the DistRank exemption class. The pivot then rides
+    * a 1-row broadcast onto one mergeable per-group fold. */
+  def qMedianTest(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+    val h = o.groupBy("cents").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val piv = h.withColumn("cum", sum("cnt").over(w))
+      .crossJoin(broadcast(h.agg(sum("cnt").as("n_all"))))
+      .filter(col("cum") * 2 >= col("n_all"))
+      .agg(min("cents").as("pivot_cents"))
+    orderedAll(o.crossJoin(broadcast(piv))
+      .groupBy("o_orderpriority", "pivot_cents")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cents") > col("pivot_cents"), 1L).otherwise(0L))
+          .cast("long").as("n_above"))
+      .withColumn("above_bp", expr("n_above * 10000 div n"))
+      .select("o_orderpriority", "n", "n_above", "above_bp",
+        "pivot_cents"))
+  }
+
+  /** Cochran's Q inputs (§2.99): the k-treatment binary repeated-
+    * measures test on the (user, day) × event-type PRESENCE matrix
+    * (did the user-day block see type j) — "do the k event types reach
+    * the same share of active user-days", the categorical sibling of
+    * q_anova. The block is the user-DAY, not the user: over a long
+    * window every user eventually fires every type (all r_i = k makes
+    * the denominator Σ rᵢ(k−rᵢ) identically zero — the test says
+    * nothing), while a day-grain block is sparse and discriminating.
+    * The matrix never materializes as a grid: one distinct() collapse,
+    * then row totals (per block) and column totals (per type) are two
+    * independent mergeable folds whose 1-row summaries cross-join
+    * broadcast. Q is exact integer arithmetic end-to-end —
+    * (k−1)·(k·ΣC² − (ΣC)²)·1000 div (k·ΣR − ΣR²) in milli. */
+  def qCochranQ(s: SparkSession, dir: String): DataFrame = {
+    val pres = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type")).distinct()
+    val r = pres.groupBy("user_id", "day").agg(count(lit(1)).as("r"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum("r").cast("long").as("sum_r"),
+        sum(expr("r * r")).cast("long").as("sum_r2"))
+    val c = pres.groupBy("event_type").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("k"),
+        sum("c").cast("long").as("sum_c"),
+        sum(expr("c * c")).cast("long").as("sum_c2"))
+    orderedAll(c.crossJoin(broadcast(r))
+      .withColumn("q_milli", expr(
+        "CASE WHEN k * sum_r - sum_r2 = 0 THEN NULL ELSE " +
+          "(k - 1) * (k * sum_c2 - sum_c * sum_c) * 1000 " +
+          "div (k * sum_r - sum_r2) END"))
+      .select("k", "n_blocks", "sum_c", "sum_c2", "sum_r", "sum_r2",
+        "q_milli"))
+  }
 }

@@ -140,4 +140,44 @@ object Spread {
       .select(col("c_mktsegment"), col("c_custkey"), col("cents"),
         col("z2_e6")))
   }
+
+  /** Brown–Forsythe Levene test (§2.99): are totalprice SPREADS equal
+    * across order priorities — the variance-homogeneity check that must
+    * precede q_anova (ANOVA's F assumes it), made robust by centering on
+    * the group MEDIAN, not the mean. Mechanically it IS q_anova run on
+    * z = |dollars − median_g|: group medians come from the shared
+    * cumHist/pick recipe and join back broadcast (≤|priorities| rows),
+    * then one mergeable (n, Σz, Σz²) fold per group assembles the
+    * between/within sums of squares in exact whole-z² units (the ×10⁶
+    * quantization is dropped here — Σz² already reaches ~10¹⁵ at sf0.1,
+    * and the div-truncation it absorbs is identical in both engines);
+    * W is the single double ratio at the end, in milli. Values are
+    * whole DOLLARS (not cents) so every intermediate stays comfortably
+    * inside the DECIMAL(38,0) rails at warehouse scale. */
+  def qLevene(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("grp"),
+        expr("CAST(round(o_totalprice) AS BIGINT)").as("v"))
+    val med = pick(cumHist(o, col("grp"), col("v")), 50, "med")
+    val g = o.join(broadcast(med), "grp")
+      .withColumn("z", abs(col("v") - col("med")))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_g"),
+        sum("z").cast("long").as("s_g"),
+        sum(expr("CAST(z AS DECIMAL(38,0)) * z")).as("q_g"))
+    orderedAll(g.agg(
+      count(lit(1)).as("k"),
+      sum("n_g").cast("long").as("n"),
+      sum("s_g").cast("long").as("s"),
+      sum("q_g").as("q"),
+      sum(expr("(CAST(s_g AS DECIMAL(38,0)) * s_g) div n_g")).as("a"))
+      .withColumn("ssb", expr(
+        "CAST(a - (CAST(s AS DECIMAL(38,0)) * s) div n AS BIGINT)"))
+      .withColumn("ssw", expr("CAST(q - a AS BIGINT)"))
+      .withColumn("w_milli", expr(
+        "CASE WHEN ssw = 0 OR k <= 1 THEN NULL " +
+          "ELSE CAST(round(CAST(ssb AS DOUBLE) * (n - k) * 1000 / " +
+          "(CAST(ssw AS DOUBLE) * (k - 1))) AS BIGINT) END"))
+      .select("k", "n", "ssb", "ssw", "w_milli"))
+  }
 }

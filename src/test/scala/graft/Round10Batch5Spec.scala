@@ -1,0 +1,114 @@
+package graft
+
+/** Round-10 §2.99 batch: JVM brute-force twins for the distribution-
+  * comparison close-out (Mood pivot + counts, the Brown–Forsythe
+  * sums of squares in BigInt, Cochran's Q from a literal presence
+  * matrix) and the Brier decomposition's internal identities. */
+class Round10Batch5Spec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def orderCents(): Seq[(String, Long)] =
+    ops.t(spark, sf, "orders")
+      .selectExpr("o_orderpriority",
+        "CAST(round(o_totalprice * 100) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Discrete p-th percentile: smallest v with cum·100 ≥ n·p. */
+  private def disc(vs: Seq[Long], p: Int): Long = {
+    val sorted = vs.sorted
+    val n = sorted.size.toLong
+    var cum = 0L
+    for (v <- sorted) {
+      cum += 1
+      if (cum * 100 >= n * p) return v
+    }
+    sorted.last
+  }
+
+  test("q_median_test: pivot and per-priority counts match brute force") {
+    val data = orderCents()
+    val pivot = disc(data.map(_._2), 50)
+    val expected = data.groupBy(_._1).map { case (g, xs) =>
+      val n = xs.size.toLong
+      val above = xs.count(_._2 > pivot).toLong
+      (g, n, above, above * 10000 / n, pivot)
+    }.toSet
+    val got = run("q_median_test").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+  }
+
+  test("q_levene: BigInt Brown–Forsythe sums match brute force") {
+    val data = ops.t(spark, sf, "orders")
+      .selectExpr("o_orderpriority", "CAST(round(o_totalprice) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val groups = data.groupBy(_._1).map { case (g, xs) =>
+      val med = disc(xs.map(_._2), 50)
+      val zs = xs.map(x => math.abs(x._2 - med))
+      (g, zs.size.toLong, zs.map(BigInt(_)).sum,
+        zs.map(z => BigInt(z) * z).sum)
+    }.toSeq
+    val k = groups.size.toLong
+    val n = groups.map(_._2).sum
+    val s = groups.map(_._3).sum
+    val q = groups.map(_._4).sum
+    val a = groups.map(g => (g._3 * g._3) / g._2).sum
+    val ssb = (a - (s * s) / n).toLong
+    val ssw = (q - a).toLong
+    val w = math.round(ssb.toDouble * (n - k) * 1000 /
+      (ssw.toDouble * (k - 1)))
+    val row = run("q_levene").collect().head
+    assert(row.getLong(0) == k && row.getLong(1) == n)
+    assert(row.getLong(2) == ssb, s"ssb ${row.getLong(2)} != $ssb")
+    assert(row.getLong(3) == ssw, s"ssw ${row.getLong(3)} != $ssw")
+    assert(row.getLong(4) == w)
+  }
+
+  test("q_cochran_q: presence-matrix Q matches brute force") {
+    val pres = ops.t(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) div 86400000000",
+        "event_type")
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val rTot = pres.groupBy(p => (p._1, p._2)).map(_._2.size.toLong).toSeq
+    val cTot = pres.groupBy(_._3).map(_._2.size.toLong).toSeq
+    val k = cTot.size.toLong
+    val sumC = cTot.sum
+    val sumC2 = cTot.map(c => c * c).sum
+    val sumR = rTot.sum
+    val sumR2 = rTot.map(r => r * r).sum
+    val den = k * sumR - sumR2
+    assert(den > 0, "fixture must exercise the non-degenerate branch")
+    val qMilli = (k - 1) * (k * sumC2 - sumC * sumC) * 1000 / den
+    val row = run("q_cochran_q").collect().head
+    assert(row.getLong(0) == k && row.getLong(1) == rTot.size.toLong)
+    assert(row.getLong(2) == sumC && row.getLong(3) == sumC2)
+    assert(row.getLong(4) == sumR && row.getLong(5) == sumR2)
+    assert(row.getLong(6) == qMilli)
+  }
+
+  test("q_brier_decomp: identities hold and terms recompute from the row") {
+    val rows = run("q_brier_decomp").collect()
+    val nEmb = ops.t(spark, sf, "embeddings").count()
+    val nPos = ops.t(spark, sf, "embeddings")
+      .filter("label >= 5").count()
+    assert(rows.map(_.getLong(1)).sum == nEmb)
+    val ybarAll = rows.map(_.getLong(4)).distinct
+    assert(ybarAll.length == 1 &&
+      ybarAll.head == nPos * 10000 / nEmb)
+    for (r <- rows) {
+      val (bin, n, pbar, ybar) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(bin >= 0 && bin <= 9)
+      assert(pbar >= 0 && pbar <= 10000 && ybar >= 0 && ybar <= 10000)
+      assert(r.getLong(5) == n * (pbar - ybar) * (pbar - ybar))
+      assert(r.getLong(6) ==
+        n * (ybar - ybarAll.head) * (ybar - ybarAll.head))
+      // a forecast bin's mean must sit inside the bin it was floored to
+      assert(pbar / 1000 == bin || (bin == 9 && pbar >= 9000))
+    }
+  }
+}
