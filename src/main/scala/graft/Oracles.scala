@@ -8429,6 +8429,77 @@ object Oracles {
          |         AS BIGINT) AS rel_u,
          |       CAST(n * (ybar_u - ybar_all_u) * (ybar_u - ybar_all_u)
          |         AS BIGINT) AS res_u
-         |FROM m ORDER BY ALL""".stripMargin
+         |FROM m ORDER BY ALL""".stripMargin,
+
+    // ---- §2.100 paired-classifier and normality screens ----
+    // McNemar inputs (Evaluation.qMcnemar): planes 104/105 as two
+    // classifiers, discordant cells, exact integer χ² in milli.
+    "q_mcnemar" -> {
+      val dot = (j: Int) =>
+        "list_sum(list_transform(generate_series(1, 64), i -> " +
+          s"CAST(embedding[i] AS DOUBLE) * s$j.sv[i]))"
+      s"""WITH ${sgnCte(104, 106)},
+         |s104 AS (SELECT sv FROM sgn WHERE j = 104),
+         |s105 AS (SELECT sv FROM sgn WHERE j = 105),
+         |p AS (SELECT (label >= 5) AS pos,
+         |        (${dot(104)} > 0) AS pa,
+         |        (${dot(105)} > 0) AS pb
+         |      FROM embeddings CROSS JOIN s104 CROSS JOIN s105),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(CASE WHEN pa = pos AND pb = pos
+         |              THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |        CAST(sum(CASE WHEN pa = pos AND pb <> pos
+         |              THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         |        CAST(sum(CASE WHEN pa <> pos AND pb = pos
+         |              THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         |        CAST(sum(CASE WHEN pa <> pos AND pb <> pos
+         |              THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+         |      FROM p)
+         |SELECT n, n_both, b, c, n_neither,
+         |       CAST(CASE WHEN b + c = 0 THEN NULL
+         |            ELSE (b - c) * (b - c) * 1000 // (b + c) END
+         |            AS BIGINT) AS chi2_milli
+         |FROM f ORDER BY ALL""".stripMargin
+    },
+
+    // Jarque–Bera inputs (Spread.qJarqueBera): whole-dollar central
+    // power sums in HUGEINT, milli stats as the only double ops; JB is
+    // assembled from the ROUNDED milli skew/kurt (both engines use the
+    // identical integers, so no float drift can compound).
+    "q_jarque_bera" ->
+      """WITH o AS (SELECT o_orderpriority AS grp,
+        |    CAST(round(o_totalprice) AS BIGINT) AS v
+        |  FROM orders),
+        |m AS (SELECT grp AS g2, sum(v) // count(*) AS mean_usd
+        |      FROM o GROUP BY 1),
+        |d AS (SELECT grp, mean_usd, v - mean_usd AS d
+        |      FROM o JOIN m ON grp = g2),
+        |g AS (SELECT grp, mean_usd, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS m2,
+        |        CAST(sum(CAST(d AS HUGEINT) * d * d) AS HUGEINT) AS m3,
+        |        CAST(sum(CAST(d AS HUGEINT) * d * d * d) AS HUGEINT)
+        |          AS m4
+        |      FROM d GROUP BY 1, 2),
+        |s AS (SELECT grp, mean_usd, n,
+        |        CASE WHEN m2 <= 0 THEN NULL
+        |          ELSE CAST(round(CAST(m3 AS DOUBLE)
+        |            * sqrt(CAST(n AS DOUBLE)) * 1000
+        |            / sqrt(CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)
+        |              * CAST(m2 AS DOUBLE))) AS BIGINT) END
+        |          AS skew_milli,
+        |        CASE WHEN m2 <= 0 THEN NULL
+        |          ELSE CAST(round((CAST(m4 AS DOUBLE) * n
+        |            / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))
+        |            - 3.0) * 1000) AS BIGINT) END AS kurt_milli
+        |      FROM g)
+        |SELECT grp AS o_orderpriority, n, CAST(mean_usd AS BIGINT)
+        |         AS mean_usd, skew_milli, kurt_milli,
+        |       CASE WHEN skew_milli IS NULL THEN NULL
+        |         ELSE CAST(round(n * (CAST(skew_milli AS DOUBLE) / 1000
+        |           * (CAST(skew_milli AS DOUBLE) / 1000)
+        |           + CAST(kurt_milli AS DOUBLE) / 1000
+        |           * (CAST(kurt_milli AS DOUBLE) / 1000) / 4) / 6
+        |           * 1000) AS BIGINT) END AS jb_milli
+        |FROM s ORDER BY ALL""".stripMargin
   )
 }

@@ -593,7 +593,11 @@ object SparkEntry {
     "q_median_test" -> Nonparam.qMedianTest _,
     "q_levene" -> Spread.qLevene _,
     "q_cochran_q" -> Nonparam.qCochranQ _,
-    "q_brier_decomp" -> Evaluation.qBrierDecomp _
+    "q_brier_decomp" -> Evaluation.qBrierDecomp _,
+    // §2.100 round-10 extensions, sixth batch: paired-classifier and
+    // normality screens
+    "q_mcnemar" -> Evaluation.qMcnemar _,
+    "q_jarque_bera" -> Spread.qJarqueBera _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

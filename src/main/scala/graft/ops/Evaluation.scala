@@ -646,4 +646,33 @@ object Evaluation {
       .select("bin", "n", "pbar_u", "ybar_u", "ybar_all_u", "rel_u",
         "res_u"))
   }
+
+  /** McNemar's test inputs (§2.100): two fixed md5-hyperplane
+    * classifiers (planes 104 and 105, score > 0 ⇒ positive) scored
+    * against the label ≥ 5 ground truth on the SAME examples — the
+    * paired-correctness test that decides "is model A actually better
+    * than model B" where two independent proportions would double-count
+    * the shared examples. Only the discordant cells carry signal:
+    * b = A right / B wrong, c = the reverse; the χ² statistic
+    * (b−c)²·1000 div (b+c) is exact integer arithmetic (NULL when the
+    * classifiers never disagree). One scan, one mergeable fold. */
+  def qMcnemar(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "embeddings")
+      .select((col("label") >= 5).as("pos"),
+        (planeScore(104) > 0).as("pa"),
+        (planeScore(105) > 0).as("pb"))
+      .withColumn("ra", col("pa") === col("pos"))
+      .withColumn("rb", col("pb") === col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ra") && col("rb"), 1L).otherwise(0L))
+          .cast("long").as("n_both"),
+        sum(when(col("ra") && !col("rb"), 1L).otherwise(0L))
+          .cast("long").as("b"),
+        sum(when(!col("ra") && col("rb"), 1L).otherwise(0L))
+          .cast("long").as("c"),
+        sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L))
+          .cast("long").as("n_neither"))
+      .withColumn("chi2_milli", expr(
+        "CASE WHEN b + c = 0 THEN NULL " +
+          "ELSE (b - c) * (b - c) * 1000 div (b + c) END")))
 }

@@ -180,4 +180,51 @@ object Spread {
           "(CAST(ssw AS DOUBLE) * (k - 1))) AS BIGINT) END"))
       .select("k", "n", "ssb", "ssw", "w_milli"))
   }
+
+  /** Jarque–Bera normality inputs (§2.100): per order priority, the
+    * skewness, excess kurtosis and JB statistic of totalprice in whole
+    * dollars — the normality screen that tells a modeler whether the
+    * t/z machinery downstream is even admissible. Two passes over one
+    * shuffle: the per-group mean (truncated to a whole dollar — the
+    * ≤$1 centering bias is identical in both engines and vanishes in
+    * the standardized ratios) joins back broadcast, then the 2nd/3rd/
+    * 4th central power sums accumulate in DECIMAL(38,0) (d⁴ alone
+    * reaches ~10²³ at sf0.1 — far past BIGINT; DuckDB mirrors in
+    * HUGEINT). Skew/kurtosis/JB are the only double ops, at the very
+    * end, in milli — sqrt(m2³) not pow(·,1.5), so every float op is
+    * a correctly-rounded IEEE primitive in both engines. */
+  def qJarqueBera(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("grp"),
+        expr("CAST(round(o_totalprice) AS BIGINT)").as("v"))
+    val m = o.groupBy(col("grp").as("g2"))
+      .agg(expr("sum(v) div count(1)").as("mean_usd"))
+    orderedAll(o.join(broadcast(m), col("grp") === col("g2")).drop("g2")
+      .withColumn("d", col("v") - col("mean_usd"))
+      .groupBy("grp", "mean_usd")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d")).as("m2"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d * d")).as("m3"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d * d * d")).as("m4"))
+      .withColumn("skew_milli", expr(
+        "CASE WHEN m2 <= 0 THEN NULL ELSE " +
+          "CAST(round(CAST(m3 AS DOUBLE) * sqrt(CAST(n AS DOUBLE)) " +
+          "* 1000 / sqrt(CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE) " +
+          "* CAST(m2 AS DOUBLE))) AS BIGINT) END"))
+      .withColumn("kurt_milli", expr(
+        "CASE WHEN m2 <= 0 THEN NULL ELSE " +
+          "CAST(round((CAST(m4 AS DOUBLE) * n / " +
+          "(CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0) * 1000) " +
+          "AS BIGINT) END"))
+      .withColumn("jb_milli", expr(
+        "CASE WHEN m2 <= 0 THEN NULL ELSE " +
+          "CAST(round(n * (CAST(skew_milli AS DOUBLE) / 1000 * " +
+          "(CAST(skew_milli AS DOUBLE) / 1000) + " +
+          "CAST(kurt_milli AS DOUBLE) / 1000 * " +
+          "(CAST(kurt_milli AS DOUBLE) / 1000) / 4) / 6 * 1000) " +
+          "AS BIGINT) END"))
+      .select(col("grp").as("o_orderpriority"), col("n"),
+        col("mean_usd"), col("skew_milli"), col("kurt_milli"),
+        col("jb_milli")))
+  }
 }

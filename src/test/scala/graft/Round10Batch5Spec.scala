@@ -111,4 +111,60 @@ class Round10Batch5Spec extends SparkSpec {
       assert(pbar / 1000 == bin || (bin == 9 && pbar >= 9000))
     }
   }
+
+  /** The shared md5-sign plane (Evaluation.mdSigns twin). */
+  private def signs(j: Int): Array[Double] = Array.tabulate(64) { i =>
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(String.valueOf(j * 64 + i).getBytes("UTF-8"))
+    if (((d(0) >> 4) & 1) == 0) 1.0 else -1.0
+  }
+
+  test("q_mcnemar: discordant cells match a JVM rescore") {
+    val emb = ops.t(spark, sf, "embeddings").collect().map { r =>
+      (r.getInt(2) >= 5, r.getSeq[Float](1).map(_.toDouble).toArray)
+    }
+    val (sa, sb) = (signs(104), signs(105))
+    def dot(e: Array[Double], s: Array[Double]) =
+      e.indices.map(i => e(i) * s(i)).sum
+    var (both, b, c, neither) = (0L, 0L, 0L, 0L)
+    for ((pos, e) <- emb) {
+      val ra = (dot(e, sa) > 0) == pos
+      val rb = (dot(e, sb) > 0) == pos
+      if (ra && rb) both += 1
+      else if (ra && !rb) b += 1
+      else if (!ra && rb) c += 1
+      else neither += 1
+    }
+    val row = run("q_mcnemar").collect().head
+    assert(row.getLong(0) == emb.length.toLong)
+    assert((row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) == ((both, b, c, neither)))
+    if (b + c > 0)
+      assert(row.getLong(5) == (b - c) * (b - c) * 1000 / (b + c))
+  }
+
+  test("q_jarque_bera: BigInt central sums match brute force") {
+    val data = ops.t(spark, sf, "orders")
+      .selectExpr("o_orderpriority", "CAST(round(o_totalprice) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = data.groupBy(_._1).map { case (g, xs) =>
+      val n = xs.size.toLong
+      val mean = xs.map(_._2).sum / n
+      val ds = xs.map(_._2 - mean)
+      val m2 = ds.map(d => BigInt(d) * d).sum
+      val m3 = ds.map(d => BigInt(d) * d * d).sum
+      val m4 = ds.map(d => BigInt(d) * d * d * d).sum
+      val skew = math.round(m3.toDouble * math.sqrt(n.toDouble) * 1000 /
+        math.sqrt(m2.toDouble * m2.toDouble * m2.toDouble))
+      val kurt = math.round(
+        (m4.toDouble * n / (m2.toDouble * m2.toDouble) - 3.0) * 1000)
+      val jb = math.round(n * (skew.toDouble / 1000 * (skew.toDouble / 1000)
+        + kurt.toDouble / 1000 * (kurt.toDouble / 1000) / 4) / 6 * 1000)
+      (g, n, mean, skew, kurt, jb)
+    }.toSet
+    val got = run("q_jarque_bera").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+  }
 }
