@@ -8500,6 +8500,60 @@ object Oracles {
         |           + CAST(kurt_milli AS DOUBLE) / 1000
         |           * (CAST(kurt_milli AS DOUBLE) / 1000) / 4) / 6
         |           * 1000) AS BIGINT) END AS jb_milli
-        |FROM s ORDER BY ALL""".stripMargin
+        |FROM s ORDER BY ALL""".stripMargin,
+
+    // ---- §2.101 count-model and tail-coverage screens ----
+    // Poisson overdispersion (Spread.qPoissonDispersion): per-user-day
+    // count collapse → exact integer variance-to-mean milli.
+    "q_poisson_dispersion" ->
+      """WITH c AS (SELECT event_type, user_id,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(c) AS BIGINT) AS s,
+        |        CAST(sum(c * c) AS BIGINT) AS q
+        |      FROM c GROUP BY 1)
+        |SELECT event_type, n, s,
+        |       CAST(CAST(s AS HUGEINT) * 1000 // n AS BIGINT)
+        |         AS mean_milli,
+        |       CAST(CASE WHEN n <= 1 OR s = 0 THEN NULL
+        |            ELSE (CAST(n AS HUGEINT) * q
+        |                  - CAST(s AS HUGEINT) * s) * 1000
+        |                 // ((n - 1) * CAST(s AS HUGEINT)) END
+        |            AS BIGINT) AS dispersion_milli
+        |FROM g ORDER BY ALL""".stripMargin,
+
+    // Exact Chebyshev coverage (Spread.qChebyshevCoverage): the
+    // q_zscore_outliers inequality at k = 1, 2, 3 — (n·x − s)² vs
+    // k²·(n·q − s²), all HUGEINT.
+    "q_chebyshev_coverage" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (SELECT event_type AS t2, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(cents) AS HUGEINT) AS ss,
+        |        CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT)
+        |          AS qq
+        |      FROM c GROUP BY 1),
+        |j AS (SELECT event_type, n,
+        |        (CAST(n AS HUGEINT) * cents - ss)
+        |          * (CAST(n AS HUGEINT) * cents - ss) AS num2,
+        |        CAST(n AS HUGEINT) * qq - ss * ss AS den
+        |      FROM c JOIN m ON event_type = t2)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN num2 <= den THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS within_1s,
+        |       CAST(sum(CASE WHEN num2 <= 4 * den THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS within_2s,
+        |       CAST(sum(CASE WHEN num2 <= 9 * den THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS within_3s,
+        |       CAST(sum(CASE WHEN num2 <= den THEN 1 ELSE 0 END)
+        |         * 10000 // max(n) AS BIGINT) AS cov1_bp,
+        |       CAST(sum(CASE WHEN num2 <= 4 * den THEN 1 ELSE 0 END)
+        |         * 10000 // max(n) AS BIGINT) AS cov2_bp,
+        |       CAST(sum(CASE WHEN num2 <= 9 * den THEN 1 ELSE 0 END)
+        |         * 10000 // max(n) AS BIGINT) AS cov3_bp
+        |FROM j GROUP BY 1 ORDER BY ALL""".stripMargin
   )
 }

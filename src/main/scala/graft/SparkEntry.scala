@@ -597,7 +597,11 @@ object SparkEntry {
     // §2.100 round-10 extensions, sixth batch: paired-classifier and
     // normality screens
     "q_mcnemar" -> Evaluation.qMcnemar _,
-    "q_jarque_bera" -> Spread.qJarqueBera _
+    "q_jarque_bera" -> Spread.qJarqueBera _,
+    // §2.101 round-10 extensions, seventh batch: count-model and
+    // tail-coverage screens
+    "q_poisson_dispersion" -> Spread.qPoissonDispersion _,
+    "q_chebyshev_coverage" -> Spread.qChebyshevCoverage _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -227,4 +227,68 @@ object Spread {
         col("mean_usd"), col("skew_milli"), col("kurt_milli"),
         col("jb_milli")))
   }
+
+  /** Poisson overdispersion screen (§2.101): per event type, the
+    * variance-to-mean ratio of the per-user-day event count — the
+    * index of dispersion that decides whether a count model can assume
+    * Poisson (≈1) or must go negative-binomial (≫1). The facts
+    * collapse to (type, user, day) counts first (mergeable), then one
+    * moment fold per type; the index is exact integer milli —
+    * (n·Σc² − (Σc)²)·1000 div ((n−1)·Σc), one division, DECIMAL(38,0)
+    * rails — so no float exists anywhere. */
+  def qPoissonDispersion(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "events")
+      .groupBy(col("event_type"),
+        col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("c").cast("long").as("s"),
+        sum(expr("c * c")).cast("long").as("q"))
+      .withColumn("mean_milli", expr(
+        "CAST(CAST(s AS DECIMAL(38,0)) * 1000 div n AS BIGINT)"))
+      .withColumn("dispersion_milli", expr(
+        "CASE WHEN n <= 1 OR s = 0 THEN NULL ELSE " +
+          "CAST((CAST(n AS DECIMAL(38,0)) * q - " +
+          "CAST(s AS DECIMAL(38,0)) * s) * 1000 div " +
+          "((n - 1) * CAST(s AS DECIMAL(38,0))) AS BIGINT) END"))
+      .select("event_type", "n", "s", "mean_milli",
+        "dispersion_milli"))
+
+  /** Exact Chebyshev coverage (§2.101): per event type, how many value
+    * cents fall within 1σ / 2σ / 3σ of the mean — the tail-mass
+    * reality check against Chebyshev's 1 − 1/k² floor (and, against a
+    * normality assumption, the 68/95/99.7 rule). |x − x̄| ≤ kσ is
+    * evaluated WITHOUT computing either the mean or σ as a float:
+    * (n·x − s)² ≤ k²·(n·q − s²) is the same inequality scaled by n²,
+    * all in DECIMAL(38,0) (the q_zscore_outliers comparison idiom) —
+    * exact, order-independent, and identical in both engines. One
+    * moment fold per type + one broadcast-join conditional scan. */
+  def qChebyshevCoverage(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val m = c.groupBy(col("event_type").as("t2"))
+      .agg(count(lit(1)).as("n"),
+        sum("cents").as("ss"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("qq"))
+    orderedAll(c.join(broadcast(m), col("event_type") === col("t2"))
+      .withColumn("num2", expr(
+        "(CAST(n AS DECIMAL(38,0)) * cents - ss) * " +
+          "(CAST(n AS DECIMAL(38,0)) * cents - ss)"))
+      .withColumn("den", expr(
+        "CAST(n AS DECIMAL(38,0)) * qq - CAST(ss AS DECIMAL(38,0)) * ss"))
+      .groupBy("event_type")
+      .agg(max("n").as("n"),
+        sum(when(expr("num2 <= den"), 1L).otherwise(0L))
+          .cast("long").as("within_1s"),
+        sum(when(expr("num2 <= 4 * den"), 1L).otherwise(0L))
+          .cast("long").as("within_2s"),
+        sum(when(expr("num2 <= 9 * den"), 1L).otherwise(0L))
+          .cast("long").as("within_3s"))
+      .withColumn("cov1_bp", expr("within_1s * 10000 div n"))
+      .withColumn("cov2_bp", expr("within_2s * 10000 div n"))
+      .withColumn("cov3_bp", expr("within_3s * 10000 div n")))
+  }
 }

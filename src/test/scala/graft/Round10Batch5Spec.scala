@@ -167,4 +167,52 @@ class Round10Batch5Spec extends SparkSpec {
         r.getLong(4), r.getLong(5))).toSet
     assert(got == expected)
   }
+
+  test("q_poisson_dispersion: BigInt index matches brute force") {
+    val counts = ops.t(spark, sf, "events")
+      .selectExpr("event_type", "user_id",
+        "unix_micros(ts) div 86400000000")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(identity).toSeq
+      .map { case (k, v) => (k._1, v.size.toLong) }
+    val expected = counts.groupBy(_._1).map { case (t, cs) =>
+      val n = cs.size.toLong
+      val s = cs.map(_._2).sum
+      val q = cs.map(c => c._2 * c._2).sum
+      val mean = BigInt(s) * 1000 / n
+      val disp = (BigInt(n) * q - BigInt(s) * s) * 1000 /
+        (BigInt(n - 1) * s)
+      (t, n, s, mean.toLong, disp.toLong)
+    }.toSet
+    val got = run("q_poisson_dispersion").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+  }
+
+  test("q_chebyshev_coverage: exact inequality matches brute force") {
+    val data = ops.t(spark, sf, "events")
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = data.groupBy(_._1).map { case (t, xs) =>
+      val n = xs.size.toLong
+      val s = xs.map(x => BigInt(x._2)).sum
+      val q = xs.map(x => BigInt(x._2) * x._2).sum
+      val den = BigInt(n) * q - s * s
+      def within(k: Int) = xs.count { x =>
+        val num = BigInt(n) * x._2 - s
+        num * num <= den * k * k
+      }.toLong
+      val (w1, w2, w3) = (within(1), within(2), within(3))
+      (t, n, w1, w2, w3, w1 * 10000 / n, w2 * 10000 / n, w3 * 10000 / n)
+    }.toSet
+    val got = run("q_chebyshev_coverage").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(got == expected)
+    // Chebyshev's floor must hold: coverage at k≥2 is ≥ 1 − 1/k²
+    for ((_, n, _, w2, w3, _, _, _) <- got) {
+      assert(w2 * 4 >= 3 * n && w3 * 9 >= 8 * n)
+    }
+  }
 }
