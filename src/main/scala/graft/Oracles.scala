@@ -8554,6 +8554,44 @@ object Oracles {
         |         * 10000 // max(n) AS BIGINT) AS cov2_bp,
         |       CAST(sum(CASE WHEN num2 <= 9 * den THEN 1 ELSE 0 END)
         |         * 10000 // max(n) AS BIGINT) AS cov3_bp
-        |FROM j GROUP BY 1 ORDER BY ALL""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // ---- §2.102 Kruskal–Wallis (Nonparam.qKruskalWallis) ----
+    // Pooled-histogram ×2 midranks, per-group rank sums, tie term,
+    // terminal double H in milli — HUGEINT mirror of DECIMAL(38,0).
+    "q_kruskal_wallis" ->
+      """WITH o AS (SELECT o_orderpriority AS grp,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |h AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM o GROUP BY 1),
+        |rk AS (SELECT v, cnt,
+        |        2 * (sum(cnt) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          - cnt) + cnt + 1 AS avg2
+        |      FROM h),
+        |gv AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS cnt_gv
+        |       FROM o GROUP BY 1, 2),
+        |g AS (SELECT grp, CAST(sum(cnt_gv) AS BIGINT) AS n_g,
+        |        CAST(sum(CAST(cnt_gv AS HUGEINT) * avg2) AS HUGEINT)
+        |          AS r2_g
+        |      FROM gv JOIN rk USING (v) GROUP BY 1),
+        |t AS (SELECT CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)
+        |          AS BIGINT) AS tie_num
+        |      FROM rk),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |        CAST(sum(n_g) AS BIGINT) AS n,
+        |        CAST(sum((r2_g * r2_g)
+        |          // (4 * CAST(n_g AS HUGEINT))) AS BIGINT) AS sum_rq
+        |      FROM g)
+        |SELECT k, n, sum_rq, tie_num,
+        |       CAST(CASE WHEN n <= 1 OR tie_num >=
+        |              CAST(n AS HUGEINT) * n * n - n THEN NULL
+        |            ELSE round((12.0 * sum_rq
+        |              / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
+        |              / (1.0 - CAST(tie_num AS DOUBLE)
+        |                / (CAST(n AS DOUBLE) * n * n - n)) * 1000) END
+        |            AS BIGINT) AS h_milli
+        |FROM a CROSS JOIN t ORDER BY ALL""".stripMargin
   )
 }

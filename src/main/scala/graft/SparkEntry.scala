@@ -601,7 +601,10 @@ object SparkEntry {
     // §2.101 round-10 extensions, seventh batch: count-model and
     // tail-coverage screens
     "q_poisson_dispersion" -> Spread.qPoissonDispersion _,
-    "q_chebyshev_coverage" -> Spread.qChebyshevCoverage _
+    "q_chebyshev_coverage" -> Spread.qChebyshevCoverage _,
+    // §2.102 round-10 extensions, eighth batch: the rank-based
+    // k-sample test closing the nonparametric family
+    "q_kruskal_wallis" -> Nonparam.qKruskalWallis _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -181,4 +181,51 @@ object Nonparam {
       .select("k", "n_blocks", "sum_c", "sum_c2", "sum_r", "sum_r2",
         "q_milli"))
   }
+
+  /** Kruskal–Wallis inputs (§2.102): the rank-based k-sample location
+    * test on totalprice cents across order priorities — the
+    * nonparametric q_anova (q_mannwhitney is its k = 2 special case),
+    * robust to the heavy tail that inflates ANOVA's within-SS. Ranks
+    * never touch a row: the POOLED value histogram carries the
+    * tie-averaged rank of every distinct value as an exact ×2 integer
+    * (2·cum_before + cnt + 1 — midrank doubled dodges the half), the
+    * per-(group, value) counts join it value-to-value, and per-group
+    * rank sums collapse in one fold. The tie term Σ(t³ − t) rides the
+    * same histogram. H is assembled from the exact integers as the
+    * single terminal double — 12·Σ(R_g²/n_g)/(N(N+1)) − 3(N+1), over
+    * the tie correction 1 − Σ(t³−t)/(N³−N) — in milli. The only
+    * unpartitioned window runs over the AGGREGATED histogram (the
+    * Mood/DistRank exemption class). */
+  def qKruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("grp"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+    val h = o.groupBy("v").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = h
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("avg2", expr("2 * (cum - cnt) + cnt + 1"))
+    val gv = o.groupBy("grp", "v").agg(count(lit(1)).as("cnt_gv"))
+    val g = gv.join(ranked.select("v", "avg2"), "v")
+      .groupBy("grp")
+      .agg(sum("cnt_gv").cast("long").as("n_g"),
+        sum(expr("CAST(cnt_gv AS DECIMAL(38,0)) * avg2")).as("r2_g"))
+    val ties = ranked.agg(
+      sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt"))
+        .cast("long").as("tie_num"))
+    orderedAll(g.agg(
+      count(lit(1)).as("k"),
+      sum("n_g").cast("long").as("n"),
+      sum(expr("(r2_g * r2_g) div (4 * CAST(n_g AS DECIMAL(38,0)))"))
+        .cast("long").as("sum_rq"))
+      .crossJoin(broadcast(ties))
+      .withColumn("h_milli", expr(
+        "CASE WHEN n <= 1 OR tie_num >= " +
+          "CAST(n AS DECIMAL(38,0)) * n * n - n THEN NULL ELSE " +
+          "CAST(round((12.0 * sum_rq / (CAST(n AS DOUBLE) * (n + 1)) " +
+          "- 3.0 * (n + 1)) / (1.0 - CAST(tie_num AS DOUBLE) / " +
+          "(CAST(n AS DOUBLE) * n * n - n)) * 1000) AS BIGINT) END"))
+      .select("k", "n", "sum_rq", "tie_num", "h_milli"))
+  }
 }

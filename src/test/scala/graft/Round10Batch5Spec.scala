@@ -215,4 +215,34 @@ class Round10Batch5Spec extends SparkSpec {
       assert(w2 * 4 >= 3 * n && w3 * 9 >= 8 * n)
     }
   }
+
+  test("q_kruskal_wallis: midrank sums and H match brute force") {
+    val data = orderCents()
+    val n = data.size.toLong
+    // tie-averaged ×2 midranks over the pooled sorted sample
+    val hist = data.map(_._2).groupBy(identity).toSeq
+      .map { case (v, xs) => (v, xs.size.toLong) }.sortBy(_._1)
+    var cum = 0L
+    val avg2 = hist.map { case (v, c) =>
+      val a = 2 * cum + c + 1; cum += c; (v, a)
+    }.toMap
+    val groups = data.groupBy(_._1).map { case (_, xs) =>
+      val nG = xs.size.toLong
+      val r2 = xs.map(x => BigInt(avg2(x._2))).sum
+      (nG, r2)
+    }.toSeq
+    val k = groups.size.toLong
+    val sumRq = groups.map { case (nG, r2) => r2 * r2 / (4 * nG) }
+      .sum.toLong
+    val tieNum = hist.map { case (_, c) => BigInt(c) * c * c - c }
+      .sum.toLong
+    val h = math.round((12.0 * sumRq / (n.toDouble * (n + 1)) -
+      3.0 * (n + 1)) /
+      (1.0 - tieNum.toDouble / (n.toDouble * n * n - n)) * 1000)
+    val row = run("q_kruskal_wallis").collect().head
+    assert(row.getLong(0) == k && row.getLong(1) == n)
+    assert(row.getLong(2) == sumRq, s"sum_rq ${row.getLong(2)} != $sumRq")
+    assert(row.getLong(3) == tieNum)
+    assert(row.getLong(4) == h)
+  }
 }
