@@ -8592,6 +8592,37 @@ object Oracles {
         |              / (1.0 - CAST(tie_num AS DOUBLE)
         |                / (CAST(n AS DOUBLE) * n * n - n)) * 1000) END
         |            AS BIGINT) AS h_milli
-        |FROM a CROSS JOIN t ORDER BY ALL""".stripMargin
+        |FROM a CROSS JOIN t ORDER BY ALL""".stripMargin,
+
+    // ---- §2.103 Theil–Sen robust slope (Analytics.qTheilSen) ----
+    // Day-spine collapse → spine²-bounded pair slopes → discrete
+    // lower median per type off the slope histogram.
+    "q_theil_sen" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |        (b.y - a.y) * 1000 // (b.day - a.day) AS slope
+        |      FROM daily a JOIN daily b
+        |        ON a.event_type = b.event_type AND a.day < b.day),
+        |h AS (SELECT event_type, slope, CAST(count(*) AS BIGINT)
+        |        AS cnt
+        |      FROM p GROUP BY 1, 2),
+        |c AS (SELECT event_type, slope, cnt,
+        |        sum(cnt) OVER (PARTITION BY event_type ORDER BY slope
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cum,
+        |        sum(cnt) OVER (PARTITION BY event_type) AS n_pairs
+        |      FROM h),
+        |m AS (SELECT event_type, CAST(max(n_pairs) AS BIGINT)
+        |          AS n_pairs,
+        |        CAST(min(slope) AS BIGINT) AS sen_slope_milli
+        |      FROM c WHERE cum * 2 >= n_pairs GROUP BY 1),
+        |d AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |      FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, n_pairs, sen_slope_milli
+        |FROM m JOIN d USING (event_type) ORDER BY ALL""".stripMargin
   )
 }

@@ -604,7 +604,9 @@ object SparkEntry {
     "q_chebyshev_coverage" -> Spread.qChebyshevCoverage _,
     // §2.102 round-10 extensions, eighth batch: the rank-based
     // k-sample test closing the nonparametric family
-    "q_kruskal_wallis" -> Nonparam.qKruskalWallis _
+    "q_kruskal_wallis" -> Nonparam.qKruskalWallis _,
+    // §2.103 round-10 extensions, ninth batch: robust regression
+    "q_theil_sen" -> Analytics.qTheilSen _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -271,6 +271,47 @@ object Analytics {
           "ELSE -(((-num) * 10000) div den) END AS slope_bp"))
   }
 
+  /** Theil–Sen robust trend slope (§2.103): per event type, the MEDIAN
+    * of all pairwise daily-revenue slopes — the estimator that shrugs
+    * off the outlier days that drag q_trend_slope's OLS line (up to
+    * 29% contamination). The facts collapse to the DAY SPINE first
+    * (the q_trend_slope aggregate), so the pair join is spine²-bounded
+    * — a few thousand pairs per type for any fact count, the
+    * q_kendall cells-not-rows contract. Each pair slope is the exact
+    * integer (Δcents·1000) div Δdays (both engines truncate toward
+    * zero identically); the median is the discrete lower median off a
+    * slope histogram + cum window (aggregated input — the exemption
+    * class). */
+  def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").cast("long").as("y"))
+    val b = daily.select(col("event_type").as("t2"),
+      col("day").as("day_b"), col("y").as("y_b"))
+    val slopes = daily.join(b,
+        col("event_type") === col("t2") && col("day") < col("day_b"))
+      .select(col("event_type"),
+        expr("(y_b - y) * 1000 div (day_b - day)").as("slope"))
+    val h = slopes.groupBy("event_type", "slope")
+      .agg(count(lit(1)).as("cnt"))
+    val tot = h.groupBy(col("event_type").as("t3"))
+      .agg(sum("cnt").as("n_pairs"))
+    val w = Window.partitionBy("event_type").orderBy("slope")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = h.withColumn("cum", sum("cnt").over(w))
+      .join(broadcast(tot), col("event_type") === col("t3"))
+      .filter(col("cum") * 2 >= col("n_pairs"))
+      .groupBy("event_type")
+      .agg(max("n_pairs").as("n_pairs"),
+        min("slope").as("sen_slope_milli"))
+    val days = daily.groupBy(col("event_type").as("t4"))
+      .agg(count(lit(1)).as("n_days"))
+    orderedAll(med.join(broadcast(days), col("event_type") === col("t4"))
+      .select("event_type", "n_days", "n_pairs", "sen_slope_milli"))
+  }
+
   /** Weekly signup-cohort activity matrix: cohort = absolute week index
     * of each user's FIRST event, offset = activity week − cohort week,
     * cell = distinct active users — the retention heatmap every growth

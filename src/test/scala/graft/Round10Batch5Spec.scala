@@ -245,4 +245,29 @@ class Round10Batch5Spec extends SparkSpec {
     assert(row.getLong(3) == tieNum)
     assert(row.getLong(4) == h)
   }
+
+  test("q_theil_sen: pairwise median slope matches brute force") {
+    val daily = ops.t(spark, sf, "events")
+      .selectExpr("event_type", "unix_micros(ts) div 86400000000",
+        "CAST(round(value * 100) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(p => (p._1, p._2)).toSeq
+      .map { case ((t, d), xs) => (t, d, xs.map(_._3).sum) }
+    val expected = daily.groupBy(_._1).map { case (t, ds) =>
+      val pts = ds.sortBy(_._2)
+      val slopes = (for {
+        i <- pts.indices; j <- (i + 1) until pts.size
+      } yield {
+        val num = (pts(j)._3 - pts(i)._3) * 1000
+        val den = pts(j)._2 - pts(i)._2
+        num / den  // JVM / truncates toward zero like Spark div
+      }).sorted
+      val n = slopes.size.toLong
+      val med = slopes((((n + 1) / 2) - 1).toInt)
+      (t, pts.size.toLong, n, med)
+    }.toSet
+    val got = run("q_theil_sen").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+  }
 }
