@@ -7570,12 +7570,14 @@ object Oracles {
         |  FROM bands x JOIN bands y
         |    ON x.b = y.b AND x.r = y.r AND x.band = y.band
         |   AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-        |agg AS (SELECT b, r, count(*) AS np,
-        |    count(DISTINCT a_id) AS nd
-        |  FROM cand GROUP BY 1, 2)
+        |ends AS (SELECT b, r, a_id AS d FROM cand
+        |         UNION ALL SELECT b, r, b_id AS d FROM cand),
+        |agg AS (SELECT b, r, count(*) // 2 AS np,
+        |    count(DISTINCT d) AS nd
+        |  FROM ends GROUP BY 1, 2)
         |SELECT CAST(c.b AS BIGINT) AS b, CAST(c.r AS BIGINT) AS r,
         |       CAST(coalesce(a.np, 0) AS BIGINT) AS n_cand_pairs,
-        |       CAST(coalesce(a.nd, 0) AS BIGINT) AS n_left_docs,
+        |       CAST(coalesce(a.nd, 0) AS BIGINT) AS n_docs_touched,
         |       CAST(round((1 - pow(1 - pow(0.8, c.r), c.b)) * 10000)
         |            AS BIGINT) AS theo_recall_bp
         |FROM cfg c LEFT JOIN agg a ON c.b = a.b AND c.r = a.r
@@ -8604,7 +8606,10 @@ object Oracles {
         |      AS y
         |  FROM events GROUP BY 1, 2),
         |p AS (SELECT a.event_type,
-        |        (b.y - a.y) * 1000 // (b.day - a.day) AS slope
+        |        CASE WHEN b.y >= a.y
+        |          THEN (b.y - a.y) * 1000 // (b.day - a.day)
+        |          ELSE -((a.y - b.y) * 1000 // (b.day - a.day))
+        |        END AS slope
         |      FROM daily a JOIN daily b
         |        ON a.event_type = b.event_type AND a.day < b.day),
         |h AS (SELECT event_type, slope, CAST(count(*) AS BIGINT)

@@ -278,8 +278,11 @@ object Analytics {
     * (the q_trend_slope aggregate), so the pair join is spine²-bounded
     * — a few thousand pairs per type for any fact count, the
     * q_kendall cells-not-rows contract. Each pair slope is the exact
-    * integer (Δcents·1000) div Δdays (both engines truncate toward
-    * zero identically); the median is the discrete lower median off a
+    * integer (Δcents·1000) div Δdays, spelled SIGN-SPLIT in both
+    * engines (the q_trend_slope policy: Spark `div` truncates toward
+    * zero while DuckDB `//` may floor, so negative inexact quotients
+    * are computed as -((-num) div den) on both sides to pin
+    * truncation); the median is the discrete lower median off a
     * slope histogram + cum window (aggregated input — the exemption
     * class). */
   def qTheilSen(s: SparkSession, dir: String): DataFrame = {
@@ -293,7 +296,8 @@ object Analytics {
     val slopes = daily.join(b,
         col("event_type") === col("t2") && col("day") < col("day_b"))
       .select(col("event_type"),
-        expr("(y_b - y) * 1000 div (day_b - day)").as("slope"))
+        expr("CASE WHEN y_b >= y THEN (y_b - y) * 1000 div (day_b - day) " +
+          "ELSE -((y - y_b) * 1000 div (day_b - day)) END").as("slope"))
     val h = slopes.groupBy("event_type", "slope")
       .agg(count(lit(1)).as("cnt"))
     val tot = h.groupBy(col("event_type").as("t3"))
@@ -475,7 +479,7 @@ object Analytics {
     val base0 = per.crossJoin(broadcast(maxDay))
       .withColumn("recency", col("max_day") - col("last_day"))
     // customer-dim rank replaces the serial sort outright → low crossover
-    val (b, base) = DistRank.gate(s, base0, 1000000L, "rfm_auto")
+    val (b, base) = DistRank.gate(s, base0, 1000000L, DistRank.dirSlot("rfm_auto", dir))
     val scored =
       if (b <= 0) base
         .withColumn("r_score", ntile(5).over(Window.orderBy(

@@ -201,10 +201,15 @@ object DedupAudit {
         .distinct()
       val recallBp = math.round(
         (1.0 - math.pow(1.0 - math.pow(0.8, r), b)) * 10000)
-      cand.agg(count(lit(1)).as("n_cand_pairs"),
-          countDistinct(col("a_id")).as("n_left_docs"))
+      // "docs touched" counts BOTH endpoints of every candidate pair
+      // (round-11 advice fix: a_id-only missed docs appearing solely on
+      // the b side). Exploding both ids doubles the row count exactly,
+      // so pairs = count/2 in the same single pass.
+      cand.select(explode(array(col("a_id"), col("b_id"))).as("d"))
+        .agg((count(lit(1)) / 2).cast("long").as("n_cand_pairs"),
+          countDistinct(col("d")).as("n_docs_touched"))
         .select(lit(b.toLong).as("b"), lit(r.toLong).as("r"),
-          col("n_cand_pairs"), col("n_left_docs"),
+          col("n_cand_pairs"), col("n_docs_touched"),
           lit(recallBp).as("theo_recall_bp"))
     }
     orderedAll(perConfig.reduce(_ unionAll _))

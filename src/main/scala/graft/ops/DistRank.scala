@@ -72,6 +72,15 @@ object DistRank {
                        crossoverRows: Long = 1000000L): Int =
     gate(s, input, crossoverRows, "rank_auto")._1
 
+  /** Qualify a pin-slot name with the dataset directory's basename —
+    * the `near_pairs_${dirName}` idiom (Text.scala:262) applied to the
+    * gate family. Without it, two dirs queried in one session under
+    * `spark.graft.reliableCheckpoint=true` would overwrite the same
+    * checkpoint parquet path, and a retained handle from the first dir
+    * would silently re-read the second's data on re-collection. */
+  def dirSlot(slot: String, dir: String): String =
+    slot + "_" + new java.io.File(dir).getName
+
   /** [[effectiveBuckets]] plus the probe-cost fix the first 100× auto
     * capture demanded: when the probe tier fires, the window input is
     * PINNED (Text.pin — localCheckpoint, or the reliable-checkpoint
@@ -182,4 +191,45 @@ object DistRank {
         Window.partitionBy("__vbkt").orderBy(col("__key").asc, tie.asc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("__key", "__vbkt", "__before")
+
+  /** Partition-aware [[withPrefixSum]] (round-11 item 1): the EXCLUSIVE
+    * running sum of `value` over (key asc) WITHIN each group of `parts`
+    * — for the value-histogram window class whose partition axis has
+    * tiny cardinality (3 return flags, 5 event types / priorities) but
+    * whose per-group histogram approaches fact scale when values are
+    * near-distinct (totalprice / extendedprice cents are). The
+    * declarative spelling serializes each group onto ONE task — the
+    * q_interarrival few-task ceiling — so the same two-pass value-bucket
+    * trick runs per group: range stats and bucket offsets are per-group
+    * aggregates (≤ groups × B rows, broadcast back), within-bucket sums
+    * run partitioned by (group, bucket). Callers' keys are unique within
+    * a group (the input IS a groupBy-key histogram), so no tie column
+    * exists; stitching is integer-associative → bit-equal to the serial
+    * window (spec-forced, Round11RankSpec). */
+  def withPrefixSumBy(df: DataFrame, parts: Seq[String], key: Column,
+                      value: Column, b: Int, out: String): DataFrame = {
+    val pc = parts.map(col)
+    val wk = df.withColumn("__key", key.cast("long"))
+    val stats = wk.groupBy(pc: _*)
+      .agg(min("__key").as("__kmin"), max("__key").as("__kmax"))
+    // same DECIMAL(38,0) bucket arithmetic as [[bucketed]]: exact for
+    // any (range, B), index < B so the BIGINT cast never truncates.
+    val vb = wk.join(broadcast(stats), parts)
+      .withColumn("__vbkt",
+        expr(s"CAST(((CAST(__key AS DECIMAL(38,0)) - __kmin) * $b)" +
+          s" div (CAST(__kmax AS DECIMAL(38,0)) - __kmin + 1) AS BIGINT)"))
+      .drop("__kmin", "__kmax")
+    val offsets = vb.groupBy((pc :+ col("__vbkt")): _*)
+      .agg(sum(value).cast("long").as("__bagg"))
+      .withColumn("__before", coalesce(sum("__bagg").over(
+        Window.partitionBy(pc: _*).orderBy("__vbkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((pc :+ col("__vbkt") :+ col("__before")): _*)
+    vb.join(broadcast(offsets), parts :+ "__vbkt")
+      .withColumn(out, col("__before") + coalesce(sum(value).over(
+        Window.partitionBy((pc :+ col("__vbkt")): _*)
+          .orderBy(col("__key").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__key", "__vbkt", "__before")
+  }
 }

@@ -267,7 +267,7 @@ object Graphs {
     // (round 9) — replaces the r8-declared approx-quantile swap with
     // the bit-equal exact machinery the rest of the family uses;
     // node-dim rank replaces the serial sort outright → low crossover
-    val (b, dgG) = DistRank.gate(s, dg, 1000000L, "richclub_auto")
+    val (b, dgG) = DistRank.gate(s, dg, 1000000L, DistRank.dirSlot("richclub_auto", dir))
     val w = Window.orderBy(col("deg").desc, col("u").asc)
     val ranked =
       if (b <= 0) dgG.withColumn("rn", row_number().over(w).cast("long"))

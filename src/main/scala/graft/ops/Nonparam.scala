@@ -123,17 +123,28 @@ object Nonparam {
     * distributional assumption at all (the χ² on these counts is the
     * textbook finish; the emitted table IS its contingency). The pivot
     * comes from the shared q_percentile_disc recipe on a global value
-    * histogram: the only unpartitioned window runs over the AGGREGATED
-    * (cents, cnt) table, whose size is bounded by the value domain, not
-    * the row count — the DistRank exemption class. The pivot then rides
-    * a 1-row broadcast onto one mergeable per-group fold. */
+    * histogram. Round 11: the histogram is NOT the exemption class the
+    * round-10 comment claimed — totalprice cents are near-distinct, so
+    * the (cents, cnt) table approaches fact scale and its serial
+    * cumulative window is a one-task ceiling. It now rides the shared
+    * [[DistRank.gate]] auto-engage: above the stats floor the histogram
+    * pins and the prefix sum stitches via [[DistRank.withPrefixSum]]
+    * (bit-equal by integer associativity, Round11RankSpec-forced). The
+    * pivot then rides a 1-row broadcast onto one mergeable fold. */
   def qMedianTest(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
       .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
-    val h = o.groupBy("cents").agg(count(lit(1)).as("cnt"))
+    val h0 = o.groupBy("cents").agg(count(lit(1)).as("cnt"))
+    val (b, h) = DistRank.gate(s, h0, 1000000L,
+      DistRank.dirSlot("mediantest_auto", dir))
     val w = Window.orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val piv = h.withColumn("cum", sum("cnt").over(w))
+    val cum =
+      if (b <= 0) h.withColumn("cum", sum("cnt").over(w))
+      else DistRank.withPrefixSum(h, col("cents"), col("cents"),
+        col("cnt"), b, "cum_before")
+        .withColumn("cum", col("cum_before") + col("cnt"))
+    val piv = cum
       .crossJoin(broadcast(h.agg(sum("cnt").as("n_all"))))
       .filter(col("cum") * 2 >= col("n_all"))
       .agg(min("cents").as("pivot_cents"))
@@ -193,19 +204,26 @@ object Nonparam {
     * rank sums collapse in one fold. The tie term Σ(t³ − t) rides the
     * same histogram. H is assembled from the exact integers as the
     * single terminal double — 12·Σ(R_g²/n_g)/(N(N+1)) − 3(N+1), over
-    * the tie correction 1 − Σ(t³−t)/(N³−N) — in milli. The only
-    * unpartitioned window runs over the AGGREGATED histogram (the
-    * Mood/DistRank exemption class). */
+    * the tie correction 1 − Σ(t³−t)/(N³−N) — in milli. Round 11: the
+    * pooled histogram is near-distinct-valued (≈ one row per order), so
+    * its cumulative window is DistRank-gated exactly like q_median_test
+    * — the exclusive prefix (cum_before) stitches from bucket offsets,
+    * and avg2 = 2·cum_before + cnt + 1 needs no inclusive sum at all. */
   def qKruskalWallis(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
       .select(col("o_orderpriority").as("grp"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
-    val h = o.groupBy("v").agg(count(lit(1)).as("cnt"))
+    val h0 = o.groupBy("v").agg(count(lit(1)).as("cnt"))
+    val (b, h) = DistRank.gate(s, h0, 1000000L,
+      DistRank.dirSlot("kw_auto", dir))
     val w = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = h
-      .withColumn("cum", sum("cnt").over(w))
-      .withColumn("avg2", expr("2 * (cum - cnt) + cnt + 1"))
+    val ranked =
+      (if (b <= 0) h.withColumn("cum", sum("cnt").over(w))
+        .withColumn("cum_before", col("cum") - col("cnt"))
+       else DistRank.withPrefixSum(h, col("v"), col("v"),
+         col("cnt"), b, "cum_before"))
+      .withColumn("avg2", expr("2 * cum_before + cnt + 1"))
     val gv = o.groupBy("grp", "v").agg(count(lit(1)).as("cnt_gv"))
     val g = gv.join(ranked.select("v", "avg2"), "v")
       .groupBy("grp")

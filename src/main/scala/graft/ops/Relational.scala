@@ -564,18 +564,27 @@ object Relational {
     * value, no interpolation), complementing q_percentile's continuous
     * form. Spelled histogram-first (the q_weighted_median discipline):
     * raw rows collapse to (priority, cents, cnt) before the cumulative
-    * window, so the window input is value-domain-bounded; the decision
-    * rule cum·100 ≥ p·n is all-integer. */
+    * window; the decision rule cum·100 ≥ p·n is all-integer. Round 11:
+    * near-distinct cents make the per-priority histogram fact-scale on
+    * 5 tasks, so the cumulative sum DistRank-gates through the
+    * partition-aware [[DistRank.withPrefixSumBy]]. */
   def qPercentileDisc(s: SparkSession, dir: String): DataFrame = {
-    val h = t(s, dir, "orders")
+    val h0 = t(s, dir, "orders")
       .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
       .groupBy("o_orderpriority", "cents")
       .agg(count(lit(1)).as("cnt"))
+    val (b, h) = DistRank.gate(s, h0, 1000000L,
+      DistRank.dirSlot("pdisc_auto", dir))
     val w = Window.partitionBy("o_orderpriority").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumd =
+      if (b <= 0) h.withColumn("cum", sum("cnt").over(w))
+      else DistRank.withPrefixSumBy(h, Seq("o_orderpriority"),
+        col("cents"), col("cnt"), b, "cum_before")
+        .withColumn("cum", col("cum_before") + col("cnt"))
     val tot = h.groupBy(col("o_orderpriority").as("p2"))
       .agg(sum("cnt").as("n"))
-    val cum = h.withColumn("cum", sum("cnt").over(w))
+    val cum = cumd
       .join(broadcast(tot), col("o_orderpriority") === col("p2"))
     def pick(p: Int) = cum
       .filter(col("cum") * 100 >= col("n") * p)

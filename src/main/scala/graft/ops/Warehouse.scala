@@ -339,22 +339,30 @@ object Warehouse {
     * — the robust center a revenue-weighted readout needs where the
     * unweighted median over-counts cheap events. Same histogram-first
     * shape as q_ks_test: raw events compress to (type, cents, Σw) before
-    * the cumulative window, so window input is value-domain-bounded and
-    * the weighted median of a 100 TB stream costs one map-combining
-    * aggregate plus a bounded window. All-integer decision rule
-    * (2·cum ≥ tot). */
+    * the cumulative window. Round 11: "value-domain-bounded" under-sold
+    * the risk — with near-distinct values the per-type histogram is
+    * fact-scale on 5 tasks, so the cumulative sum DistRank-gates through
+    * [[DistRank.withPrefixSumBy]] like q_weighted_quantile. All-integer
+    * decision rule (2·cum ≥ tot). */
   def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
-    val g = t(s, dir, "events")
+    val g0 = t(s, dir, "events")
       .select(col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
         expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("w"))
       .groupBy("event_type", "cents").agg(sum("w").as("gw"),
         count(lit(1)).as("gn"))
+    val (b, g) = DistRank.gate(s, g0, 1000000L,
+      DistRank.dirSlot("wmed_auto", dir))
     val w = Window.partitionBy("event_type").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum =
+      if (b <= 0) g.withColumn("cum", sum("gw").over(w))
+      else DistRank.withPrefixSumBy(g, Seq("event_type"),
+        col("cents"), col("gw"), b, "cum_before")
+        .withColumn("cum", col("cum_before") + col("gw"))
     val tot = g.groupBy("event_type")
       .agg(sum("gw").as("tot_w"), sum("gn").as("n"))
-    orderedAll(g.withColumn("cum", sum("gw").over(w))
+    orderedAll(cum
       .join(broadcast(tot), "event_type")
       .filter(col("cum") * 2 >= col("tot_w"))
       .groupBy("event_type", "n", "tot_w")
@@ -450,20 +458,32 @@ object Warehouse {
     * weight reaches ⌈p·W⌉, cleared to 100·cumw ≥ p·W so everything
     * stays integer). Generalizes [[qWeightedMedian]] to a quantile
     * vector from ONE cents-grain collapse + one cumulative window per
-    * flag; the 4 probe points are a literal cross join. */
+    * flag; the 4 probe points are a literal cross join. Round 11: the
+    * per-flag histograms are near-distinct-valued and there are only 3
+    * flags — the declarative window is a 3-task ceiling — so the
+    * cumulative sum is DistRank-gated through the partition-aware
+    * [[DistRank.withPrefixSumBy]] (per-flag bucket offsets, bit-equal
+    * stitching, Round11RankSpec-forced). */
   def qWeightedQuantile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val g = t(s, dir, "lineitem")
+    val g0 = t(s, dir, "lineitem")
       .select(col("l_returnflag"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
         expr("CAST(l_quantity AS BIGINT)").as("w"))
       .groupBy("l_returnflag", "cents").agg(sum("w").as("gw"))
+    val (b, g) = DistRank.gate(s, g0, 1000000L,
+      DistRank.dirSlot("wq_auto", dir))
     val wc = Window.partitionBy("l_returnflag").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum =
+      if (b <= 0) g.withColumn("cum", sum("gw").over(wc))
+      else DistRank.withPrefixSumBy(g, Seq("l_returnflag"),
+        col("cents"), col("gw"), b, "cum_before")
+        .withColumn("cum", col("cum_before") + col("gw"))
     val tot = g.groupBy(col("l_returnflag").as("f2"))
       .agg(sum("gw").as("tot_w"))
     val ps = Seq(25L, 50L, 75L, 90L).toDF("p")
-    orderedAll(g.withColumn("cum", sum("gw").over(wc))
+    orderedAll(cum
       .join(broadcast(tot), col("l_returnflag") === col("f2"))
       .crossJoin(broadcast(ps))
       .filter(col("cum") * 100 >= col("tot_w") * col("p"))
