@@ -191,11 +191,15 @@ object CorpusStats {
     // identical token universe, so the audit measures exactly the
     // banding the dedup query runs). Per-doc signatures are independent
     // of other docs, so the sample gate filters the PINNED sig table —
-    // same rows as re-deriving from filtered postings.
-    val d0 = Sketches.enPostings(s, dir)
+    // same rows as re-deriving from filtered postings. Round 11: the
+    // shared `spark.graft.dedupAuditSampleBp` md5 doc-sample gate
+    // (DedupAudit.auditSample) composes with the legacy mod gate —
+    // both sides restrict to the same induced doc subset, so
+    // precision/recall stay unbiased estimates.
+    val d0 = DedupAudit.auditSample(s, Sketches.enPostings(s, dir))
     val d = if (mod <= 1) d0 else d0.filter(col("doc_id") % mod === 0)
     val truth = Text.maskGroupPairs(d, 3, 1).select("a_id", "b_id")
-    val sig0 = Sketches.mdLaneSigs(s, dir)
+    val sig0 = DedupAudit.auditSample(s, Sketches.mdLaneSigs(s, dir))
     val bands = Sketches.mdBands(
       if (mod <= 1) sig0 else sig0.filter(col("doc_id") % mod === 0))
     val cand = bands.as("x").join(bands.as("y"),

