@@ -798,7 +798,75 @@ object Oracles {
          |               ORDER BY dot / sqrt(na2 * nb2) DESC, nid) AS rn
          |      FROM s)
          |SELECT pid, nid, rn, round(cos, 4) AS sim FROM r WHERE rn <= 5
-         |ORDER BY ALL""".stripMargin
+         |ORDER BY ALL""".stripMargin,
+
+    // IVF ANN (Vectors.qAnnIvf), hash-graded since round 11: md5-rank
+    // seeds -> seed assignment -> one decimal-sum Lloyd mean step ->
+    // refined assignment (inverted lists) -> nprobe=3 probe lists ->
+    // exact top-5 within the probed lists. Every arithmetic step is
+    // the same deterministic sequence as the Spark side: double cosine
+    // folds, exact DECIMAL(27,10) lane sums, ONE double divide, one
+    // float round; ties break (csim DESC, cid) everywhere.
+    "q_ann_ivf" ->
+      """WITH seeds AS (SELECT vec_id AS cid, embedding AS ce
+        |  FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |en AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(generate_series(1, 64), i ->
+        |      CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+        |      AS n2
+        |  FROM embeddings),
+        |sn AS (SELECT cid, ce,
+        |    list_sum(list_transform(generate_series(1, 64), i ->
+        |      CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) AS c2
+        |  FROM seeds),
+        |a0 AS (SELECT vec_id, embedding, cid FROM (
+        |    SELECT e.vec_id, e.embedding, s.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, 64), i ->
+        |          CAST(e.embedding[i] AS DOUBLE) * CAST(s.ce[i] AS DOUBLE)))
+        |          / sqrt(e.n2 * s.c2) DESC, s.cid) AS rn
+        |    FROM en e CROSS JOIN sn s) WHERE rn = 1),
+        |m AS (SELECT cid, i AS pos,
+        |    CAST(CAST(sum(CAST(embedding[i] AS DECIMAL(27,10))) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS REAL) AS mv
+        |  FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+        |  GROUP BY 1, 2),
+        |cents AS (SELECT cid, list(mv ORDER BY pos) AS cl,
+        |    list_sum(list_transform(list(mv ORDER BY pos), x ->
+        |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS c2
+        |  FROM m GROUP BY 1),
+        |a1 AS (SELECT vec_id, embedding, cid FROM (
+        |    SELECT e.vec_id, e.embedding, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, 64), i ->
+        |          CAST(e.embedding[i] AS DOUBLE) * CAST(c.cl[i] AS DOUBLE)))
+        |          / sqrt(e.n2 * c.c2) DESC, c.cid) AS rn
+        |    FROM en e CROSS JOIN cents c) WHERE rn = 1),
+        |pl AS (SELECT pid, pe, cid FROM (
+        |    SELECT e.vec_id AS pid, e.embedding AS pe, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, 64), i ->
+        |          CAST(e.embedding[i] AS DOUBLE) * CAST(c.cl[i] AS DOUBLE)))
+        |          / sqrt(e.n2 * c.c2) DESC, c.cid) AS rn
+        |    FROM en e CROSS JOIN cents c WHERE e.vec_id < 10)
+        |  WHERE rn <= 3),
+        |s AS (SELECT pl.pid, a.vec_id AS nid,
+        |    list_sum(list_transform(generate_series(1, 64), i ->
+        |      CAST(pl.pe[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+        |      AS dot,
+        |    list_sum(list_transform(generate_series(1, 64), i ->
+        |      CAST(pl.pe[i] AS DOUBLE) * CAST(pl.pe[i] AS DOUBLE))) AS na2,
+        |    list_sum(list_transform(generate_series(1, 64), i ->
+        |      CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+        |      AS nb2
+        |  FROM a1 a JOIN pl ON a.cid = pl.cid AND a.vec_id <> pl.pid),
+        |r AS (SELECT pid, nid, dot / sqrt(na2 * nb2) AS cos,
+        |        row_number() OVER (PARTITION BY pid
+        |          ORDER BY dot / sqrt(na2 * nb2) DESC, nid) AS rn
+        |      FROM s)
+        |SELECT pid, nid, rn, round(cos, 4) AS sim FROM r WHERE rn <= 5
+        |ORDER BY ALL""".stripMargin
   )
 
   // ---- §2.8 scalar functions ----

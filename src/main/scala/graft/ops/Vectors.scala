@@ -163,9 +163,11 @@ object Vectors {
     * linearly with N), standing in for an offline k-means pass. Every
     * vector is assigned to its nearest centroid (the inverted lists), and
     * probes search only their `nprobe = 3` nearest lists — ~3/16 of the
-    * corpus touched per query instead of all of it. Rows-only
-    * (approximate by design); recall vs the exact q_knn_cosine is
-    * asserted in ScalaTest. */
+    * corpus touched per query instead of all of it. Hash-graded since
+    * round 11 (every step — md5 seed rank, decimal-sum Lloyd means,
+    * double cosine folds, (csim desc, cid) tie rule — is deterministic
+    * and engine-portable, mirrored as a DuckDB CTE chain); recall vs
+    * the exact q_knn_cosine additionally asserted in ScalaTest. */
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     // The 16 centroids are collected to the driver (16 rows — the same
@@ -188,21 +190,29 @@ object Vectors {
           (col("best.ncid") * -1).as("cid"))
     def collect16(df: DataFrame): Array[(Long, Array[Float])] =
       df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // Round 11 (oracle graduation): seed rank is the md5-string idiom —
+    // md5(vec_id-as-string) orders identically in any engine, unlike
+    // xxhash64 (Spark-only) — so the whole pipeline mirrors as one
+    // DuckDB CTE chain and the query is hash-graded, not rows-only.
     val seeds = collect16(emb
-      .withColumn("hr", xxhash64(col("vec_id")))
+      .withColumn("hr", md5(col("vec_id").cast("string")))
       .orderBy(col("hr"), col("vec_id")).limit(16)
       .select(col("vec_id").as("cid"), col("embedding").as("ce")))
     // One deterministic Lloyd refinement of the random seeds (random seed
     // vectors cluster poorly; a single mean step recovers most of the
     // quality an offline k-means would give). The per-lane mean goes
     // through an exact DECIMAL sum so the centroid is identical under any
-    // partitioning — a raw double avg would make this rows-only query
-    // nondeterministic at assignment ties.
+    // partitioning — a raw double avg would make this query
+    // nondeterministic at assignment ties. The division is ONE double op
+    // from the exact decimal sum (not decimal/decimal division, whose
+    // result scale is an engine-specific rule): exact-sum → correctly
+    // rounded double → one IEEE divide → one float round — the same four
+    // deterministic steps in both engines.
     val cents = collect16(assign(seeds)
       .select(col("cid"), posexplode(col("embedding")))
       .groupBy("cid", "pos")
-      .agg(expr("""CAST(CAST(sum(CAST(col AS DECIMAL(27,10))) / count(1)
-                   AS DOUBLE) AS FLOAT)""").as("m"))
+      .agg(expr("""CAST(CAST(sum(CAST(col AS DECIMAL(27,10))) AS DOUBLE)
+                   / CAST(count(1) AS DOUBLE) AS FLOAT)""").as("m"))
       .groupBy("cid")
       .agg(expr("transform(array_sort(collect_list(struct(pos, m)))," +
         " x -> x.m)").as("ce")))

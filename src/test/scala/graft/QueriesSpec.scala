@@ -15,12 +15,14 @@ class QueriesSpec extends SparkSpec {
     val omitted = q.diff(o)
     // q_dedup_minhash/q_ann_lsh graduated to full oracle checks in round 6,
     // q_dedup_simhash/q_dedup_minhash_agg in round 7 (engine-portable
-    // md5 lane hashes / nibble votes), and q_source_binary in round 9
-    // (read_blob + uppercase-hex md5). What remains is legitimately
-    // engine-specific: approx sketches, the HLL estimate, the IVF recall
-    // contract, and the mapPartitions multimodal plumbing.
+    // md5 lane hashes / nibble votes), q_source_binary in round 9
+    // (read_blob + uppercase-hex md5), and q_ann_ivf in round 11 (md5
+    // seed rank + decimal-sum Lloyd means mirrored as a DuckDB CTE
+    // chain). What remains is legitimately engine-specific: approx
+    // sketches, the HLL estimate, and the mapPartitions multimodal
+    // plumbing.
     assert(omitted == Set("q_approx_distinct", "q_hll_custom",
-      "q_approx_percentile", "q_ann_ivf",
+      "q_approx_percentile",
       "q_multimodal_features", "q_multimodal_resize", "q_multimodal_frames"),
       s"unexpected oracle omissions: $omitted")
   }
