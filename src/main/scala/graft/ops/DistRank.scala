@@ -202,12 +202,14 @@ object DistRank {
     * q_interarrival few-task ceiling — so the same two-pass value-bucket
     * trick runs per group: range stats and bucket offsets are per-group
     * aggregates (≤ groups × B rows, broadcast back), within-bucket sums
-    * run partitioned by (group, bucket). Callers' keys are unique within
-    * a group (the input IS a groupBy-key histogram), so no tie column
-    * exists; stitching is integer-associative → bit-equal to the serial
-    * window (spec-forced, Round11RankSpec). */
+    * run partitioned by (group, bucket). `tie` breaks equal keys within
+    * a bucket (histogram callers pass the key itself — their keys are
+    * unique per group; the graft.api surface passes a real tie column);
+    * stitching is integer-associative → bit-equal to the serial
+    * window (spec-forced, Round11RankSpec / ApiSpec). */
   def withPrefixSumBy(df: DataFrame, parts: Seq[String], key: Column,
-                      value: Column, b: Int, out: String): DataFrame = {
+                      tie: Column, value: Column, b: Int,
+                      out: String): DataFrame = {
     val pc = parts.map(col)
     val wk = df.withColumn("__key", key.cast("long"))
     val stats = wk.groupBy(pc: _*)
@@ -228,7 +230,7 @@ object DistRank {
     vb.join(broadcast(offsets), parts :+ "__vbkt")
       .withColumn(out, col("__before") + coalesce(sum(value).over(
         Window.partitionBy((pc :+ col("__vbkt")): _*)
-          .orderBy(col("__key").asc)
+          .orderBy(col("__key").asc, tie.asc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("__key", "__vbkt", "__before")
   }

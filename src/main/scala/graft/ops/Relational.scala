@@ -580,7 +580,7 @@ object Relational {
     val cumd =
       if (b <= 0) h.withColumn("cum", sum("cnt").over(w))
       else DistRank.withPrefixSumBy(h, Seq("o_orderpriority"),
-        col("cents"), col("cnt"), b, "cum_before")
+        col("cents"), col("cents"), col("cnt"), b, "cum_before")
         .withColumn("cum", col("cum_before") + col("cnt"))
     val tot = h.groupBy(col("o_orderpriority").as("p2"))
       .agg(sum("cnt").as("n"))

@@ -358,7 +358,7 @@ object Warehouse {
     val cum =
       if (b <= 0) g.withColumn("cum", sum("gw").over(w))
       else DistRank.withPrefixSumBy(g, Seq("event_type"),
-        col("cents"), col("gw"), b, "cum_before")
+        col("cents"), col("cents"), col("gw"), b, "cum_before")
         .withColumn("cum", col("cum_before") + col("gw"))
     val tot = g.groupBy("event_type")
       .agg(sum("gw").as("tot_w"), sum("gn").as("n"))
@@ -478,7 +478,7 @@ object Warehouse {
     val cum =
       if (b <= 0) g.withColumn("cum", sum("gw").over(wc))
       else DistRank.withPrefixSumBy(g, Seq("l_returnflag"),
-        col("cents"), col("gw"), b, "cum_before")
+        col("cents"), col("cents"), col("gw"), b, "cum_before")
         .withColumn("cum", col("cum_before") + col("gw"))
     val tot = g.groupBy(col("l_returnflag").as("f2"))
       .agg(sum("gw").as("tot_w"))

@@ -89,7 +89,7 @@ class Round11RankSpec extends SparkSpec {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .collect().map(_.toSeq.mkString("|")).toSet
     for (b <- Seq(1, 7, 64)) {
-      val got = ops.DistRank.withPrefixSumBy(df, Seq("g"), col("k"),
+      val got = ops.DistRank.withPrefixSumBy(df, Seq("g"), col("k"), col("k"),
           col("v"), b, "ps")
         .select("g", "k", "v", "ps")
         .collect().map(_.toSeq.mkString("|")).toSet
