@@ -407,7 +407,7 @@ object Oracles {
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY ALL""".stripMargin
   ) ++ scalarSql ++ windowSql ++ textSql ++ vectorSql ++ pipelineSql ++
-    round10Sql
+    round10Sql ++ round11Sql
 
   // ---- §2.14 pipeline extensions (sketch queries intentionally have no
   // oracle: they hinge on Spark's xxhash64/murmur3) ----
@@ -8697,5 +8697,231 @@ object Oracles {
         |      FROM daily GROUP BY 1)
         |SELECT event_type, n_days, n_pairs, sen_slope_milli
         |FROM m JOIN d USING (event_type) ORDER BY ALL""".stripMargin
+  )
+
+  // ---- §2.105/§2.106 round-11 extensions ----
+  // Paired/correlation nonparametrics (midranks off value histograms as
+  // exact ×2 integers; int64-wrapping moments through HUGEINT — the
+  // DECIMAL(38,0) twin), day-spine drift readouts, collocation/LM
+  // scores (per-term ×10⁶ ln quantization before any sum).
+  private def round11Sql: Map[String, String] = Map(
+    "q_spearman" ->
+      """WITH cells AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_quantity) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |hx AS (SELECT flag, x, CAST(sum(c) AS BIGINT) AS cx
+        |       FROM cells GROUP BY 1, 2),
+        |hx2 AS (SELECT flag, x,
+        |    2 * coalesce(sum(cx) OVER (PARTITION BY flag ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cx + 1 AS u2
+        |  FROM hx),
+        |hy AS (SELECT flag, y, CAST(sum(c) AS BIGINT) AS cy
+        |       FROM cells GROUP BY 1, 2),
+        |hy2 AS (SELECT flag, y,
+        |    2 * coalesce(sum(cy) OVER (PARTITION BY flag ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cy + 1 AS v2
+        |  FROM hy),
+        |m AS (SELECT cells.flag, CAST(sum(c) AS BIGINT) AS n,
+        |        sum(CAST(c AS HUGEINT) * u2) AS su,
+        |        sum(CAST(c AS HUGEINT) * v2) AS sv,
+        |        sum(CAST(c AS HUGEINT) * u2 * u2) AS suu,
+        |        sum(CAST(c AS HUGEINT) * v2 * v2) AS svv,
+        |        sum(CAST(c AS HUGEINT) * u2 * v2) AS suv
+        |      FROM cells JOIN hx2 USING (flag, x)
+        |        JOIN hy2 USING (flag, y)
+        |      GROUP BY 1)
+        |SELECT flag, n,
+        |       CAST(round((CAST(n * suv - su * sv AS DOUBLE)) /
+        |         (sqrt(CAST(n * suu - su * su AS DOUBLE)) *
+        |          sqrt(CAST(n * svv - sv * sv AS DOUBLE))) * 1000)
+        |         AS BIGINT) AS rho_milli
+        |FROM m ORDER BY ALL""".stripMargin,
+    "q_wilcoxon_signed" ->
+      """WITH p AS (SELECT o_custkey,
+        |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS pre,
+        |    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS post,
+        |    max(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |        THEN 1 ELSE 0 END) AS has97,
+        |    min(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |        THEN 1 ELSE 0 END) AS all97
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1 HAVING has97 = 1 AND all97 = 0),
+        |d AS (SELECT post - pre AS d, abs(post - pre) AS ad
+        |      FROM p WHERE post <> pre),
+        |h AS (SELECT ad, CAST(count(*) AS BIGINT) AS cnt,
+        |        CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS cpos
+        |      FROM d GROUP BY 1),
+        |r AS (SELECT ad, cnt, cpos,
+        |        coalesce(sum(cnt) OVER (ORDER BY ad
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cum_before
+        |      FROM h),
+        |agg AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |          CAST(sum(cpos * (2 * cum_before + cnt + 1)) AS BIGINT)
+        |            AS w2_plus
+        |        FROM r)
+        |SELECT n, w2_plus,
+        |       n * (n + 1) - w2_plus AS w2_minus,
+        |       CAST(CAST(2 * w2_plus - n * (n + 1) AS HUGEINT) *
+        |         (2 * w2_plus - n * (n + 1)) * 3000 //
+        |         (CAST(2 AS HUGEINT) * n * (n + 1) * (2 * n + 1))
+        |         AS BIGINT) AS z2_milli
+        |FROM agg ORDER BY ALL""".stripMargin,
+    "q_sign_test" ->
+      """WITH p AS (SELECT o_custkey,
+        |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS pre,
+        |    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS post,
+        |    max(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |        THEN 1 ELSE 0 END) AS has97,
+        |    min(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |        THEN 1 ELSE 0 END) AS all97
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1 HAVING has97 = 1 AND all97 = 0)
+        |SELECT CAST(sum(CASE WHEN post > pre THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_up,
+        |       CAST(sum(CASE WHEN post < pre THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_down,
+        |       CAST(sum(CASE WHEN post = pre THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_zero,
+        |       (n_up - n_down) * (n_up - n_down) * 1000
+        |         // (n_up + n_down) AS chi2_milli
+        |FROM p ORDER BY ALL""".stripMargin,
+    "q_friedman" ->
+      """WITH cell AS (SELECT
+        |    CAST((year(o_orderdate) - 1990) * 12
+        |         + month(o_orderdate) - 1 AS BIGINT) AS blk,
+        |    o_orderpriority AS prio,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |full_b AS (SELECT blk FROM cell GROUP BY 1
+        |           HAVING count(*) = 5),
+        |rk AS (SELECT c.prio, CAST(row_number() OVER (
+        |         PARTITION BY c.blk ORDER BY c.v, c.prio) AS BIGINT)
+        |         AS r
+        |       FROM cell c JOIN full_b USING (blk)),
+        |g AS (SELECT prio, CAST(count(*) AS BIGINT) AS n_blocks,
+        |        CAST(sum(r) AS BIGINT) AS r_sum
+        |      FROM rk GROUP BY 1),
+        |stat AS (SELECT CAST(max(n_blocks) AS BIGINT) AS b,
+        |           CAST(count(*) AS BIGINT) AS k,
+        |           CAST(sum(r_sum * r_sum) AS BIGINT) AS ssq
+        |         FROM g)
+        |SELECT prio, n_blocks, r_sum,
+        |       CAST(round((12.0 * ssq / (CAST(b AS DOUBLE) * k * (k + 1))
+        |         - 3.0 * b * (k + 1)) * 1000) AS BIGINT) AS chi2f_milli
+        |FROM g CROSS JOIN stat ORDER BY ALL""".stripMargin,
+    "q_page_hinkley" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM events GROUP BY 1, 2),
+        |terms AS (SELECT event_type, day, x,
+        |    CAST(count(*) OVER w AS BIGINT) AS t_idx,
+        |    CAST(sum(x) OVER w AS BIGINT) AS s_cum
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |dev AS (SELECT event_type, day,
+        |    CASE WHEN x * t_idx >= s_cum
+        |      THEN (x * t_idx - s_cum) * 1000 // t_idx
+        |      ELSE -((s_cum - x * t_idx) * 1000 // t_idx) END
+        |      AS dev_milli
+        |  FROM terms),
+        |mt AS (SELECT event_type, day,
+        |    sum(dev_milli) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_t
+        |  FROM dev),
+        |ph AS (SELECT event_type, day, m_t,
+        |    min(m_t) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_min
+        |  FROM mt),
+        |rise AS (SELECT event_type, day, m_t - m_min AS rise FROM ph),
+        |mx AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(max(rise) AS BIGINT) AS ph_milli
+        |       FROM rise GROUP BY 1)
+        |SELECT m.event_type, m.n_days, m.ph_milli,
+        |       CAST(min(r.day) AS BIGINT) AS peak_day
+        |FROM mx m JOIN rise r
+        |  ON m.event_type = r.event_type AND r.rise = m.ph_milli
+        |GROUP BY 1, 2, 3 ORDER BY ALL""".stripMargin,
+    "q_theil_u" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (SELECT event_type, x,
+        |    lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS xp
+        |  FROM daily)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_steps,
+        |       CAST(sum(CAST(x - xp AS HUGEINT) * (x - xp)) AS BIGINT)
+        |         AS sse,
+        |       CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS ssx,
+        |       CAST(round(sqrt(CAST(sum(CAST(x - xp AS HUGEINT) *
+        |           (x - xp)) AS DOUBLE) /
+        |         CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE)) * 1000)
+        |         AS BIGINT) AS u_milli
+        |FROM lagged WHERE xp IS NOT NULL
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_pmi" ->
+      """WITH t AS (SELECT string_split(lower(text), ' ') AS toks
+        |           FROM documents WHERE lang = 'en'),
+        |bg AS (SELECT toks[i] AS ta, toks[i + 1] AS tb
+        |       FROM (SELECT toks,
+        |               unnest(generate_series(1, len(toks) - 1)) AS i
+        |             FROM t)),
+        |ab AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS c_ab
+        |       FROM bg GROUP BY 1, 2),
+        |n AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bg FROM ab),
+        |la AS (SELECT ta, CAST(sum(c_ab) AS BIGINT) AS c_a
+        |       FROM ab GROUP BY 1),
+        |rb AS (SELECT tb, CAST(sum(c_ab) AS BIGINT) AS c_b
+        |       FROM ab GROUP BY 1)
+        |SELECT ab.ta, ab.tb, c_ab, c_a, c_b,
+        |       CAST(round(ln(CAST(c_ab AS DOUBLE) * n_bg /
+        |         (CAST(c_a AS DOUBLE) * c_b)) * 1000000) AS BIGINT)
+        |         AS pmi_u
+        |FROM ab JOIN la USING (ta) JOIN rb USING (tb) CROSS JOIN n
+        |WHERE c_ab >= 5 ORDER BY ALL""".stripMargin,
+    "q_perplexity" ->
+      """WITH occ AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |                       x -> x <> '')) AS token
+        |  FROM documents WHERE lang = 'en'),
+        |vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS c_tok
+        |          FROM occ GROUP BY 1),
+        |consts AS (SELECT CAST(sum(c_tok) AS BIGINT) AS n_occ,
+        |             CAST(count(*) AS BIGINT) AS v
+        |           FROM vocab),
+        |lp AS (SELECT token,
+        |    CAST(round(ln(CAST(c_tok + 1 AS DOUBLE) / (n_occ + v))
+        |      * 1000000) AS BIGINT) AS lp_u
+        |  FROM vocab CROSS JOIN consts)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |       CAST(-sum(lp_u) AS BIGINT) AS nll_u,
+        |       CAST(-sum(lp_u) AS BIGINT)
+        |         // (CAST(count(*) AS BIGINT) * 1000)
+        |         AS nll_per_tok_milli
+        |FROM occ JOIN lp USING (token)
+        |GROUP BY 1 ORDER BY ALL""".stripMargin
   )
 }

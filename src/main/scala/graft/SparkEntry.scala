@@ -606,7 +606,18 @@ object SparkEntry {
     // k-sample test closing the nonparametric family
     "q_kruskal_wallis" -> Nonparam.qKruskalWallis _,
     // §2.103 round-10 extensions, ninth batch: robust regression
-    "q_theil_sen" -> Analytics.qTheilSen _
+    "q_theil_sen" -> Analytics.qTheilSen _,
+    // §2.105 round-11 extensions: paired/correlation nonparametrics +
+    // sequential drift on the day spine
+    "q_spearman" -> Inference.qSpearman _,
+    "q_wilcoxon_signed" -> Inference.qWilcoxonSigned _,
+    "q_sign_test" -> Inference.qSignTest _,
+    "q_friedman" -> Inference.qFriedman _,
+    "q_page_hinkley" -> Inference.qPageHinkley _,
+    "q_theil_u" -> Inference.qTheilU _,
+    // §2.106 round-11 extensions: collocation / LM corpus scores
+    "q_pmi" -> Colloc.qPmi _,
+    "q_perplexity" -> Colloc.qPerplexity _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

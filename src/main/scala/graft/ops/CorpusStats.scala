@@ -34,7 +34,7 @@ object CorpusStats {
   /** Sequential (first, second) adjacent-token rows of the en corpus —
     * occurrence-grade, not distinct (collocation counts want every
     * adjacency). In-row transform, no positional self-join. */
-  private def bigramRows(s: SparkSession, dir: String): DataFrame =
+  private[ops] def bigramRows(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").filter(col("lang") === "en")
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 2)

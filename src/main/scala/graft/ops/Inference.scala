@@ -1,0 +1,259 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-11 inference extensions (SURVEY §2.105): the paired /
+  * correlation half of the nonparametric family (q_mannwhitney /
+  * q_kruskal_wallis covered the independent-samples half) plus two
+  * sequential-drift readouts on the day spine. Shared disciplines:
+  * midranks ride value HISTOGRAMS as exact ×2 integers (2·cum_before +
+  * cnt + 1 — the q_mannwhitney doubling that dodges the half); the
+  * near-distinct histograms are DistRank-gated like round 11's
+  * q_kruskal_wallis class; moment products that can wrap int64 ride
+  * DECIMAL(38,0) (the q_kendall convention); the single terminal
+  * double assembles the statistic from exact integers in an IEEE
+  * sequence spelled identically in both engines. */
+object Inference {
+
+  /** Spearman rank correlation (§2.105): per return flag, ρ between
+    * quantity units and extendedprice cents — Pearson on MIDRANKS, the
+    * tie-correct definition. Ranks never touch a row: each variable's
+    * doubled midrank comes off its own per-flag value histogram (the
+    * quantity axis is ≤50 values; the cents axis is near-distinct and
+    * therefore DistRank-gated), facts collapse to (flag, x, y) cells,
+    * and the six moments fold in one pass as DECIMAL(38,0) (Σu·Σv
+    * wraps int64 past ~10⁵ rows per flag). ρ·1000 is the terminal
+    * double: three subtractions, two sqrts, one divide from exact
+    * integers. */
+  def qSpearman(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+      .groupBy("flag", "x", "y").agg(count(lit(1)).as("c"))
+    def withCum(h: DataFrame, key: String, cnt: String): DataFrame = {
+      val w = Window.partitionBy("flag").orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      h.withColumn("cum_before", coalesce(sum(cnt).over(w), lit(0L)))
+    }
+    // quantity histogram: ≤ 50 rows per flag — genuinely domain-bounded,
+    // the serial window is correct at any scale.
+    val hx2 = withCum(cells.groupBy("flag", "x").agg(sum("c").as("cx")),
+      "x", "cx").withColumn("u2", expr("2 * cum_before + cx + 1"))
+      .select("flag", "x", "u2")
+    // cents histogram: near-distinct → the q_weighted_quantile gate.
+    val hy0 = cells.groupBy("flag", "y").agg(sum("c").as("cy"))
+    val (b, hy) = DistRank.gate(s, hy0, 1000000L,
+      DistRank.dirSlot("spearman_auto", dir))
+    val hy2 =
+      (if (b <= 0) withCum(hy, "y", "cy")
+       else DistRank.withPrefixSumBy(hy, Seq("flag"), col("y"), col("y"),
+         col("cy"), b, "cum_before"))
+      .withColumn("v2", expr("2 * cum_before + cy + 1"))
+      .select("flag", "y", "v2")
+    val m = cells.join(hx2, Seq("flag", "x")).join(hy2, Seq("flag", "y"))
+      .groupBy("flag").agg(
+        sum("c").cast("long").as("n"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * u2")).as("su"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * v2")).as("sv"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * u2 * u2")).as("suu"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * v2 * v2")).as("svv"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * u2 * v2")).as("suv"))
+    orderedAll(m.selectExpr("flag", "n",
+      "CAST(round((CAST(n * suv - su * sv AS DOUBLE)) / " +
+        "(sqrt(CAST(n * suu - su * su AS DOUBLE)) * " +
+        "sqrt(CAST(n * svv - sv * sv AS DOUBLE))) * 1000) AS BIGINT)" +
+        " AS rho_milli"))
+  }
+
+  /** Per-customer (1996 cents, 1997 cents) spend pairs — the paired
+    * sample behind the signed-rank and sign tests (the
+    * q_customer_migration year split). Inner on customers active BOTH
+    * years: a paired test is undefined for half-pairs. One grouped
+    * aggregate with two conditional sums — a single orders scan. */
+  private def yearPairs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .withColumn("y97",
+        (col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+          .cast("long"))
+      .groupBy("o_custkey")
+      .agg(sum(expr("CASE WHEN y97 = 0 THEN cents ELSE 0 END"))
+        .cast("long").as("pre"),
+        sum(expr("CASE WHEN y97 = 1 THEN cents ELSE 0 END"))
+          .cast("long").as("post"),
+        max("y97").as("has97"), min("y97").as("all97"))
+      .filter(col("has97") === 1 && col("all97") === 0)
+      .select(col("o_custkey"), col("pre"), col("post"),
+        (col("post") - col("pre")).as("d"))
+
+  /** Wilcoxon signed-rank (§2.105): did per-customer spend SHIFT from
+    * 1996 to 1997 — the paired nonparametric test (q_mannwhitney's
+    * sibling for paired samples). Zero diffs drop (the standard
+    * convention); |d| midranks ride the |d| histogram as doubled exact
+    * integers, and that histogram is near-distinct → DistRank-gated
+    * (global — the withPrefixSum side of the gate). W2⁺ + W2⁻ =
+    * n(n+1) exactly (spec-asserted); the emitted statistic is z² in
+    * milli as ONE exact integer division — (2W⁺−n(n+1))²·3000 div
+    * (2n(n+1)(2n+1)) through DECIMAL(38,0) (a z with its sqrt
+    * denominator can be rational and .5-boundary-flap; z² cannot; the
+    * shift DIRECTION reads off w2_plus vs w2_minus). No tie
+    * correction — declared. */
+  def qWilcoxonSigned(s: SparkSession, dir: String): DataFrame = {
+    val d = yearPairs(s, dir).filter(col("d") =!= 0)
+      .select(col("d"), abs(col("d")).as("ad"))
+    val h0 = d.groupBy("ad").agg(count(lit(1)).as("cnt"),
+      sum(when(col("d") > 0, 1L).otherwise(0L)).as("cpos"))
+    val (b, h) = DistRank.gate(s, h0, 1000000L,
+      DistRank.dirSlot("wilcoxon_auto", dir))
+    val w = Window.orderBy("ad")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r =
+      if (b <= 0) h.withColumn("cum_before",
+        coalesce(sum("cnt").over(w), lit(0L)))
+      else DistRank.withPrefixSum(h, col("ad"), col("ad"), col("cnt"),
+        b, "cum_before")
+    orderedAll(r
+      .withColumn("r2", expr("2 * cum_before + cnt + 1"))
+      .agg(sum("cnt").cast("long").as("n"),
+        sum(expr("cpos * r2")).cast("long").as("w2_plus"))
+      .withColumn("w2_minus", expr("n * (n + 1) - w2_plus"))
+      .selectExpr("n", "w2_plus", "w2_minus",
+        "CAST(CAST(2 * w2_plus - n * (n + 1) AS DECIMAL(38,0)) * " +
+          "(2 * w2_plus - n * (n + 1)) * 3000 div " +
+          "(CAST(2 AS DECIMAL(38,0)) * n * (n + 1) * (2 * n + 1)) " +
+          "AS BIGINT) AS z2_milli"))
+  }
+
+  /** Sign test (§2.105): the coarsest paired location test on the same
+    * 1996→1997 spend pairs — up / down / unchanged counts and the
+    * χ²(1) statistic (n_up−n_down)²·1000 div (n_up+n_down) on the
+    * nonzero pairs, fully integer (a signed z would divide by a
+    * possibly-rational sqrt — the .5-boundary class both engines round
+    * differently; direction reads off the counts). One aggregate over
+    * [[yearPairs]]. */
+  def qSignTest(s: SparkSession, dir: String): DataFrame =
+    orderedAll(yearPairs(s, dir)
+      .agg(sum(when(col("d") > 0, 1L).otherwise(0L)).cast("long")
+        .as("n_up"),
+        sum(when(col("d") < 0, 1L).otherwise(0L)).cast("long")
+          .as("n_down"),
+        sum(when(col("d") === 0, 1L).otherwise(0L)).cast("long")
+          .as("n_zero"))
+      .selectExpr("n_up", "n_down", "n_zero",
+        "(n_up - n_down) * (n_up - n_down) * 1000 " +
+          "div (n_up + n_down) AS chi2_milli"))
+
+  /** Friedman test inputs (§2.105): do the k = 5 order priorities rank
+    * the same across month blocks — the repeated-measures sibling of
+    * q_kruskal_wallis (blocks kill the between-month variance the
+    * pooled test would absorb). Cell = exact cents total per (month,
+    * priority); only COMPLETE blocks (all 5 priorities present) enter —
+    * a paired design is undefined on ragged blocks. Within-block ranks
+    * are row_number over ≤ 5 rows under the deterministic (v, prio)
+    * tie order (cent-total ties are resolvable but must not flap — the
+    * per-block window is k-bounded at any fact scale); χ²F·1000
+    * assembles from the exact per-priority rank sums in one terminal
+    * double, carried on every output row (single-grain contract). */
+  def qFriedman(s: SparkSession, dir: String): DataFrame = {
+    val cell = t(s, dir, "orders")
+      .select(expr("CAST((year(o_orderdate) - 1990) * 12 " +
+        "+ month(o_orderdate) - 1 AS BIGINT)").as("blk"),
+        col("o_orderpriority").as("prio"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("blk", "prio").agg(sum("cents").cast("long").as("v"))
+    val full = cell.groupBy("blk").agg(count(lit(1)).as("k"))
+      .filter(col("k") === 5).select("blk")
+    val wB = Window.partitionBy("blk").orderBy("v", "prio")
+    val ranked = cell.join(full, "blk")
+      .withColumn("r", row_number().over(wB).cast("long"))
+    val g = ranked.groupBy("prio")
+      .agg(count(lit(1)).cast("long").as("n_blocks"),
+        sum("r").cast("long").as("r_sum"))
+    val stat = g.agg(max("n_blocks").as("b"),
+      count(lit(1)).as("k"),
+      sum(expr("r_sum * r_sum")).cast("long").as("ssq"))
+      .selectExpr(
+        // χ²F = 12·Σ R² / (b·k·(k+1)) − 3·b·(k+1)
+        "CAST(round((12.0 * ssq / (CAST(b AS DOUBLE) * k * (k + 1)) " +
+          "- 3.0 * b * (k + 1)) * 1000) AS BIGINT) AS chi2f_milli")
+    orderedAll(g.crossJoin(broadcast(stat))
+      .select("prio", "n_blocks", "r_sum", "chi2f_milli"))
+  }
+
+  /** Page–Hinkley drift statistic (§2.105): per event type over the
+    * daily revenue spine, the running deviation-from-running-mean sum
+    * and its maximal rise above the running minimum — the classic
+    * sequential change detector (PH > λ ⇒ the mean moved up). Each
+    * day's term is the EXACT milli integer (x·t − S)·1000 div t,
+    * sign-split for truncation parity (rounding the rational would
+    * sit on .5 boundaries both engines break differently — unlike the
+    * q_dsir ln() quantizations whose irrationals never do); x·t·1000
+    * fits int64 through the graded SFs (≈2.5×10¹⁵ at sf0.1; the
+    * extreme-scale swap is the same expression through DECIMAL).
+    * All windows run over the per-type DAY SPINE (aggregated,
+    * |days|-bounded — the legitimate exemption class). Emits the
+    * detection statistic and its argmax day. */
+  def qPageHinkley(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").cast("long").as("x"))
+    val wSeq = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = daily
+      .withColumn("t_idx", count(lit(1)).over(wSeq))
+      .withColumn("s_cum", sum("x").over(wSeq))
+      // deviation of day t from the running mean THROUGH t, in exact
+      // milli: (x·t − S)·1000 div t, sign-split (the q_trend_slope
+      // truncation-parity policy).
+      .withColumn("dev_milli", expr(
+        "CASE WHEN x * t_idx >= s_cum " +
+          "THEN (x * t_idx - s_cum) * 1000 div t_idx " +
+          "ELSE -((s_cum - x * t_idx) * 1000 div t_idx) END"))
+    val ph = terms
+      .withColumn("m_t", sum("dev_milli").over(wSeq))
+      .withColumn("m_min", min("m_t").over(wSeq))
+      .withColumn("rise", col("m_t") - col("m_min"))
+    // argmax day via struct max: max rise first, then max(−day) = the
+    // EARLIEST day attaining it — deterministic under ties.
+    orderedAll(ph.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        max(struct(col("rise"), (-col("day")).as("nd"))).as("pk"))
+      .select(col("event_type"), col("n_days"),
+        col("pk.rise").cast("long").as("ph_milli"),
+        (-col("pk.nd")).cast("long").as("peak_day")))
+  }
+
+  /** Theil's U forecast-quality ratio (§2.105): per event type, how
+    * much better the daily revenue series forecasts itself than the
+    * naive carry-forward — U² numerator Σ(x_t − x_{t−1})² against
+    * Σ x_t² over t ≥ 2, both exact BIGINT-in-DECIMAL sums of cents
+    * squares on the day spine, U·1000 the terminal double (one
+    * divide, one sqrt). U ≥ 1 says the series is a random walk to the
+    * naive forecaster; U ≪ 1 says momentum. */
+  def qTheilU(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").cast("long").as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    orderedAll(daily
+      .withColumn("xp", lag("x", 1).over(w))
+      .filter(col("xp").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_steps"),
+        sum(expr("CAST(x - xp AS DECIMAL(38,0)) * (x - xp)")).as("sse"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("ssx"))
+      .selectExpr("event_type", "n_steps",
+        "CAST(sse AS BIGINT) AS sse", "CAST(ssx AS BIGINT) AS ssx",
+        "CAST(round(sqrt(CAST(sse AS DOUBLE) / CAST(ssx AS DOUBLE))" +
+          " * 1000) AS BIGINT) AS u_milli"))
+  }
+}
