@@ -8922,6 +8922,174 @@ object Oracles {
         |         // (CAST(count(*) AS BIGINT) * 1000)
         |         AS nll_per_tok_milli
         |FROM occ JOIN lp USING (token)
-        |GROUP BY 1 ORDER BY ALL""".stripMargin
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_rolling_corr" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS v
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY 1, 2),
+        |j AS (SELECT x.day, x.v AS x, y.v AS y
+        |      FROM (SELECT day, v FROM daily
+        |            WHERE event_type = 'purchase') x
+        |      JOIN (SELECT day, v FROM daily
+        |            WHERE event_type = 'view') y USING (day)),
+        |m AS (SELECT day,
+        |    CAST(count(*) OVER w AS BIGINT) AS n,
+        |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+        |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+        |  FROM j
+        |  WINDOW w AS (ORDER BY day
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW))
+        |SELECT day, n,
+        |       CASE WHEN n < 5 OR n * sxx = sx * sx
+        |              OR n * syy = sy * sy THEN NULL ELSE
+        |         CAST(round((CAST(n * sxy - sx * sy AS DOUBLE)) /
+        |           (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |            sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000)
+        |           AS BIGINT) END AS corr_milli
+        |FROM m ORDER BY ALL""".stripMargin,
+    "q_grubbs" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(cents) AS BIGINT) AS s,
+        |        sum(CAST(cents AS HUGEINT) * cents) AS ss
+        |      FROM e GROUP BY 1),
+        |d AS (SELECT e.event_type, e.event_id, m.n, m.s, m.ss,
+        |        abs(CAST(e.cents AS HUGEINT) * m.n - m.s) AS dev
+        |      FROM e JOIN m USING (event_type)),
+        |pk AS (SELECT event_type, n, s, ss, dev, event_id,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY dev DESC, event_id) AS rn
+        |       FROM d)
+        |SELECT event_type, n,
+        |       CAST(event_id AS BIGINT) AS outlier_event,
+        |       CAST(round((CAST(dev AS DOUBLE) / n) /
+        |         sqrt(CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+        |           / (CAST(n AS DOUBLE) * (n - 1))) * 1000) AS BIGINT)
+        |         AS g_milli
+        |FROM pk WHERE rn = 1 ORDER BY ALL""".stripMargin,
+    "q_partial_corr" ->
+      """WITH m AS (SELECT
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sq,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE)
+        |    AS sp,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(15,2))) AS DOUBLE) AS sd,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(15,2)) *
+        |           CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sqq,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
+        |           CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE)
+        |    AS spp,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(15,2)) *
+        |           CAST(l_discount AS DECIMAL(15,2))) AS DOUBLE) AS sdd,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(15,2)) *
+        |           CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE)
+        |    AS sqp,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(15,2)) *
+        |           CAST(l_discount AS DECIMAL(15,2))) AS DOUBLE) AS sqd,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
+        |           CAST(l_discount AS DECIMAL(15,2))) AS DOUBLE) AS spd
+        |FROM lineitem),
+        |r AS (SELECT n,
+        |  (n*sqp - sq*sp) / (sqrt(n*sqq - sq*sq) * sqrt(n*spp - sp*sp))
+        |    AS r_xy,
+        |  (n*sqd - sq*sd) / (sqrt(n*sqq - sq*sq) * sqrt(n*sdd - sd*sd))
+        |    AS r_xz,
+        |  (n*spd - sp*sd) / (sqrt(n*spp - sp*sp) * sqrt(n*sdd - sd*sd))
+        |    AS r_yz
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n, round(r_xy, 4) AS r_xy,
+        |       round((r_xy - r_xz * r_yz) /
+        |         (sqrt(1 - r_xz * r_xz) * sqrt(1 - r_yz * r_yz)), 4)
+        |         AS r_partial
+        |FROM r ORDER BY ALL""".stripMargin,
+    "q_cronbach" ->
+      """WITH g AS (SELECT user_id, event_type,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS v
+        |  FROM events GROUP BY 1, 2),
+        |u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |      FROM g),
+        |items AS (SELECT n_users, CAST(count(*) AS BIGINT) AS k,
+        |    sum(CAST(n_users AS HUGEINT) * ss_i -
+        |        CAST(s_i AS HUGEINT) * s_i) AS sum_var_u2
+        |  FROM (SELECT event_type, CAST(sum(v) AS BIGINT) AS s_i,
+        |          sum(CAST(v AS HUGEINT) * v) AS ss_i
+        |        FROM g GROUP BY 1) CROSS JOIN u
+        |  GROUP BY 1),
+        |totals AS (SELECT CAST(sum(tu) AS BIGINT) AS s_t,
+        |    sum(CAST(tu AS HUGEINT) * tu) AS ss_t
+        |  FROM (SELECT user_id, CAST(sum(v) AS BIGINT) AS tu
+        |        FROM g GROUP BY 1))
+        |SELECT k, n_users,
+        |       CAST(round(CAST(k AS DOUBLE) / (k - 1) * (1.0 -
+        |         CAST(sum_var_u2 AS DOUBLE) /
+        |         CAST(CAST(n_users AS HUGEINT) * ss_t -
+        |              CAST(s_t AS HUGEINT) * s_t AS DOUBLE)) * 1000)
+        |         AS BIGINT) AS alpha_milli
+        |FROM items CROSS JOIN totals ORDER BY ALL""".stripMargin,
+    "q_good_turing" ->
+      """WITH vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS r
+        |  FROM (SELECT unnest(list_filter(
+        |          string_split(lower(text), ' '), x -> x <> ''))
+        |          AS token
+        |        FROM documents WHERE lang = 'en')
+        |  GROUP BY 1),
+        |fof AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+        |        FROM vocab GROUP BY 1),
+        |nxt AS (SELECT r - 1 AS r, n_r AS n_r1 FROM fof)
+        |SELECT fof.r, fof.n_r,
+        |       coalesce((fof.r + 1) * coalesce(nxt.n_r1, 0) * 1000
+        |         // fof.n_r, 0) AS rstar_milli
+        |FROM fof LEFT JOIN nxt USING (r) ORDER BY ALL""".stripMargin,
+    "q_yule_k" ->
+      """WITH c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(list_filter(
+        |          string_split(lower(text), ' '), x -> x <> ''))
+        |          AS token
+        |        FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_occ,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST((sum(CAST(c AS HUGEINT) * c) - sum(c)) * 10000000
+        |         // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT)
+        |         AS yule_k_milli
+        |FROM c GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH snap_t AS (SELECT o_custkey, CAST(count(*) AS BIGINT)
+        |      AS t_n,
+        |    max_by(o_orderpriority,
+        |      (epoch_us(o_orderdate) // 86400000000) * 8589934592
+        |        + o_orderkey) AS t_prio,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS t_cents
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1),
+        |snap_s AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS s_n,
+        |    max_by(o_orderpriority,
+        |      (epoch_us(o_orderdate) // 86400000000) * 8589934592
+        |        + o_orderkey) AS s_prio,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS s_cents
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  GROUP BY 1)
+        |SELECT coalesce(t.o_custkey, s.o_custkey) AS custkey,
+        |       CASE WHEN t.t_n IS NULL THEN 'insert'
+        |            WHEN s.s_n IS NULL THEN 'keep'
+        |            ELSE 'update' END AS op,
+        |       coalesce(t_n, 0) + coalesce(s_n, 0) AS n_orders,
+        |       coalesce(s_prio, t_prio) AS prio,
+        |       coalesce(t_cents, 0) + coalesce(s_cents, 0)
+        |         AS total_cents
+        |FROM snap_t t FULL OUTER JOIN snap_s s
+        |  ON t.o_custkey = s.o_custkey
+        |ORDER BY ALL""".stripMargin
   )
 }

@@ -617,7 +617,17 @@ object SparkEntry {
     "q_theil_u" -> Inference.qTheilU _,
     // §2.106 round-11 extensions: collocation / LM corpus scores
     "q_pmi" -> Colloc.qPmi _,
-    "q_perplexity" -> Colloc.qPerplexity _
+    "q_perplexity" -> Colloc.qPerplexity _,
+    // §2.105 round-11 second batch: co-movement / outlier / consistency
+    "q_rolling_corr" -> Inference.qRollingCorr _,
+    "q_grubbs" -> Inference.qGrubbs _,
+    "q_partial_corr" -> Inference.qPartialCorr _,
+    "q_cronbach" -> Inference.qCronbach _,
+    // §2.106 round-11 second batch: lexical-statistics staples
+    "q_good_turing" -> Colloc.qGoodTuring _,
+    "q_yule_k" -> Colloc.qYuleK _,
+    // §2.107 round-11: the MERGE upsert-apply warehouse staple
+    "q_merge_upsert" -> Warehouse.qMergeUpsert _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -63,4 +63,46 @@ object Colloc {
       .withColumn("nll_per_tok_milli",
         expr("nll_u div (n_toks * 1000)")))
   }
+
+  /** Good–Turing frequency-of-frequencies table (§2.106): for each
+    * observed token count r over the en vocab, how many types have it
+    * (N_r) and the GT-adjusted count r* = (r+1)·N_{r+1}/N_r in milli
+    * (exact integer division; 0 where N_{r+1} is unobserved — the
+    * truncation every practical GT smoother patches). The table is
+    * bounded by the distinct COUNT values, not the vocab — two
+    * aggregates and one self-join on r+1. */
+  def qGoodTuring(s: SparkSession, dir: String): DataFrame = {
+    val vocab = t(s, dir, "documents").filter(col("lang") === "en")
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("r"))
+    val fof = vocab.groupBy("r").agg(count(lit(1)).as("n_r"))
+    val nxt = fof.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
+    orderedAll(fof.join(nxt, Seq("r"), "left")
+      .selectExpr("r", "n_r",
+        "coalesce((r + 1) * coalesce(n_r1, 0) * 1000 div n_r, 0)" +
+          " AS rstar_milli"))
+  }
+
+  /** Yule's K lexical-diversity characteristic (§2.106): per source,
+    * K = 10⁴·(Σ c² − N)/N² over that source's token counts — the
+    * repetitiveness constant that separates template-y sources from
+    * diverse ones (higher K = fewer types doing more of the work).
+    * FULLY integer: K·1000 = (Σc² − N)·10⁷ div N² through
+    * DECIMAL(38,0) (Σc²·10⁷ wraps int64 on big sources). One
+    * (source, token) collapse + one source fold. */
+  def qYuleK(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    orderedAll(c.groupBy("source")
+      .agg(sum("c").cast("long").as("n_occ"),
+        count(lit(1)).as("n_types"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sc2"))
+      .selectExpr("source", "n_occ", "n_types",
+        "CAST((sc2 - n_occ) * 10000000 div " +
+          "(CAST(n_occ AS DECIMAL(38,0)) * n_occ) AS BIGINT)" +
+          " AS yule_k_milli"))
+  }
 }

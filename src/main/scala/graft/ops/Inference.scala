@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -255,5 +255,144 @@ object Inference {
         "CAST(sse AS BIGINT) AS sse", "CAST(ssx AS BIGINT) AS ssx",
         "CAST(round(sqrt(CAST(sse AS DOUBLE) / CAST(ssx AS DOUBLE))" +
           " * 1000) AS BIGINT) AS u_milli"))
+  }
+
+  /** 30-day rolling correlation (§2.105) between the purchase and view
+    * daily revenue series — the co-movement monitor a metrics pipeline
+    * draws under every pair of KPIs. The two day spines inner-join on
+    * day; all six Pearson moments are EXACT BIGINT sums over a RANGE
+    * frame (−29 days .. current) on the joined spine (cents² × 30 days
+    * ≈ 3×10¹⁵ — int64-safe at graded SFs), and each row's corr·1000
+    * is the terminal double. The only windows run over the joined DAY
+    * SPINE — aggregated, |days|-bounded. Windows with n < 5 emit NULL
+    * (a 1-point "correlation" is noise, and n ≤ 1 divides by zero). */
+  def qRollingCorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").cast("long").as("v"))
+    val x = daily.filter(col("event_type") === "purchase")
+      .select(col("day"), col("v").as("x"))
+    val y = daily.filter(col("event_type") === "view")
+      .select(col("day"), col("v").as("y"))
+    val j = x.join(y, "day")
+    val w = Window.orderBy("day").rangeBetween(-29, 0)
+    orderedAll(j
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum("x").over(w))
+      .withColumn("sy", sum("y").over(w))
+      .withColumn("sxx", sum(expr("x * x")).over(w))
+      .withColumn("syy", sum(expr("y * y")).over(w))
+      .withColumn("sxy", sum(expr("x * y")).over(w))
+      .selectExpr("day", "n",
+        "CASE WHEN n < 5 OR n * sxx = sx * sx OR n * syy = sy * sy " +
+          "THEN NULL ELSE " +
+          "CAST(round((CAST(n * sxy - sx * sy AS DOUBLE)) / " +
+          "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
+          "sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000) AS BIGINT)" +
+          " END AS corr_milli"))
+  }
+
+  /** Grubbs outlier statistic (§2.105): per event type, the single
+    * most extreme value's studentized deviation G = max|x−x̄|/s — the
+    * one-outlier screen run before q_anomaly_mad's full sweep. The max
+    * deviation is found EXACTLY as max|x·n − S| (no float mean enters
+    * the argmax; ties break to the smaller event_id via struct max on
+    * (dev, −event_id)); G·1000 is the terminal double from the exact
+    * moments. One mergeable aggregate + one broadcast join back. */
+  def qGrubbs(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val m = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("s"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("ss"))
+    orderedAll(e.join(broadcast(m), "event_type")
+      .withColumn("dev", abs(expr("CAST(cents AS DECIMAL(38,0)) * n - s")))
+      .groupBy("event_type")
+      .agg(max("n").as("n"), max("s").as("s"), max("ss").as("ss"),
+        max(struct(col("dev"), (-col("event_id")).as("nid"))).as("pk"))
+      .selectExpr("event_type", "n",
+        "CAST(-pk.nid AS BIGINT) AS outlier_event",
+        // G = (maxdev/n) / sqrt((n·SS − S²) / (n·(n−1)))
+        "CAST(round((CAST(pk.dev AS DOUBLE) / n) / " +
+          "sqrt(CAST(n * ss - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE) " +
+          "/ (CAST(n AS DOUBLE) * (n - 1))) * 1000) AS BIGINT)" +
+          " AS g_milli"))
+  }
+
+  /** Partial correlation (§2.105): quantity↔extendedprice CONTROLLING
+    * for discount — r_xy.z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)),
+    * the "is the raw correlation just the confounder" screen next to
+    * q_corr_matrix (whose exact 9-moment aggregate this reuses
+    * verbatim: decimal sums, one scan, a single terminal double
+    * chain spelled identically in both engines). */
+  def qPartialCorr(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(15, 2)
+    val q = col("l_quantity").cast(dec)
+    val p = col("l_extendedprice").cast(dec)
+    val d = col("l_discount").cast(dec)
+    val m = t(s, dir, "lineitem").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(q).cast("double").as("sq"),
+      sum(p).cast("double").as("sp"),
+      sum(d).cast("double").as("sd"),
+      sum(q * q).cast("double").as("sqq"),
+      sum(p * p).cast("double").as("spp"),
+      sum(d * d).cast("double").as("sdd"),
+      sum(q * p).cast("double").as("sqp"),
+      sum(q * d).cast("double").as("sqd"),
+      sum(p * d).cast("double").as("spd"))
+    def pearson(sx: String, sy: String, sxy: String,
+                sxx: String, syy: String): Column =
+      (col("n") * col(sxy) - col(sx) * col(sy)) /
+        (sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
+          sqrt(col("n") * col(syy) - col(sy) * col(sy)))
+    orderedAll(m
+      .withColumn("r_xy", pearson("sq", "sp", "sqp", "sqq", "spp"))
+      .withColumn("r_xz", pearson("sq", "sd", "sqd", "sqq", "sdd"))
+      .withColumn("r_yz", pearson("sp", "sd", "spd", "spp", "sdd"))
+      .selectExpr("CAST(n AS BIGINT) AS n",
+        "round(r_xy, 4) AS r_xy",
+        "round((r_xy - r_xz * r_yz) / " +
+          "(sqrt(1 - r_xz * r_xz) * sqrt(1 - r_yz * r_yz)), 4)" +
+          " AS r_partial"))
+  }
+
+  /** Cronbach's alpha (§2.105): internal-consistency of the 5 event
+    * types as "items" scored by per-user cents totals (absent
+    * user×item cells are zeros — which is why NO grid materializes:
+    * zeros contribute nothing to Σv or Σv², and the user count U
+    * divides both). Per-item and total-score variances come from
+    * exact DECIMAL(38,0) moment sums; α·1000 is the terminal double.
+    * Two aggregates over one (user, type) collapse + one user fold. */
+  def qCronbach(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "events")
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("user_id", "event_type")
+      .agg(sum("cents").cast("long").as("v"))
+    val u = g.agg(countDistinct("user_id").as("n_users"))
+    val items = g.groupBy("event_type")
+      .agg(sum("v").cast("long").as("s_i"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("ss_i"))
+      .crossJoin(broadcast(u))
+      // U·σ²_i ×U = U·Σv² − (Σv)² — keep the ×U² scale: it cancels in α
+      .selectExpr("n_users",
+        "CAST(n_users AS DECIMAL(38,0)) * ss_i - " +
+          "CAST(s_i AS DECIMAL(38,0)) * s_i AS var_u2")
+      .groupBy("n_users")
+      .agg(count(lit(1)).as("k"), sum("var_u2").as("sum_var_u2"))
+    val totals = g.groupBy("user_id").agg(sum("v").cast("long").as("tu"))
+      .agg(sum("tu").cast("long").as("s_t"),
+        sum(expr("CAST(tu AS DECIMAL(38,0)) * tu")).as("ss_t"))
+    orderedAll(items.crossJoin(broadcast(totals))
+      .selectExpr("k", "n_users",
+        "CAST(round(CAST(k AS DOUBLE) / (k - 1) * (1.0 - " +
+          "CAST(sum_var_u2 AS DOUBLE) / " +
+          "CAST(CAST(n_users AS DECIMAL(38,0)) * ss_t - " +
+          "CAST(s_t AS DECIMAL(38,0)) * s_t AS DOUBLE)) * 1000) " +
+          "AS BIGINT) AS alpha_milli"))
   }
 }

@@ -111,6 +111,47 @@ object Warehouse {
         col("old_total"), col("new_total")))
   }
 
+  /** MERGE-apply (§2.107): the upsert half of the CDC pair — where
+    * [[qCdcDiff]] emits the change feed, this emits the POST-MERGE
+    * dimension state: the pre-1997 per-customer snapshot merged with
+    * the 1997+ batch (matched → counts add and the later priority
+    * wins; not-matched-by-target → insert). One full-outer join on the
+    * key — both sides hash-partition on custkey, so the MERGE
+    * co-locates for free at any scale; op tags make the row's
+    * provenance auditable (the fixture is append-only, so no
+    * delete-when-matched arm fires). */
+  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    def snap(df: DataFrame): DataFrame = {
+      val day = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long")
+      df.groupBy("o_custkey").agg(
+        count(lit(1)).as("n"),
+        max_by(col("o_orderpriority"),
+          day * 8589934592L + col("o_orderkey")).as("prio"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .cast("long").as("cents"))
+    }
+    val orders = t(s, dir, "orders")
+    val target = snap(orders.filter(col("o_orderdate") <
+      lit("1997-01-01").cast("timestamp")))
+      .withColumnsRenamed(Map("n" -> "t_n", "prio" -> "t_prio",
+        "cents" -> "t_cents"))
+    val source = snap(orders.filter(col("o_orderdate") >=
+      lit("1997-01-01").cast("timestamp")))
+      .withColumnsRenamed(Map("n" -> "s_n", "prio" -> "s_prio",
+        "cents" -> "s_cents"))
+    orderedAll(target.join(source, Seq("o_custkey"), "full_outer")
+      .withColumn("op",
+        when(col("t_n").isNull, "insert")
+          .when(col("s_n").isNull, "keep").otherwise("update"))
+      .select(col("o_custkey").as("custkey"), col("op"),
+        (coalesce(col("t_n"), lit(0L)) + coalesce(col("s_n"), lit(0L)))
+          .as("n_orders"),
+        coalesce(col("s_prio"), col("t_prio")).as("prio"),
+        (coalesce(col("t_cents"), lit(0L)) +
+          coalesce(col("s_cents"), lit(0L))).as("total_cents")))
+  }
+
   /** Calendar gap-fill with forward fill: per event type, densify the
     * daily-total series over the type's own [min, max] day range and
     * carry the last observed total across missing days — the
