@@ -9090,6 +9090,43 @@ object Oracles {
         |         AS total_cents
         |FROM snap_t t FULL OUTER JOIN snap_s s
         |  ON t.o_custkey = s.o_custkey
-        |ORDER BY ALL""".stripMargin
+        |ORDER BY ALL""".stripMargin,
+    // §2.108 delete-propagation: the md5 bp=100 forget-set sample over
+    // customer keys, propagated down the FK chain; events users take
+    // the same policy over user_id. The 16-bit hex prefix assembles
+    // nibble-by-nibble (DuckDB has no conv(hex)).
+    "q_delete_propagation" -> {
+      def h16(idExpr: String): String = {
+        val h = s"md5(CAST($idExpr AS VARCHAR))"
+        (1 to 4).map(i =>
+          s"(${nibSql(h, i)}) * ${math.pow(16, 4 - i).toLong}")
+          .mkString("(", " + ", ")")
+      }
+      s"""WITH fcust AS (SELECT c_custkey FROM customer
+         |  WHERE ${h16("c_custkey")} * 10000 < 100 * 65536),
+         |fords AS (SELECT o_orderkey FROM orders
+         |  WHERE o_custkey IN (SELECT c_custkey FROM fcust)),
+         |rows_t AS (
+         |  SELECT 'customer' AS table_name,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_rows,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM fcust) AS n_affected
+         |  UNION ALL
+         |  SELECT 'orders',
+         |    (SELECT CAST(count(*) AS BIGINT) FROM orders),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM fords)
+         |  UNION ALL
+         |  SELECT 'lineitem',
+         |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+         |     WHERE l_orderkey IN (SELECT o_orderkey FROM fords))
+         |  UNION ALL
+         |  SELECT 'events',
+         |    (SELECT CAST(count(*) AS BIGINT) FROM events),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM events
+         |     WHERE ${h16("user_id")} * 10000 < 100 * 65536))
+         |SELECT table_name, n_rows, n_affected,
+         |       n_affected * 10000 // n_rows AS share_bp
+         |FROM rows_t ORDER BY ALL""".stripMargin
+    }
   )
 }

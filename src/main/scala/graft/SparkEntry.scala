@@ -627,7 +627,9 @@ object SparkEntry {
     "q_good_turing" -> Colloc.qGoodTuring _,
     "q_yule_k" -> Colloc.qYuleK _,
     // §2.107 round-11: the MERGE upsert-apply warehouse staple
-    "q_merge_upsert" -> Warehouse.qMergeUpsert _
+    "q_merge_upsert" -> Warehouse.qMergeUpsert _,
+    // §2.108 round-11: compliance delete-propagation audit
+    "q_delete_propagation" -> Integrity.qDeletePropagation _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

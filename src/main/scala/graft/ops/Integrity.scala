@@ -181,6 +181,42 @@ object Integrity {
         t(s, dir, "nation").select("n_nationkey"), "n_nationkey")))
   }
 
+  /** Delete-propagation audit (§2.108): given a right-to-be-forgotten
+    * set (the md5 doc-sample idiom over customer keys — keep-rate
+    * bp = 100, engine/partitioning-independent; events users take the
+    * same policy over user_id), the rows each table must delete and
+    * the share in bp — the impact statement a compliance pipeline
+    * reads BEFORE running the actual deletes. Propagation follows the
+    * FK chain: customer → orders (custkey) → lineitem (orderkey);
+    * the forget-key sets stay broadcast-sized (bp of the dim), so
+    * every membership test is a broadcast semi-join against the fact
+    * scan — no fact-side shuffle anywhere. */
+  def qDeletePropagation(s: SparkSession, dir: String): DataFrame = {
+    def forget(idCol: String): org.apache.spark.sql.Column =
+      expr(s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 4), " +
+        "16, 10) AS BIGINT) * 10000 < 100 * 65536")
+    val cust = t(s, dir, "customer").select(col("c_custkey"))
+    val fCust = cust.filter(forget("c_custkey"))
+    val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val fOrders = orders.join(broadcast(fCust),
+      col("o_custkey") === col("c_custkey"), "left_semi")
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+    val fLi = li.join(broadcast(fOrders.select("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val ev = t(s, dir, "events").select(col("user_id"))
+    val fEv = ev.filter(forget("user_id"))
+    def row(tbl: String, all: DataFrame, aff: DataFrame): DataFrame =
+      all.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(aff.agg(count(lit(1)).as("n_affected"))))
+        .select(lit(tbl).as("table_name"), col("n_rows"),
+          col("n_affected"),
+          expr("n_affected * 10000 div n_rows").as("share_bp"))
+    orderedAll(row("customer", cust, fCust)
+      .unionAll(row("orders", orders, fOrders))
+      .unionAll(row("lineitem", li, fLi))
+      .unionAll(row("events", ev, fEv)))
+  }
+
   /** Table column profile (§2.96): the classic one-row-per-column DQ
     * profile of `orders` — row count, nulls, distinct values, min and
     * max rendered as strings under a FIXED per-type rendering (cents

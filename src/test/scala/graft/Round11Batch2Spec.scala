@@ -177,4 +177,34 @@ class Round11Batch2Spec extends SparkSpec {
       case "update" => assert(pre(ck) && post(ck))
     }
   }
+
+  test("q_delete_propagation matches a brute FK-chain recomputation") {
+    def kept(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 4), 16) * 10000 <
+        100L * 65536
+    }
+    val cust = ops.t(spark, sf, "customer").select("c_custkey")
+      .collect().map(_.getLong(0))
+    val fCust = cust.filter(kept).toSet
+    val orders = ops.t(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val fOrd = orders.filter(o => fCust(o._2)).map(_._1).toSet
+    val li = ops.t(spark, sf, "lineitem").select("l_orderkey")
+      .collect().map(_.getLong(0))
+    val ev = ops.t(spark, sf, "events").select("user_id")
+      .collect().map(_.getLong(0))
+    val expect = Map(
+      "customer" -> (cust.length.toLong, fCust.size.toLong),
+      "orders" -> (orders.length.toLong, fOrd.size.toLong),
+      "lineitem" -> (li.length.toLong, li.count(fOrd).toLong),
+      "events" -> (ev.length.toLong, ev.count(kept).toLong))
+    val got = run("q_delete_propagation").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect)
+    assert(expect("customer")._2 > 0, "forget set must be non-empty")
+  }
 }
