@@ -146,6 +146,55 @@ object Graft {
         .select("a_id", "b_id"), "api_cc")
       .withColumnRenamed("doc_id", idCol)
 
+  /** MinHash-LSH candidate pairs over any (id, text) table — the
+    * PROBABILISTIC scale path next to [[nearDupPairs]]' exact one: per
+    * doc, `bands·rowsPerBand` md5-lane minima (the engine-portable
+    * 15-hex-prefix BIGINT idiom the graded q_dedup_minhash runs);
+    * candidates are band-bucket collisions (equi-join), never an
+    * all-pairs scan. Expected recall at Jaccard J is 1−(1−J^r)^b — the
+    * q_band_sweep closed form; callers verify candidates with the
+    * exact predicate they care about (cosine, Jaccard, edit distance).
+    * Deterministic: same corpus → same candidates on any cluster
+    * size or partitioning. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        bands: Int = 8,
+                        rowsPerBand: Int = 2): DataFrame = {
+    require(bands > 0 && rowsPerBand > 0)
+    val lanes = bands * rowsPerBand
+    val postings = df.select(col(idCol).cast("long").as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("token"))
+      .filter(col("token") =!= "").distinct()
+    val laneMins = (0 until lanes).map(j =>
+      min(expr(s"CAST(conv(substring(md5(concat('$j:', token)), 1, " +
+        "15), 16, 10) AS BIGINT)")).as(s"mh$j"))
+    val sig = postings.groupBy("doc_id")
+      .agg(laneMins.head, laneMins.tail: _*)
+    val bandRows = sig.select(col("doc_id"), explode(expr(
+        (0 until bands).map(b => s"struct($b AS band, struct(" +
+          (0 until rowsPerBand).map(k =>
+            s"mh${b * rowsPerBand + k} AS k$k").mkString(", ") +
+          ") AS bkey)").mkString("array(", ", ", ")"))).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.bkey").as("bkey"))
+    bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Near-duplicate clusters from the [[minhashCandidates]] graph —
+    * the production dedup contract at 100 TB (N rows out, never
+    * Ω(pairs)); same CC engine as [[dedupClusters]], probabilistic
+    * recall per the banding closed form. */
+  def minhashClusters(df: DataFrame, idCol: String, textCol: String,
+                      bands: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    Text.clusterLabels(df.sparkSession,
+      minhashCandidates(df, idCol, textCol, bands, rowsPerBand),
+      "api_mh_cc")
+      .withColumnRenamed("doc_id", idCol)
+
   // ---- distributed global order ----------------------------------------
 
   /** Global 1-based rank over (key asc, tie asc), emitted as LONG

@@ -133,6 +133,44 @@ class ApiSpec extends SparkSpec {
     assert(apiLabels == gradedLabels)
   }
 
+  test("minhashCandidates matches a JVM md5 recomputation on a custom schema") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def lane(j: Int, toks: Set[String]): Long =
+      toks.map(t => java.lang.Long.parseLong(
+        md5hex(s"$j:$t").substring(0, 15), 16)).min
+    val (bands, r) = (4, 2)
+    val docs = posts.collect()
+      .map(x => x.getLong(0) ->
+        x.getString(1).split(" ").filter(_.nonEmpty).distinct.toSet)
+    val expect = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      if (0 until bands).exists(bd => (0 until r).forall(k =>
+        lane(bd * r + k, ta) == lane(bd * r + k, tb)))
+    } yield (a, b)).toSet
+    val got = Graft.minhashCandidates(posts, "uid", "body", bands, r)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == expect, s"got $got expected $expect")
+    assert(got.contains((1L, 3L)), "identical docs must collide")
+  }
+
+  test("minhashCandidates (8,2) agrees with the graded band sweep") {
+    val docs = ops.t(spark, sf, "documents").filter(col("lang") === "en")
+    val cand = Graft.minhashCandidates(docs, "doc_id", "text", 8, 2)
+    val sweep = SparkEntry.queries("q_band_sweep")(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3))).toMap
+    val (nPairs, nDocs) = sweep((8L, 2L))
+    assert(cand.count() == nPairs)
+    val touched = cand.select(explode(array(col("a_id"), col("b_id"))))
+      .distinct().count()
+    assert(touched == nDocs)
+    // cluster path: every labeled doc appears in some candidate pair
+    val labels = Graft.minhashClusters(docs, "doc_id", "text", 8, 2)
+    assert(labels.count() == touched)
+  }
+
   // -- distributed rank / prefix sum --------------------------------------
 
   private lazy val scores = (0 until 500)
