@@ -9127,6 +9127,50 @@ object Oracles {
          |SELECT table_name, n_rows, n_affected,
          |       n_affected * 10000 // n_rows AS share_bp
          |FROM rows_t ORDER BY ALL""".stripMargin
-    }
+    },
+    // §2.109 ROC decile-threshold curve off the plane-100 score
+    // histogram's descending cumulative counts.
+    "q_roc_curve" ->
+      s"""WITH ${sgnCte(100, 101)},
+         |sc AS (SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+         |    CAST(round(${planeDot("embedding")} * 10000) AS BIGINT)
+         |      AS score_u
+         |  FROM embeddings CROSS JOIN sgn),
+         |h AS (SELECT score_u, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(y) AS BIGINT) AS np
+         |      FROM sc GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_all,
+         |          CAST(sum(np) AS BIGINT) AS p_all FROM h),
+         |cum AS (SELECT score_u,
+         |    CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+         |    CAST(sum(np) OVER w AS BIGINT) AS cum_tp
+         |  FROM h
+         |  WINDOW w AS (ORDER BY score_u DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |pick AS (SELECT k, max(score_u) AS threshold_u
+         |  FROM cum CROSS JOIN tot
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS k)
+         |  WHERE cum_n * 10 >= k * n_all GROUP BY 1)
+         |SELECT CAST(p.k AS BIGINT) AS k, p.threshold_u,
+         |       c.cum_tp * 10000 // t.p_all AS tpr_bp,
+         |       (c.cum_n - c.cum_tp) * 10000 // (t.n_all - t.p_all)
+         |         AS fpr_bp
+         |FROM pick p JOIN cum c ON p.threshold_u = c.score_u
+         |CROSS JOIN tot t ORDER BY ALL""".stripMargin,
+    // §2.109 logistic gradient at w = 0 over ×10⁴-quantized lanes —
+    // exact BIGINT sums, no rounding anywhere.
+    "q_grad_step" ->
+      """WITH lanes AS (SELECT
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+        |    CAST(i AS BIGINT) AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+        |      AS q
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i))
+        |SELECT dim, CAST(sum(y) AS BIGINT) AS n_pos,
+        |       (CAST(sum(CASE WHEN y = 0 THEN q ELSE 0 END) AS BIGINT)
+        |        - CAST(sum(CASE WHEN y = 1 THEN q ELSE 0 END)
+        |            AS BIGINT)) * 50 AS grad_u
+        |FROM lanes GROUP BY 1 ORDER BY ALL""".stripMargin
   )
 }

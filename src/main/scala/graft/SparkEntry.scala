@@ -629,7 +629,11 @@ object SparkEntry {
     // §2.107 round-11: the MERGE upsert-apply warehouse staple
     "q_merge_upsert" -> Warehouse.qMergeUpsert _,
     // §2.108 round-11: compliance delete-propagation audit
-    "q_delete_propagation" -> Integrity.qDeletePropagation _
+    "q_delete_propagation" -> Integrity.qDeletePropagation _,
+    // §2.109 round-11: model-evaluation curve + the distributed
+    // gradient primitive
+    "q_roc_curve" -> Evaluation.qRocCurve _,
+    "q_grad_step" -> Evaluation.qGradStep _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

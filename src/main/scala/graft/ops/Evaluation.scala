@@ -122,6 +122,70 @@ object Evaluation {
           .otherwise(lit(0L))))
   }
 
+  /** ROC curve table (§2.109): TPR/FPR in bp at the 9 coverage-decile
+    * thresholds of the plane-100 score — the curve q_auc summarizes to
+    * one number, emitted as the 9 points a threshold-picking review
+    * actually plots. Threshold for decile k = the LARGEST score whose
+    * predicted-positive set (score ≥ t) covers ≥ k/10 of the corpus —
+    * an exact integer rule off the score HISTOGRAM's descending
+    * cumulative counts (aggregated-input window; at extreme N the same
+    * DistRank gate as the q_ks_test class applies — documented swap).
+    * The threshold row is picked per k by struct-max on score_u
+    * (unique in the histogram — deterministic). */
+  def qRocCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sc = t(s, dir, "embeddings")
+      .select((col("label") >= 5).cast("long").as("y"),
+        round(planeScore(100) * 10000).cast("long").as("score_u"))
+    val h = sc.groupBy("score_u")
+      .agg(count(lit(1)).as("n"), sum("y").as("np"))
+    val wD = Window.orderBy(col("score_u").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = h.agg(sum("n").as("n_all"), sum("np").as("p_all"))
+    val cum = h
+      .withColumn("cum_n", sum("n").over(wD))
+      .withColumn("cum_tp", sum("np").over(wD))
+      .crossJoin(broadcast(tot))
+    val ks = (1L to 9L).toDF("k")
+    orderedAll(cum.crossJoin(broadcast(ks))
+      .filter(col("cum_n") * 10 >= col("k") * col("n_all"))
+      .groupBy("k")
+      .agg(max(struct(col("score_u"), col("cum_tp"), col("cum_n"),
+        col("p_all"), col("n_all"))).as("t"))
+      .selectExpr("k", "t.score_u AS threshold_u",
+        "t.cum_tp * 10000 div t.p_all AS tpr_bp",
+        "(t.cum_n - t.cum_tp) * 10000 div (t.n_all - t.p_all)" +
+          " AS fpr_bp"))
+  }
+
+  /** Distributed logistic-gradient step (§2.109): the per-dimension
+    * gradient of the logistic loss at w = 0 over (embedding, label≥5)
+    * — g_j = Σᵢ (σ(0) − yᵢ)·xᵢⱼ = ½(Σ_neg xⱼ − Σ_pos xⱼ) — THE
+    * map-combining aggregate every distributed GD/L-BFGS iteration
+    * reduces to on Spark (the full trainer is this fold in a loop).
+    * Features are the §2.72 ×10⁴-quantized lanes (round(x·10⁴) BIGINT
+    * — the q_power_iter convention; a float→DECIMAL cast is NOT
+    * engine-portable: Spark rounds the shortest-string double repr,
+    * DuckDB the binary value, and the 1e-10 disagreements survive a
+    * 2000-row sum). grad_u = (Σ_neg q − Σ_pos q)·50 ≡ g·10⁶ on the
+    * quantized scale — exact integers end-to-end, no rounding
+    * anywhere. 64-row output; one scan, one mergeable aggregate. */
+  def qGradStep(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "embeddings")
+      .select((col("label") >= 5).cast("long").as("y"),
+        posexplode(col("embedding")))
+      .select(col("y"), (col("pos") + 1).cast("long").as("dim"),
+        expr("CAST(round(CAST(col AS DOUBLE) * 10000) AS BIGINT)")
+          .as("q"))
+      .groupBy("dim")
+      .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).cast("long")
+        .as("n_pos"),
+        sum(when(col("y") === 1L, col("q")).otherwise(0L)).cast("long")
+          .as("sp"),
+        sum(when(col("y") === 0L, col("q")).otherwise(0L)).cast("long")
+          .as("sn"))
+      .selectExpr("dim", "n_pos", "(sn - sp) * 50 AS grad_u"))
+
   /** Exact ROC AUC (Mann–Whitney U form) of three fixed md5-hyperplane
     * scores against the binary class label ≥ 5 — the
     * rank statistic computed entirely in BIGINTs: ties contribute their
