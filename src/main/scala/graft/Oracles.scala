@@ -8873,9 +8873,6 @@ object Oracles {
         |    lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS xp
         |  FROM daily)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_steps,
-        |       CAST(sum(CAST(x - xp AS HUGEINT) * (x - xp)) AS BIGINT)
-        |         AS sse,
-        |       CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS ssx,
         |       CAST(round(sqrt(CAST(sum(CAST(x - xp AS HUGEINT) *
         |           (x - xp)) AS DOUBLE) /
         |         CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE)) * 1000)
@@ -8939,20 +8936,24 @@ object Oracles {
         |    CAST(count(*) OVER w AS BIGINT) AS n,
         |    CAST(sum(x) OVER w AS BIGINT) AS sx,
         |    CAST(sum(y) OVER w AS BIGINT) AS sy,
-        |    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
-        |    CAST(sum(y * y) OVER w AS BIGINT) AS syy,
-        |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+        |    sum(CAST(x AS HUGEINT) * x) OVER w AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) OVER w AS syy,
+        |    sum(CAST(x AS HUGEINT) * y) OVER w AS sxy
         |  FROM j
         |  WINDOW w AS (ORDER BY day
-        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW))
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)),
+        |v AS (SELECT day, n, sxy, sx, sy,
+        |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS vx,
+        |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vy
+        |  FROM m)
         |SELECT day, n,
-        |       CASE WHEN n < 5 OR n * sxx = sx * sx
-        |              OR n * syy = sy * sy THEN NULL ELSE
-        |         CAST(round((CAST(n * sxy - sx * sy AS DOUBLE)) /
-        |           (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-        |            sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000)
+        |       CASE WHEN n < 5 OR vx = 0 OR vy = 0 THEN NULL ELSE
+        |         CAST(round(CAST(CAST(n AS HUGEINT) * sxy -
+        |             CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+        |           (sqrt(CAST(vx AS DOUBLE)) *
+        |            sqrt(CAST(vy AS DOUBLE))) * 1000)
         |           AS BIGINT) END AS corr_milli
-        |FROM m ORDER BY ALL""".stripMargin,
+        |FROM v ORDER BY ALL""".stripMargin,
     "q_grubbs" ->
       """WITH e AS (SELECT event_type, event_id,
         |    CAST(round(value * 100) AS BIGINT) AS cents

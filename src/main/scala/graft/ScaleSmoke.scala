@@ -89,11 +89,22 @@ object ScaleSmoke {
       case other => sys.error(
         s"unparseable queries entry in $benchJson: '$other'")
     }
-    // A deliberately small capture is usable — warn and take what's
-    // there instead of aborting the whole smoke run.
-    if (pairs.size < 15)
+    // A short map is only acceptable when the caller SAYS it is
+    // (SPARK_GRAFT_ALLOW_SMALL_TOP15=1, for deliberately small
+    // captures): a truncated or mis-parsed bench JSON — the naive
+    // brace scan stops at the first '}' — would otherwise silently
+    // shrink the standing gate to however many entries survived, and
+    // a gate that exercises almost nothing still reads as green
+    // (round-12 advice). The earlier per-entry kv match already
+    // rejects nesting/garbage; this rejects quiet truncation.
+    if (pairs.size < 15) {
+      require(sys.env.get("SPARK_GRAFT_ALLOW_SMALL_TOP15").contains("1"),
+        s"only ${pairs.size} queries parsed from $benchJson — a full " +
+          "bench map has hundreds; refusing the smoke (set " +
+          "SPARK_GRAFT_ALLOW_SMALL_TOP15=1 for a deliberately small capture)")
       println(s"[top15] WARNING: only ${pairs.size} queries in " +
         s"$benchJson — running all of them instead of a top-15")
+    }
     val keys = pairs.sortBy(-_._2).take(15).map(_._1)
     println(s"[top15] from $benchJson: ${keys.mkString(",")}")
     run(s, dir, keys)

@@ -196,10 +196,10 @@ object CorpusStats {
     // (DedupAudit.auditSample) composes with the legacy mod gate —
     // both sides restrict to the same induced doc subset, so
     // precision/recall stay unbiased estimates.
-    val d0 = DedupAudit.auditSample(s, Sketches.enPostings(s, dir))
+    val d0 = DedupAudit.auditSample(s, dir, Sketches.enPostings(s, dir))
     val d = if (mod <= 1) d0 else d0.filter(col("doc_id") % mod === 0)
     val truth = Text.maskGroupPairs(d, 3, 1).select("a_id", "b_id")
-    val sig0 = DedupAudit.auditSample(s, Sketches.mdLaneSigs(s, dir))
+    val sig0 = DedupAudit.auditSample(s, dir, Sketches.mdLaneSigs(s, dir))
     val bands = Sketches.mdBands(
       if (mod <= 1) sig0 else sig0.filter(col("doc_id") % mod === 0))
     val cand = bands.as("x").join(bands.as("y"),

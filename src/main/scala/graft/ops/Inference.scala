@@ -233,10 +233,15 @@ object Inference {
   /** Theil's U forecast-quality ratio (§2.105): per event type, how
     * much better the daily revenue series forecasts itself than the
     * naive carry-forward — U² numerator Σ(x_t − x_{t−1})² against
-    * Σ x_t² over t ≥ 2, both exact BIGINT-in-DECIMAL sums of cents
+    * Σ x_t² over t ≥ 2, both exact DECIMAL(38,0) sums of cents
     * squares on the day spine, U·1000 the terminal double (one
     * divide, one sqrt). U ≥ 1 says the series is a random walk to the
-    * naive forecaster; U ≪ 1 says momentum. */
+    * naive forecaster; U ≪ 1 says momentum. Only the terminal ratio
+    * is emitted: the raw Σ squares stay DECIMAL(38,0) internally and
+    * never pass through a BIGINT cast — at the corpus scale where
+    * they exceed int64, non-ANSI Spark would wrap silently while the
+    * DuckDB oracle (HUGEINT) errors, the exact divergence the
+    * round-12 advice flagged. */
   def qTheilU(s: SparkSession, dir: String): DataFrame = {
     val daily = t(s, dir, "events")
       .withColumn("day", expr("unix_micros(ts) div 86400000000"))
@@ -252,7 +257,6 @@ object Inference {
         sum(expr("CAST(x - xp AS DECIMAL(38,0)) * (x - xp)")).as("sse"),
         sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("ssx"))
       .selectExpr("event_type", "n_steps",
-        "CAST(sse AS BIGINT) AS sse", "CAST(ssx AS BIGINT) AS ssx",
         "CAST(round(sqrt(CAST(sse AS DOUBLE) / CAST(ssx AS DOUBLE))" +
           " * 1000) AS BIGINT) AS u_milli"))
   }
@@ -260,10 +264,15 @@ object Inference {
   /** 30-day rolling correlation (§2.105) between the purchase and view
     * daily revenue series — the co-movement monitor a metrics pipeline
     * draws under every pair of KPIs. The two day spines inner-join on
-    * day; all six Pearson moments are EXACT BIGINT sums over a RANGE
-    * frame (−29 days .. current) on the joined spine (cents² × 30 days
-    * ≈ 3×10¹⁵ — int64-safe at graded SFs), and each row's corr·1000
-    * is the terminal double. The only windows run over the joined DAY
+    * day; the second-order Pearson moments (x², y², xy) accumulate in
+    * DECIMAL(38,0) over a RANGE frame (−29 days .. current) on the
+    * joined spine, and every moment PRODUCT in the terminal formula
+    * (n·sxx, sx², …) routes through DECIMAL(38,0) too — plain BIGINT
+    * would wrap silently under non-ANSI Spark exactly when the
+    * "int64-safe at graded SFs" assumption breaks, while the DuckDB
+    * oracle's HUGEINT errors (round-12 advice; the q_spearman /
+    * q_grubbs policy applied here). Each row's corr·1000 is the
+    * terminal double. The only windows run over the joined DAY
     * SPINE — aggregated, |days|-bounded. Windows with n < 5 emit NULL
     * (a 1-point "correlation" is noise, and n ≤ 1 divides by zero). */
   def qRollingCorr(s: SparkSession, dir: String): DataFrame = {
@@ -283,16 +292,22 @@ object Inference {
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("sx", sum("x").over(w))
       .withColumn("sy", sum("y").over(w))
-      .withColumn("sxx", sum(expr("x * x")).over(w))
-      .withColumn("syy", sum(expr("y * y")).over(w))
-      .withColumn("sxy", sum(expr("x * y")).over(w))
+      .withColumn("sxx", sum(expr("CAST(x AS DECIMAL(38,0)) * x")).over(w))
+      .withColumn("syy", sum(expr("CAST(y AS DECIMAL(38,0)) * y")).over(w))
+      .withColumn("sxy", sum(expr("CAST(x AS DECIMAL(38,0)) * y")).over(w))
+      // n ≤ 30 and the moments are ≤ 30 cents-squares, so every product
+      // below fits 38 digits with room; the decimal route exists so the
+      // arithmetic is exact (or fails loudly) at ANY corpus scale.
+      .withColumn("vx", expr("CAST(n AS DECIMAL(38,0)) * sxx - " +
+        "CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("vy", expr("CAST(n AS DECIMAL(38,0)) * syy - " +
+        "CAST(sy AS DECIMAL(38,0)) * sy"))
       .selectExpr("day", "n",
-        "CASE WHEN n < 5 OR n * sxx = sx * sx OR n * syy = sy * sy " +
-          "THEN NULL ELSE " +
-          "CAST(round((CAST(n * sxy - sx * sy AS DOUBLE)) / " +
-          "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
-          "sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000) AS BIGINT)" +
-          " END AS corr_milli"))
+        "CASE WHEN n < 5 OR vx = 0 OR vy = 0 THEN NULL ELSE " +
+          "CAST(round(CAST(CAST(n AS DECIMAL(38,0)) * sxy - " +
+          "CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) / " +
+          "(sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))) " +
+          "* 1000) AS BIGINT) END AS corr_milli"))
   }
 
   /** Grubbs outlier statistic (§2.105): per event type, the single

@@ -71,6 +71,37 @@ class ApiSpec extends SparkSpec {
     assert(got.size == 6, "tolerance must not drop left rows")
   }
 
+  test("asof nearest + tolerance filters candidates before the pick") {
+    // round-12 advice gap: nearest had no tolerance coverage. The
+    // contract is candidate-filtering (the polars/pandas convention):
+    // each direction is nulled against tolerance BEFORE the closer-side
+    // selection. With nearest picking min |Δt| the pick is in-tolerance
+    // iff ANY candidate is, so the visible semantics are: match iff the
+    // nearest candidate is within tolerance, per-row, never dropping
+    // left rows.
+    // A-quotes at 8/20/30: trade t=29 → back Δ9, fwd Δ1.
+    val probe = Seq(("A", 29L, "p1"), ("A", 35L, "p2"), ("C", 5L, "p3"))
+      .toDF("sym", "t", "trade_id")
+    def nn(tol: Long) = Graft.asof(probe, quotes, Seq("sym"),
+        "t", "t", "nearest", tol)
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    val t4 = nn(4L)
+    assert(t4("p1").contains(120L), "fwd Δ1 within 4 → quote at 30")
+    assert(t4("p2").isEmpty, "nearest Δ5 (back, 30→35) exceeds 4")
+    assert(t4("p3").isEmpty, "no quotes at all stays null")
+    assert(t4.size == 3, "tolerance must not drop left rows")
+    val t9 = nn(9L)
+    assert(t9("p1").contains(120L) && t9("p2").contains(120L))
+    // tolerance 0: only exact-timestamp matches survive
+    val t0 = Graft.asof(Seq(("A", 20L, "x1"), ("A", 21L, "x2"))
+        .toDF("sym", "t", "trade_id"),
+      quotes, Seq("sym"), "t", "t", "nearest", 0L)
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(t0("x1").contains(110L) && t0("x2").isEmpty)
+  }
+
   // -- near-dup ----------------------------------------------------------
 
   private lazy val posts = Seq(
@@ -169,6 +200,37 @@ class ApiSpec extends SparkSpec {
     // cluster path: every labeled doc appears in some candidate pair
     val labels = Graft.minhashClusters(docs, "doc_id", "text", 8, 2)
     assert(labels.count() == touched)
+  }
+
+  test("api slots are per-invocation under reliable checkpoints") {
+    // round-12 advice (medium): the API has no dataset dir to qualify
+    // its checkpoint slots with, so fixed names (api_cc, …) would let
+    // two different user inputs overwrite each other's parquet under
+    // reliableCheckpoint=true — the dir-flavored failure
+    // Round11GateSpec pins for graded queries. Each call now mints a
+    // numbered slot: retain the FIRST input's cluster handle, run a
+    // SECOND input through the same entry point, then re-collect the
+    // first handle — it must still serve first-input rows.
+    val other = Seq(
+      (10L, "alpha beta gamma delta"),
+      (11L, "alpha beta gamma delta"),   // exact dup of 10
+      (12L, "unrelated tokens entirely"))
+      .toDF("uid", "body")
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try {
+      val first = Graft.dedupClusters(posts, "uid", "body", 7000)
+      val rows1 = first.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val rows2 = Graft.dedupClusters(other, "uid", "body", 7000)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(rows2 == Set((10L, 10L, true), (11L, 10L, false)))
+      assert(rows1 != rows2, "the two inputs must differ")
+      val again = first.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(again == rows1,
+        "first-input handle re-read second-input checkpoint data")
+    } finally spark.conf.unset("spark.graft.reliableCheckpoint")
   }
 
   // -- distributed rank / prefix sum --------------------------------------

