@@ -58,8 +58,14 @@ object Bench {
     // q_clustering_coeff warms the §2.30 graph batch's pinned edge list
     // for the target dir (one-time ingest shared by all three, like the
     // bucketed tables above).
+    // q_dedup_minhash_agg / q_lsh_recall (round-12 item 1): their sf0.1
+    // plan shapes compile generated classes the sf0.001 warmup never
+    // touches (BENCH_r11 charged q_dedup_minhash_agg 2.85 s where
+    // steady-state RunOne measures 1.6; first sf0.1 run 3.7 vs 1.55
+    // re-measured this round, q_lsh_recall 6.7 vs 4.5) — warm the
+    // exact target-dir shape so the timed min-of-2 is steady state.
     for (k <- Seq("q_ann_ivf", "q_vector_pq", "q_kmeans_iter",
-        "q_clustering_coeff"))
+        "q_clustering_coeff", "q_dedup_minhash_agg", "q_lsh_recall"))
       try { SparkEntry.queries(k)(spark, sfDir).count() }
       catch { case _: Throwable => () }
 

@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{DistRank, Text}
+import graft.ops.{Curation, DistRank, Text}
 
 /** The engine's reusable operator cores as a DataFrame→DataFrame
   * library (round-11 item 5) — the entry points a user of the graded
@@ -268,6 +268,60 @@ object Graft {
     } else if (parts.isEmpty)
       DistRank.withPrefixSum(pinned, key, tie, value, b, out)
     else DistRank.withPrefixSumBy(pinned, parts, key, tie, value, b, out)
+  }
+
+  // ---- entity resolution -------------------------------------------------
+
+  /** Entity matching over any (key, name) table: pairs within edit
+    * distance ≤ 1, found by LOSSLESS deletion-neighborhood (FastSS)
+    * blocking — each name posts itself plus its single-character
+    * deletions as block keys, candidates meet in an equi-join, and the
+    * exact levenshtein verifies per pair (never an all-pairs scan; key
+    * fan-out is |name|+1 per row). Emits (a_key, b_key, d) with
+    * a_key < b_key, ordered. Delegates to the graded machinery behind
+    * q_entity_match's `entityMatchGeneral` mode.
+    *
+    * `collapseExact`: Some(b) forces the exact-duplicate collapse
+    * (min-key representative per distinct name) on or off; None
+    * (default) probes measured duplication and engages at mean name
+    * multiplicity ≥ 2 — the graded auto gate's bar. On a replica-dense
+    * corpus the raw match output is Ω(dup²) d=0 trivia; at
+    * representative grain every cross-name match emits once, which is
+    * the entity answer a resolution pipeline consumes. */
+  def entityMatch(df: DataFrame, keyCol: String, nameCol: String,
+                  collapseExact: Option[Boolean] = None): DataFrame = {
+    val c0raw = df.select(col(keyCol).cast("long").as("key"),
+      col(nameCol).as("name"))
+    val collapse = collapseExact.getOrElse {
+      val r = c0raw.agg(count(lit(1)).as("n"),
+        countDistinct(col("name")).as("d")).head()
+      r.getLong(0) >= 2L * r.getLong(1)
+    }
+    Curation.qEntityMatchGeneral(
+      if (collapse) Curation.collapseExact(c0raw) else c0raw)
+  }
+
+  // ---- decontamination -----------------------------------------------------
+
+  /** N-gram decontamination between two user tables: which `train`
+    * docs share any whitespace-token `n`-gram with `eval`, emitted as
+    * (train_doc, n_shingles = distinct leaked shingles, n_eval_docs =
+    * distinct eval docs hit, n_hits) — the overlap audit a pretraining
+    * corpus runs before evaluation. Delegates to the graded
+    * q_contamination core: in-row n-gram lambda, per-doc distinct, ONE
+    * content-keyed equi-join (partitions by shingle, not by doc — the
+    * shape that scales with corpus size), and the
+    * `spark.graft.contamMaxShingleDf` stop-shingle cap over the
+    * combined corpus for boilerplate-skewed corpora. Ids may collide
+    * across the two tables (they tag, never join, on id). */
+  def contamination(train: DataFrame, trainId: String, trainText: String,
+                    eval_ : DataFrame, evalId: String, evalText: String,
+                    n: Int = 5): DataFrame = {
+    val tagged = train.select(col(trainId).cast("long").as("doc_id"),
+        col(trainText).as("text"), lit(false).as("is_eval"))
+      .unionAll(eval_.select(col(evalId).cast("long").as("doc_id"),
+        col(evalText).as("text"), lit(true).as("is_eval")))
+    Text.contaminationOn(train.sparkSession, tagged, n)
   }
 
   // ---- deterministic sampling ------------------------------------------

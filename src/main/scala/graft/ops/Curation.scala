@@ -411,7 +411,7 @@ object Curation {
   /** Deletion-neighborhood (FastSS) blocking for d ≤ 1 over
     * variable-length names — see [[qEntityMatch]]. Same output contract
     * and verify; only candidate generation differs. */
-  private def qEntityMatchGeneral(c: DataFrame): DataFrame = {
+  private[graft] def qEntityMatchGeneral(c: DataFrame): DataFrame = {
     val keyed = c.select(col("key"), col("name"),
       explode(expr(
         """array_union(array(name),

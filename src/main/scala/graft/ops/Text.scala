@@ -738,16 +738,33 @@ object Text {
     * (D/2)² join rows; capping df bounds that product per key). The cap
     * is default-off: this corpus has no boilerplate, so the graded query
     * keeps the exact semantics. Counts are integers (exact). */
-  def qContamination(s: SparkSession, dir: String): DataFrame = {
-    val shAll = t(s, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(expr(
-        """filter(
-          |  transform(toks, (x, i) ->
-          |    CASE WHEN i < size(toks) - 4
-          |         THEN concat(x, ' ', toks[i+1], ' ', toks[i+2], ' ',
-          |                     toks[i+3], ' ', toks[i+4]) END),
-          |  g -> g IS NOT NULL)""".stripMargin)).as("shingle"))
+  def qContamination(s: SparkSession, dir: String): DataFrame =
+    orderedAll(contaminationOn(s,
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          (col("doc_id") % 2 === 1).as("is_eval")), 5))
+
+  /** The decontamination CORE behind [[qContamination]] and the
+    * graft.api.Graft.contamination entry point: one tagged (doc_id,
+    * text, is_eval) frame in, the per-train-doc overlap statement out
+    * (train_doc, n_shingles, n_eval_docs, n_hits). Single scan, in-row
+    * n-gram lambda (the parametric spelling generates EXACTLY the
+    * graded n=5 concat chain), one content-keyed equi-join; the
+    * `spark.graft.contamMaxShingleDf` stop-shingle cap applies over
+    * the COMBINED corpus (both splits), mirroring the graded query.
+    * Output is UNSORTED; callers with an ordered contract add it. */
+  private[graft] def contaminationOn(s: SparkSession, tagged: DataFrame,
+                                     n: Int): DataFrame = {
+    require(n >= 2, s"n-gram size must be >= 2, got $n")
+    val rest = (1 until n).map(j => s", ' ', toks[i+$j]").mkString
+    val shAll = tagged
+      .select(col("doc_id"), col("is_eval"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("is_eval"), explode(expr(
+        s"""filter(
+           |  transform(toks, (x, i) ->
+           |    CASE WHEN i < size(toks) - ${n - 1}
+           |         THEN concat(x$rest) END),
+           |  g -> g IS NOT NULL)""".stripMargin)).as("shingle"))
       .distinct()
     // Stop-shingle df-cap (the 100 TB skew guard). The df aggregate is
     // one extra mergeable pass keyed by shingle — the same partitioning
@@ -761,15 +778,15 @@ object Text {
         shAll.join(hot, Seq("shingle"), "left_anti")
       case None => shAll
     }
-    val train = sh.filter(col("doc_id") % 2 === 0)
+    val train = sh.filter(!col("is_eval"))
       .select(col("doc_id").as("train_doc"), col("shingle"))
-    val eval_ = sh.filter(col("doc_id") % 2 === 1)
+    val eval_ = sh.filter(col("is_eval"))
       .select(col("doc_id").as("eval_doc"), col("shingle"))
-    orderedAll(train.join(eval_, "shingle")
+    train.join(eval_, "shingle")
       .groupBy("train_doc")
       .agg(countDistinct(col("shingle")).as("n_shingles"),
         countDistinct(col("eval_doc")).as("n_eval_docs"),
-        count(lit(1)).as("n_hits")))
+        count(lit(1)).as("n_hits"))
   }
 
   /** Bigram language model (§2.17): top-3 next tokens per token by count

@@ -289,6 +289,116 @@ class ApiSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.rankBuckets")
   }
 
+  // -- entity resolution ----------------------------------------------------
+
+  test("entityMatch matches brute-force levenshtein d<=1 on a custom schema") {
+    val people = Seq(
+      (1L, "smith"), (2L, "smyth"),       // substitution, d=1
+      (3L, "smiths"),                     // insertion vs 1, d=1
+      (4L, "mith"),                       // deletion vs 1, d=1
+      (5L, "jones"), (6L, "completely"))
+      .toDF("pid", "pname")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rows = people.collect().map(r => r.getLong(0) -> r.getString(1))
+    val brute = (for {
+      (a, na) <- rows; (b, nb) <- rows if a < b
+      d = lev(na, nb) if d <= 1
+    } yield (a, b, d.toLong)).toSet
+    val got = Graft.entityMatch(people, "pid", "pname")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, s"$got vs $brute")
+    assert(got.contains((1L, 2L, 1L)) && got.contains((1L, 3L, 1L)) &&
+      got.contains((1L, 4L, 1L)))
+  }
+
+  test("entityMatch auto-collapse engages on duplication, forceable") {
+    val dense = Seq(
+      (1L, "alpha"), (11L, "alpha"), (21L, "alpha"),
+      (2L, "alphb"), (12L, "alphb"), (22L, "alphb"),
+      (3L, "other"), (13L, "other"), (23L, "other"))
+      .toDF("k", "n")
+    // mean multiplicity 3 >= 2 → auto collapse: representative grain,
+    // no d=0 trivia, the cross-name match once at min keys.
+    val auto = Graft.entityMatch(dense, "k", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(auto == Set((1L, 2L, 1L)))
+    val forcedOff = Graft.entityMatch(dense, "k", "n", Some(false))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // raw grain: 3 d=0 pairs per name × 3 names + 9 cross alpha/alphb
+    assert(forcedOff.count(_._3 == 0L) == 9)
+    assert(forcedOff.count(_._3 == 1L) == 9)
+    // unique-name input: auto stays off, Some(true) is identity anyway
+    val people = Seq((1L, "smith"), (2L, "smyth")).toDF("k", "n")
+    assert(Graft.entityMatch(people, "k", "n", Some(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)))
+  }
+
+  test("entityMatch agrees with the graded segment blocking (fixture)") {
+    // q_entity_match uses fixed-width pigeonhole segments; the API uses
+    // deletion-neighborhood blocking. Both are LOSSLESS for d<=1, so on
+    // the fixture's BUILDING customers they must emit the same pairs —
+    // the delegation cross-check (forced off: the graded query doesn't
+    // collapse on the duplicate-free fixture either).
+    val c = ops.t(spark, sf, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val api = Graft.entityMatch(c, "c_custkey", "c_name", Some(false))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val graded = SparkEntry.queries("q_entity_match")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(api == graded)
+  }
+
+  // -- decontamination --------------------------------------------------------
+
+  test("contamination matches a brute-force n-gram overlap on custom schemas") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over"),
+      (2L, "completely unrelated training text"),
+      (3L, "shared phrase appears right here exactly"))
+      .toDF("tid", "body")
+    val heldout = Seq(
+      (1L, "the quick brown fox leaps"),          // shares 3-grams w/ t1
+      (9L, "shared phrase appears right here too"))
+      .toDF("eid", "etext")
+    def grams(t: String, n: Int) = t.toLowerCase.split(" ")
+      .sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+    val tg = train.collect().map(r => r.getLong(0) -> grams(r.getString(1), 3))
+    val eg = heldout.collect().map(r => r.getLong(0) -> grams(r.getString(1), 3))
+    val brute = (for {
+      (t, gs) <- tg
+      hits = for { (e, hs) <- eg; g <- (gs & hs).toSeq } yield (e, g)
+      if hits.nonEmpty
+    } yield t -> (hits.map(_._2).distinct.size.toLong,
+        hits.map(_._1).distinct.size.toLong, hits.size.toLong)).toMap
+    val got = Graft.contamination(train, "tid", "body",
+        heldout, "eid", "etext", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == brute, s"$got vs $brute")
+    assert(got.contains(1L) && got.contains(3L) && !got.contains(2L))
+  }
+
+  test("contamination delegates to the graded core (fixture cross-check)") {
+    val docs = ops.t(spark, sf, "documents")
+    val api = Graft.contamination(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val graded = SparkEntry.queries("q_contamination")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(api == graded)
+  }
+
   // -- deterministic sampling ---------------------------------------------
 
   test("sampleDeterministic is stable, monotone in bp, and unbiased-ish") {
