@@ -245,8 +245,10 @@ object Analytics {
     * event-grain x·y moments would overflow int64 at 200 k rows) and is
     * the realistic trend operator anyway. Slope is emitted in exact
     * basis points with the sign split out so truncation-toward-zero is
-    * spelled identically in both engines (Spark `div` truncates, DuckDB
-    * `//` floors — they agree only on non-negative operands). den > 0
+    * spelled identically in both engines (Spark `div` truncates; DuckDB
+    * `//` semantics differ across versions/docs — the 1.0.0 oracle here
+    * truncates, older docs say floor — so the sign split never lets a
+    * negative inexact quotient reach either operator). den > 0
     * whenever a type spans ≥ 2 days. One events scan + tiny-table
     * window/agg; the 100 TB plan is the same scan with map-side
     * partial aggregation doing all the work. */

@@ -265,7 +265,9 @@ object Evaluation {
   /** Calibration curve of a fixed md5-hyperplane score against the
     * binary class label ≥ 5: scores ×10⁴ floor-binned into 0.2-wide
     * cosine bands (floor division spelled sign-safely — Spark div
-    * truncates, DuckDB // floors), per-bin count, positives, positive
+    * truncates; DuckDB //'s negative-operand behavior is
+    * version-dependent, so no negative ever reaches it), per-bin
+    * count, positives, positive
     * rate in basis points, and the exact score range. Pure scan + one
     * mergeable aggregate. */
   def qCalibration(s: SparkSession, dir: String): DataFrame =

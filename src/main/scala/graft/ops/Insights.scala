@@ -211,8 +211,9 @@ object Insights {
   /** Week-over-week revenue change per event type (SURVEY §2.29): the
     * period-over-period delta every growth report leads with. The delta
     * is SIGNED, so the percent change spells truncation-toward-zero
-    * explicitly in both engines (Spark `div` truncates, DuckDB `//`
-    * floors — they agree only on non-negatives; the CASE splits the
+    * explicitly in both engines (Spark `div` truncates; DuckDB `//`
+    * negative-operand semantics are version-dependent — 1.0.0
+    * truncates, older docs say floor; the CASE splits the
     * sign so every div sees non-negative operands). First week of each
     * type has no prior — NULL delta columns, the honest contract. */
   def qPercentChange(s: SparkSession, dir: String): DataFrame = {

@@ -394,9 +394,11 @@ object Vectors {
         col("pos").cast("long").as("lane"),
         floor(col("col").cast("double") * 1000.0).cast("long").as("q"))
     // floor over exact double division, NOT integer `div`: lane sums can
-    // be negative, and Spark's div truncates toward zero while DuckDB's
-    // // floors — floor() spells the same rounding in both engines (the
-    // quotient is far under 2^52, so the double path is exact).
+    // be negative, Spark's div truncates toward zero, and DuckDB's //
+    // has version-dependent negative-operand semantics (1.0.0 truncates,
+    // older docs say floor) — floor() spells ONE rounding in both
+    // engines regardless (the quotient is far under 2^52, so the double
+    // path is exact).
     val cent = lanes.groupBy("label", "lane")
       .agg(floor(sum(col("q")).cast("double") / count(lit(1)))
         .cast("long").as("c"))

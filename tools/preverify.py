@@ -58,6 +58,14 @@ def frame_rows(df):
     return [tuple(norm_cell(x) for x in row) for row in df.itertuples(index=False, name=None)]
 
 def main(sf_dir, out_dir):
+    # Pin the oracle-engine assumption (round-12 verdict item 6): the
+    # repo's integer-division policy (sign-split div) is safe under both
+    # documented DuckDB `//` semantics (floor vs truncate-toward-zero —
+    # 1.0.0 here truncates), but a driver-side engine bump should be
+    # diagnosable from this line when a compare flips.
+    neg = duckdb.sql("SELECT (-7) // 2").fetchone()[0]
+    print(f"duckdb {duckdb.__version__} "
+          f"((-7)//2 = {neg}: {'truncates' if neg == -3 else 'floors'})")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
