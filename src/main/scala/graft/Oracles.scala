@@ -7651,6 +7651,151 @@ object Oracles {
         |FROM cfg c LEFT JOIN agg a ON c.b = a.b AND c.r = a.r
         |ORDER BY ALL""".stripMargin,
 
+    // §2.110: the (8,2) slice of the band-sweep lane CTE — the bucketed
+    // band join emits exactly that audit row (layout changes nothing).
+    "q_dedup_band_bucketed" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(list_filter(string_split(lower(text), ' '),
+        |                              x -> x <> '')) AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        |lanes AS (SELECT doc_id, j,
+        |    min(substring(md5(CAST(j AS VARCHAR) || ':' || token), 1, 15))
+        |      AS mh
+        |  FROM tok CROSS JOIN range(16) t(j) GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, j // 2 AS band,
+        |    string_agg(mh, ':' ORDER BY j) AS bkey
+        |  FROM lanes GROUP BY doc_id, j // 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bkey = y.bkey
+        |   AND x.doc_id < y.doc_id),
+        |ends AS (SELECT a_id AS dd FROM cand
+        |         UNION ALL SELECT b_id FROM cand)
+        |SELECT CAST(count(*) // 2 AS BIGINT) AS n_cand_pairs,
+        |       CAST(count(DISTINCT dd) AS BIGINT) AS n_docs_touched
+        |FROM ends ORDER BY ALL""".stripMargin,
+
+    "q_query_likelihood" ->
+      """WITH occ AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |                       x -> x <> '')) AS token
+        |  FROM documents WHERE lang = 'en'),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+        |         FROM occ GROUP BY 1),
+        |terms AS (SELECT * FROM (VALUES ('merge'), ('vector'),
+        |                                ('stream')) t(term)),
+        |cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf
+        |       FROM occ JOIN terms ON token = term GROUP BY 1),
+        |ctot AS (SELECT CAST(count(*) AS BIGINT) AS c_tot FROM occ),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM occ JOIN terms ON token = term GROUP BY 1, 2),
+        |grid AS (SELECT l.doc_id, c.term, c.cf, ct.c_tot, l.len,
+        |    coalesce(tf.tf, 0) AS tf
+        |  FROM lens l CROSS JOIN cf c CROSS JOIN ctot ct
+        |  LEFT JOIN tf ON tf.doc_id = l.doc_id AND tf.term = c.term),
+        |sc AS (SELECT doc_id, tf,
+        |    CAST(round(ln(CAST(CAST(tf AS HUGEINT) * c_tot +
+        |        2000 * CAST(cf AS HUGEINT) AS DOUBLE) /
+        |      CAST(CAST(len + 2000 AS HUGEINT) * c_tot AS DOUBLE))
+        |      * 1000000) AS BIGINT) AS lp_u
+        |  FROM grid)
+        |SELECT doc_id,
+        |       CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_matched,
+        |       CAST(sum(lp_u) AS BIGINT) AS score_u
+        |FROM sc GROUP BY 1
+        |HAVING sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) >= 2
+        |ORDER BY ALL""".stripMargin,
+
+    "q_neyman_allocation" ->
+      """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_h,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS s_h,
+        |    sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) *
+        |        CAST(round(value * 100) AS BIGINT)) AS ss_h
+        |  FROM events GROUP BY 1 HAVING count(*) >= 2),
+        |q AS (SELECT event_type, n_h,
+        |    CAST(round(sqrt(CAST(n_h * ss_h -
+        |        CAST(s_h AS HUGEINT) * s_h AS DOUBLE) /
+        |      (CAST(n_h AS DOUBLE) * (n_h - 1))) * 1000) AS BIGINT)
+        |      AS sd_milli
+        |  FROM m),
+        |w AS (SELECT event_type, n_h, sd_milli,
+        |        CAST(n_h AS HUGEINT) * sd_milli AS w
+        |      FROM q),
+        |tot AS (SELECT sum(w) AS w_tot FROM w)
+        |SELECT event_type, n_h, sd_milli,
+        |       CAST(w * 10000 // w_tot AS BIGINT) AS share_bp,
+        |       CAST(w * 50000 // w_tot AS BIGINT) AS alloc_n
+        |FROM w CROSS JOIN tot ORDER BY ALL""".stripMargin,
+
+    "q_gumbel_fit" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT event_type, day // 30 AS blk, max(x) AS m
+        |       FROM daily GROUP BY 1, 2),
+        |mo AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_blocks,
+        |         CAST(sum(m) AS BIGINT) AS s,
+        |         sum(CAST(m AS HUGEINT) * m) AS ss
+        |       FROM mx GROUP BY 1)
+        |SELECT event_type, n_blocks,
+        |  CASE WHEN n_blocks < 2
+        |         OR n_blocks * ss = CAST(s AS HUGEINT) * s THEN NULL
+        |    ELSE CAST(round(sqrt(CAST(n_blocks * ss -
+        |        CAST(s AS HUGEINT) * s AS DOUBLE) /
+        |      (CAST(n_blocks AS DOUBLE) * (n_blocks - 1)))
+        |      * sqrt(6) / pi() * 1000) AS BIGINT) END AS beta_milli,
+        |  CASE WHEN n_blocks < 2
+        |         OR n_blocks * ss = CAST(s AS HUGEINT) * s THEN NULL
+        |    ELSE CAST(round((CAST(s AS DOUBLE) / n_blocks -
+        |      0.5772156649015329 * (sqrt(CAST(n_blocks * ss -
+        |          CAST(s AS HUGEINT) * s AS DOUBLE) /
+        |        (CAST(n_blocks AS DOUBLE) * (n_blocks - 1)))
+        |        * sqrt(6) / pi())) * 1000) AS BIGINT) END AS mu_milli
+        |FROM mo ORDER BY ALL""".stripMargin,
+
+    "q_bartlett" ->
+      """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_i,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS s_i,
+        |    sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) *
+        |        CAST(round(value * 100) AS BIGINT)) AS ss_i
+        |  FROM events GROUP BY 1
+        |  HAVING count(*) >= 2
+        |     AND count(*) * sum(CAST(CAST(round(value * 100) AS BIGINT)
+        |           AS HUGEINT) * CAST(round(value * 100) AS BIGINT)) >
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |           AS HUGEINT) *
+        |         sum(CAST(round(value * 100) AS BIGINT))),
+        |p AS (SELECT n_i,
+        |    CAST(round(ln(CAST(n_i * ss_i -
+        |        CAST(s_i AS HUGEINT) * s_i AS DOUBLE) /
+        |      (CAST(n_i AS DOUBLE) * (n_i - 1))) * 1000000000)
+        |      AS BIGINT) AS ln_i_u,
+        |    (n_i * ss_i - CAST(s_i AS HUGEINT) * s_i) * 1000000 // n_i
+        |      AS w_u,
+        |    1000000000000000 // (n_i - 1) AS inv_u
+        |  FROM g),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |        CAST(sum(n_i) AS BIGINT) AS n,
+        |        sum(CAST(n_i - 1 AS HUGEINT) * ln_i_u) AS lnsum_u,
+        |        sum(w_u) AS pool_u,
+        |        CAST(sum(inv_u) AS BIGINT) AS invsum_u
+        |      FROM p)
+        |SELECT k, n,
+        |  CASE WHEN k <= 1 OR n <= k OR pool_u = 0 THEN NULL ELSE
+        |    CAST(round((CAST(n - k AS DOUBLE) *
+        |      ln(CAST(pool_u AS DOUBLE) / 1e6 / (n - k)) -
+        |      CAST(lnsum_u AS DOUBLE) / 1e9) /
+        |      (1 + (CAST(invsum_u AS DOUBLE) / 1e15 -
+        |        1.0 / (n - k)) / (3.0 * (k - 1))) * 1000) AS BIGINT)
+        |    END AS chi2_milli
+        |FROM a ORDER BY ALL""".stripMargin,
+
     "q_join_asof_forward" ->
       """SELECT event_id, user_id, event_type,
         |       min(CASE WHEN event_type = 'purchase'

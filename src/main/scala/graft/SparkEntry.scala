@@ -633,7 +633,14 @@ object SparkEntry {
     // §2.109 round-11: model-evaluation curve + the distributed
     // gradient primitive
     "q_roc_curve" -> Evaluation.qRocCurve _,
-    "q_grad_step" -> Evaluation.qGradStep _
+    "q_grad_step" -> Evaluation.qGradStep _,
+    // §2.110 round-12: storage-layout depth twin + IR/statistics staples
+    "q_dedup_band_bucketed" ->
+      (graft.sources.FileFormats.qDedupBandBucketed _),
+    "q_query_likelihood" -> Corpus.qQueryLikelihood _,
+    "q_neyman_allocation" -> Sampling.qNeymanAllocation _,
+    "q_gumbel_fit" -> Experiments.qGumbelFit _,
+    "q_bartlett" -> Spread.qBartlett _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

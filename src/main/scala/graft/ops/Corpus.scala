@@ -261,4 +261,47 @@ object Corpus {
       .join(docsWith("join"), Seq("doc_id"), "left_semi")
       .join(docsWith("stream"), Seq("doc_id"), "left_anti"))
   }
+
+  /** Dirichlet-smoothed query-likelihood retrieval (§2.110) — the
+    * language-model ranking function next to q_bm25 (the OTHER classic
+    * IR scorer; Zhai & Lafferty's µ-smoothing): for the literal query
+    * {merge, vector, stream} over the en corpus, score(d) =
+    * Σ_q ln((tf(q,d)·|C| + µ·cf(q)) / ((|d|+µ)·|C|)) with µ = 2000.
+    * Every per-term log-likelihood quantizes to a ×10⁶ BIGINT (the
+    * q_pmi ln policy — irrational, so the round is boundary-safe) and
+    * the doc score is their EXACT integer sum; emitted for docs
+    * matching ≥ 2 query terms (the conjunctive-ish candidate prune a
+    * search engine applies before scoring the long tail). Shapes: one
+    * occurrence scan → (doc, term) tf counts for the 3-term literal
+    * spine (docs × 3 via a broadcast literal grid, linear in corpus),
+    * corpus stats are one broadcast row; products ride DECIMAL(38,0)
+    * so tf·|C| cannot wrap at any corpus size. */
+  def qQueryLikelihood(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mu = 2000L
+    val terms = Seq("merge", "vector", "stream").toDF("term")
+    val occ = t(s, dir, "documents").filter(col("lang") === "en")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val lens = occ.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val cf = occ.join(broadcast(terms), col("token") === col("term"))
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+    val cTot = occ.agg(count(lit(1)).as("c_tot"))
+    val tf = occ.join(broadcast(terms), col("token") === col("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val grid = lens.crossJoin(broadcast(terms.join(cf, "term")))
+      .crossJoin(broadcast(cTot))
+      .join(tf, Seq("doc_id", "term"), "left")
+      .withColumn("tf", coalesce(col("tf"), lit(0L)))
+      .withColumn("lp_u", expr(
+        s"CAST(round(ln(CAST(CAST(tf AS DECIMAL(38,0)) * c_tot + " +
+          s"$mu * CAST(cf AS DECIMAL(38,0)) AS DOUBLE) / " +
+          s"CAST(CAST(len + $mu AS DECIMAL(38,0)) * c_tot AS DOUBLE)) " +
+          "* 1000000) AS BIGINT)"))
+    orderedAll(grid.groupBy("doc_id")
+      .agg(sum(when(col("tf") > 0, 1L).otherwise(0L)).cast("long")
+          .as("n_matched"),
+        sum("lp_u").cast("long").as("score_u"))
+      .filter(col("n_matched") >= 2))
+  }
 }

@@ -298,4 +298,46 @@ object Experiments {
       .select("event_type", "k", "ref_cents", "hill_sum_u",
         "inv_alpha_u"))
   }
+
+  /** Gumbel extreme-value fit (§2.110): per event type, method-of-
+    * moments Gumbel(µ, β) parameters over the MONTHLY MAXIMA of daily
+    * revenue — the block-maxima EVT recipe behind "what daily peak
+    * should capacity planning expect per month" (β = s·√6/π,
+    * µ = m̄ − γβ). The block maxima and their first two moments are
+    * EXACT integers (cents day spine → 30-day block max → DECIMAL
+    * square sums), so the terminal double chain (one sqrt, two mults,
+    * one subtract against Euler–Mascheroni) is identical in both
+    * engines; β is irrational (a sqrt), making the milli rounds
+    * boundary-safe — except when the maxima are constant (variance 0
+    * ⇒ β = 0, µ rational): that degenerate fit emits NULL, declared.
+    * Two mergeable aggregates on the |days| spine — never raw events
+    * past the first fold. */
+  def qGumbelFit(s: SparkSession, dir: String): DataFrame = {
+    val maxima = t(s, dir, "events")
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").cast("long").as("x"))
+      .withColumn("blk", expr("day div 30"))
+      .groupBy("event_type", "blk").agg(max("x").as("m"))
+    orderedAll(maxima.groupBy("event_type")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum("m").cast("long").as("s"),
+        sum(expr("CAST(m AS DECIMAL(38,0)) * m")).as("ss"))
+      .withColumn("beta_milli", expr(
+        "CASE WHEN n_blocks < 2 OR n_blocks * ss = " +
+          "CAST(s AS DECIMAL(38,0)) * s THEN NULL ELSE " +
+          "CAST(round(sqrt(CAST(n_blocks * ss - " +
+          "CAST(s AS DECIMAL(38,0)) * s AS DOUBLE) / " +
+          "(CAST(n_blocks AS DOUBLE) * (n_blocks - 1))) " +
+          "* sqrt(6) / pi() * 1000) AS BIGINT) END"))
+      .withColumn("mu_milli", expr(
+        "CASE WHEN beta_milli IS NULL THEN NULL ELSE " +
+          "CAST(round((CAST(s AS DOUBLE) / n_blocks - " +
+          "0.5772156649015329 * (sqrt(CAST(n_blocks * ss - " +
+          "CAST(s AS DECIMAL(38,0)) * s AS DOUBLE) / " +
+          "(CAST(n_blocks AS DOUBLE) * (n_blocks - 1))) " +
+          "* sqrt(6) / pi())) * 1000) AS BIGINT) END"))
+      .select("event_type", "n_blocks", "beta_milli", "mu_milli"))
+  }
 }

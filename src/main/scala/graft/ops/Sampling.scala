@@ -126,4 +126,38 @@ object Sampling {
         sum(when(expr("(rn - 1) % 20 = 0"), col("cents")).otherwise(0L))
           .cast("long").as("cents_samp")))
   }
+
+  /** Neyman optimal allocation (§2.110): how a 50 000-row sample budget
+    * SHOULD split across event-type strata — n_h ∝ N_h·σ_h, the
+    * textbook minimum-variance allocation that q_stratified_gain's
+    * proportional split leaves on the table when strata variances
+    * differ. Exactness policy: σ_h quantizes to milli-cents
+    * (round(σ·1000) — σ is a sqrt, irrational, boundary-safe), and
+    * BOTH the share and the allocated count are integer divisions of
+    * the EXACT DECIMAL(38,0) weight products N_h·σ_milli — no double
+    * sum across strata anywhere, so the result is independent of
+    * stratum evaluation order in either engine (Σ floor(n_h) ≤ budget;
+    * the remainder seats are a policy choice left to the caller).
+    * One mergeable moment aggregate + one 5-row broadcast fold. */
+  def qNeymanAllocation(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_h"), sum("cents").cast("long").as("s_h"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("ss_h"))
+      // a 1-row stratum has no variance estimate — excluded, declared
+      .filter(col("n_h") >= 2)
+      .withColumn("sd_milli", expr(
+        "CAST(round(sqrt(CAST(n_h * ss_h - CAST(s_h AS DECIMAL(38,0))" +
+          " * s_h AS DOUBLE) / (CAST(n_h AS DOUBLE) * (n_h - 1)))" +
+          " * 1000) AS BIGINT)"))
+      .withColumn("w", expr(
+        "CAST(n_h AS DECIMAL(38,0)) * sd_milli"))
+    val tot = m.agg(sum("w").as("w_tot"))
+    orderedAll(m.crossJoin(broadcast(tot))
+      .selectExpr("event_type", "n_h", "sd_milli",
+        "CAST(w * 10000 div w_tot AS BIGINT) AS share_bp",
+        "CAST(w * 50000 div w_tot AS BIGINT) AS alloc_n"))
+  }
 }

@@ -60,7 +60,7 @@ object Sketches {
   private val sigCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
-  private[ops] def mdLaneSigs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def mdLaneSigs(s: SparkSession, dir: String): DataFrame =
     sigCache.computeIfAbsent(Text.pinKey(s, dir), _ => {
       val laneMins = (0 until 16).map(j =>
         min(expr(s"CAST(conv(substring(md5(concat('$j:', token)), 1, 15)," +

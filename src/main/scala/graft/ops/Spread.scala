@@ -291,4 +291,55 @@ object Spread {
       .withColumn("cov2_bp", expr("within_2s * 10000 div n"))
       .withColumn("cov3_bp", expr("within_3s * 10000 div n")))
   }
+
+  /** Bartlett's test of equal variances (§2.110) across event types —
+    * the parametric sibling of [[qLevene]] (more powerful under
+    * normality, which q_jarque_bera screens for first): χ² =
+    * [(N−k)·ln S²_p − Σ(n_i−1)·ln S²_i] / C with the standard
+    * correction C = 1 + (Σ 1/(n_i−1) − 1/(N−k)) / (3(k−1)).
+    * Exactness policy (no double sum over groups anywhere): each
+    * group's S²_i is the exact rational (n_i·ss_i − s_i²)/(n_i(n_i−1))
+    * of DECIMAL cents moments, whose ln quantizes to a ×10⁹ BIGINT
+    * (irrational ⇒ boundary-safe); (n_i−1)·ln_i sums EXACTLY. The
+    * pooled Σ(n_i−1)S²_i rides the qAnova µ-unit idiom —
+    * (n_i·ss_i − s_i²)·10⁶ div n_i per group, exact integer sum,
+    * ≤1 µ-unit floor error per group identical in both engines — and
+    * Σ1/(n_i−1) quantizes as 10¹⁵ div (n_i−1) (exact truncation).
+    * Only the final assembly of those integers is double. One
+    * mergeable moment fold + a k-row terminal aggregate. */
+  def qBartlett(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_i"),
+        sum("cents").cast("long").as("s_i"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("ss_i"))
+      // groups without a positive variance estimate cannot enter the
+      // statistic (ln S² undefined) — excluded on both sides, declared
+      .filter(expr(
+        "n_i >= 2 AND n_i * ss_i > CAST(s_i AS DECIMAL(38,0)) * s_i"))
+      .withColumn("ln_i_u", expr(
+        "CAST(round(ln(CAST(n_i * ss_i - CAST(s_i AS DECIMAL(38,0))" +
+          " * s_i AS DOUBLE) / (CAST(n_i AS DOUBLE) * (n_i - 1)))" +
+          " * 1000000000) AS BIGINT)"))
+      .withColumn("w_u", expr(
+        "(n_i * ss_i - CAST(s_i AS DECIMAL(38,0)) * s_i) * 1000000" +
+          " div n_i"))
+      .withColumn("inv_u", expr("1000000000000000 div (n_i - 1)"))
+    orderedAll(g.agg(
+      count(lit(1)).as("k"),
+      sum("n_i").cast("long").as("n"),
+      sum(expr("CAST(n_i - 1 AS DECIMAL(38,0)) * ln_i_u")).as("lnsum_u"),
+      sum("w_u").as("pool_u"),
+      sum("inv_u").cast("long").as("invsum_u"))
+      .withColumn("chi2_milli", expr(
+        "CASE WHEN k <= 1 OR n <= k OR pool_u = 0 THEN NULL ELSE " +
+          "CAST(round((CAST(n - k AS DOUBLE) * " +
+          "ln(CAST(pool_u AS DOUBLE) / 1e6 / (n - k)) - " +
+          "CAST(lnsum_u AS DOUBLE) / 1e9) / " +
+          "(1 + (CAST(invsum_u AS DOUBLE) / 1e15 - " +
+          "1.0 / (n - k)) / (3.0 * (k - 1))) * 1000) AS BIGINT) END"))
+      .select("k", "n", "chi2_milli"))
+  }
 }

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 §2.110 batch: the bucketed dedup-signature band join (the
+  * verdict's suggested storage-layout depth twin) + IR/statistics
+  * staples. Brute-force twins at sf0.001; the bucketed join carries a
+  * physical-plan assertion (no exchange below the self-join). */
+class Round12BatchSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // shared brute-force corpus: (doc_id, tokens) of the en docs
+  private lazy val docs: Seq[(Long, Seq[String])] =
+    ops.t(spark, sf, "documents").filter(col("lang") === "en")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSeq)
+      .toSeq
+
+  private lazy val cents: Seq[(String, Long)] =
+    ops.t(spark, sf, "events")
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  test("q_dedup_band_bucketed: no shuffle exchange below the self-join") {
+    val df = run("q_dedup_band_bucketed")
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(joins.nonEmpty, "expected a sort-merge join over bucketed bands")
+    val exchangesBelow = joins.flatMap(_.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    })
+    assert(exchangesBelow.isEmpty,
+      s"bucketed band join still shuffles: ${exchangesBelow.mkString(";")}")
+  }
+
+  test("q_dedup_band_bucketed equals q_band_sweep's (8,2) audit row") {
+    val sweep = run("q_band_sweep").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val got = run("q_dedup_band_bucketed").collect().head
+    assert((got.getLong(0), got.getLong(1)) == sweep((8L, 2L)),
+      "the bucketed layout must change NOTHING about the candidate set")
+  }
+
+  test("q_query_likelihood matches a brute-force Dirichlet LM scorer") {
+    val terms = Seq("merge", "vector", "stream")
+    val mu = 2000L
+    val cTot = docs.map(_._2.size.toLong).sum
+    val cf = terms.map(q =>
+      q -> docs.map(_._2.count(_ == q).toLong).sum).toMap
+    val expect = docs.flatMap { case (id, toks) =>
+      val len = toks.size.toLong
+      val tfs = terms.map(q => q -> toks.count(_ == q).toLong)
+      val matched = tfs.count(_._2 > 0)
+      if (matched >= 2) {
+        val score = tfs.map { case (q, tf) =>
+          math.round(math.log(
+            (BigInt(tf) * cTot + BigInt(mu) * cf(q)).toDouble /
+              (BigInt(len + mu) * cTot).toDouble) * 1e6)
+        }.sum
+        Some(id -> (matched.toLong, score))
+      } else None
+    }.toMap
+    val got = run("q_query_likelihood").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == expect.keySet)
+    for ((id, (m, sc)) <- expect) {
+      assert(got(id)._1 == m, s"doc $id n_matched")
+      assert(math.abs(got(id)._2 - sc) <= 3, // ±1 ulp per ln term
+        s"doc $id score ${got(id)._2} vs $sc")
+    }
+    assert(expect.nonEmpty, "the fixture must exercise the prune")
+  }
+
+  test("q_neyman_allocation: exact integer shares off quantized sigmas") {
+    val byType = cents.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      .filter(_._2.size >= 2)
+    val sd = byType.map { case (t, xs) =>
+      val n = xs.size.toLong
+      val s = xs.map(BigInt(_)).sum
+      val ss = xs.map(x => BigInt(x) * x).sum
+      t -> math.round(math.sqrt(
+        (BigInt(n) * ss - s * s).toDouble / (n.toDouble * (n - 1))) * 1000)
+    }
+    val w = byType.map { case (t, xs) => t -> BigInt(xs.size) * sd(t) }
+    val wTot = w.values.sum
+    val got = run("q_neyman_allocation").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == byType.keySet)
+    for ((t, xs) <- byType) {
+      val (n, sdm, share, alloc) = got(t)
+      assert(n == xs.size.toLong && sdm == sd(t))
+      assert(BigInt(share) == w(t) * 10000 / wTot)
+      assert(BigInt(alloc) == w(t) * 50000 / wTot)
+    }
+    assert(got.values.map(_._3).sum <= 10000)
+    assert(got.values.map(_._4).sum <= 50000)
+  }
+
+  test("q_gumbel_fit matches a brute-force method-of-moments fit") {
+    val daily = ops.t(spark, sf, "events")
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("c", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "day").agg(sum("c").cast("long").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = run("q_gumbel_fit").collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    for ((t, rows) <- daily.groupBy(_._1)) {
+      val maxima = rows.groupBy(_._2 / 30)
+        .map(_._2.map(_._3).max).toSeq
+      val n = maxima.size.toLong
+      assert(got(t)._1 == n)
+      if (n >= 2 && maxima.distinct.size > 1) {
+        val s = maxima.map(BigInt(_)).sum
+        val ss = maxima.map(x => BigInt(x) * x).sum
+        val sd = math.sqrt((BigInt(n) * ss - s * s).toDouble /
+          (n.toDouble * (n - 1)))
+        val beta = sd * math.sqrt(6) / math.Pi
+        val mu = s.toDouble / n - 0.5772156649015329 * beta
+        assert(math.abs(got(t)._2.get - math.round(beta * 1000)) <= 1)
+        assert(math.abs(got(t)._3.get - math.round(mu * 1000)) <= 1)
+        assert(got(t)._3.get < got(t)._2.get * 1000,
+          "mu must sit below the max scale sanity bound")
+      } else assert(got(t)._2.isEmpty && got(t)._3.isEmpty)
+    }
+  }
+
+  test("q_bartlett matches the quantized recipe recomputed in BigInt") {
+    val groups = cents.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      .filter { case (_, xs) =>
+        val n = xs.size; val s = xs.map(BigInt(_)).sum
+        val ss = xs.map(x => BigInt(x) * x).sum
+        n >= 2 && BigInt(n) * ss > s * s
+      }
+    val per = groups.map { case (_, xs) =>
+      val n = xs.size.toLong
+      val s = xs.map(BigInt(_)).sum
+      val ss = xs.map(x => BigInt(x) * x).sum
+      val varNum = BigInt(n) * ss - s * s
+      val lnU = math.round(math.log(
+        varNum.toDouble / (n.toDouble * (n - 1))) * 1e9)
+      val wU = varNum * 1000000 / n
+      val invU = 1000000000000000L / (n - 1)
+      (n, lnU, wU, invU)
+    }.toSeq
+    val k = per.size.toLong
+    val n = per.map(_._1).sum
+    val lnSum = per.map(p => BigInt(p._1 - 1) * p._2).sum
+    val poolU = per.map(_._3).sum
+    val invSum = per.map(_._4).sum
+    val chi2 = ((n - k).toDouble *
+      math.log(poolU.toDouble / 1e6 / (n - k)) - lnSum.toDouble / 1e9) /
+      (1 + (invSum.toDouble / 1e15 - 1.0 / (n - k)) / (3.0 * (k - 1)))
+    val got = run("q_bartlett").collect().head
+    assert(got.getLong(0) == k && got.getLong(1) == n)
+    assert(math.abs(got.getLong(2) - math.round(chi2 * 1000)) <= 1,
+      s"chi2 ${got.getLong(2)} vs ${math.round(chi2 * 1000)}")
+    assert(got.getLong(2) >= 0, "Bartlett chi-square is non-negative")
+  }
+}
