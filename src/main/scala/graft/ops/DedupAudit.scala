@@ -77,7 +77,7 @@ object DedupAudit {
   private val autoBpCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Integer]()
 
-  private[ops] def auditSampleBp(s: SparkSession, dir: String): Int =
+  private[graft] def auditSampleBp(s: SparkSession, dir: String): Int =
     s.conf.getOption("spark.graft.dedupAuditSampleBp")
       .map(_.toInt).getOrElse {
         val probeFloor = s.conf
@@ -101,9 +101,9 @@ object DedupAudit {
 
   /** Apply the [[auditSampleBp]] doc-id sample to a frame bearing
     * `idCol`; identity at the default 10000 bp. */
-  private[ops] def auditSample(s: SparkSession, dir: String,
-                               df: DataFrame,
-                               idCol: String = "doc_id"): DataFrame = {
+  private[graft] def auditSample(s: SparkSession, dir: String,
+                                 df: DataFrame,
+                                 idCol: String = "doc_id"): DataFrame = {
     val bp = auditSampleBp(s, dir)
     if (bp >= 10000) df
     else df.filter(

