@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Curation, DistRank, Text}
+import graft.ops.{Curation, DistRank, Sketches, Text, Vectors}
 
 /** The engine's reusable operator cores as a DataFrame→DataFrame
   * library (round-11 item 5) — the entry points a user of the graded
@@ -224,6 +224,98 @@ object Graft {
       minhashCandidates(df, idCol, textCol, bands, rowsPerBand),
       freshSlot("api_mh_cc"))
       .withColumnRenamed("doc_id", idCol)
+
+  /** SimHash near-duplicate candidate pairs over any (id, text) table:
+    * 64-bit token-vote signatures (the graded q_dedup_simhash recipe),
+    * candidates from the 9-segment pigeonhole equi-join, each verified
+    * by the exact popcount — emitted as (a_id, b_id, hamming) with
+    * a_id < b_id. EXACT for any `maxHamming` ≤ 8 (the pigeonhole
+    * guarantee makes the banding lossless, unlike MinHash's
+    * probabilistic recall): the output is set-identical to an
+    * all-pairs scan at bucket-join cost. The cosine-family sketch —
+    * prefer it over [[nearDupPairs]] when near-dup means "same token
+    * DISTRIBUTION" rather than a Jaccard cut. */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 8): DataFrame = {
+    val postings = df.select(col(idCol).cast("long").as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("token"))
+      .filter(col("token") =!= "").distinct()
+    Sketches.pigeonholePairs(
+      Sketches.segRows(Sketches.simhashOf(postings)), maxHamming)
+  }
+
+  /** Near-duplicate clusters from the [[simhashCandidates]] graph —
+    * same CC engine and (<idCol>, cluster_id, keep) contract as
+    * [[dedupClusters]] / [[minhashClusters]]. */
+  def simhashClusters(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 8): DataFrame =
+    Text.clusterLabels(df.sparkSession,
+      simhashCandidates(df, idCol, textCol, maxHamming)
+        .select("a_id", "b_id"), freshSlot("api_sh_cc"))
+      .withColumnRenamed("doc_id", idCol)
+
+  // ---- similarity search ---------------------------------------------------
+
+  /** Exact-cosine re-rank + top-k of a joined (probe_id, __pe,
+    * neighbor_id, __ve) candidate frame — shared by [[knnCosine]]
+    * (all candidates) and [[annLsh]] (bucket-pruned candidates). */
+  private def topkJoin(cands: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands.withColumn("cos",
+        Vectors.cosine(col("__pe"), col("__ve")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("probe_id", "neighbor_id", "rn", "cos")
+  }
+
+  /** Exact k-NN by cosine over any corpus with an ArrayType(Float)
+    * embedding column: every probe × the full corpus through the
+    * codegen'd FloatVecDot (the graded q_knn_cosine hot path), top-k
+    * per probe as (probe_id, neighbor_id, rn, cos). The probe table is
+    * BROADCAST — this is the exact-truth baseline for a bounded probe
+    * set (evaluation harnesses, recall audits); use [[annLsh]] when
+    * the probe side itself is corpus-scale. A corpus row whose id
+    * equals the probe's id is excluded (the self-match). */
+  def knnCosine(corpus: DataFrame, idCol: String, vecCol: String,
+                probes: DataFrame, probeIdCol: String,
+                probeVecCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("__ve"))
+    val p = probes.select(col(probeIdCol).cast("long").as("probe_id"),
+      col(probeVecCol).as("__pe"))
+    topkJoin(c.join(broadcast(p),
+      col("neighbor_id") =!= col("probe_id")), k)
+  }
+
+  /** Hyperplane-LSH approximate k-NN: corpus and probes bucket by the
+    * sign pattern of `bits` deterministic md5-parity hyperplanes (the
+    * graded q_ann_lsh planes, parametric in dimension), the search
+    * joins ONLY equal buckets (≈ corpus/2^bits candidates per probe
+    * instead of all of it), exact cosine re-ranks within. Same output
+    * contract as [[knnCosine]]; recall is whatever the bit partition
+    * gives — audit it against [[knnCosine]] on a probe sample, the
+    * q_ann_recall pattern. The embedding dimension is read from one
+    * probe row (16-row-class driver probe, require-guarded). */
+  def annLsh(corpus: DataFrame, idCol: String, vecCol: String,
+             probes: DataFrame, probeIdCol: String,
+             probeVecCol: String, k: Int = 5, bits: Int = 8): DataFrame = {
+    require(k >= 1 && bits >= 1 && bits <= 24,
+      s"need k >= 1 and 1 <= bits <= 24, got k=$k bits=$bits")
+    val head = probes.select(size(col(probeVecCol))).limit(1).collect()
+    require(head.nonEmpty, "probe table is empty")
+    val dim = head.head.getInt(0)
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("__ve"))
+      .withColumn("__b", Sketches.lshBucketExpr(col("__ve"), bits, dim))
+    val p = probes.select(col(probeIdCol).cast("long").as("probe_id"),
+        col(probeVecCol).as("__pe"))
+      .withColumn("__pb", Sketches.lshBucketExpr(col("__pe"), bits, dim))
+    topkJoin(c.join(broadcast(p),
+        col("__b") === col("__pb") &&
+          col("neighbor_id") =!= col("probe_id")), k)
+  }
 
   // ---- distributed global order ----------------------------------------
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -83,20 +83,60 @@ object Sketches {
 
   private[ops] def shSigs(s: SparkSession, dir: String): DataFrame =
     shCache.computeIfAbsent(Text.pinKey(s, dir), _ =>
-      Text.pin(enPostings(s, dir)
-        .withColumn("hhex", md5(col("token")))
-        .select(col("doc_id"), col("hhex"),
-          explode(expr("sequence(0, 63)")).as("k"))
-        .withColumn("nib", expr("instr('0123456789abcdef', " +
-          "substring(hhex, CAST(k div 4 AS INT) + 1, 1)) - 1"))
-        .withColumn("vote",
-          expr("IF((shiftright(nib, CAST(k % 4 AS INT)) & 1) = 1, 1, -1)"))
-        .groupBy("doc_id", "k").agg(sum(col("vote")).as("v"))
-        .groupBy("doc_id")
-        .agg(expr(
-          """sum(IF(v > 0, shiftleft(CAST(1 AS BIGINT), k),
-            |       CAST(0 AS BIGINT)))""".stripMargin).as("simhash")),
+      Text.pin(simhashOf(enPostings(s, dir)),
         s"sh_sigs_${new java.io.File(dir).getName}"))
+
+  /** The 64-bit SimHash vote recipe over any (doc_id, token) posting
+    * table — the CORE behind [[shSigs]] (which adds the per-(session,
+    * dir) pin) and the graft.api.Graft.simhashCandidates entry point.
+    * Bit k is set iff the ±1 md5-nibble votes at bit k sum positive;
+    * everything streams through codegen'd aggregates. */
+  private[graft] def simhashOf(postings: DataFrame): DataFrame =
+    postings
+      .withColumn("hhex", md5(col("token")))
+      .select(col("doc_id"), col("hhex"),
+        explode(expr("sequence(0, 63)")).as("k"))
+      .withColumn("nib", expr("instr('0123456789abcdef', " +
+        "substring(hhex, CAST(k div 4 AS INT) + 1, 1)) - 1"))
+      .withColumn("vote",
+        expr("IF((shiftright(nib, CAST(k % 4 AS INT)) & 1) = 1, 1, -1)"))
+      .groupBy("doc_id", "k").agg(sum(col("vote")).as("v"))
+      .groupBy("doc_id")
+      .agg(expr(
+        """sum(IF(v > 0, shiftleft(CAST(1 AS BIGINT), k),
+          |       CAST(0 AS BIGINT)))""".stripMargin).as("simhash"))
+
+  /** The 9-segment pigeonhole rows of a (doc_id, simhash) table:
+    * 8×7-bit + 1×8-bit disjoint segments — Hamming ≤ 8 implies at
+    * least one segment matches EXACTLY, so segment equi-collision is a
+    * LOSSLESS candidate generator for any cut ≤ 8. */
+  private[graft] def segRows(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("simhash"),
+        explode(expr("sequence(0, 8)")).as("seg"))
+      .withColumn("sval", expr(
+        "shiftrightunsigned(simhash, seg * 7) & IF(seg = 8, 255L, 127L)"))
+
+  /** Exact Hamming ≤ `maxHamming` pairs off [[segRows]] output — the
+    * bucket-local equi-join + popcount verify + distinct shared by
+    * [[qDedupSimhash]]'s ungated path and the api surface. Set-equal
+    * to all-pairs for maxHamming ≤ 8 (the pigeonhole guarantee). */
+  private[graft] def pigeonholePairs(segs: DataFrame,
+                                     maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 8,
+      s"the 9-segment pigeonhole is lossless only for cuts <= 8, " +
+        s"got $maxHamming")
+    val x = segs.select(col("doc_id").as("a_id"),
+      col("simhash").as("sa"), col("seg"), col("sval"))
+    val y = segs.select(col("doc_id").as("b_id"),
+      col("simhash").as("sb"), col("seg"), col("sval"))
+    x.join(y, Seq("seg", "sval"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+      .distinct()
+  }
 
   /** 8×2 band rows (doc_id, band, bkey) off a lane-signature table — a
     * pure projection + in-row explode; consumers re-derive it from the
@@ -426,10 +466,7 @@ object Sketches {
     // equi-join on (segment index, segment value), the same structure as
     // the minhash band join. Exact (not probabilistic): the guarantee is
     // combinatorial, so the output set is identical to all-pairs.
-    val segs0 = docs.select(col("doc_id"), col("simhash"),
-        explode(expr("sequence(0, 8)")).as("seg"))
-      .withColumn("sval", expr(
-        "shiftrightunsigned(simhash, seg * 7) & IF(seg = 8, 255L, 127L)"))
+    val segs0 = segRows(docs)
     // Density-gated output contract (round 9, same knob and semantics as
     // the minhash family): when `spark.graft.dedupMaxPairsPerDoc` is set
     // and the segment-collision estimate exceeds it, emit cluster
@@ -445,20 +482,11 @@ object Sketches {
       if (pairDensityExceeded(s, segs, Seq("seg", "sval"), nDocs))
         return bucketClusters(s, segs, Seq("seg", "sval"), "sh")
     }
-    val x = segs.select(col("doc_id").as("a_id"), col("simhash").as("sa"),
-      col("seg"), col("sval"))
-    val y = segs.select(col("doc_id").as("b_id"), col("simhash").as("sb"),
-      col("seg"), col("sval"))
     // A qualifying pair can collide in up to 9 segments → verify the cheap
     // popcount on each collision, then distinct the survivors (hamming is
-    // functionally determined by the pair, so it rides along).
-    orderedAll(x.join(y, Seq("seg", "sval"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("hamming",
-        expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
-      .filter(col("hamming") <= 8)
-      .select("a_id", "b_id", "hamming")
-      .distinct())
+    // functionally determined by the pair, so it rides along) — the
+    // [[pigeonholePairs]] core, shared with graft.api.
+    orderedAll(pigeonholePairs(segs, 8))
   }
 
   /** LSH-bucketed approximate nearest neighbours: 8 deterministic
@@ -477,21 +505,30 @@ object Sketches {
     * FloatVecDot against a literal vector instead of a 64-step
     * interpreted lambda fold per row per plane (~8× less interpreted
     * work). Same fold order and operands → bit-identical buckets. */
-  private def lshBucketed(s: SparkSession, dir: String): DataFrame = {
-    def signs(j: Int): Array[Float] = Array.tabulate(64) { i =>
-      // Mirrors the oracle's
-      //   (strpos('0123456789abcdef', substring(md5(idx), 1, 1)) - 1) % 2
-      // — the high nibble of md5 byte 0 of the decimal-rendered index.
+  /** The j-th deterministic ±1 pseudo-hyperplane over `dim` lanes.
+    * Mirrors the oracle's
+    *   (strpos('0123456789abcdef', substring(md5(idx), 1, 1)) - 1) % 2
+    * — the high nibble of md5 byte 0 of the decimal-rendered index
+    * j·dim + i. Data-independent, so callers fold it to a literal. */
+  private[graft] def lshSigns(j: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim) { i =>
       val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(String.valueOf(j * 64 + i).getBytes("UTF-8"))
+        .digest(String.valueOf(j * dim + i).getBytes("UTF-8"))
       if (((d(0) >> 4) & 1) == 0) 1.0f else -1.0f
     }
-    val bucketExpr = (0 until 8).map { j =>
-      when(Vectors.dot(col("embedding"), typedLit(signs(j))) > 0,
+
+  /** Sign-bit LSH bucket id over `bits` [[lshSigns]] hyperplanes —
+    * one codegen'd FloatVecDot per plane against a literal vector. */
+  private[graft] def lshBucketExpr(vec: Column, bits: Int,
+                                   dim: Int): Column =
+    (0 until bits).map { j =>
+      when(Vectors.dot(vec, typedLit(lshSigns(j, dim))) > 0,
         lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
-    t(s, dir, "embeddings").withColumn("bucket", bucketExpr)
-  }
+
+  private def lshBucketed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .withColumn("bucket", lshBucketExpr(col("embedding"), 8, 64))
 
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = lshBucketed(s, dir)

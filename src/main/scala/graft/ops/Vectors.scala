@@ -27,7 +27,7 @@ object Vectors {
     * order and widening as the zip_with/aggregate formulation it replaced,
     * so results are bit-identical; only the execution is a tight generated
     * loop instead of interpreted lambdas. */
-  private[ops] def dot(a: Column, b: Column): Column =
+  private[graft] def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftSql.column(graft.expressions.FloatVecDot(
       org.apache.spark.sql.GraftSql.expression(a),
       org.apache.spark.sql.GraftSql.expression(b)))
@@ -37,7 +37,7 @@ object Vectors {
       org.apache.spark.sql.GraftSql.expression(a)))
 
   /** Cosine similarity of two ArrayType(Float) columns, in double. */
-  private[ops] def cosine(a: Column, b: Column): Column =
+  private[graft] def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(norm2(a) * norm2(b))
 
   /** Brute-force k-NN: probes vec_id<10, top-5 cosine neighbors each. */
