@@ -638,7 +638,92 @@ object Oracles {
     "list_sum(list_transform(generate_series(1, 64), i -> " +
       "CAST(e[i] AS DOUBLE) * CAST(e[i] AS DOUBLE)))"
 
+  /** Full cosine of two 64-lane float list columns — the same
+    * sequential double fold as graft's FloatVecDot/Norm2 chain. */
+  private def cosSql(a: String, b: String) =
+    s"(list_sum(list_transform(generate_series(1, 64), i -> " +
+      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / " +
+      s"sqrt(list_sum(list_transform(generate_series(1, 64), i -> " +
+      s"CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))) * " +
+      s"list_sum(list_transform(generate_series(1, 64), i -> " +
+      s"CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))"
+
   private def vectorSql: Map[String, String] = Map(
+    // §2.111 greedy MMR: the sequential 3-step selection unrolled as
+    // chained CTEs, each step = the (score DESC, cid) argmax over the
+    // per-probe top-8 candidate pool (≤8 rows after cand).
+    "q_mmr_diversify" ->
+      s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe
+         |           FROM embeddings WHERE vec_id < 10),
+         |c0 AS (SELECT vec_id AS nid, embedding AS e FROM embeddings),
+         |s AS (SELECT pid, nid, e,
+         |        $dot64 AS dot, $pn64 AS na2, $en64 AS nb2
+         |      FROM p, c0 WHERE nid <> pid),
+         |cand AS (SELECT pid, nid AS cid, e AS ce,
+         |           dot / sqrt(na2 * nb2) AS rel,
+         |           row_number() OVER (PARTITION BY pid
+         |             ORDER BY dot / sqrt(na2 * nb2) DESC, nid) AS rn
+         |         FROM s),
+         |c AS (SELECT pid, cid, ce, rel FROM cand WHERE rn <= 8),
+         |p1 AS (SELECT pid, cid AS cid1, ce AS e1, rel AS sc1
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY pid
+         |               ORDER BY rel DESC, cid) AS r FROM c)
+         |       WHERE r = 1),
+         |r2 AS (SELECT c.pid, c.cid, c.ce, c.rel, p1.e1,
+         |         c.rel * 0.7 - ${cosSql("ce", "e1")} * 0.3 AS sc
+         |       FROM c JOIN p1 ON c.pid = p1.pid AND c.cid <> p1.cid1),
+         |p2 AS (SELECT pid, cid AS cid2, ce AS e2, sc AS sc2
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY pid
+         |               ORDER BY sc DESC, cid) AS r FROM r2)
+         |       WHERE r = 1),
+         |r3 AS (SELECT r2.pid, r2.cid, r2.rel,
+         |         r2.rel * 0.7 - greatest(${cosSql("ce", "e1")},
+         |           ${cosSql("ce", "e2")}) * 0.3 AS sc
+         |       FROM r2 JOIN p2 ON r2.pid = p2.pid
+         |         AND r2.cid <> p2.cid2),
+         |p3 AS (SELECT pid, cid AS cid3, sc AS sc3
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY pid
+         |               ORDER BY sc DESC, cid) AS r FROM r3)
+         |       WHERE r = 1)
+         |SELECT pid, CAST(1 AS BIGINT) AS rank, cid1 AS cid,
+         |       round(sc1, 4) AS score FROM p1
+         |UNION ALL
+         |SELECT pid, CAST(2 AS BIGINT), cid2, round(sc2, 4) FROM p2
+         |UNION ALL
+         |SELECT pid, CAST(3 AS BIGINT), cid3, round(sc3, 4) FROM p3
+         |ORDER BY ALL""".stripMargin,
+
+    // §2.111 semantic mix: nearest of the 16 vec_id<16 codebook rows
+    // by full-vector cosine (ties → smaller cid), per-label cluster
+    // histogram + exact ×10⁶-quantized entropy sum.
+    "q_semantic_mix" ->
+      s"""WITH cb AS (SELECT vec_id AS cid, embedding AS ce
+         |            FROM embeddings WHERE vec_id < 16),
+         |sc AS (SELECT e.vec_id, e.label, cb.cid,
+         |         ${cosSql("cb.ce", "e.embedding")} AS csim
+         |       FROM embeddings e CROSS JOIN cb),
+         |a AS (SELECT vec_id, label, cid AS cluster,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY csim DESC, cid) AS r
+         |      FROM sc),
+         |g AS (SELECT CAST(label AS BIGINT) AS label, cluster,
+         |        CAST(count(*) AS BIGINT) AS c
+         |      FROM a WHERE r = 1 GROUP BY 1, 2),
+         |bl AS (SELECT label, CAST(sum(c) AS BIGINT) AS n
+         |       FROM g GROUP BY 1),
+         |top AS (SELECT label, cluster AS top_cluster, c AS top_c
+         |        FROM (SELECT *, row_number() OVER (PARTITION BY label
+         |                ORDER BY c DESC, cluster) AS r FROM g)
+         |        WHERE r = 1)
+         |SELECT g.label, bl.n AS n_vecs, top.top_cluster,
+         |       CAST(top.top_c * 10000 // bl.n AS BIGINT)
+         |         AS top_share_bp,
+         |       CAST(sum(g.c * CAST(round(ln(CAST(bl.n AS DOUBLE) / g.c)
+         |           * 1000000) AS BIGINT)) // bl.n AS BIGINT)
+         |         AS entropy_u
+         |FROM g JOIN bl USING (label) JOIN top USING (label)
+         |GROUP BY 1, 2, 3, 4 ORDER BY ALL""".stripMargin,
+
     "q_knn_cosine" ->
       s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
          |           WHERE vec_id < 10),

@@ -640,7 +640,11 @@ object SparkEntry {
     "q_query_likelihood" -> Corpus.qQueryLikelihood _,
     "q_neyman_allocation" -> Sampling.qNeymanAllocation _,
     "q_gumbel_fit" -> Experiments.qGumbelFit _,
-    "q_bartlett" -> Spread.qBartlett _
+    "q_bartlett" -> Spread.qBartlett _,
+    // §2.111 round-12 second batch: retrieval diversification +
+    // semantic-mix audit
+    "q_mmr_diversify" -> Vectors.qMmrDiversify _,
+    "q_semantic_mix" -> EmbedAudit.qSemanticMix _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -163,4 +163,51 @@ object EmbedAudit {
       .withColumn("vs_min_milli", expr("n_vecs * 1000 div n_min"))
       .select("label", "n_vecs", "share_bp", "vs_min_milli"))
   }
+
+  /** Semantic-mix audit (§2.111): per label, how its vectors spread
+    * over the 16 fixed semantic clusters (the q_vector_pq codebook
+    * rows as full-vector cosine centroids) — the "is each data slice
+    * topically concentrated or diverse" readout a mix decision reads
+    * next to q_label_balance's pure counts. Emits per label: n, the
+    * dominant cluster and its share, and the cluster ENTROPY per
+    * vector in micro-nats — Σ c_k·round(ln(n/c_k)·10⁶) div n, each ln
+    * quantized to a ×10⁶ BIGINT before the EXACT integer sum (the
+    * cross-group double-sum ban; ln of a rational is irrational, so
+    * the round is boundary-safe — except ln(1)=0 when a label sits
+    * entirely in one cluster, which rounds to exactly 0 in both
+    * engines). Assignment is the one-projection greatest() argmax over
+    * 16 literal centroids (the qAnnIvf shape — no ×16 explode). */
+  def qSemanticMix(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    require(cb.length == 16,
+      s"codebook needs the 16 vec_id<16 rows, found ${cb.length}")
+    val best = greatest(cb.map { case (cid, ce) =>
+      struct(Vectors.cosine(typedLit(ce), col("embedding")).as("csim"),
+        lit(-cid).as("ncid"))
+    }.toIndexedSeq: _*)
+    val assigned = emb
+      .select(col("label").cast("long").as("label"),
+        (best.getField("ncid") * -1).as("cluster"))
+      .groupBy("label", "cluster").agg(count(lit(1)).as("c"))
+    val byLabel = assigned.groupBy("label")
+      .agg(sum("c").cast("long").as("n"),
+        max(struct(col("c"), (-col("cluster")).as("nc"))).as("top"))
+      .select(col("label"), col("n"),
+        (-col("top.nc")).as("top_cluster"),
+        col("top.c").as("top_c"))
+    orderedAll(assigned.join(byLabel, "label")
+      .withColumn("h_term", expr(
+        "c * CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000) AS BIGINT)"))
+      .groupBy("label")
+      .agg(max("n").as("n_vecs"),
+        max("top_cluster").as("top_cluster"),
+        max(expr("top_c * 10000 div n")).as("top_share_bp"),
+        sum("h_term").cast("long").as("h_sum"))
+      .withColumn("entropy_u", expr("h_sum div n_vecs"))
+      .select("label", "n_vecs", "top_cluster", "top_share_bp",
+        "entropy_u"))
+  }
 }

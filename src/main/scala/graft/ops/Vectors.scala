@@ -545,4 +545,58 @@ object Vectors {
         col("label").as("nlabel"), col("rn").cast("long").as("rn"),
         round(col("cos"), 4).as("sim")))
   }
+
+  /** MMR diversified re-ranking (§2.111): for each probe (vec_id<10),
+    * the top-8 exact-cosine candidates re-ranked by Maximal Marginal
+    * Relevance (λ=0.7) down to 3 picks — the classic retrieval
+    * diversifier (Carbonell & Goldstein): pick 1 is the most relevant;
+    * each later pick maximizes λ·rel − (1−λ)·max-sim-to-already-picked,
+    * trading relevance against redundancy (the dedup-at-serving-time
+    * idea, and the greedy diversified-sampling primitive a training-mix
+    * pipeline runs over retrieval pools). Greedy selection is
+    * inherently sequential, so the 3 steps are UNROLLED: each is a
+    * struct-max aggregate over the ≤8-row candidate set per probe —
+    * after the one corpus-scale top-8 window, everything is
+    * bounded-size (probes × 8 rows), so the unrolling costs nothing at
+    * any corpus size. Ties break to the smaller candidate id; scores
+    * emitted round(·,4) (cosine-derived — the q_knn_cosine policy). */
+  def qMmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val cand = emb.join(broadcast(probes), col("vec_id") =!= col("pid"))
+      .withColumn("cos", cosine(col("pe"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 8)
+      .select(col("pid"), col("vec_id").as("cid"),
+        col("cos").as("rel"), col("embedding").as("ce"))
+    // struct-max argmax: max score, then max -cid = min cid; the picked
+    // embedding rides in the struct for the next step's sim terms.
+    def pick(df: DataFrame, score: Column): DataFrame =
+      df.withColumn("__sc", score)
+        .groupBy("pid")
+        .agg(max(struct(col("__sc"), (-col("cid")).as("nc"),
+          col("ce").as("se"))).as("pk"))
+        .select(col("pid"), (-col("pk.nc")).as("s_cid"),
+          col("pk.__sc").as("s_score"), col("pk.se").as("s_ce"))
+    val s1 = pick(cand, col("rel"))
+    val r2 = cand.join(s1, "pid").filter(col("cid") =!= col("s_cid"))
+      .select(col("pid"), col("cid"), col("rel"), col("ce"),
+        col("s_ce").as("e1"))
+    val s2 = pick(r2,
+      col("rel") * 0.7 - cosine(col("ce"), col("e1")) * 0.3)
+    val r3 = r2.join(s2.withColumnRenamed("s_cid", "cid2"), "pid")
+      .filter(col("cid") =!= col("cid2"))
+      .select(col("pid"), col("cid"), col("rel"), col("ce"),
+        col("e1"), col("s_ce").as("e2"))
+    val s3 = pick(r3, col("rel") * 0.7 -
+      greatest(cosine(col("ce"), col("e1")),
+        cosine(col("ce"), col("e2"))) * 0.3)
+    def out(sel: DataFrame, rank: Int) = sel.select(col("pid"),
+      lit(rank.toLong).as("rank"), col("s_cid").as("cid"),
+      round(col("s_score"), 4).as("score"))
+    orderedAll(out(s1, 1).unionAll(out(s2, 2)).unionAll(out(s3, 3)))
+  }
 }

@@ -132,6 +132,76 @@ class Round12BatchSpec extends SparkSpec {
     }
   }
 
+  private lazy val fixtureVecs: Seq[(Long, Int, Array[Float])] =
+    ops.t(spark, sf, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getSeq[Float](1).toArray))
+      .toSeq
+
+  private def cosJvm(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i)
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  test("q_mmr_diversify matches a brute-force greedy MMR") {
+    val byId = fixtureVecs.map(v => v._1 -> v._3).toMap
+    val expect = fixtureVecs.filter(_._1 < 10).flatMap { case (p, _, pe) =>
+      val cand = fixtureVecs.filter(_._1 != p)
+        .map(v => (v._1, cosJvm(pe, v._3)))
+        .sortBy { case (id, c) => (-c, id) }.take(8)
+      val picks = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+      picks += cand.head
+      for (_ <- 2 to 3) {
+        val rest = cand.filterNot(c => picks.exists(_._1 == c._1))
+        val scored = rest.map { case (id, rel) =>
+          val maxSim = picks.map(s => cosJvm(byId(id), byId(s._1))).max
+          (id, 0.7 * rel - 0.3 * maxSim)
+        }
+        picks += scored.minBy { case (id, sc) => (-sc, id) }
+      }
+      picks.zipWithIndex.map { case ((id, sc), i) =>
+        (p, (i + 1).toLong) -> (id, math.round(sc * 10000) / 10000.0)
+      }
+    }.toMap
+    val got = run("q_mmr_diversify").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == expect.keySet)
+    for ((k, (id, sc)) <- expect) {
+      assert(got(k)._1 == id, s"$k picked ${got(k)._1}, expected $id")
+      assert(math.abs(got(k)._2 - sc) <= 2e-4, s"$k score")
+    }
+    // the three picks per probe are distinct
+    val perProbe = got.toSeq.groupBy(_._1._1)
+    assert(perProbe.values.forall(_.map(_._2._1).distinct.size == 3))
+  }
+
+  test("q_semantic_mix matches a brute-force codebook assignment") {
+    val cb = fixtureVecs.filter(_._1 < 16).map(v => v._1 -> v._3)
+      .sortBy(_._1)
+    val assigned = fixtureVecs.map { case (_, label, e) =>
+      val best = cb.map { case (cid, ce) => (cid, cosJvm(ce, e)) }
+        .minBy { case (cid, c) => (-c, cid) }._1
+      (label.toLong, best)
+    }
+    val got = run("q_semantic_mix").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    for ((label, g) <- assigned.groupBy(_._1)) {
+      val hist = g.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val n = g.size.toLong
+      val (topC, topN) = hist.toSeq.minBy { case (c, k) => (-k, c) }
+      val hSum = hist.map { case (_, c) =>
+        BigInt(c) * math.round(math.log(n.toDouble / c) * 1e6) }.sum
+      assert(got(label) == ((n, topC, topN * 10000 / n,
+        (hSum / n).toLong)), s"label $label")
+    }
+    assert(got.keySet == assigned.map(_._1).toSet)
+  }
+
   test("q_bartlett matches the quantized recipe recomputed in BigInt") {
     val groups = cents.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       .filter { case (_, xs) =>
