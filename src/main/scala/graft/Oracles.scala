@@ -7808,12 +7808,40 @@ object Oracles {
         |  FROM m),
         |w AS (SELECT event_type, n_h, sd_milli,
         |        CAST(n_h AS HUGEINT) * sd_milli AS w
-        |      FROM q),
+        |      FROM q WHERE sd_milli > 0),
         |tot AS (SELECT sum(w) AS w_tot FROM w)
         |SELECT event_type, n_h, sd_milli,
         |       CAST(w * 10000 // w_tot AS BIGINT) AS share_bp,
         |       CAST(w * 50000 // w_tot AS BIGINT) AS alloc_n
         |FROM w CROSS JOIN tot ORDER BY ALL""".stripMargin,
+
+    "q_anderson_darling" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY 1, 2),
+        |tagged AS (SELECT day, x,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS tag
+        |  FROM daily),
+        |ranked AS (SELECT tag,
+        |    row_number() OVER (ORDER BY x, day, tag) AS j,
+        |    sum(tag) OVER (ORDER BY x, day, tag
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mj
+        |  FROM tagged),
+        |tot AS (SELECT CAST(sum(tag) AS BIGINT) AS m,
+        |          CAST(count(*) AS BIGINT) AS nn
+        |        FROM tagged),
+        |terms AS (SELECT
+        |    (CAST(mj * nn - j * m AS HUGEINT) * (mj * nn - j * m)
+        |      * 1000000) // (j * (nn - j)) AS term_u,
+        |    m, nn
+        |  FROM ranked CROSS JOIN tot WHERE j < nn)
+        |SELECT m AS n_purchase, nn - m AS n_view,
+        |       CAST(sum(term_u) // (m * (nn - m)) AS BIGINT)
+        |         AS a2_micro
+        |FROM terms GROUP BY m, nn ORDER BY ALL""".stripMargin,
 
     "q_gumbel_fit" ->
       """WITH daily AS (SELECT event_type,

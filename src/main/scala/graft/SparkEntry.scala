@@ -644,7 +644,8 @@ object SparkEntry {
     // §2.111 round-12 second batch: retrieval diversification +
     // semantic-mix audit
     "q_mmr_diversify" -> Vectors.qMmrDiversify _,
-    "q_semantic_mix" -> EmbedAudit.qSemanticMix _
+    "q_semantic_mix" -> EmbedAudit.qSemanticMix _,
+    "q_anderson_darling" -> Experiments.qAndersonDarling _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -299,6 +299,48 @@ object Experiments {
         "inv_alpha_u"))
   }
 
+  /** Two-sample Anderson–Darling (§2.111): purchase vs view daily
+    * revenue — the TAIL-WEIGHTED sibling of [[qKsTest]] (KS sees only
+    * the single largest ECDF gap, near the middle by construction; AD
+    * integrates the squared gap with 1/(F(1−F)) weight, so tail
+    * divergence actually registers — the test a revenue-distribution
+    * drift gate wants). Pettitt's exact form over the pooled order:
+    * A² = (1/(m·n)) Σ_{j=1}^{N−1} (M_j·N − j·m)² / (j·(N−j)), with
+    * the pooled order made TOTAL by (cents, day, tag) — the day-spine
+    * tie policy, declared — so no tie-adjustment term is needed. Each
+    * term floors to µ-units through DECIMAL(38,0) (qAnova idiom,
+    * ≤1 µ error per term identical in both engines) and the final
+    * A²·10⁶ is ONE exact integer division — no double anywhere. The
+    * only unpartitioned window runs over the aggregated day spine
+    * (the documented exemption class). */
+  def qAndersonDarling(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").cast("long").as("x"))
+      .withColumn("tag",
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+    val ord = Window.orderBy(col("x").asc, col("day").asc,
+      col("tag").asc)
+    val tot = daily.agg(sum("tag").cast("long").as("m"),
+      count(lit(1)).as("nn"))
+    orderedAll(daily
+      .withColumn("j", row_number().over(ord).cast("long"))
+      .withColumn("mj", sum("tag").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .filter(col("j") < col("nn"))
+      .withColumn("term_u", expr(
+        "(CAST(mj * nn - j * m AS DECIMAL(38,0)) * (mj * nn - j * m) " +
+          "* 1000000) div (j * (nn - j))"))
+      .groupBy("m", "nn")
+      .agg(sum("term_u").as("t_u"))
+      .selectExpr("m AS n_purchase", "nn - m AS n_view",
+        "CAST(t_u div (m * (nn - m)) AS BIGINT) AS a2_micro"))
+  }
+
   /** Gumbel extreme-value fit (§2.110): per event type, method-of-
     * moments Gumbel(µ, β) parameters over the MONTHLY MAXIMA of daily
     * revenue — the block-maxima EVT recipe behind "what daily peak

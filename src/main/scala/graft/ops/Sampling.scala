@@ -152,6 +152,11 @@ object Sampling {
         "CAST(round(sqrt(CAST(n_h * ss_h - CAST(s_h AS DECIMAL(38,0))" +
           " * s_h AS DOUBLE) / (CAST(n_h AS DOUBLE) * (n_h - 1)))" +
           " * 1000) AS BIGINT)"))
+      // a zero-variance stratum draws no Neyman budget by definition —
+      // dropping it also keeps Σw > 0 (a div-by-zero in Spark is a
+      // silent NULL but a DuckDB error: the engines would diverge on a
+      // degenerate corpus)
+      .filter(col("sd_milli") > 0)
       .withColumn("w", expr(
         "CAST(n_h AS DECIMAL(38,0)) * sd_milli"))
     val tot = m.agg(sum("w").as("w_tot"))

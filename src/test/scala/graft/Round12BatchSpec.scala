@@ -202,6 +202,37 @@ class Round12BatchSpec extends SparkSpec {
     assert(got.keySet == assigned.map(_._1).toSet)
   }
 
+  test("q_anderson_darling matches Pettitt's formula in BigInt") {
+    val daily = ops.t(spark, sf, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("c", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "day").agg(sum("c").cast("long").as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val pooled = daily
+      .map { case (t, d, x) => (x, d, if (t == "purchase") 1L else 0L) }
+      .sortBy { case (x, d, tag) => (x, d, tag) }
+    val nn = pooled.length.toLong
+    val m = pooled.map(_._3).sum
+    var mj = 0L
+    var tU = BigInt(0)
+    for ((p, i) <- pooled.zipWithIndex) {
+      mj += p._3
+      val j = i + 1L
+      if (j < nn) {
+        val d = BigInt(mj) * nn - BigInt(j) * m
+        tU += d * d * 1000000 / (BigInt(j) * (nn - j))
+      }
+    }
+    val expect = (tU / (BigInt(m) * (nn - m))).toLong
+    val got = run("q_anderson_darling").collect().head
+    assert(got.getLong(0) == m && got.getLong(1) == nn - m)
+    assert(got.getLong(2) == expect,
+      s"a2_micro ${got.getLong(2)} vs $expect")
+    assert(got.getLong(2) >= 0)
+  }
+
   test("q_bartlett matches the quantized recipe recomputed in BigInt") {
     val groups = cents.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       .filter { case (_, xs) =>
