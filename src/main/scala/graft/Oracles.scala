@@ -3871,6 +3871,26 @@ object Oracles {
          |       CAST(sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) * 10000
          |            // count(*) AS BIGINT) AS rate_bp
          |FROM sc GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_calibration_ece" ->
+      s"""WITH ${sgnCte(103, 104)},
+         |sc AS (SELECT label,
+         |    CAST(round(${planeDot("embedding")} * 10000) AS BIGINT)
+         |      AS score_u
+         |  FROM embeddings CROSS JOIN sgn),
+         |b AS (SELECT
+         |    CAST((score_u - (score_u % 2000 + 2000) % 2000) // 2000
+         |      AS BIGINT) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_pos,
+         |    CAST(sum(score_u) AS BIGINT) AS s_u
+         |  FROM sc GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+         |       CAST(sum(n) AS BIGINT) AS n_total,
+         |       CAST(sum(abs(CAST(n_pos AS HUGEINT) * 10000 - s_u))
+         |            * 100 // sum(n) AS BIGINT) AS ece_u
+         |FROM b ORDER BY ALL""".stripMargin,
+
     "q_mrr" ->
       s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe,
          |             label AS plabel
@@ -5601,6 +5621,29 @@ object Oracles {
         |       CAST(k * n_clusters * 10000 // n_docs AS BIGINT)
         |         AS share_bp
         |FROM h CROSS JOIN tot ORDER BY ALL""".stripMargin,
+    "q_effective_rank" ->
+      """WITH x AS (SELECT CAST(i AS BIGINT) AS pos,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+        |      AS x_u
+        |  FROM embeddings CROSS JOIN range(1, 65) r(i)),
+        |g AS (SELECT pos, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x_u) AS BIGINT) AS s_u,
+        |        CAST(sum(x_u * x_u) AS BIGINT) AS q_u
+        |      FROM x GROUP BY 1),
+        |v AS (SELECT pos,
+        |        CAST((CAST(n AS HUGEINT) * q_u
+        |              - CAST(s_u AS HUGEINT) * s_u)
+        |             // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_cu
+        |      FROM g)
+        |SELECT CAST(count(*) AS BIGINT) AS dims,
+        |       CAST(sum(var_cu) AS BIGINT) AS var_sum_cu,
+        |       CASE WHEN sum(CAST(var_cu AS HUGEINT) * var_cu) = 0
+        |         THEN NULL ELSE
+        |         CAST(CAST(sum(var_cu) AS HUGEINT) * sum(var_cu) * 1000
+        |           // sum(CAST(var_cu AS HUGEINT) * var_cu) AS BIGINT)
+        |         END AS pr_milli
+        |FROM v ORDER BY ALL""".stripMargin,
+
     "q_embed_variance" ->
       """WITH x AS (SELECT CAST(i AS BIGINT) AS pos,
         |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
@@ -8720,6 +8763,37 @@ object Oracles {
         |                 // (k * sum_r - sum_r2) END AS BIGINT)
         |         AS q_milli
         |FROM c CROSS JOIN r ORDER BY ALL""".stripMargin,
+
+    "q_fleiss_kappa" ->
+      """WITH pres AS (SELECT DISTINCT user_id,
+        |      epoch_us(ts) // 86400000000 AS day, event_type
+        |    FROM events),
+        |r AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |        CAST(sum(r) AS BIGINT) AS s,
+        |        CAST(sum(r * r) AS BIGINT) AS s2
+        |      FROM (SELECT user_id, day, CAST(count(*) AS BIGINT) AS r
+        |            FROM pres GROUP BY 1, 2)),
+        |c AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+        |      FROM pres),
+        |t AS (SELECT k, n_blocks, s, s2,
+        |        2 * CAST(s2 AS HUGEINT) - 2 * k * s
+        |          + n_blocks * k * (k - 1) AS a_num,
+        |        CAST(n_blocks AS HUGEINT) * k * (k - 1) AS d_den,
+        |        CAST(s AS HUGEINT) * s +
+        |          (CAST(n_blocks AS HUGEINT) * k - s) *
+        |          (CAST(n_blocks AS HUGEINT) * k - s) AS pe_num,
+        |        CAST(n_blocks AS HUGEINT) * k * n_blocks * k AS m_den
+        |      FROM r CROSS JOIN c),
+        |f AS (SELECT k, n_blocks, s, s2,
+        |        a_num * m_den - pe_num * d_den AS num,
+        |        d_den * (m_den - pe_num) AS den
+        |      FROM t)
+        |SELECT k, n_blocks, s, s2,
+        |       CAST(CASE WHEN den = 0 THEN NULL
+        |         WHEN num >= 0 THEN num * 1000 // den
+        |         ELSE -((-num) * 1000 // den) END AS BIGINT)
+        |         AS kappa_milli
+        |FROM f ORDER BY ALL""".stripMargin,
 
     // Murphy Brier decomposition (Evaluation.qBrierDecomp): plane-103
     // score min-max rescaled to p_u ∈ [0, 10⁴], 10 floor bins,

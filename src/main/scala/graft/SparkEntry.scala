@@ -645,7 +645,10 @@ object SparkEntry {
     // semantic-mix audit
     "q_mmr_diversify" -> Vectors.qMmrDiversify _,
     "q_semantic_mix" -> EmbedAudit.qSemanticMix _,
-    "q_anderson_darling" -> Experiments.qAndersonDarling _
+    "q_anderson_darling" -> Experiments.qAndersonDarling _,
+    "q_effective_rank" -> Profiles.qEffectiveRank _,
+    "q_calibration_ece" -> Evaluation.qCalibrationEce _,
+    "q_fleiss_kappa" -> Nonparam.qFleissKappa _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

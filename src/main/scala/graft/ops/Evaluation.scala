@@ -284,6 +284,37 @@ object Evaluation {
         max(col("score_u")).as("hi_u"))
       .withColumn("rate_bp", expr("n_pos * 10000 div n")))
 
+  /** Expected calibration error (§2.111): the single-number fold of
+    * [[qCalibration]]'s reliability bins — ECE = Σ_b (n_b/N)·
+    * |acc_b − conf_b| with conf_b the bin's MEAN score. On the ×10⁴
+    * integer score scale the per-bin contribution is exactly
+    * |n_pos·10⁴ − Σscore_u| / (N·10⁴), so ECE·10⁶ =
+    * (Σ_b |n_pos_b·10⁴ − s_u_b|) · 100 div N — EXACT integers end to
+    * end (a rational must never pass through round()); the bin sums
+    * ride DECIMAL(38,0) so a 10¹²-row corpus cannot wrap them. Same
+    * fixed md5-hyperplane score and 0.2-wide bins as the graded
+    * calibration table, so the two queries read off one contract. */
+  def qCalibrationEce(s: SparkSession, dir: String): DataFrame = {
+    val b = t(s, dir, "embeddings")
+      .select(col("label"),
+        round(planeScore(103) * 10000).cast("long").as("score_u"))
+      .withColumn("bin",
+        expr("(score_u - pmod(score_u, 2000)) div 2000"))
+      .withColumn("pos", (col("label") >= 5).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("pos")).cast("long").as("n_pos"),
+        sum(col("score_u")).cast("long").as("s_u"))
+    orderedAll(b.agg(
+      count(lit(1)).as("n_bins"),
+      sum("n").cast("long").as("n_total"),
+      sum(expr("abs(CAST(n_pos AS DECIMAL(38,0)) * 10000 - s_u)"))
+        .as("dev_u"))
+      .withColumn("ece_u", expr(
+        "CAST(dev_u * 100 div n_total AS BIGINT)"))
+      .select("n_bins", "n_total", "ece_u"))
+  }
+
   /** Mean-reciprocal-rank inputs: for each probe (vec_id < 50), the rank
     * of the FIRST same-label neighbor in the exact cosine ranking,
     * searched to depth 20 (bounded frontier — the eval-set contract);

@@ -193,6 +193,54 @@ object Nonparam {
         "q_milli"))
   }
 
+  /** Fleiss' kappa (§2.111): chance-corrected agreement of the k = 5
+    * event-type "raters" on the binary judgment "was this (user, day)
+    * active" — the k-rater generalization of q_cohens_kappa, over the
+    * SAME (user, day) block design as [[qCochranQ]] (Cochran asks "do
+    * the raters differ"; Fleiss asks "how much do they agree beyond
+    * chance" — the two sides of one contingency fold). With r_i
+    * positives among k raters per block: P̄ = (2Σr² − 2kΣr +
+    * Nk(k−1)) / (Nk(k−1)), p = Σr/(Nk), P̄e = p² + (1−p)², κ =
+    * (P̄ − P̄e)/(1 − P̄e) — assembled ENTIRELY in DECIMAL(38,0)
+    * integer arithmetic (κ is a rational of exact integers: round()
+    * would .5-flap, so κ·1000 is a sign-split exact division). κ < 0
+    * reads "less agreement than chance", expected here — event types
+    * fire near-independently. */
+  def qFleissKappa(s: SparkSession, dir: String): DataFrame = {
+    val pres = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type")).distinct()
+    val kAgg = pres.select("event_type").distinct()
+      .agg(count(lit(1)).as("k"))
+    val r = pres.groupBy("user_id", "day").agg(count(lit(1)).as("r"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum("r").cast("long").as("s"),
+        sum(expr("r * r")).cast("long").as("s2"))
+    orderedAll(r.crossJoin(broadcast(kAgg))
+      // A/D are P̄'s exact numerator/denominator; M/Pe are P̄e's on the
+      // (Nk)² grid. κ = (A·M − Pe·D)/(D·(M − Pe)) — one sign-split
+      // ×1000 division of DECIMAL(38,0) products.
+      .withColumn("a_num", expr(
+        "2 * CAST(s2 AS DECIMAL(38,0)) - 2 * k * s + " +
+          "n_blocks * k * (k - 1)"))
+      .withColumn("d_den", expr(
+        "CAST(n_blocks AS DECIMAL(38,0)) * k * (k - 1)"))
+      .withColumn("pe_num", expr(
+        "CAST(s AS DECIMAL(38,0)) * s + " +
+          "(CAST(n_blocks AS DECIMAL(38,0)) * k - s) * " +
+          "(CAST(n_blocks AS DECIMAL(38,0)) * k - s)"))
+      .withColumn("m_den", expr(
+        "CAST(n_blocks AS DECIMAL(38,0)) * k * n_blocks * k"))
+      .withColumn("num", expr("a_num * m_den - pe_num * d_den"))
+      .withColumn("den", expr("d_den * (m_den - pe_num)"))
+      .withColumn("kappa_milli", expr(
+        "CASE WHEN den = 0 THEN NULL " +
+          "WHEN num >= 0 THEN CAST(num * 1000 div den AS BIGINT) " +
+          "ELSE -CAST((-num) * 1000 div den AS BIGINT) END"))
+      .select("k", "n_blocks", "s", "s2", "kappa_milli"))
+  }
+
   /** Kruskal–Wallis inputs (§2.102): the rank-based k-sample location
     * test on totalprice cents across order priorities — the
     * nonparametric q_anova (q_mannwhitney is its k = 2 special case),

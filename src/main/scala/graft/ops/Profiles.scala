@@ -53,6 +53,42 @@ object Profiles {
           "(CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
       .select("pos", "n", "s_u", "q_u", "var_cu"))
 
+  /** Effective rank of the embedding space (§2.111) — the participation
+    * ratio PR = (Σ_d v_d)² / Σ_d v_d² over the 64 per-dimension
+    * variances (the diagonal proxy for the eigenvalue PR; equal to it
+    * when dimensions are uncorrelated, which q_dim_corr audits): the
+    * single-number "dimensional collapse" diagnostic next to
+    * [[qEmbedVariance]]'s per-dim listing — PR ≈ 64 says every
+    * dimension carries signal, PR ≈ 1 says the space collapsed onto
+    * one axis. Variances are [[qEmbedVariance]]'s exact centi-µ²
+    * integers, and PR·1000 is ONE exact integer division — a rational
+    * of exact integers must never pass through round() (.5-flap), so
+    * the div spelling is load-bearing. */
+  def qEffectiveRank(s: SparkSession, dir: String): DataFrame = {
+    val v = t(s, dir, "embeddings")
+      .select(posexplode(col("embedding")))
+      .select((col("pos") + 1).cast("long").as("pos"),
+        expr("CAST(round(CAST(col AS DOUBLE) * 10000) AS BIGINT)")
+          .as("x_u"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum("x_u").cast("long").as("s_u"),
+        sum(expr("x_u * x_u")).cast("long").as("q_u"))
+      .withColumn("var_cu", expr(
+        "CAST((CAST(n AS DECIMAL(38,0)) * q_u - " +
+          "CAST(s_u AS DECIMAL(38,0)) * s_u) div " +
+          "(CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
+    orderedAll(v.agg(
+      count(lit(1)).as("dims"),
+      sum("var_cu").cast("long").as("var_sum_cu"),
+      sum(expr("CAST(var_cu AS DECIMAL(38,0)) * var_cu")).as("var_sq"))
+      .withColumn("pr_milli", expr(
+        "CASE WHEN var_sq = 0 THEN NULL ELSE " +
+          "CAST(CAST(var_sum_cu AS DECIMAL(38,0)) * var_sum_cu * 1000 " +
+          "div var_sq AS BIGINT) END"))
+      .select("dims", "var_sum_cu", "pr_milli"))
+  }
+
   /** Order-size profile (§2.60): per basket line-count k, how many
     * orders carry k lines and how much exact-cents revenue they hold,
     * with the revenue share in basis points — the basket-shape readout

