@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Curation, DistRank, Sketches, Text, Vectors}
+import graft.ops.{Curation, DistRank, Pipeline, Sketches, Text, Vectors}
 
 /** The engine's reusable operator cores as a DataFrame→DataFrame
   * library (round-11 item 5) — the entry points a user of the graded
@@ -253,6 +253,55 @@ object Graft {
       simhashCandidates(df, idCol, textCol, maxHamming)
         .select("a_id", "b_id"), freshSlot("api_sh_cc"))
       .withColumnRenamed("doc_id", idCol)
+
+  // ---- text scoring ---------------------------------------------------------
+
+  /** Okapi BM25 retrieval scores over any (id, text) table for a
+    * literal term set: per matching doc, the number of query terms hit
+    * and the summed BM25 weight (rounded ×10⁻⁴). Corpus statistics
+    * (df, dl, avgdl, N) are computed over the FULL table — the correct
+    * IR semantics — and only then restricted to the query terms, so
+    * scores are comparable across queries on the same corpus.
+    * Delegates to the graded q_bm25 weight core (Text.bm25Raw),
+    * parametric in (k1, b). One token scan; the stats sides are
+    * mergeable folds; the term filter is a broadcast semi-join. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    import df.sparkSession.implicits._
+    val tok = Text.tokDf(df.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text")))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfr = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nd = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val q = terms.distinct.toDF("token")
+    tf.join(broadcast(q), "token")
+      .join(dfr, "token").join(dl, "doc_id")
+      .crossJoin(broadcast(nd))
+      .withColumn("raw", Text.bm25Raw(k1, b))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_terms_matched"),
+        round(sum(col("raw")), 4).as("bm25"))
+      .withColumnRenamed("doc_id", idCol)
+  }
+
+  /** Per-document quality features over any (id, text) table: token
+    * count, distinct-token count, char count, type-token ratio,
+    * average token length, and the length×diversity composite — the
+    * graded q_quality_score feature set (Pipeline.qualityCols) with
+    * n_chars derived from the text itself. The pretraining quality
+    * filter a corpus run thresholds on. */
+  def qualityScore(df: DataFrame, idCol: String,
+                   textCol: String): DataFrame =
+    Pipeline.qualityCols(df
+      .withColumn("__toks", split(lower(col(textCol)), " "))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_toks"),
+        size(array_distinct(col("__toks"))).cast("long")
+          .as("n_distinct"),
+        length(col(textCol)).cast("long").as("n_chars")))
 
   // ---- similarity search ---------------------------------------------------
 

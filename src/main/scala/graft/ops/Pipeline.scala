@@ -50,18 +50,24 @@ object Pipeline {
     * token length (exact, from single-space-joined text), and a composite
     * score. Everything derives from integers → cross-engine exact. */
   def qQualityScore(s: SparkSession, dir: String): DataFrame =
-    orderedAll(t(s, dir, "documents")
+    orderedAll(qualityCols(t(s, dir, "documents")
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), col("lang"),
         size(col("toks")).cast("long").as("n_toks"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
-        col("n_chars"))
-      .withColumn("ttr",
-        round(col("n_distinct").cast("double") / col("n_toks"), 4))
-      .withColumn("avg_tok_len",
-        round((col("n_chars") - (col("n_toks") - 1)).cast("double") /
-          col("n_toks"), 4))
-      .withColumn("quality", round(log(col("n_chars") + 1) * col("ttr"), 4)))
+        col("n_chars"))))
+
+  /** The quality-feature columns off (n_toks, n_distinct, n_chars) —
+    * the CORE shared by [[qQualityScore]] and graft.api's entry point:
+    * type-token ratio, average token length (chars net of the
+    * single-space separators), and the length×diversity composite. */
+  private[graft] def qualityCols(df: DataFrame): DataFrame = df
+    .withColumn("ttr",
+      round(col("n_distinct").cast("double") / col("n_toks"), 4))
+    .withColumn("avg_tok_len",
+      round((col("n_chars") - (col("n_toks") - 1)).cast("double") /
+        col("n_toks"), 4))
+    .withColumn("quality", round(log(col("n_chars") + 1) * col("ttr"), 4))
 
   /** Token counting two ways per language: whitespace tokens and the
     * chars/4 subword (BPE-ish) estimate used for LLM budget accounting. */

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -51,9 +51,20 @@ object Text {
       .map(_.toLong).getOrElse(20000L)
 
   /** Non-empty lowercase tokens — the shared tokenizer. */
-  private def tokDf(d: DataFrame): DataFrame =
+  private[graft] def tokDf(d: DataFrame): DataFrame =
     d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
+
+  /** The Okapi BM25 per-(doc, token) weight over the standard stats
+    * columns (tf, df, dl, n_docs, avgdl) — the CORE shared by the
+    * graded [[qBm25]] (k1 = 1.2, b = 0.75) and graft.api.Graft.bm25
+    * (parametric). The k1/b literals fold to the same constants the
+    * graded spelling carries, so the refactor is plan-identical. */
+  private[graft] def bm25Raw(k1: Double, b: Double): Column =
+    log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+      (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
 
   def qWordcount(s: SparkSession, dir: String): DataFrame =
     orderedAll(tokDf(t(s, dir, "documents"))
@@ -664,11 +675,7 @@ object Text {
       .orderBy(col("raw").desc, col("token").asc)
     orderedAll(tf.join(dfr, "token").join(dl, "doc_id")
       .crossJoin(broadcast(nd))
-      .withColumn("raw",
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
-          (col("tf") * 2.2) /
-          (col("tf") +
-            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .withColumn("raw", bm25Raw(1.2, 0.75))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("doc_id"), col("token"), col("tf"), col("df"),

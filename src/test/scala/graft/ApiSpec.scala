@@ -279,6 +279,71 @@ class ApiSpec extends SparkSpec {
       labels.map(_._2).toSet, "one keep=true per cluster, at the min id")
   }
 
+  // -- text scoring -----------------------------------------------------------
+
+  test("bm25 matches a brute-force Okapi scorer on a custom schema") {
+    val corpus = Seq(
+      (1L, "spark shuffle join join join"),
+      (2L, "spark broadcast join"),
+      (3L, "python pandas dataframe"),
+      (4L, "spark streaming watermark state"))
+      .toDF("pk", "content")
+    val docs = corpus.collect().map(r => r.getLong(0) ->
+      r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.size).sum / n
+    def w(tf: Long, df: Long, dl: Long, k1: Double, b: Double) =
+      math.log((n - df + 0.5) / (df + 0.5) + 1) * (tf * (k1 + 1)) /
+        (tf + k1 * (1 - b + b * dl / avgdl))
+    val terms = Seq("spark", "join")
+    val expect = docs.flatMap { case (id, toks) =>
+      val hits = terms.filter(t => toks.contains(t))
+      if (hits.isEmpty) None
+      else Some(id -> (hits.size.toLong, math.round(hits.map { t =>
+        val df = docs.count(_._2.contains(t)).toLong
+        w(toks.count(_ == t).toLong, df, toks.size.toLong, 1.2, 0.75)
+      }.sum * 10000) / 10000.0))
+    }.toMap
+    val got = Graft.bm25(corpus, "pk", "content", terms)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expect.keySet)
+    for ((id, (m, sc)) <- expect) {
+      assert(got(id)._1 == m)
+      assert(math.abs(got(id)._2 - sc) <= 2e-4, s"doc $id")
+    }
+  }
+
+  test("bm25 delegates to the graded weight core (fixture cross-check)") {
+    // single-term query over the graded corpus slice: the API's summed
+    // score IS that term's q_bm25 weight wherever the graded top-5
+    // surfaced it.
+    val docs = ops.t(spark, sf, "documents")
+      .filter(col("lang") === "en" && col("doc_id") < 100)
+    val graded = SparkEntry.queries("q_bm25")(spark, sf).collect()
+      .filter(_.getString(1) == "vector")
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assume(graded.nonEmpty)
+    val api = Graft.bm25(docs, "doc_id", "text", Seq("vector"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    for ((id, sc) <- graded)
+      assert(math.abs(api(id) - sc) <= 1e-9,
+        s"doc $id: api ${api(id)} vs graded $sc")
+  }
+
+  test("qualityScore reproduces the graded features (fixture cross-check)") {
+    val docs = ops.t(spark, sf, "documents")
+    val api = Graft.qualityScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    val graded = SparkEntry.queries("q_quality_score")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7))).toMap
+    assert(api == graded)
+  }
+
   // -- similarity search ----------------------------------------------------
 
   private lazy val vecs = Seq(
