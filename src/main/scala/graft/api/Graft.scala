@@ -465,6 +465,31 @@ object Graft {
     Text.contaminationOn(train.sparkSession, tagged, n)
   }
 
+  // ---- curation ---------------------------------------------------------
+
+  /** PII redaction over any text column: appends `n_emails`,
+    * `n_phones` and `redacted` (emails → `<EMAIL>`, phones →
+    * `<PHONE>`) — the graded q_pii_redact patterns and replacement
+    * chain (Curation.piiCols). Pure per-row regex work: no shuffle,
+    * stays inside whole-stage codegen. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    Curation.piiCols(df, textCol)
+
+  /** Token-window chunking over any (id, text) table: windows of
+    * `chunkTokens` whitespace tokens every `strideTokens` (overlap =
+    * chunk − stride), emitted as (<idCol>, chunk_id, n_toks,
+    * chunk_text) — the context-window preparation step of a training
+    * or RAG pipeline. Delegates to the graded q_chunk_docs core
+    * (Text.chunkCols — in-row lambda explode, no shuffle); the final
+    * window is allowed to run short, matching the graded contract. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int = 256,
+            strideTokens: Int = 256): DataFrame =
+    Text.chunkCols(df
+      .withColumn("toks", split(lower(col(textCol)), " "))
+      .select(col(idCol), col("toks")),
+      idCol, chunkTokens, strideTokens)
+
   // ---- deterministic sampling ------------------------------------------
 
   /** Deterministic hash sample: keep rows whose md5(id) 4-hex-digit

@@ -29,25 +29,34 @@ object Curation {
     * regexp_replace is global by default, the DuckDB twin passes the 'g'
     * flag. Scan-shaped: projection + one mergeable aggregate — at 100 TB
     * this is the same plan, partitioned by input split. */
-  def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
-    val email = "[a-z0-9.]+@[a-z0-9.]+\\.(com|net|org)"
-    val phone = "\\+1-555-[0-9]{4}"
-    orderedAll(t(s, dir, "documents")
+  /** The email/phone patterns and per-row redaction columns — the CORE
+    * shared by [[qPiiRedact]] and graft.api.Graft.redactPii: appends
+    * `n_emails`, `n_phones` and `redacted` to any frame bearing
+    * `textCol`. Java regex and RE2 agree on these patterns (no
+    * backrefs, no lookaround), which is what keeps the graded query
+    * oracle-checkable. */
+  private[graft] val emailRe = "[a-z0-9.]+@[a-z0-9.]+\\.(com|net|org)"
+  private[graft] val phoneRe = "\\+1-555-[0-9]{4}"
+
+  private[graft] def piiCols(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(emailRe)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(phoneRe)))
+      .withColumn("redacted", regexp_replace(
+        regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"))
+
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame =
+    orderedAll(piiCols(t(s, dir, "documents")
       .withColumn("raw", concat(
         col("text"), lit(" contact user"), col("doc_id"), lit("@"),
         col("source"), lit(".net tel +1-555-"),
-        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-      .withColumn("n_emails", regexp_count(col("raw"), lit(email)))
-      .withColumn("n_phones", regexp_count(col("raw"), lit(phone)))
-      .withColumn("red", regexp_replace(
-        regexp_replace(col("raw"), email, "<EMAIL>"), phone, "<PHONE>"))
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))), "raw")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_emails")).cast("long").as("emails_redacted"),
         sum(col("n_phones")).cast("long").as("phones_redacted"),
-        sum(length(col("raw")) - length(col("red"))).cast("long")
+        sum(length(col("raw")) - length(col("redacted"))).cast("long")
           .as("chars_removed")))
-  }
 
   /** URL parsing: extract host / path depth / query param from per-doc
     * URLs (derived deterministically from source+lang+doc_id) and

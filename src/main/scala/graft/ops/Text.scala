@@ -607,15 +607,29 @@ object Text {
     * no token-stream shuffle, the only wide op is the (tiny) output sort.
     * Scan-shaped at 100 TB — chunking parallelizes per document. */
   def qChunkDocs(s: SparkSession, dir: String): DataFrame =
-    orderedAll(t(s, dir, "documents").filter(col("doc_id") < 50)
-      .withColumn("toks", tokens(col("text")))
-      .select(col("doc_id"), col("toks"),
-        explode(expr("sequence(0, size(toks) - 1, 8)")).as("start"))
-      .select(col("doc_id"),
-        expr("CAST(start div 8 AS BIGINT)").as("chunk_id"),
-        expr("CAST(size(slice(toks, start + 1, 16)) AS BIGINT)")
+    orderedAll(chunkCols(t(s, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .withColumn("toks", tokens(col("text"))), "doc_id", 16, 8))
+
+  /** Token-window chunking CORE behind [[qChunkDocs]] (size 16,
+    * stride 8) and graft.api.Graft.chunk: any frame bearing `idCol`
+    * and an array column `toks` explodes to (id, chunk_id, n_toks,
+    * chunk_text) windows of `size` tokens every `stride` tokens — the
+    * in-row lambda shape, so chunking never shuffles. */
+  private[graft] def chunkCols(df: DataFrame, idCol: String,
+                               size: Int, stride: Int): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      s"need 1 <= stride <= size, got size=$size stride=$stride")
+    df.select(col(idCol), col("toks"),
+        explode(expr(s"sequence(0, size(toks) - 1, $stride)"))
+          .as("start"))
+      .select(col(idCol),
+        expr(s"CAST(start div $stride AS BIGINT)").as("chunk_id"),
+        expr(s"CAST(size(slice(toks, start + 1, $size)) AS BIGINT)")
           .as("n_toks"),
-        expr("concat_ws(' ', slice(toks, start + 1, 16))").as("chunk_text")))
+        expr(s"concat_ws(' ', slice(toks, start + 1, $size))")
+          .as("chunk_text"))
+  }
 
   /** Stopword removal + suffix stemming (normalization ahead of counting
     * in every text pipeline): drop the closed-class words, strip one

@@ -565,6 +565,66 @@ class ApiSpec extends SparkSpec {
     assert(api == graded)
   }
 
+  // -- curation -----------------------------------------------------------
+
+  test("redactPii counts and masks emails/phones on a custom schema") {
+    val msgs = Seq(
+      (1L, "reach me at alice@example.com or bob@test.org thanks"),
+      (2L, "call +1-555-1234 or +1-555-9999 now"),
+      (3L, "nothing sensitive here"))
+      .toDF("mid", "body")
+    val got = Graft.redactPii(msgs, "body").collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3),
+        r.getString(4))).toMap
+    assert(got(1L)._1 == 2 && got(1L)._2 == 0)
+    assert(got(1L)._3 ==
+      "reach me at <EMAIL> or <EMAIL> thanks")
+    assert(got(2L) == ((0, 2, "call <PHONE> or <PHONE> now")))
+    assert(got(3L) == ((0, 0, "nothing sensitive here")))
+  }
+
+  test("redactPii delegates to the graded patterns (fixture cross-check)") {
+    // rebuild the graded query's synthetic raw column, run the API core
+    // over it, and re-aggregate — must equal q_pii_redact's rows.
+    val raw = ops.t(spark, sf, "documents")
+      .withColumn("raw", concat(
+        col("text"), lit(" contact user"), col("doc_id"), lit("@"),
+        col("source"), lit(".net tel +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+    val api = Graft.redactPii(raw, "raw")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_emails")).cast("long").as("e"),
+        sum(col("n_phones")).cast("long").as("p"),
+        sum(length(col("raw")) - length(col("redacted"))).cast("long")
+          .as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val graded = SparkEntry.queries("q_pii_redact")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(api == graded)
+  }
+
+  test("chunk windows any text with stride overlap; graded cross-check") {
+    val one = Seq((7L, "a b c d e f g")).toDF("k", "s")
+    val got = Graft.chunk(one, "k", "s", chunkTokens = 3,
+        strideTokens = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == Set((0L, 3L, "a b c"), (1L, 3L, "c d e"),
+      (2L, 3L, "e f g"), (3L, 1L, "g")))
+    // fixture: the (16, 8) parametrization IS the graded query
+    val docs = ops.t(spark, sf, "documents").filter(col("doc_id") < 50)
+    val api = Graft.chunk(docs, "doc_id", "text", 16, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val graded = SparkEntry.queries("q_chunk_docs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(api == graded)
+  }
+
   // -- deterministic sampling ---------------------------------------------
 
   test("sampleDeterministic is stable, monotone in bp, and unbiased-ish") {
