@@ -566,12 +566,20 @@ object Vectors {
       .select(col("vec_id").as("pid"), col("embedding").as("pe"))
     val w = Window.partitionBy(col("pid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    val cand = emb.join(broadcast(probes), col("vec_id") =!= col("pid"))
-      .withColumn("cos", cosine(col("pe"), col("embedding")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 8)
-      .select(col("pid"), col("vec_id").as("cid"),
-        col("cos").as("rel"), col("embedding").as("ce"))
+    // PINNED: the candidate set is ≤ 80 rows but its derivation is the
+    // one corpus-scale pass — unpinned, the three unrolled selection
+    // steps reference it from 7 join branches and the physical plan
+    // re-evaluates the whole top-8 window per branch (the Round12PlanSpec
+    // pin caught exactly that). Materializing once makes every later
+    // step a broadcast-scale job.
+    val cand = Text.pin(
+      emb.join(broadcast(probes), col("vec_id") =!= col("pid"))
+        .withColumn("cos", cosine(col("pe"), col("embedding")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 8)
+        .select(col("pid"), col("vec_id").as("cid"),
+          col("cos").as("rel"), col("embedding").as("ce")),
+      DistRank.dirSlot("mmr_cand", dir))
     // struct-max argmax: max score, then max -cid = min cid; the picked
     // embedding rides in the struct for the next step's sim terms.
     def pick(df: DataFrame, score: Column): DataFrame =
