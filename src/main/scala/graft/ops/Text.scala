@@ -435,7 +435,7 @@ object Text {
   }
   private val pinLock = new Object
 
-  private[ops] def pin(df: DataFrame, slot: String): DataFrame = {
+  private[graft] def pin(df: DataFrame, slot: String): DataFrame = {
     val s = df.sparkSession
     if (s.conf.getOption("spark.graft.reliableCheckpoint").contains("true")) {
       val base = s.conf.getOption("spark.graft.checkpointDir").getOrElse(

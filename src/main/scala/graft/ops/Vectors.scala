@@ -184,8 +184,8 @@ object Vectors {
       struct(cosine(typedLit(ce), v).as("csim"), lit(-cid).as("ncid"))
     }: _*)
 
-  private def assignTo(emb: DataFrame,
-                       cs: Array[(Long, Array[Float])]): DataFrame =
+  private[graft] def assignTo(emb: DataFrame,
+                              cs: Array[(Long, Array[Float])]): DataFrame =
     emb.withColumn("best", nearestStruct(cs, col("embedding")))
       .select(col("vec_id"), col("embedding"),
         (col("best.ncid") * -1).as("cid"))

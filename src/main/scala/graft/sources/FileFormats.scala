@@ -112,8 +112,22 @@ object FileFormats {
     }
   }
 
+  /** Collision-resistant per-dataset-dir table-name tag (round-12
+    * advice): 12 hex chars of md5 over the ABSOLUTE path. The previous
+    * 32-bit String.hashCode could collide across two dataset dirs in
+    * one warehouse, pass the tableExists guard, and silently serve the
+    * other dir's bucketed rows; 48 bits of a cryptographic digest make
+    * that practically impossible, and absolutizing first keeps
+    * "./sf0.1" and "/root/testdata/sf0.1" on one table. */
+  private def dirTag(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+  }
+
   def qJoinBucketed(s: SparkSession, dir: String): DataFrame = {
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val tag = dirTag(dir)
     val (ot, ct) = (s"graft_orders_b$tag", s"graft_customer_b$tag")
     def reset(name: String): Unit = resetTable(s, name)
     // Guard on the SESSION catalog, not a JVM-global flag: saveAsTable
@@ -167,8 +181,7 @@ object FileFormats {
     val nb = s.conf.getOption("spark.graft.bandBuckets")
       .map(_.toInt).getOrElse(8)
     val bp = graft.ops.DedupAudit.auditSampleBp(s, dir)
-    val tag = java.lang.Integer.toHexString(dir.hashCode) +
-      s"_${bp}_$nb"
+    val tag = dirTag(dir) + s"_${bp}_$nb"
     val bt = s"graft_bands_b$tag"
     written.synchronized {
       if (!s.catalog.tableExists(bt)) {

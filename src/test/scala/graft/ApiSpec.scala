@@ -399,6 +399,168 @@ class ApiSpec extends SparkSpec {
     assert(apiLsh.forall(t => t._1 != t._2), "no self-matches")
   }
 
+  test("annIvf matches brute-force IVF search on a custom schema") {
+    // nlist=2, nprobe=1: centroids are the md5-rank top-2 rows refined
+    // by one Lloyd step; each probe scans ONLY its nearest list. Brute
+    // force replays the same pipeline in the JVM.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / math.sqrt(a.map(x => x.toDouble * x).sum *
+        b.map(x => x.toDouble * x).sum)
+    }
+    val got = Graft.annIvf(vecs, "vid", "emb",
+        vecs.filter(col("vid") <= 2), "vid", "emb",
+        k = 2, nlist = 2, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1))
+      .toMap
+    // JVM replay: seeds by md5 rank, one decimal-exact mean step
+    // (plain double mean agrees on these tiny exact-float values),
+    // assignment by (cos desc, cid asc) struct order.
+    val seeds = rows.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(2)
+    def nearest(cs: Seq[(Long, Array[Float])], v: Array[Float]): Long =
+      cs.map { case (cid, ce) => (cos(ce, v), -cid) }.max match {
+        case (_, ncid) => -ncid
+      }
+    val stepped = seeds.map { case (cid, _) =>
+      val members = rows.filter(r => nearest(seeds.toSeq, r._2) == cid)
+      cid -> members.map(_._2).transpose
+        .map(lane => (lane.map(_.toDouble).sum / lane.length).toFloat)
+        .toArray
+    }
+    val assigned = rows.map(r => r._1 -> nearest(stepped.toSeq, r._2))
+      .toMap
+    for ((p, pe) <- rows.take(2)) {
+      val plist = nearest(stepped.toSeq, pe)
+      val order = rows
+        .filter(r => r._1 != p && assigned(r._1) == plist)
+        .map { case (n, ne) => (n, cos(pe, ne)) }
+        .sortBy { case (n, c) => (-c, n) }.map(_._1)
+      for ((n, i) <- order.take(2).zipWithIndex)
+        assert(got((p, (i + 1).toLong)) == n,
+          s"probe $p rank ${i + 1}: got ${got.get((p, (i + 1).toLong))}" +
+            s" expected $n (list $plist, order $order)")
+    }
+  }
+
+  test("annIvf delegates to the graded IVF core (fixture cross-check)") {
+    val emb = ops.t(spark, sf, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    val api = Graft.annIvf(emb, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        BigDecimal(r.getDouble(3)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    val graded = SparkEntry.queries("q_ann_ivf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        r.getDouble(3)).toMap
+    assert(api.keySet == graded.keySet,
+      "parametric IVF at (16,3) must reproduce the graded lists")
+    for ((k, v) <- api)
+      assert(math.abs(v - graded(k)) <= 1e-4, s"$k: $v vs ${graded(k)}")
+  }
+
+  test("mmrRerank runs greedy MMR on a custom schema") {
+    val rows = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / math.sqrt(a.map(x => x.toDouble * x).sum *
+        b.map(x => x.toDouble * x).sum)
+    }
+    val (k, pool, lam) = (2, 3, 0.6)
+    val got = Graft.mmrRerank(vecs, "vid", "emb",
+        vecs.filter(col("vid") === 1), "vid", "emb", k, pool, lam)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val pe = rows.find(_._1 == 1L).get._2
+    val cands = rows.filter(_._1 != 1L)
+      .map { case (n, ne) => (n, cos(pe, ne), ne) }
+      .sortBy { case (n, c, _) => (-c, n) }.take(pool)
+    // greedy JVM replay
+    val p1 = cands.maxBy { case (n, c, _) => (c, -n) }
+    val rest = cands.filter(_._1 != p1._1).map { case (n, c, ne) =>
+      (n, c * lam - cos(ne, p1._3) * (1 - lam)) }
+    val p2 = rest.maxBy { case (n, s) => (s, -n) }
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      Seq((1L, p1._1), (2L, p2._1)))
+    assert(math.abs(got(0)._3 - p1._2) <= 1e-4)
+    assert(math.abs(got(1)._3 - p2._2) <= 2e-4)
+  }
+
+  test("mmrRerank delegates to the graded MMR core (fixture cross-check)") {
+    val emb = ops.t(spark, sf, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    val api = Graft.mmrRerank(emb, "vec_id", "embedding",
+        probes, "vec_id", "embedding", k = 3, poolSize = 8,
+        lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        r.getDouble(3)).toMap
+    val graded = SparkEntry.queries("q_mmr_diversify")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        r.getDouble(3)).toMap
+    assert(api.keySet == graded.keySet,
+      "parametric MMR at (3,8,0.7) must reproduce the graded picks")
+    // scores may differ in the last ulp: the graded core folds the
+    // literal 0.3 where the API computes 1.0 − 0.7; both round(·,4).
+    for ((k, v) <- api)
+      assert(math.abs(v - graded(k)) <= 2e-4, s"$k: $v vs ${graded(k)}")
+  }
+
+  test("dedupAudit matches a JVM precision/recall replay on a custom schema") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def lane(j: Int, toks: Set[String]): Long =
+      toks.map(t => java.lang.Long.parseLong(
+        md5hex(s"$j:$t").substring(0, 15), 16)).min
+    val (bands, r) = (4, 2)
+    val docs = posts.collect()
+      .map(x => x.getLong(0) ->
+        x.getString(1).split(" ").filter(_.nonEmpty).distinct.toSet)
+    val truth = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      if (ta & tb).size * 3 >= ta.size + tb.size // J >= 0.5
+    } yield (a, b)).toSet
+    val cand = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      if (0 until bands).exists(bd => (0 until r).forall(k =>
+        lane(bd * r + k, ta) == lane(bd * r + k, tb)))
+    } yield (a, b)).toSet
+    val tp = (truth & cand).size.toLong
+    val row = Graft.dedupAudit(posts, "uid", "body",
+      thresholdBp = 5000, bands = bands, rowsPerBand = r).collect().head
+    assert(row.getLong(0) == truth.size.toLong)
+    assert(row.getLong(1) == cand.size.toLong)
+    assert(row.getLong(2) == tp)
+    assert(row.getLong(3) ==
+      (if (cand.nonEmpty) tp * 10000 / cand.size else 0L))
+    assert(row.getLong(4) ==
+      (if (truth.nonEmpty) tp * 10000 / truth.size else 0L))
+  }
+
+  test("dedupAudit delegates to the graded recall audit (fixture)") {
+    val docs = ops.t(spark, sf, "documents").filter(col("lang") === "en")
+    val api = Graft.dedupAudit(docs, "doc_id", "text").collect().head
+    val graded = SparkEntry.queries("q_lsh_recall")(spark, sf)
+      .collect().head
+    for (i <- 0 until 5)
+      assert(api.getLong(i) == graded.getLong(i),
+        s"col $i: ${api.getLong(i)} vs ${graded.getLong(i)}")
+    // the sample knob composes with the audit: a 50% md5 doc sample
+    // still emits one well-formed row with n_truth <= the full audit's
+    val half = Graft.dedupAudit(docs, "doc_id", "text",
+      sampleBp = 5000).collect().head
+    assert(half.getLong(0) <= api.getLong(0))
+    assert(half.getLong(2) <= half.getLong(0).max(half.getLong(1)))
+  }
+
   // -- distributed rank / prefix sum --------------------------------------
 
   private lazy val scores = (0 until 500)
