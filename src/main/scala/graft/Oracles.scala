@@ -85,6 +85,14 @@ object Oracles {
       s"""SELECT c_nationkey, count(*) AS n, ${dsum("o_totalprice")} AS total
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_rank_bucketed" ->
+      s"""WITH r AS (SELECT o_orderpriority, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+         |  FROM orders)
+         |SELECT o_orderpriority, count(*) AS n, ${dsum("o_totalprice")} AS total
+         |FROM r WHERE rk <= 3
+         |GROUP BY 1 ORDER BY ALL""".stripMargin,
     "q_source_partitioned" ->
       """SELECT event_type, count(DISTINCT user_id) AS users,
         |       count(*) AS n, max(epoch_us(ts)) AS last_us
@@ -211,6 +219,13 @@ object Oracles {
     "q_join_salted" ->
       s"""SELECT c_mktsegment, count(*) AS n, ${dsum("o_totalprice")} AS total
          |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    "q_join_skew" ->
+      s"""SELECT c_mktsegment, count(*) AS n, ${dsum("o_totalprice")} AS total
+         |FROM (SELECT CASE WHEN o_orderkey % 10 < 3 THEN 1
+         |             ELSE o_custkey END AS skew_key, o_totalprice
+         |      FROM orders) o
+         |JOIN customer ON o.skew_key = c_custkey
          |GROUP BY 1 ORDER BY ALL""".stripMargin,
     "q_join_range" ->
       s"""SELECT band, count(*) AS n, ${dsum("o_totalprice")} AS total
@@ -5957,6 +5972,26 @@ object Oracles {
          |      ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
          |        / (n1 - 1))) END AS BIGINT) AS ratio_milli
          |FROM m ORDER BY ALL""".stripMargin,
+
+    // Welch's t (§2.112): se1/se2 named once in a CTE so every double
+    // expression is spelled identically to the Spark side.
+    "q_welch_ttest" ->
+      s"""WITH $powerMomentsCte,
+         |w AS (SELECT event_type, n1, n2, s1, s2,
+         |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+         |      / (n1 - 1) / n1 AS se1,
+         |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+         |      / (n2 - 1) / n2 AS se2
+         |  FROM m)
+         |SELECT event_type, n1, n2,
+         |  CAST(CASE WHEN n1 < 2 OR n2 < 2 OR se1 + se2 = 0.0 THEN NULL
+         |    ELSE round((CAST(s2 AS DOUBLE) / n2 - CAST(s1 AS DOUBLE) / n1)
+         |      * 1000 / sqrt(se1 + se2)) END AS BIGINT) AS t_milli,
+         |  CAST(CASE WHEN n1 < 2 OR n2 < 2 OR se1 + se2 = 0.0 THEN NULL
+         |    ELSE round((se1 + se2) * (se1 + se2) * 10 /
+         |      (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)))
+         |    END AS BIGINT) AS df_deci
+         |FROM w ORDER BY ALL""".stripMargin,
 
     // ---- §2.66 policy-lexicon / vocabulary-structure audits ----
     "q_lexicon_filter" ->

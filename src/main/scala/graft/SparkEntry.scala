@@ -648,7 +648,12 @@ object SparkEntry {
     "q_anderson_darling" -> Experiments.qAndersonDarling _,
     "q_effective_rank" -> Profiles.qEffectiveRank _,
     "q_calibration_ece" -> Evaluation.qCalibrationEce _,
-    "q_fleiss_kappa" -> Nonparam.qFleissKappa _
+    "q_fleiss_kappa" -> Nonparam.qFleissKappa _,
+    // §2.112 round-13: depth twins (AQE skew join, bucketed window
+    // rank) + the Welch t staple
+    "q_join_skew" -> Advanced.qJoinSkew _,
+    "q_rank_bucketed" -> (graft.sources.FileFormats.qRankBucketed _),
+    "q_welch_ttest" -> Power.qWelchTtest _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -71,6 +71,31 @@ object Power {
           "(n1 + n2 - 2))) AS BIGINT) END"))
       .select("event_type", "n1", "n2", "d_milli"))
 
+  /** Welch's two-sample t (§2.112): per event type, the unequal-variance
+    * t statistic on the pre/post split — t = (m₂−m₁)/√(v₁/n₁+v₂/n₂) with
+    * (n−1)-denominator sample variances — plus the Welch–Satterthwaite
+    * effective degrees of freedom. The staple the §2.65 trio circles
+    * (Cohen's d sizes the shift, the variance ratio checks the pooled
+    * assumption; Welch is the test you actually run when that check
+    * fails). Same one-scan exact-cents-moments shape: integers until the
+    * final expressions, each ONE double formula spelled identically in
+    * both engines, rounded once to milli/deci. */
+  def qWelchTtest(s: SparkSession, dir: String): DataFrame =
+    orderedAll(moments(s, dir)
+      .withColumn("se1", expr(
+        "(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1"))
+      .withColumn("se2", expr(
+        "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2"))
+      .withColumn("t_milli", expr(
+        "CASE WHEN n1 < 2 OR n2 < 2 OR se1 + se2 = 0.0 THEN NULL ELSE " +
+          "CAST(round((CAST(s2 AS DOUBLE) / n2 - CAST(s1 AS DOUBLE) / n1)" +
+          " * 1000 / sqrt(se1 + se2)) AS BIGINT) END"))
+      .withColumn("df_deci", expr(
+        "CASE WHEN n1 < 2 OR n2 < 2 OR se1 + se2 = 0.0 THEN NULL ELSE " +
+          "CAST(round((se1 + se2) * (se1 + se2) * 10 / " +
+          "(se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))) AS BIGINT) END"))
+      .select("event_type", "n1", "n2", "t_milli", "df_deci"))
+
   /** Variance ratio (§2.65): per event type, var_post/var_pre in
     * milli — the equal-variance assumption check before trusting a
     * pooled-sd test (rule of thumb: outside [0.5, 2] the pooled test
