@@ -700,4 +700,49 @@ object Graft {
       expr(s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 4), " +
         s"16, 10) AS BIGINT) * 10000 < ${keepBp.toLong} * 65536"))
   }
+
+  // ---- heap-based per-group top-k (custom physical operator) -----------
+
+  /** Top-k rows per group WITHOUT sorting each group — the custom
+    * whole-plan operator behind the graded q_topk_custom
+    * ([[graft.plans.TopKPerGroup]]: logical node + planner strategy +
+    * physical exec), exposed parametrically. The built-in window
+    * spelling (`row_number().over(...) <= k`) sorts every group's full
+    * row set — O(n log n) per partition and a spill-prone full
+    * materialization just to discard all but k rows; this operator
+    * keeps a k-bounded heap per group after one hash exchange —
+    * O(n log k) time, O(groups·k) memory, nothing spills. At 100 TB
+    * per-entity top-k is the daily bread of feature pipelines, and the
+    * sort is the cost this operator deletes.
+    *
+    * Returns the winning rows (all input columns, unranked — rank them
+    * with a window afterwards if needed: post-filter input is ≤
+    * groups·k rows, so the sort the operator avoided is now cheap).
+    * Contract (inherited from the exec, which fails fast on drift):
+    * `orderCol` must evaluate to a non-null DOUBLE and `tieCol` to a
+    * unique non-null LONG; rank order is (orderCol DESC, tieCol ASC).
+    * The planner strategy is injected into the DataFrame's session
+    * idempotently — the same `experimental.extraStrategies` hook
+    * `SparkSessionExtensions.injectPlannerStrategy` targets. */
+  def topkPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                   tieCol: String, k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(k > 0, s"k must be positive, got $k")
+    val s = df.sparkSession
+    import graft.plans.{TopKPerGroup, TopKStrategy}
+    // shared with the graded q_topk_custom registration: ONE lock per
+    // read-modify-write field, or two first-callers could double-append
+    graft.ops.Advanced.strategyLock.synchronized {
+      if (!s.experimental.extraStrategies.contains(TopKStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ TopKStrategy
+    }
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String) = analyzed.output.find(_.name == n).getOrElse(
+      sys.error(s"column '$n' not found in " +
+        analyzed.output.map(_.name).mkString("[", ", ", "]")))
+    org.apache.spark.sql.GraftSql.ofRows(s,
+      TopKPerGroup(groupCols.map(attr), attr(orderCol), attr(tieCol), k,
+        analyzed))
+  }
 }

@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
 object Advanced {
 
   /** Guards the read-modify-write of `experimental.extraStrategies` in
-    * [[qTopkCustom]] — the field has no atomic append of its own. */
-  private val strategyLock = new Object
+    * [[qTopkCustom]] AND [[graft.api.Graft.topkPerGroup]] — the field
+    * has no atomic append of its own, and the two registration sites
+    * must share ONE lock or concurrent first calls on the same session
+    * could double-append the strategy. */
+  private[graft] val strategyLock = new Object
 
   private def sql(s: SparkSession, dir: String, q: String): DataFrame = {
     graft.Catalog.registerTables(s, dir)

@@ -806,4 +806,45 @@ class ApiSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(again == k25)
   }
+
+  // -- heap-based per-group top-k -----------------------------------------
+
+  test("topkPerGroup matches the sort spelling on a custom schema") {
+    // deterministic synthetic rows: 4 groups × 50 rows with hash-mixed
+    // values (ties impossible: seq is unique and breaks rank order)
+    val rows = (0 until 200).map { i =>
+      (s"g${i % 4}", i.toLong, ((i * 2654435761L) % 1000).toDouble)
+    }
+    val df = rows.toDF("grp", "seq", "score")
+    val got = Graft.topkPerGroup(df, Seq("grp"), "score", "seq", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expect = rows.groupBy(_._1).values.flatMap { g =>
+      g.sortBy(r => (-r._3, r._2)).take(5)
+    }.map(r => (r._1, r._2)).toSet
+    assert(got == expect)
+    assert(got.size == 20, "4 groups x k=5 winners")
+    // k larger than any group passes everything through
+    assert(Graft.topkPerGroup(df, Seq("grp"), "score", "seq", 100)
+      .count() == 200)
+  }
+
+  test("topkPerGroup delegates to the graded operator (fixture cross-check)") {
+    val base = ops.t(spark, sf, "events")
+      .select("event_type", "event_id", "value")
+    val got = Graft.topkPerGroup(base, Seq("event_type"), "value",
+        "event_id", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val graded = SparkEntry.queries("q_topk_custom")(spark, sf)
+      .select("event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == graded)
+  }
+
+  test("topkPerGroup fails loudly on a missing column") {
+    val df = Seq(("a", 1L, 2.0)).toDF("g", "i", "v")
+    val e = intercept[RuntimeException] {
+      Graft.topkPerGroup(df, Seq("nope"), "v", "i", 2)
+    }
+    assert(e.getMessage.contains("not found"))
+  }
 }
