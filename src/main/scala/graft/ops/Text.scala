@@ -261,11 +261,14 @@ object Text {
     * mid-session re-derives through the requested durability class
     * instead of serving the other mode's materialization (AdvancedSpec
     * flips the conf to prove the reliable path writes its parquet
-    * slots — a mode-blind cache would short-circuit that run). */
+    * slots — a mode-blind cache would short-circuit that run). UNSET
+    * keys as "auto", distinct from an explicit "false": since round 13
+    * the unset tier resolves per-plan through the ckptAutoBytes leaf
+    * gate, so it is not the same materialization class as forced-local. */
   private[ops] def pinKey(s: SparkSession,
                           dir: String): (SparkSession, String) =
     (s, dir + "|" + s.conf.getOption("spark.graft.reliableCheckpoint")
-      .getOrElse("false"))
+      .getOrElse("auto"))
 
   private[ops] def nearPairs(s: SparkSession, dir: String): DataFrame =
     nearPairsCache.computeIfAbsent(pinKey(s, dir), _ =>
@@ -402,12 +405,13 @@ object Text {
     * Deterministic output. No SQL oracle (iterative fixpoint); exact
     * union-find cross-check in `AdvancedSpec`.
     */
-  /** Materialize iterative loop state, truncating lineage. Default:
+  /** Materialize iterative loop state, truncating lineage. Small inputs:
     * eager `localCheckpoint` — blocks live in executor storage, fast, but
     * they DIE WITH THE EXECUTOR; correct on local[n], lossy on a real
-    * cluster under executor churn. Cluster mode sets
-    * `spark.graft.reliableCheckpoint=true` to write state through
-    * fault-tolerant storage instead (`spark.graft.checkpointDir`, default
+    * cluster under executor churn. `spark.graft.reliableCheckpoint=true`
+    * (forced, or auto-engaged above the ckptAutoBytes leaf floor — see
+    * [[ckptReliable]]) writes state through fault-tolerant storage
+    * instead (`spark.graft.checkpointDir`, default
     * tmp; on a cluster point it at DFS): an explicit parquet write to a
     * NAMED SLOT under the dir, read back as the new lineage root. Named
     * slots (not RDD `checkpoint()`) because slot names can be REUSED —
@@ -435,9 +439,54 @@ object Text {
   }
   private val pinLock = new Object
 
+  /** Pick the materialization class for [[pin]] (round-13): conf
+    * verbatim when set ("true" → parquet slots, anything else → local
+    * checkpoint); when UNSET, an auto gate on the pinned plan's LEAF
+    * file-relation bytes (`spark.graft.ckptAutoBytes`, default 256 MiB
+    * — leaf sizes are real file statistics, unlike join-node
+    * sizeInBytes estimates which multiply and overshoot by orders of
+    * magnitude). Below the floor graded SFs keep the fast in-memory
+    * localCheckpoint, byte-identical plans; above it loop state is
+    * written through compressed parquet slots instead of executor
+    * block storage. That is not only the durability class a real
+    * cluster needs (blocks die with the executor) — it MEASURES FASTER
+    * at scale: the 100× smoke clocked q_pagerank at 41/66 s with
+    * parquet slots vs 171/257 s with localCheckpoint (BASELINE.md
+    * round 13), because columnar-compressed state avoids the
+    * serialized-block storage-memory pressure that dominates the
+    * local[32] run at that size. */
+  private[graft] def ckptReliable(df: DataFrame): Boolean = {
+    val s = df.sparkSession
+    s.conf.getOption("spark.graft.reliableCheckpoint") match {
+      case Some(v) => v == "true"
+      case None =>
+        val floor = s.conf.getOption("spark.graft.ckptAutoBytes")
+          .map(_.toLong).getOrElse(256L << 20)
+        // Count ONLY relation leaves whose sizeInBytes is a real
+        // measurement: file-backed scans (LogicalRelation over file
+        // stats) and in-memory LocalRelations. Everything else —
+        // notably the LogicalRDD a previous localCheckpoint leaves
+        // behind, which (Spark 3.4+) carries the ORIGIN plan's
+        // estimate, i.e. the multiplicative join overestimate for
+        // loop state — is ignored: counting it would flip loop pins
+        // chaining from a local pin onto the parquet path at ANY
+        // scale. The resulting class is stable along a chain: a chain
+        // that started local contributes no counted leaves and stays
+        // local (its state was floor-small at the first decision); a
+        // chain that started reliable reads its parquet slots back as
+        // file relations with real stats and stays reliable.
+        import org.apache.spark.sql.execution.datasources.LogicalRelation
+        import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+        df.queryExecution.optimizedPlan.collectLeaves().collect {
+          case l: LogicalRelation => l.stats.sizeInBytes
+          case l: LocalRelation => l.stats.sizeInBytes
+        }.sum >= floor
+    }
+  }
+
   private[graft] def pin(df: DataFrame, slot: String): DataFrame = {
     val s = df.sparkSession
-    if (s.conf.getOption("spark.graft.reliableCheckpoint").contains("true")) {
+    if (ckptReliable(df)) {
       val base = s.conf.getOption("spark.graft.checkpointDir").getOrElse(
         new java.io.File(sys.props("java.io.tmpdir"), "graft_ckpt").toString)
       val path = s"$base/${ckptSessionId(s)}/$slot"

@@ -143,4 +143,49 @@ class Round13BatchSpec extends SparkSpec {
     assert(expect.valuesIterator.exists(_._3.isDefined),
       "the fixture must exercise the non-degenerate branch")
   }
+
+  // -- checkpoint auto gate (round-13: pin() picks parquet slots above
+  // -- the ckptAutoBytes leaf floor; measured 171/257 -> 41/66 s on the
+  // -- 100x pagerank smoke) ------------------------------------------------
+
+  test("ckptReliable: conf verbatim, leaf-floor auto, unknown-leaf exclusion") {
+    val base = ops.t(spark, sf, "orders").filter(col("o_totalprice") > 0)
+    // fixture leaves are KB-scale: unset conf stays local below 256 MiB
+    assert(!ops.Text.ckptReliable(base))
+    // floor 1 byte: the same plan auto-engages parquet slots
+    val tiny = spark.newSession()
+    tiny.conf.set("spark.graft.ckptAutoBytes", "1")
+    assert(ops.Text.ckptReliable(
+      ops.t(tiny, sf, "orders").filter(col("o_totalprice") > 0)))
+    // conf wins over any floor, both ways
+    tiny.conf.set("spark.graft.reliableCheckpoint", "false")
+    assert(!ops.Text.ckptReliable(ops.t(tiny, sf, "orders")))
+    tiny.conf.set("spark.graft.reliableCheckpoint", "true")
+    assert(ops.Text.ckptReliable(ops.t(tiny, sf, "orders")))
+    // a chain from a LOCAL checkpoint reports only the unknown default
+    // leaf size — it must NOT flip to parquet even under floor 1
+    // (unknown-stat leaves are excluded from the floor sum)
+    tiny.conf.unset("spark.graft.reliableCheckpoint")
+    val chained = ops.t(tiny, sf, "orders").filter(col("o_totalprice") > 0)
+      .localCheckpoint(true).filter(col("o_orderkey") > 0)
+    assert(!ops.Text.ckptReliable(chained))
+  }
+
+  test("pin modes agree: q_pagerank identical under local and parquet slots") {
+    def rows(s: org.apache.spark.sql.SparkSession) =
+      SparkEntry.queries("q_pagerank")(s, sf).collect()
+        .map(_.toSeq).toSeq
+    val local = {
+      val s = spark.newSession()
+      s.conf.set("spark.graft.reliableCheckpoint", "false")
+      rows(s)
+    }
+    val auto = {
+      val s = spark.newSession()
+      s.conf.set("spark.graft.ckptAutoBytes", "1") // force the parquet tier
+      rows(s)
+    }
+    assert(local == auto,
+      "the checkpoint class must never change operator results")
+  }
 }
