@@ -5993,6 +5993,28 @@ object Oracles {
          |    END AS BIGINT) AS df_deci
          |FROM w ORDER BY ALL""".stripMargin,
 
+    // DPP twin (§2.113): the dim join is 1:1 on event_type, so the
+    // runtime-pruned star join collapses to the IN filter the pruning
+    // must reconstruct at runtime — a dropped or duplicated partition
+    // cannot hash-match.
+    "q_join_dpp" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS users, round(sum(value), 4) AS sv
+        |FROM events WHERE event_type IN ('purchase', 'signup')
+        |GROUP BY 1 ORDER BY ALL""".stripMargin,
+
+    // Sorted-layout twin (§2.113): l_shipdate is date-valued, so the
+    // copy's DATE cast loses nothing and timestamp-literal bounds on
+    // the original select the identical window.
+    "q_scan_sorted" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${dsum("l_extendedprice")} AS revenue,
+         |  ${dsum("l_quantity")} AS qty
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |GROUP BY 1 ORDER BY ALL""".stripMargin,
+
     // ---- §2.66 policy-lexicon / vocabulary-structure audits ----
     "q_lexicon_filter" ->
       """WITH d AS (SELECT source,

@@ -653,7 +653,11 @@ object SparkEntry {
     // rank) + the Welch t staple
     "q_join_skew" -> Advanced.qJoinSkew _,
     "q_rank_bucketed" -> (graft.sources.FileFormats.qRankBucketed _),
-    "q_welch_ttest" -> Power.qWelchTtest _
+    "q_welch_ttest" -> Power.qWelchTtest _,
+    // §2.113 round-13 second batch: runtime scan avoidance (dynamic
+    // partition pruning, sorted-layout row-group skipping)
+    "q_join_dpp" -> (graft.sources.FileFormats.qJoinDpp _),
+    "q_scan_sorted" -> (graft.sources.FileFormats.qScanSorted _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -281,6 +281,18 @@ object FileFormats {
         count(lit(1)).as("n"), max(col("us")).as("last_us")))
   }
 
+  /** The Hive-partitioned events copy (partition column = event_type),
+    * written ONCE per (dir) and shared by [[qSinkPartitioned]] and
+    * [[qJoinDpp]] — one ingest layout serving both the static-pruning
+    * and the dynamic-pruning consumer, exactly as a lake table would. */
+  private def eventsPartitionedPath(s: SparkSession, dir: String): String =
+    materialize(
+      graft.Tables.table(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts"))).drop("ts"),
+      s"part_events:$dir") { (df, p) =>
+        df.write.mode("overwrite").partitionBy("event_type").parquet(p)
+      }
+
   /** Partitioned Parquet sink (`partitionBy(event_type)`) + pruned
     * re-read: the `event_type = 'purchase'` filter prunes to one
     * directory — at 100 TB the difference between scanning one partition
@@ -288,17 +300,80 @@ object FileFormats {
     * directory name; values and types are unchanged (oracle = same query
     * on the original table). */
   def qSinkPartitioned(s: SparkSession, dir: String): DataFrame = {
-    val path = materialize(
-      graft.Tables.table(s, dir, "events")
-        .withColumn("us", unix_micros(col("ts"))).drop("ts"),
-      s"part_events:$dir") { (df, p) =>
-        df.write.mode("overwrite").partitionBy("event_type").parquet(p)
-      }
+    val path = eventsPartitionedPath(s, dir)
     orderedAll(s.read.parquet(path)
       .filter(col("event_type") === "purchase")
       .groupBy("user_id")
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"),
         max(col("us")).as("last_us")))
+  }
+
+  /** Dynamic partition pruning (§2.113): the partitioned events fact
+    * joined to a tiny conversion-dimension under a dim-side filter. The
+    * fact's partition list is NOT knowable at plan time — which
+    * event_types survive depends on the dim rows the `is_conversion = 1`
+    * filter keeps — so static pruning cannot help; Spark's
+    * PartitionPruning rule instead plants a DynamicPruningExpression on
+    * the fact scan's partition column that REUSES the broadcast of the
+    * filtered dim (asserted in Round13PlanSpec). At 100 TB this is the
+    * scan-avoidance workhorse for star joins: "this quarter's
+    * conversion partitions only", resolved at runtime, zero extra jobs
+    * (the pruning subquery IS the join's broadcast). The dim is
+    * materialized as its own parquet (a real filtered scan, not a
+    * local relation — DPP doesn't fire on in-memory plans); oracle =
+    * the equivalent IN-filter fold on the original single-file table,
+    * so a pruning bug that drops or duplicates partitions cannot pass. */
+  def qJoinDpp(s: SparkSession, dir: String): DataFrame = {
+    val factPath = eventsPartitionedPath(s, dir)
+    val dimPath = materialize(
+      graft.Tables.table(s, dir, "events")
+        .select(col("event_type")).distinct()
+        .withColumn("is_conversion",
+          col("event_type").isin("purchase", "signup").cast("int")),
+      s"dpp_dim:$dir") { (df, p) =>
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+      }
+    val fact = s.read.parquet(factPath)
+    val dim = s.read.parquet(dimPath).filter(col("is_conversion") === 1)
+    orderedAll(fact.join(dim, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("users"),
+        round(sum(col("value")), 4).as("sv")))
+  }
+
+  /** Sorted-at-ingest layout + row-group skipping (§2.113): lineitem's
+    * scan columns written ONCE range-partitioned AND sorted by ship
+    * date (stored as DATE — int32 min/max stats in every row-group
+    * footer), then a tight date-window fold over the copy. Because the
+    * layout clusters dates, the pushed range predicate lets the parquet
+    * reader skip whole row groups whose [min,max] miss the window —
+    * Round13PlanSpec executes the scan and asserts its output-row
+    * metric stays under half the table (on an unsorted layout every
+    * row group overlaps every date and nothing skips). This is the
+    * time-series ingest contract at 100 TB: sort by the query-time
+    * axis at write time and a month-window query does IO proportional
+    * to the month, not the decade — no index, no extra system, just
+    * footer stats the layout made useful. Oracle = the same window
+    * fold on the original table (timestamp literals; l_shipdate is
+    * date-valued so the DATE cast loses nothing). */
+  def qScanSorted(s: SparkSession, dir: String): DataFrame = {
+    val path = materialize(
+      graft.Tables.table(s, dir, "lineitem")
+        .select(col("l_shipdate").cast("date").as("ship_date"),
+          col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+        .repartitionByRange(4, col("ship_date"))
+        .sortWithinPartitions("ship_date"),
+      s"sorted_lineitem:$dir") { (df, p) =>
+        df.write.mode("overwrite").parquet(p)
+      }
+    orderedAll(s.read.parquet(path)
+      .filter(col("ship_date") >= lit("1996-01-01").cast("date") &&
+        col("ship_date") < lit("1996-04-01").cast("date"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("revenue"),
+        dsum(col("l_quantity")).as("qty")))
   }
 
   /** Raw binary-file ingest (§2.14/§2.18): the `binaryFile` source reads
