@@ -7861,6 +7861,31 @@ object Oracles {
         |       CAST(count(DISTINCT dd) AS BIGINT) AS n_docs_touched
         |FROM ends ORDER BY ALL""".stripMargin,
 
+    // Incremental dedup twin (§2.114): same lane/band CTE as
+    // q_dedup_band_bucketed, split batch (doc_id % 10 = 7) vs rest.
+    "q_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(list_filter(string_split(lower(text), ' '),
+        |                              x -> x <> '')) AS toks
+        |  FROM documents WHERE lang = 'en'),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        |lanes AS (SELECT doc_id, j,
+        |    min(substring(md5(CAST(j AS VARCHAR) || ':' || token), 1, 15))
+        |      AS mh
+        |  FROM tok CROSS JOIN range(16) t(j) GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, j // 2 AS band,
+        |    string_agg(mh, ':' ORDER BY j) AS bkey
+        |  FROM lanes GROUP BY doc_id, j // 2),
+        |cand AS (SELECT DISTINCT y.doc_id AS new_id, x.doc_id AS old_id
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bkey = y.bkey
+        |  WHERE y.doc_id % 10 = 7 AND x.doc_id % 10 <> 7)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cand_pairs,
+        |       CAST(count(DISTINCT new_id) AS BIGINT) AS n_batch_hit,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM d
+        |        WHERE doc_id % 10 = 7) AS n_batch_docs
+        |FROM cand ORDER BY ALL""".stripMargin,
+
     "q_query_likelihood" ->
       """WITH occ AS (SELECT doc_id,
         |    unnest(list_filter(string_split(lower(text), ' '),

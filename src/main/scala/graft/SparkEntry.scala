@@ -657,7 +657,10 @@ object SparkEntry {
     // §2.113 round-13 second batch: runtime scan avoidance (dynamic
     // partition pruning, sorted-layout row-group skipping)
     "q_join_dpp" -> (graft.sources.FileFormats.qJoinDpp _),
-    "q_scan_sorted" -> (graft.sources.FileFormats.qScanSorted _)
+    "q_scan_sorted" -> (graft.sources.FileFormats.qScanSorted _),
+    // §2.114: incremental batch-vs-corpus dedup over the standing
+    // bucketed band table
+    "q_dedup_incremental" -> (graft.sources.FileFormats.qDedupIncremental _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -218,7 +218,24 @@ object FileFormats {
     * — the graded output is bucket-count-independent; a cluster sizes
     * it to its executor count since the self-join's parallelism is
     * capped by it). */
-  def qDedupBandBucketed(s: SparkSession, dir: String): DataFrame = {
+  /** The (doc_id, band, k1, k2) band rows of a lane-signature frame —
+    * the (8,2) banding shared by [[qDedupBandBucketed]]'s ingest and
+    * [[qDedupIncremental]]'s fresh-batch side (ONE banding definition,
+    * or the incremental join would silently compare different keys). */
+  private def bandRows(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(expr(
+        (0 until 8).map(b =>
+          s"struct($b AS band, mh${2 * b} AS k1, mh${2 * b + 1}" +
+            s" AS k2)").mkString("array(", ", ", ")"))).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.k1").as("k1"), col("bs.k2").as("k2"))
+
+  /** Ensure the corpus band table is materialized ONCE per session,
+    * bucketed+sorted by the band key — the shared ingest behind
+    * [[qDedupBandBucketed]] (self-join) and [[qDedupIncremental]]
+    * (batch-vs-corpus join): one layout, every candidate generation
+    * exchange-free on the corpus side. */
+  private def ensureBandTable(s: SparkSession, dir: String): String = {
     val nb = s.conf.getOption("spark.graft.bandBuckets")
       .map(_.toInt).getOrElse(8)
     val bp = graft.ops.DedupAudit.auditSampleBp(s, dir)
@@ -229,17 +246,17 @@ object FileFormats {
         resetTable(s, bt)
         val sig = graft.ops.DedupAudit.auditSample(s, dir,
           graft.ops.Sketches.mdLaneSigs(s, dir))
-        sig.select(col("doc_id"), explode(expr(
-            (0 until 8).map(b =>
-              s"struct($b AS band, mh${2 * b} AS k1, mh${2 * b + 1}" +
-                s" AS k2)").mkString("array(", ", ", ")"))).as("bs"))
-          .select(col("doc_id"), col("bs.band").as("band"),
-            col("bs.k1").as("k1"), col("bs.k2").as("k2"))
+        bandRows(sig)
           .write.mode("overwrite").format("parquet")
           .bucketBy(nb, "band", "k1", "k2").sortBy("band", "k1", "k2")
           .saveAsTable(bt)
       }
     }
+    bt
+  }
+
+  def qDedupBandBucketed(s: SparkSession, dir: String): DataFrame = {
+    val bt = ensureBandTable(s, dir)
     // MERGE hint for the same reason as qJoinBucketed: the tiny test-SF
     // side would be auto-broadcast and never exercise the bucketed path.
     val a = s.table(bt).as("x").hint("merge")
@@ -254,6 +271,42 @@ object FileFormats {
       .select(explode(array(col("a_id"), col("b_id"))).as("d"))
       .agg((count(lit(1)) / 2).cast("long").as("n_cand_pairs"),
         countDistinct(col("d")).as("n_docs_touched")))
+  }
+
+  /** Incremental dedup against the standing corpus (§2.114): a new
+    * arrival batch (the deterministic doc_id % 10 == 7 slice stands in
+    * for "today's documents") is banded FRESH — exactly what ingest
+    * does to an arrival — and joined against the bucketed corpus band
+    * table [[ensureBandTable]] maintains, restricted to non-batch
+    * docs. Because the join key (band, k1, k2) IS the table's
+    * bucketing+sort key, the CORPUS side reads with no exchange and no
+    * sort; only the small batch is shuffled to the table's
+    * partitioning (asserted in Round13PlanSpec). That asymmetry is the
+    * whole point at 100 TB: each day's dedup pass costs
+    * O(batch) + a bucket-local merge, never a corpus re-shuffle — the
+    * standing table is written once and every incremental batch joins
+    * against it forever. Output: candidate (new, old) pairs, batch
+    * docs with at least one standing near-dup candidate, and the
+    * batch size. Oracle = the same (8,2) lane CTE with the batch/rest
+    * split (both sides share [[bandRows]], so the banding cannot
+    * diverge). */
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val bt = ensureBandTable(s, dir)
+    val sig = graft.ops.DedupAudit.auditSample(s, dir,
+      graft.ops.Sketches.mdLaneSigs(s, dir))
+    val batch = bandRows(sig.filter(col("doc_id") % 10 === 7))
+      .withColumnRenamed("doc_id", "new_id")
+    // MERGE hint: the tiny test-SF batch would be auto-broadcast and
+    // never exercise the exchange-free corpus-side path.
+    val corpus = s.table(bt).filter(col("doc_id") % 10 =!= 7)
+      .hint("merge")
+    val cand = corpus.join(batch, Seq("band", "k1", "k2"))
+      .select(col("new_id"), col("doc_id").as("old_id")).distinct()
+    val hits = cand.agg(count(lit(1)).as("n_cand_pairs"),
+      countDistinct(col("new_id")).as("n_batch_hit"))
+    val size = batch.agg(countDistinct(col("new_id")).as("n_batch_docs"))
+    orderedAll(hits.crossJoin(size)
+      .select("n_cand_pairs", "n_batch_hit", "n_batch_docs"))
   }
 
   /** Multi-file partitioned INPUT scan — the read-side-first shape of the

@@ -82,6 +82,50 @@ class Round13PlanSpec extends SparkSpec {
     assert(out > 0, "the window must select real rows")
   }
 
+  test("q_dedup_incremental: corpus side joins exchange-free, batch shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // exchanges are inserted by EnsureRequirements, which runs in the
+    // executed-plan preparation — sparkPlan would show zero exchanges
+    // everywhere and make this assertion vacuous
+    val nodes = flatten(SparkEntry.queries("q_dedup_incremental")(spark, sf)
+      .queryExecution.executedPlan)
+    val smj = nodes.collect { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, "incremental candidate join lost its SMJ shape")
+    // exactly ONE exchange below the join — the batch side being hashed
+    // to the standing table's bucket partitioning; the corpus side rides
+    // the bucketed scan with no exchange
+    val ex = smj.flatMap(_.collect { case e: ShuffleExchangeExec => e })
+    assert(ex.length == 1,
+      s"expected 1 batch-side exchange below the join, got ${ex.length}")
+    val scans = smj.flatMap(_.collect { case f: FileSourceScanExec => f })
+    assert(scans.exists(_.bucketedScan),
+      "corpus side is not reading the bucketed band table")
+  }
+
+  test("q_dedup_incremental matches brute force over the lane signatures") {
+    val sig = ops.Sketches.mdLaneSigs(spark, sf).collect()
+      .map(r => r.getLong(0) -> (0 until 16).map(j =>
+        r.getLong(r.fieldIndex(s"mh$j"))))
+    val bandsOf = sig.map { case (id, mh) =>
+      id -> (0 until 8).map(b => (b, mh(2 * b), mh(2 * b + 1))).toSet
+    }.toMap
+    val batch = bandsOf.keySet.filter(_ % 10 == 7)
+    val rest = bandsOf.keySet -- batch
+    val pairs = for {
+      n <- batch.toSeq; o <- rest.toSeq
+      if (bandsOf(n) & bandsOf(o)).nonEmpty
+    } yield (n, o)
+    val row = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+      .collect().head
+    assert(row.getLong(0) == pairs.size.toLong, "n_cand_pairs")
+    assert(row.getLong(1) == pairs.map(_._1).distinct.size.toLong,
+      "n_batch_hit")
+    assert(row.getLong(2) == batch.size.toLong, "n_batch_docs")
+    assert(batch.nonEmpty && pairs.nonEmpty,
+      "fixture must exercise the incremental path")
+  }
+
   test("q_scan_sorted matches the brute-force window fold") {
     val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
     val hi = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
