@@ -202,6 +202,25 @@ class ApiSpec extends SparkSpec {
     assert(labels.count() == touched)
   }
 
+  test("minhashIncremental equals the self-join restricted across the split") {
+    // batch = uids {2, 4}; corpus = the rest. The incremental pairs must
+    // be exactly the full self-join's pairs with one end in each side
+    // (shared banding ⇒ set equality, not approximation).
+    val batch = posts.filter(col("uid").isin(2L, 4L))
+    val corpus = posts.filter(!col("uid").isin(2L, 4L))
+    val got = Graft.minhashIncremental(corpus, "uid", "body",
+        batch, "uid", "body", bands = 4, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Graft.minhashCandidates(posts, "uid", "body", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = full.collect {
+      case (a, b) if Set(2L, 4L)(a) && !Set(2L, 4L)(b) => (a, b)
+      case (a, b) if Set(2L, 4L)(b) && !Set(2L, 4L)(a) => (b, a)
+    }
+    assert(got == expect, s"got $got expected $expect")
+    assert(got.nonEmpty, "the fixture split must produce cross pairs")
+  }
+
   test("api slots are per-invocation under reliable checkpoints") {
     // round-12 advice (medium): the API has no dataset dir to qualify
     // its checkpoint slots with, so fixed names (api_cc, …) would let
