@@ -121,9 +121,15 @@ object FileFormats {
     * "./sf0.1" and "/root/testdata/sf0.1" on one table. */
   private def dirTag(dir: String): String = {
     val abs = new java.io.File(dir).getAbsolutePath
-    java.security.MessageDigest.getInstance("MD5")
+    val md = java.security.MessageDigest.getInstance("MD5")
       .digest(abs.getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
+    // pid-scoped like the materialize() tmp paths: the session-catalog
+    // guard is per-JVM, so a fresh JVM rebuilds its tables regardless —
+    // a shared name buys nothing, and two concurrent JVMs (sbt test
+    // alongside Verify/Bench) would race resetTable's delete against
+    // the other's bucketed scan (observed as FILE_NOT_EXIST mid-read).
+    s"${md}_${ProcessHandle.current().pid()}"
   }
 
   /** Ensure the orders table is materialized ONCE per session as a
