@@ -181,15 +181,24 @@ object Graphs {
     * rounds (the oracle unrolls the same four); `Round8GraphSpec`
     * documents that the fixture graph reaches its fixpoint within them.
     * Each round is a degree aggregate + two semi joins on the shrinking
-    * edge list — edge-linear per round, the 100 TB iteration shape. */
+    * edge list — edge-linear per round, the 100 TB iteration shape.
+    * The surviving edge set is PINNED after each round (the qPagerank
+    * loop discipline, localCheckpoint or the auto parquet slot): an
+    * unpinned loop compounds the lineage — round r's semi-joins
+    * re-derive every earlier round's keep-set from scratch, so the
+    * 4-round plan pays ~r² passes over the edge list (measured 6.5 s
+    * steady at sf0.1 unpinned vs 3.4 s pinned, identical 627-row
+    * output; the plan-depth blowup, not the data, was the round-13
+    * bench's single most expensive key). */
   def qKcore(s: SparkSession, dir: String): DataFrame = {
     var un = und(strictEdges(s, dir))
     var deg = degrees(un)
-    for (_ <- 1 to 4) {
+    for (r <- 1 to 4) {
       val keep = deg.filter(col("deg") >= 3).select("u")
-      un = un
+      un = Text.pin(un
         .join(keep, Seq("u"), "left_semi")
-        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi"),
+        DistRank.dirSlot(s"kcore_r$r", dir))
       deg = degrees(un)
     }
     orderedAll(deg.select(col("u").as("doc_id"),
