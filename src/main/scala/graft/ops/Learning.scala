@@ -170,8 +170,13 @@ object Learning {
         col("a.token") < col("b.token"))
       .select(col("a.token").as("src"), col("b.token").as("dst"))
       .distinct()
-    val edges = und.unionAll(
-      und.select(col("dst").as("src"), col("src").as("dst")))
+    // Pin the edge list (the k-core/pagerank loop discipline): it is
+    // joined once per hop, and unpinned each hop re-runs the doc-sized
+    // posting self-join — the corpus-scale cost; the edge list itself
+    // is vocabulary², tiny. Measured 15.5 → 4.2 s at 100×.
+    val edges = graft.ops.Text.pin(und.unionAll(
+      und.select(col("dst").as("src"), col("src").as("dst"))),
+      DistRank.dirSlot("bfs_edges", dir))
     val seed = dt.agg(min(col("token")).as("token"))
       .withColumn("hops", lit(0L))
     var visited = seed
