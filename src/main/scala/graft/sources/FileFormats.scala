@@ -132,6 +132,39 @@ object FileFormats {
     s"${md}_${ProcessHandle.current().pid()}"
   }
 
+  /** Reap warehouse directories left by DEAD JVMs (pid scoping trades
+    * the cross-JVM overwrite race for leftover per-pid table copies —
+    * without a sweep the warehouse grows by a few bucketed tables per
+    * run forever). Runs once per JVM, before the first table write.
+    * Only graft-named dirs whose embedded pid no longer has a live
+    * process are touched: a LIVE concurrent JVM's tables are exactly
+    * the thing the pid scoping protects, and this JVM's own names are
+    * excluded by the pid check too. Dir names, not the catalog, are
+    * the source of truth — dead JVMs' in-memory catalogs died with
+    * them. */
+  private val swept = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def sweepStaleWarehouse(s: SparkSession): Unit =
+    if (swept.compareAndSet(false, true)) {
+      val whUri = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
+      val root =
+        if (whUri.getScheme == "file") new java.io.File(whUri)
+        else new java.io.File(whUri.getPath)
+      val named = """graft_[a-z]+_b[0-9a-f]{12}_(\d+)(?:_.*)?""".r
+      val mine = ProcessHandle.current().pid()
+      for (f <- Option(root.listFiles()).getOrElse(Array.empty)
+           if f.isDirectory) f.getName match {
+        case named(pidStr) =>
+          val pid = pidStr.toLong
+          if (pid != mine && !ProcessHandle.of(pid).isPresent) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(f.toPath).sorted(
+              java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .iterator().asScala.foreach(java.nio.file.Files.delete)
+          }
+        case _ => ()
+      }
+    }
+
   /** Ensure the orders table is materialized ONCE per session as a
     * warehouse table bucketed+sorted by o_custkey — the shared ingest
     * behind [[qJoinBucketed]] and [[qRankBucketed]] (one layout, every
@@ -140,6 +173,7 @@ object FileFormats {
     * so a second session in the same JVM must rebuild (its catalog is
     * empty even though the warehouse dir is not). */
   private def ensureOrdersBucketed(s: SparkSession, dir: String): String = {
+    sweepStaleWarehouse(s)
     val ot = s"graft_orders_b${dirTag(dir)}"
     written.synchronized {
       if (!s.catalog.tableExists(ot)) {
@@ -242,6 +276,7 @@ object FileFormats {
     * (batch-vs-corpus join): one layout, every candidate generation
     * exchange-free on the corpus side. */
   private def ensureBandTable(s: SparkSession, dir: String): String = {
+    sweepStaleWarehouse(s)
     val nb = s.conf.getOption("spark.graft.bandBuckets")
       .map(_.toInt).getOrElse(8)
     val bp = graft.ops.DedupAudit.auditSampleBp(s, dir)

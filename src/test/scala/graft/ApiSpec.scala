@@ -219,6 +219,29 @@ class ApiSpec extends SparkSpec {
     }
     assert(got == expect, s"got $got expected $expect")
     assert(got.nonEmpty, "the fixture split must produce cross pairs")
+    // overlapping corpus/batch (the natural "batch already ingested"
+    // call): identical band rows always collide, so without the
+    // self-pair guard every batch doc would report itself
+    val overlap = Graft.minhashIncremental(posts, "uid", "body",
+        batch, "uid", "body", bands = 4, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(overlap.forall { case (n, o) => n != o }, "self-pair leaked")
+    assert(overlap == expect, "overlap call must equal the disjoint split")
+    // pre-banded path: banding once and joining the band frames is the
+    // same operator (the production persist-bucketed flow)
+    val banded = Graft.minhashIncrementalBanded(
+        Graft.minhashBandRows(corpus, "uid", "body", 4, 2),
+        Graft.minhashBandRows(batch, "uid", "body", 4, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == expect)
+  }
+
+  test("sessionize refuses inputs that already carry its output columns") {
+    val df = Seq(("a", 1L, 2L, 9L)).toDF("k", "us", "i", "session_id")
+    val e = intercept[IllegalArgumentException] {
+      Graft.sessionize(df, "k", "us", 60L, "i")
+    }
+    assert(e.getMessage.contains("session_id"))
   }
 
   test("api slots are per-invocation under reliable checkpoints") {
