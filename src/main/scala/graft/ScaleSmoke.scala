@@ -188,12 +188,25 @@ object ScaleSmoke {
     for (n <- names)
       try { SparkEntry.queries(n)(s, "/root/testdata/sf0.001").count() }
       catch { case _: Throwable => () }
+    // min-of-2 per key (Bench's timing policy, round-13): single-pass
+    // gate numbers charged first-run TARGET-SHAPE codegen and whatever
+    // box noise landed on the one pass — every past round's "apparent
+    // regression" adjudications re-measured exactly this. The second
+    // pass still reads data fresh (nothing cached); only the min is
+    // reported. SPARK_GRAFT_SINGLE_PASS=1 restores one-pass timing
+    // (for ingest-cost measurements where the first run IS the point).
+    val passes =
+      if (sys.env.get("SPARK_GRAFT_SINGLE_PASS").contains("1")) 1 else 2
     val results = names.map { n =>
-      val t0 = System.nanoTime()
-      val rows = try SparkEntry.queries(n)(s, dir).count()
-                 catch { case e: Throwable =>
-                   println(s"[run] $n FAILED: ${e.getMessage.take(120)}"); -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
+      def once(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = try SparkEntry.queries(n)(s, dir).count()
+                   catch { case e: Throwable =>
+                     println(s"[run] $n FAILED: ${e.getMessage.take(120)}")
+                     -1L }
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (sec, rows) = (1 to passes).map(_ => once()).minBy(_._1)
       println(f"[run] $n%-24s $sec%8.2f s  $rows%10d rows")
       n -> sec
     }
