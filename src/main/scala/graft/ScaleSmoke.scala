@@ -206,7 +206,11 @@ object ScaleSmoke {
                      -1L }
         ((System.nanoTime() - t0) / 1e9, rows)
       }
-      val (sec, rows) = (1 to passes).map(_ => once()).minBy(_._1)
+      // a fast FAILED pass must not beat a slow successful one (it
+      // would record a phantom time and hide the real cost): failed
+      // passes sort as +inf, surviving only when every pass failed
+      val (sec, rows) = (1 to passes).map(_ => once())
+        .minBy(p => if (p._2 < 0) Double.PositiveInfinity else p._1)
       println(f"[run] $n%-24s $sec%8.2f s  $rows%10d rows")
       n -> sec
     }
