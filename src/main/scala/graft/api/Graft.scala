@@ -758,6 +758,30 @@ object Graft {
         s"16, 10) AS BIGINT) * 10000 < ${keepBp.toLong} * 65536"))
   }
 
+  /** Connected components over an arbitrary undirected edge list —
+    * the CC engine behind [[dedupClusters]] / [[minhashClusters]] /
+    * [[simhashClusters]] exposed on raw edges (the most general graph
+    * primitive a pipeline needs: entity resolution merge groups,
+    * cross-reference closure, any "which rows are transitively
+    * linked"). Input: two long-castable endpoint columns (direction
+    * and duplicate edges are irrelevant). Output: (node_id,
+    * component_id = component min node id, keep = is-representative)
+    * for every node that appears in an edge — isolated nodes never
+    * enter the edge list, so callers needing them add a left join.
+    * Scale contract inherited from the graded engine: contraction-
+    * first label fixpoint over the CONTRACTED graph (rounds shrink
+    * with the component diameter, not the node count), loop state
+    * pinned in bounded checkpoint slots (localCheckpoint, or parquet
+    * slots under `spark.graft.reliableCheckpoint` / the auto tier). */
+  def connectedComponents(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame =
+    Text.clusterLabels(edges.sparkSession,
+      edges.select(col(srcCol).cast("long").as("a_id"),
+        col(dstCol).cast("long").as("b_id")),
+      freshSlot("api_cc_raw"))
+      .select(col("doc_id").as("node_id"),
+        col("cluster_id").as("component_id"), col("keep"))
+
   /** Gap-based sessionization: append a 1-based per-key `session_id`
     * column — a new session starts whenever a row's timestamp is more
     * than `gapSeconds` after its predecessor for the same key. The
