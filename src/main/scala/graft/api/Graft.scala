@@ -764,23 +764,40 @@ object Graft {
     * primitive a pipeline needs: entity resolution merge groups,
     * cross-reference closure, any "which rows are transitively
     * linked"). Input: two long-castable endpoint columns (direction
-    * and duplicate edges are irrelevant). Output: (node_id,
-    * component_id = component min node id, keep = is-representative)
-    * for every node that appears in an edge — isolated nodes never
-    * enter the edge list, so callers needing them add a left join.
-    * Scale contract inherited from the graded engine: contraction-
-    * first label fixpoint over the CONTRACTED graph (rounds shrink
-    * with the component diameter, not the node count), loop state
-    * pinned in bounded checkpoint slots (localCheckpoint, or parquet
-    * slots under `spark.graft.reliableCheckpoint` / the auto tier). */
+    * and duplicate edges are irrelevant); a NULL endpoint or a value
+    * the long cast loses (string UUIDs, overflow) FAILS the job
+    * loudly — silently-null casts would drop the edge from every join
+    * and return wrong components. Output: (node_id, component_id =
+    * component min node id, keep = is-representative) for every node
+    * that appears in an edge — isolated nodes never enter the edge
+    * list, so callers needing them add a left join. Scale contract
+    * inherited from the graded engine: contraction-first label
+    * fixpoint over the CONTRACTED graph, loop state pinned in bounded
+    * checkpoint slots (localCheckpoint, or parquet slots under
+    * `spark.graft.reliableCheckpoint` / the auto tier). Convergence
+    * bound: the fixpoint runs `spark.graft.ccMaxRounds` (default 64)
+    * rounds over the contracted graph and fails loudly rather than
+    * emit unconverged labels — ample for clustery graphs (the dedup
+    * genre collapses in a handful), but a CHAIN of n contracted
+    * labels needs ~n rounds: raise the conf for diameter-heavy
+    * graphs. */
   def connectedComponents(edges: DataFrame, srcCol: String,
-                          dstCol: String): DataFrame =
+                          dstCol: String): DataFrame = {
+    def endpoint(c: String, as: String): Column = {
+      val casted = col(c).cast("long")
+      when(col(c).isNull, raise_error(lit(
+          s"connectedComponents: null $c endpoint")))
+        .when(casted.isNull, raise_error(concat(lit(
+          s"connectedComponents: $c value is not long-castable: "),
+          col(c).cast("string"))))
+        .otherwise(casted).as(as)
+    }
     Text.clusterLabels(edges.sparkSession,
-      edges.select(col(srcCol).cast("long").as("a_id"),
-        col(dstCol).cast("long").as("b_id")),
+      edges.select(endpoint(srcCol, "a_id"), endpoint(dstCol, "b_id")),
       freshSlot("api_cc_raw"))
       .select(col("doc_id").as("node_id"),
         col("cluster_id").as("component_id"), col("keep"))
+  }
 
   /** Gap-based sessionization: append a 1-based per-key `session_id`
     * column — a new session starts whenever a row's timestamp is more

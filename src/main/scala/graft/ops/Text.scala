@@ -581,7 +581,16 @@ object Text {
     // slots, so disk stays bounded with no cleaner dependency.
     var changed = 1L
     var rounds = 0
-    val maxRounds = 64 // propagation rounds = contracted-graph diameter
+    // Propagation rounds needed = contracted-graph diameter. 64 covers
+    // every dedup graph (near-dup components are clique-ish; their
+    // contraction collapses in a handful of rounds) but NOT an
+    // arbitrary chain-shaped graph (a path of n contracted labels needs
+    // ~n rounds) — reachable since round 13 through the public
+    // graft.api.Graft.connectedComponents. Conf-raisable rather than
+    // hard-coded so a diameter-heavy graph is a setting, not a fork;
+    // the loud non-convergence failure below names the conf.
+    val maxRounds = s.conf.getOption("spark.graft.ccMaxRounds")
+      .map(_.toInt).getOrElse(64)
     while (changed > 0 && rounds < maxRounds) {
       val nbrMin = cedges
         .join(labels, cedges("src") === labels("doc_id"))
@@ -601,7 +610,9 @@ object Text {
     // a component with diameter > maxRounds would otherwise silently emit
     // multiple keep=true docs inside one true component.
     require(changed == 0,
-      s"label propagation did not converge in $maxRounds rounds")
+      s"label propagation did not converge in $maxRounds rounds — a " +
+        "component's contracted diameter exceeds the bound; raise " +
+        "spark.graft.ccMaxRounds for chain-shaped graphs")
     // Compose: node → init label → contracted fixpoint label (identity
     // for labels whose component was already collapsed at init).
     val fix = labels.select(col("doc_id").as("lnode"),

@@ -98,7 +98,7 @@ object FileFormats {
     * dies with the JVM but the warehouse directory survives; a fresh
     * session must clear BOTH or saveAsTable fails with
     * LOCATION_ALREADY_EXISTS. */
-  private def resetTable(s: SparkSession, name: String): Unit = {
+  private[graft] def resetTable(s: SparkSession, name: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $name")
     val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
     val loc = new java.io.File(

@@ -237,60 +237,49 @@ class ApiSpec extends SparkSpec {
   }
 
   test("minhashIncrementalBanded: bucketed corpus side joins exchange-free") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
-      case q: QueryStageExec => p +: flatten(q.plan)
-      case r: ReusedExchangeExec => p +: flatten(r.child)
-      case _ => p +: p.children.flatMap(flatten)
-    }
-    val bt = s"graft_api_bands_t${ProcessHandle.current().pid()}"
-    spark.sql(s"DROP TABLE IF EXISTS $bt")
-    val whUri = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
-    val loc = new java.io.File(
-      if (whUri.getScheme == "file") new java.io.File(whUri).toString
-      else whUri.getPath, bt)
-    if (loc.isDirectory) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc.toPath).sorted(
-        java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-    }
-    val docs = ops.t(spark, sf, "documents").filter(col("lang") === "en")
-    Graft.minhashBandRows(docs, "doc_id", "text", 4, 2)
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(4, "band", "bkey").sortBy("band")
-      .saveAsTable(bt)
-    val batch = Graft.minhashBandRows(
-      docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", 4, 2)
-    val df = Graft.minhashIncrementalBanded(
-      spark.table(bt).hint("merge"), batch)
-    val nodes = flatten(df.queryExecution.executedPlan)
-    val smj = nodes.collect { case j: SortMergeJoinExec => j }
-    assert(smj.nonEmpty, "banded incremental join lost its SMJ shape")
-    // the CORPUS side (the subtree holding the bucketed scan) must be
-    // exchange-free; the batch side legitimately shuffles twice (its
-    // own signature aggregate on doc_id + the join's band exchange)
-    val sides = smj.head.children.map(flatten)
-    val corpusSide = sides.find(_.exists {
-      case f: FileSourceScanExec => f.bucketedScan
-      case _ => false
-    })
-    assert(corpusSide.isDefined, "no bucketed scan under the join")
-    assert(corpusSide.get.collect {
-      case e: ShuffleExchangeExec => e
-    }.isEmpty, "corpus side paid an exchange despite the bucketed layout")
-    // and the documented result contract holds on the persisted path
-    val viaTable = df.collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val direct = Graft.minhashIncremental(docs, "doc_id", "text",
+    // name follows the graft_<word>_b<12hex>_<pid> reaper convention
+    // (FileFormats.sweepStaleWarehouse), so a crashed run's leftover
+    // dir is reclaimed by the next JVM instead of leaking forever
+    val bt = s"graft_apibands_b0123456789ab_${ProcessHandle.current().pid()}"
+    graft.sources.FileFormats.resetTable(spark, bt)
+    try {
+      val docs = ops.t(spark, sf, "documents").filter(col("lang") === "en")
+      // sortBy the FULL join key, as the production recipe documents —
+      // band alone would leave a per-batch corpus-side sort on the table
+      Graft.minhashBandRows(docs, "doc_id", "text", 4, 2)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(4, "band", "bkey").sortBy("band", "bkey")
+        .saveAsTable(bt)
+      val batch = Graft.minhashBandRows(
         docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", 4, 2)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(viaTable == direct)
-    spark.sql(s"DROP TABLE IF EXISTS $bt")
+      val df = Graft.minhashIncrementalBanded(
+        spark.table(bt).hint("merge"), batch)
+      val smj = flattenPlan(df.queryExecution.executedPlan)
+        .collect { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, "banded incremental join lost its SMJ shape")
+      // the CORPUS side (the subtree holding the bucketed scan) must be
+      // exchange-free; the batch side legitimately shuffles twice (its
+      // own signature aggregate on doc_id + the join's band exchange)
+      val sides = smj.head.children.map(flattenPlan)
+      val corpusSide = sides.find(_.exists {
+        case f: FileSourceScanExec => f.bucketedScan
+        case _ => false
+      })
+      assert(corpusSide.isDefined, "no bucketed scan under the join")
+      assert(corpusSide.get.collect {
+        case e: ShuffleExchangeExec => e
+      }.isEmpty, "corpus side paid an exchange despite the bucketed layout")
+      // and the documented result contract holds on the persisted path
+      val viaTable = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val direct = Graft.minhashIncremental(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", 4, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaTable == direct)
+    } finally graft.sources.FileFormats.resetTable(spark, bt)
   }
 
   test("connectedComponents labels a custom edge list correctly") {
@@ -305,6 +294,47 @@ class ApiSpec extends SparkSpec {
       9L -> (1L, false), 5L -> (5L, true), 6L -> (5L, false),
       7L -> (7L, true), 8L -> (7L, false))
     assert(got == expect)
+  }
+
+  test("connectedComponents fails loudly on null or non-castable endpoints") {
+    // a silently-null cast would drop the edge from every join and
+    // return wrong components; both cases must fail the job instead
+    val uuidEdges = Seq(("a-1", "b-2")).toDF("u", "v")
+    val e1 = intercept[Exception] {
+      Graft.connectedComponents(uuidEdges, "u", "v").collect()
+    }
+    // under ANSI mode (the Spark 4 default) the cast itself throws
+    // CAST_INVALID_INPUT before our guard; the raise_error covers
+    // ANSI-off deployments — either way the job fails loudly
+    def says(t: Throwable, s: String): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains(s)) ||
+        says(t.getCause, s))
+    assert(says(e1, "not long-castable") || says(e1, "CAST_INVALID_INPUT"))
+    val nullEdges = Seq((Some(1L), None: Option[Long])).toDF("u", "v")
+    val e2 = intercept[Exception] {
+      Graft.connectedComponents(nullEdges, "u", "v").collect()
+    }
+    assert(e2.getMessage.contains("null v endpoint") ||
+      Option(e2.getCause).exists(_.getMessage.contains("null v endpoint")))
+  }
+
+  test("connectedComponents diameter bound is conf-raisable, fails loudly") {
+    // a 10-node chain: the contracted label graph is still chain-shaped,
+    // so the fixpoint needs several rounds — 2 is not enough and must
+    // fail LOUDLY (unconverged labels would split one true component),
+    // while the default bound converges and labels the whole chain 1
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("u", "v")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.ccMaxRounds", "2")
+    import s2.implicits._
+    val chain2 = (1L until 10L).map(i => (i, i + 1)).toDF("u", "v")
+    val e = intercept[IllegalArgumentException] {
+      Graft.connectedComponents(chain2, "u", "v").collect()
+    }
+    assert(e.getMessage.contains("ccMaxRounds"))
+    val labels = Graft.connectedComponents(chain, "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == (1L to 10L).map(_ -> 1L).toMap)
   }
 
   test("connectedComponents agrees with the graded cluster engine (fixture)") {

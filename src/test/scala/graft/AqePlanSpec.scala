@@ -16,12 +16,6 @@ import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHash
   * their subplans from the default TreeNode collect. */
 class AqePlanSpec extends SparkSpec {
 
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
-    case q: QueryStageExec => p +: flatten(q.plan)
-    case r: ReusedExchangeExec => p +: flatten(r.child)
-    case _ => p +: p.children.flatMap(flatten)
-  }
 
   private def finalPlan(name: String): Seq[SparkPlan] = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -30,7 +24,7 @@ class AqePlanSpec extends SparkSpec {
       // materialize THIS queryExecution (df.count() would build and run
       // a different plan, leaving this one un-finalized)
       df.queryExecution.toRdd.count()
-      flatten(df.queryExecution.executedPlan)
+      flattenPlan(df.queryExecution.executedPlan)
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
@@ -41,7 +35,7 @@ class AqePlanSpec extends SparkSpec {
     // no shuffle anywhere below the join — the bucketed co-location
     // contract; the only exchange in the whole plan is orderedAll's
     // final 1-partition presentation repartition ABOVE the aggregate
-    val below = smj.flatMap(flatten(_).drop(1)).collect {
+    val below = smj.flatMap(flattenPlan(_).drop(1)).collect {
       case e: ShuffleExchangeExec => e
     }
     assert(below.isEmpty, s"AQE re-introduced a shuffle: $below")
@@ -107,7 +101,7 @@ class AqePlanSpec extends SparkSpec {
       // only k = 0 lands in the dim range (the tail keys are ≥ 180000);
       // execute joined's OWN queryExecution so AQE finalizes it
       assert(joined.queryExecution.toRdd.count() == 180000L)
-      val skewed = flatten(joined.queryExecution.executedPlan).collect {
+      val skewed = flattenPlan(joined.queryExecution.executedPlan).collect {
         case j: SortMergeJoinExec if j.isSkewJoin => j
         case j: ShuffledHashJoinExec if j.isSkewJoin => j
       }

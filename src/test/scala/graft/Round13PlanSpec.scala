@@ -1,8 +1,6 @@
 package graft
 
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 
 /** Round-13 §2.113 plan + correctness pins: the two runtime
   * scan-avoidance twins exist for their physical behavior, so each is
@@ -12,12 +10,6 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
   */
 class Round13PlanSpec extends SparkSpec {
 
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
-    case q: QueryStageExec => p +: flatten(q.plan)
-    case r: ReusedExchangeExec => p +: flatten(r.child)
-    case _ => p +: p.children.flatMap(flatten)
-  }
 
   test("q_join_dpp: fact scan carries a dynamic partition-pruning filter") {
     val df = SparkEntry.queries("q_join_dpp")(spark, sf)
@@ -61,7 +53,7 @@ class Round13PlanSpec extends SparkSpec {
   test("q_scan_sorted: pushed range predicate skips clustered row groups") {
     val df = SparkEntry.queries("q_scan_sorted")(spark, sf)
     df.collect() // metrics only exist after execution
-    val scans = flatten(df.queryExecution.executedPlan).collect {
+    val scans = flattenPlan(df.queryExecution.executedPlan).collect {
       case f: FileSourceScanExec => f
     }
     assert(scans.nonEmpty)
@@ -88,7 +80,7 @@ class Round13PlanSpec extends SparkSpec {
     // exchanges are inserted by EnsureRequirements, which runs in the
     // executed-plan preparation — sparkPlan would show zero exchanges
     // everywhere and make this assertion vacuous
-    val nodes = flatten(SparkEntry.queries("q_dedup_incremental")(spark, sf)
+    val nodes = flattenPlan(SparkEntry.queries("q_dedup_incremental")(spark, sf)
       .queryExecution.executedPlan)
     val smj = nodes.collect { case j: SortMergeJoinExec => j }
     assert(smj.nonEmpty, "incremental candidate join lost its SMJ shape")
