@@ -192,9 +192,13 @@ object ScaleSmoke {
     // gate numbers charged first-run TARGET-SHAPE codegen and whatever
     // box noise landed on the one pass — every past round's "apparent
     // regression" adjudications re-measured exactly this. The second
-    // pass still reads data fresh (nothing cached); only the min is
-    // reported. SPARK_GRAFT_SINGLE_PASS=1 restores one-pass timing
-    // (for ingest-cost measurements where the first run IS the point).
+    // pass reads the SOURCE data fresh (no df caching), but queries
+    // that materialize per-JVM inputs (FileFormats.materialize, the
+    // bucketed orders/customer/band tables) pay that ingest write on
+    // pass 1 only — their reported min is read-side-only cost. Use
+    // SPARK_GRAFT_SINGLE_PASS=1 for ANY ingest-bearing measurement
+    // (not just explicit ingest keys), where the first run IS the
+    // point.
     val passes =
       if (sys.env.get("SPARK_GRAFT_SINGLE_PASS").contains("1")) 1 else 2
     val results = names.map { n =>

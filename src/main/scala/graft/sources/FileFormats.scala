@@ -104,13 +104,32 @@ object FileFormats {
     val loc = new java.io.File(
       if (wh.getScheme == "file") new java.io.File(wh).toString
       else wh.getPath, name)
-    if (loc.isDirectory) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc.toPath).sorted(
-        java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-    }
+    if (loc.isDirectory) deleteTree(loc)
   }
+
+  /** Recursively delete a directory, tolerating a CONCURRENT deleter
+    * (round-13 advice: two JVMs starting together can both sweep the
+    * same dead-pid dir — the loser used to throw NoSuchFileException
+    * out of its first query). deleteIfExists + per-path catch make the
+    * race benign (whoever wins, the tree ends up gone), and the walk
+    * stream is closed (it holds an open directory handle). Failures
+    * are swallowed: a leftover the sweep cannot remove is just leaked
+    * space, and resetTable's caller fails loudly on its own
+    * (saveAsTable → LOCATION_ALREADY_EXISTS) if the dir truly blocks. */
+  private def deleteTree(dir: java.io.File): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir.toPath)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach { p =>
+          try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () }
+        }
+      finally walk.close()
+    } catch {
+      case _: java.io.IOException => ()
+      case _: java.io.UncheckedIOException => ()
+    }
 
   /** Collision-resistant per-dataset-dir table-name tag (round-12
     * advice): 12 hex chars of md5 over the ABSOLUTE path. The previous
@@ -149,19 +168,39 @@ object FileFormats {
       val root =
         if (whUri.getScheme == "file") new java.io.File(whUri)
         else new java.io.File(whUri.getPath)
-      val named = """graft_[a-z]+_b[0-9a-f]{12}_(\d+)(?:_.*)?""".r
+      // Current names (dirTag + per-writer suffixes — extend this regex
+      // when a new saveAsTable site adds a shape):
+      //   graft_{orders,customer}_b<12hex>_<pid>
+      //   graft_bands_b<12hex>_<pid>_<bp>_<nb>
+      // Any OTHER graft_* dir is a legacy leftover (pre-pid naming:
+      // graft_orders_b<12hex>; graft_bands_b<12hex>_<bp>_<nb>) — no
+      // running JVM can reference those names, so they are reaped
+      // unconditionally. The old single catch-all regex misparsed the
+      // legacy bands form's bp field as a pid (round-13 advice): the dir
+      // was then kept or deleted based on an unrelated process's
+      // liveness.
+      val current = ("""graft_(?:orders|customer)_b[0-9a-f]{12}_(\d+)""" +
+        """|graft_bands_b[0-9a-f]{12}_(\d+)_\d+_\d+""").r
       val mine = ProcessHandle.current().pid()
+      // mtime TTL fallback (round-13 advice): a crashed run whose pid
+      // gets recycled by a long-lived unrelated process would otherwise
+      // leave its warehouse copy unreclaimed forever — the liveness
+      // check sees a live (wrong) process. Any other-JVM dir untouched
+      // for this long is reaped regardless; our own writers are at most
+      // hours old in any real run.
+      val ttlMs = s.conf.getOption("spark.graft.warehouseTtlHours")
+        .map(_.toLong).getOrElse(168L) * 3600L * 1000L
+      val now = System.currentTimeMillis()
       for (f <- Option(root.listFiles()).getOrElse(Array.empty)
-           if f.isDirectory) f.getName match {
-        case named(pidStr) =>
-          val pid = pidStr.toLong
-          if (pid != mine && !ProcessHandle.of(pid).isPresent) {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(f.toPath).sorted(
-              java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .iterator().asScala.foreach(java.nio.file.Files.delete)
-          }
-        case _ => ()
+           if f.isDirectory && f.getName.startsWith("graft_")) {
+        val stale = f.getName match {
+          case current(oc, bands) =>
+            val pid = (if (oc != null) oc else bands).toLong
+            pid != mine && (!ProcessHandle.of(pid).isPresent ||
+              now - f.lastModified() > ttlMs)
+          case _ => true // legacy naming: nothing live can reference it
+        }
+        if (stale) deleteTree(f)
       }
     }
 

