@@ -75,7 +75,20 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      val m = math.min(once(), once())
+      // Per-key settle AFTER a heavy key (round-13 verdict item 4): the
+      // r13 capture charged the alphabetically-contiguous TPC-H block
+      // 1.5-3.5× its RunOne steady state — shuffle/GC debris from the
+      // preceding heavy key collected inside the NEXT key's timed pair.
+      // The quiet-start GC below only covers the first key; this drains
+      // the carryover at each heavy boundary. Conditional on the key's
+      // own time so the hundreds of sub-half-second keys pay nothing;
+      // SPARK_GRAFT_NO_SETTLE=1 restores the r13 behavior (the A/B
+      // control — BASELINE.md r14 records the measured effect).
+      if (m > 0.5 && !sys.env.get("SPARK_GRAFT_NO_SETTLE").contains("1")) {
+        System.gc(); Thread.sleep(100)
+      }
+      name -> m
     }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
     // total covers EVERY query; the per-query map lists only the 30

@@ -7889,6 +7889,14 @@ object Oracles {
         |        WHERE doc_id % 10 = 7) AS n_batch_docs
         |FROM cand ORDER BY ALL""".stripMargin,
 
+    // §2.115 (round 14): the AQE coalesce twin — the mechanism is
+    // runtime partition merging, so the oracle is just the plain
+    // roll-up (the result must be partitioning-invariant).
+    "q_shuffle_coalesce" ->
+      s"""SELECT l_suppkey, count(*) AS n,
+         |       ${dsum("l_extendedprice")} AS total
+         |FROM lineitem GROUP BY 1 ORDER BY ALL""".stripMargin,
+
     "q_query_likelihood" ->
       """WITH occ AS (SELECT doc_id,
         |    unnest(list_filter(string_split(lower(text), ' '),

@@ -660,7 +660,9 @@ object SparkEntry {
     "q_scan_sorted" -> (graft.sources.FileFormats.qScanSorted _),
     // §2.114: incremental batch-vs-corpus dedup over the standing
     // bucketed band table
-    "q_dedup_incremental" -> (graft.sources.FileFormats.qDedupIncremental _)
+    "q_dedup_incremental" -> (graft.sources.FileFormats.qDedupIncremental _),
+    // §2.115 round-14: the AQE runtime-coalesce mechanism twin
+    "q_shuffle_coalesce" -> Advanced.qShuffleCoalesce _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -168,6 +168,27 @@ object Advanced {
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")))
   }
 
+  /** Runtime shuffle-partition coalescing (§2.115, round 14 — the other
+    * AQE mechanism twin next to [[qJoinSkew]]'s skew split): a
+    * corpus-scale per-supplier roll-up left PLAIN under the session's
+    * static shuffle partition count. At 100 TB the static count is
+    * sized for the biggest stage in the job (tens of thousands), which
+    * over-partitions every SMALL aggregate downstream — thousands of
+    * near-empty reducers each paying task launch, fetch round-trips,
+    * and a tiny output file. AQE's CoalesceShufflePartitions merges
+    * those slices at runtime from the map output statistics (toward
+    * `spark.sql.adaptive.advisoryPartitionSizeInBytes`), so ONE conf
+    * serves every stage — the declarative counterpart of hand-tuning
+    * per-stage numPartitions, exactly as OptimizeSkewedJoin is the
+    * declarative counterpart of hand salting. Round14PlanSpec executes
+    * the plan and asserts an AQEShuffleReadExec merged multiple
+    * reducer slices below the static count; the RESULT is
+    * partitioning-invariant (the oracle is the plain GROUP BY). */
+  def qShuffleCoalesce(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total")))
+
   /** Non-equi range (band) join: orders bucketed into price bands from a
     * tiny bands dimension. No equi key → Spark plans a broadcast
     * nested-loop join; with 6 bands that is 6 comparisons per row,

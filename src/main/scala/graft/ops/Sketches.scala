@@ -189,9 +189,9 @@ object Sketches {
     * exact verified pair list remains the contract. Output is the
     * q_dedup_clusters shape (doc_id, cluster_id, keep), unsorted, only
     * docs with ≥1 collision partner. */
-  private def bucketClusters(s: SparkSession, bands: DataFrame,
-                             keyCols: Seq[String],
-                             slotPrefix: String): DataFrame = {
+  private[graft] def bucketClusters(s: SparkSession, bands: DataFrame,
+                                    keyCols: Seq[String],
+                                    slotPrefix: String): DataFrame = {
     val bmin = bands.groupBy(keyCols.map(col): _*)
       .agg(min(col("doc_id")).as("rep"))
     val star = bands.join(bmin, keyCols)

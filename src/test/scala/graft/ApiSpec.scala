@@ -309,13 +309,33 @@ class ApiSpec extends SparkSpec {
     def says(t: Throwable, s: String): Boolean =
       t != null && (Option(t.getMessage).exists(_.contains(s)) ||
         says(t.getCause, s))
-    assert(says(e1, "not long-castable") || says(e1, "CAST_INVALID_INPUT"))
+    assert(says(e1, "long-castable") || says(e1, "CAST_INVALID_INPUT"))
     val nullEdges = Seq((Some(1L), None: Option[Long])).toDF("u", "v")
     val e2 = intercept[Exception] {
       Graft.connectedComponents(nullEdges, "u", "v").collect()
     }
     assert(e2.getMessage.contains("null v endpoint") ||
       Option(e2.getCause).exists(_.getMessage.contains("null v endpoint")))
+  }
+
+  test("connectedComponents fails loudly on truncating fractional endpoints") {
+    // double→long truncation is SILENT even under ANSI: without the
+    // round-trip guard, endpoints 1.9 and 1.2 would both become node 1
+    // and silently merge two distinct nodes (round-13 advice)
+    val fracEdges = Seq((1.9, 7.0), (1.2, 8.0)).toDF("u", "v")
+    val e = intercept[Exception] {
+      Graft.connectedComponents(fracEdges, "u", "v").collect()
+    }
+    def says(t: Throwable, s: String): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains(s)) ||
+        says(t.getCause, s))
+    assert(says(e, "not losslessly long-castable"))
+    // exactly-integral doubles (ids that arrived through JSON) round-trip
+    // and must pass
+    val okEdges = Seq((1.0, 2.0), (2.0, 3.0)).toDF("u", "v")
+    val got = Graft.connectedComponents(okEdges, "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
   test("connectedComponents diameter bound is conf-raisable, fails loudly") {

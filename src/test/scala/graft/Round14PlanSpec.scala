@@ -33,4 +33,28 @@ class Round14PlanSpec extends SparkSpec {
       s"non-fixture scan in the q_spearman plan (checkpoint slot?): " +
         s"${offFixture.map(_.relation.location.rootPaths.mkString(","))}")
   }
+
+  test("q_shuffle_coalesce: AQE merges tiny reducer slices at runtime") {
+    import org.apache.spark.sql.execution.CoalescedPartitionSpec
+    import org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec
+    val df = SparkEntry.queries("q_shuffle_coalesce")(spark, sf)
+    df.collect() // AQE re-plans during execution
+    val reads = flattenPlan(df.queryExecution.executedPlan).collect {
+      case r: AQEShuffleReadExec => r
+    }
+    assert(reads.nonEmpty, "no AQE shuffle read in the executed plan")
+    val static = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(static > 1, "static partition count must exceed 1 for the test")
+    // the mechanism under test: at least one read serves FEWER partitions
+    // than the static count, with at least one spec spanning multiple
+    // reducer indices (a genuine merge, not a passthrough)
+    assert(reads.exists(r => r.partitionSpecs.size < static &&
+        r.partitionSpecs.exists {
+          case c: CoalescedPartitionSpec =>
+            c.endReducerIndex - c.startReducerIndex > 1
+          case _ => false
+        }),
+      s"no coalesced shuffle read below $static partitions: " +
+        reads.map(_.partitionSpecs.size).mkString(","))
+  }
 }
