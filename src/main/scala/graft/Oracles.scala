@@ -7897,6 +7897,16 @@ object Oracles {
          |       ${dsum("l_extendedprice")} AS total
          |FROM lineitem GROUP BY 1 ORDER BY ALL""".stripMargin,
 
+    // §2.116 (round 14): runtime Bloom-filter join pruning — a Bloom
+    // filter only ever drops rows the join drops, so the oracle is the
+    // plain filtered join.
+    "q_join_runtime_filter" ->
+      s"""SELECT p_brand, count(*) AS n,
+         |       ${dsum("l_extendedprice")} AS total
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand IN ('Brand#13', 'Brand#21')
+         |GROUP BY 1 ORDER BY ALL""".stripMargin,
+
     "q_query_likelihood" ->
       """WITH occ AS (SELECT doc_id,
         |    unnest(list_filter(string_split(lower(text), ' '),

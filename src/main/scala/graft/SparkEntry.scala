@@ -662,7 +662,9 @@ object SparkEntry {
     // bucketed band table
     "q_dedup_incremental" -> (graft.sources.FileFormats.qDedupIncremental _),
     // §2.115 round-14: the AQE runtime-coalesce mechanism twin
-    "q_shuffle_coalesce" -> Advanced.qShuffleCoalesce _
+    "q_shuffle_coalesce" -> Advanced.qShuffleCoalesce _,
+    // §2.116 round-14: runtime Bloom-filter join pruning
+    "q_join_runtime_filter" -> Advanced.qJoinRuntimeFilter _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

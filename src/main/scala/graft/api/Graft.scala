@@ -899,13 +899,20 @@ object Graft {
     * batch endpoints' standing labels (output batch-sized, pinned once)
     * and the final relabel pass with the (old → new component) map
     * broadcast. Each day's label update costs O(batch) shuffle + those
-    * scans. (At 100 TB, emit only the CHANGED rows by inner-joining the
-    * relabel map instead of the left join — the lookup scan is the
-    * floor either way.) */
+    * scans.
+    *
+    * `changedOnly = true` emits a DELTA instead of the full table: only
+    * rows whose component_id differs from the standing table (relabeled
+    * members of merged components) plus the batch-only nodes — the
+    * shape a 100 TB pipeline MERGEs into its standing label table
+    * rather than rewriting it (the endpoint-lookup scan is the floor
+    * either way, but the write drops from corpus-sized to
+    * batch-sized). */
   def connectedComponentsIncremental(labels: DataFrame, nodeCol: String,
                                      compCol: String, newEdges: DataFrame,
-                                     srcCol: String,
-                                     dstCol: String): DataFrame = {
+                                     srcCol: String, dstCol: String,
+                                     changedOnly: Boolean = false)
+      : DataFrame = {
     val s = labels.sparkSession
     val op = "connectedComponentsIncremental"
     val lab = labels.select(nodeId(labels, op, nodeCol, "node_id"),
@@ -940,10 +947,17 @@ object Graft {
     // nodes the standing table has never seen (batch-only endpoints)
     val newNodes = endpoints.join(endpointLabs, Seq("node_id"),
       "left_anti")
-    val updated = lab
-      .join(broadcast(remap), col("comp") === col("old_comp"), "left")
-      .select(col("node_id"),
-        coalesce(col("new_comp"), col("comp")).as("component_id"))
+    val updated =
+      if (changedOnly)
+        // inner join against the strictly-relabeling map entries: only
+        // members of components whose id actually moved are emitted
+        lab.join(broadcast(remap.filter(col("new_comp") =!=
+            col("old_comp"))), col("comp") === col("old_comp"))
+          .select(col("node_id"), col("new_comp").as("component_id"))
+      else lab
+        .join(broadcast(remap), col("comp") === col("old_comp"), "left")
+        .select(col("node_id"),
+          coalesce(col("new_comp"), col("comp")).as("component_id"))
     val fresh = newNodes
       .join(broadcast(remap), col("node_id") === col("old_comp"), "left")
       .select(col("node_id"),

@@ -189,6 +189,32 @@ object Advanced {
       .groupBy("l_suppkey")
       .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total")))
 
+  /** Runtime Bloom-filter join pruning (§2.116, round 14 — the third
+    * adaptive mechanism next to [[qJoinSkew]]'s skew split and
+    * [[qShuffleCoalesce]]'s partition merge): a selectively-filtered
+    * dimension joined to the fact, left PLAIN. When the join must
+    * shuffle (no broadcast), Spark's InjectRuntimeFilter builds a Bloom
+    * filter from the FILTERED dim's join keys and plants a
+    * `might_contain` predicate on the fact side BEFORE its shuffle —
+    * at 100 TB that deletes the dominant cost of a selective star
+    * join, shuffling only the ~matching fraction of the fact instead
+    * of all of it (the shuffle-join counterpart of [[graft.sources
+    * .FileFormats.qJoinDpp]]'s partition pruning, and the declarative
+    * form of the hand-built q_bloom_join). The engagement thresholds
+    * are cluster-shaped (10 GB application side), so Round14PlanSpec
+    * proves the mechanism under lowered thresholds — the injected
+    * `might_contain` in the optimized plan AND filter-on == filter-off
+    * results — while the graded run keeps session defaults (the result
+    * is filter-invariant by construction: a Bloom filter only ever
+    * drops rows the join would drop). */
+  def qJoinRuntimeFilter(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "lineitem")
+      .join(t(s, dir, "part")
+          .filter(col("p_brand").isin("Brand#13", "Brand#21")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total")))
+
   /** Non-equi range (band) join: orders bucketed into price bands from a
     * tiny bands dimension. No equi key → Spark plans a broadcast
     * nested-loop join; with 6 bands that is 6 comparisons per row,

@@ -110,6 +110,61 @@ class Round14GateSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("ccIncremental changedOnly emits exactly the rows that moved") {
+    import spark.implicits._
+    val p1 = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (20L, 21L))
+      .toDF("u", "v")
+    val p2 = Seq((6L, 7L), (1L, 3L), (30L, 31L), (31L, 21L), (40L, 40L))
+      .toDF("u", "v")
+    val standing = Graft.connectedComponents(p1, "u", "v")
+    val delta = Graft.connectedComponentsIncremental(standing, "node_id",
+        "component_id", p2, "u", "v", changedOnly = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    // moved: 7,8 (7→5 merge); fresh: 30,31 (→20), 40 (→40). NOT moved:
+    // 1,2,3 (no-op edge), 5,6 (absorbing side keeps its id), 20,21
+    assert(delta == Set((7L, 5L, false), (8L, 5L, false),
+      (30L, 20L, false), (31L, 20L, false), (40L, 40L, true)))
+    // overlaying the delta on the standing table reproduces the full
+    // incremental output — the MERGE contract
+    val full = Graft.connectedComponentsIncremental(standing, "node_id",
+        "component_id", p2, "u", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    val standingRows = standing.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val overlay = standingRows.filterNot(s =>
+      delta.exists(_._1 == s._1)).toSet ++ delta
+    assert(overlay == full)
+  }
+
+  test("ccIncremental no-op and empty batches leave labels unchanged") {
+    import spark.implicits._
+    val p1 = Seq((1L, 2L), (5L, 6L)).toDF("u", "v")
+    val standing = Graft.connectedComponents(p1, "u", "v")
+    val want = standing.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // batch whose edges are all internal to standing components
+    val noop = Seq((1L, 2L), (2L, 1L)).toDF("u", "v")
+    val got = Graft.connectedComponentsIncremental(standing, "node_id",
+        "component_id", noop, "u", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    assert(got == want)
+    // fully empty batch
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    val got2 = Graft.connectedComponentsIncremental(standing, "node_id",
+        "component_id", empty, "u", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    assert(got2 == want)
+    // and the deltas are empty in both cases
+    assert(Graft.connectedComponentsIncremental(standing, "node_id",
+      "component_id", noop, "u", "v", changedOnly = true).count() == 0)
+    assert(Graft.connectedComponentsIncremental(standing, "node_id",
+      "component_id", empty, "u", "v", changedOnly = true).count() == 0)
+  }
+
   test("ccIncremental guards: truncating or null ids fail loudly") {
     import spark.implicits._
     val standing = Graft.connectedComponents(

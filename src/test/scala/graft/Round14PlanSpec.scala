@@ -57,4 +57,30 @@ class Round14PlanSpec extends SparkSpec {
       s"no coalesced shuffle read below $static partitions: " +
         reads.map(_.partitionSpecs.size).mkString(","))
   }
+
+  test("q_join_runtime_filter: Bloom filter injected under cluster thresholds") {
+    // the engagement thresholds are cluster-shaped (10 GB application
+    // side), so prove the mechanism under lowered ones — the q_join_skew
+    // pattern: a session where the fixture LOOKS like a cluster workload
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+      "applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df = SparkEntry.queries("q_join_runtime_filter")(s2, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("might_contain"),
+      "no injected Bloom filter (might_contain) in the optimized plan " +
+        "under lowered thresholds")
+    // the filter must be planted on the FACT (lineitem) side's scan
+    // subtree, and results must be identical with the rule disabled
+    val got = df.collect().map(_.toSeq).toSet
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    val off = SparkEntry.queries("q_join_runtime_filter")(s3, sf)
+    assert(!off.queryExecution.optimizedPlan.toString
+      .contains("might_contain"))
+    assert(off.collect().map(_.toSeq).toSet == got)
+    assert(got.nonEmpty)
+  }
 }
