@@ -7907,6 +7907,16 @@ object Oracles {
          |WHERE p_brand IN ('Brand#13', 'Brand#21')
          |GROUP BY 1 ORDER BY ALL""".stripMargin,
 
+    // §2.117 (round 14): runtime broadcast promotion — the join
+    // strategy is a physical choice, so the oracle is the plain
+    // filtered join (strategy-invariant by construction).
+    "q_join_runtime_bcast" ->
+      s"""SELECT c_nationkey, count(*) AS n,
+         |       ${dsum("o_totalprice")} AS total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY 1 ORDER BY ALL""".stripMargin,
+
     "q_query_likelihood" ->
       """WITH occ AS (SELECT doc_id,
         |    unnest(list_filter(string_split(lower(text), ' '),

