@@ -185,7 +185,11 @@ object Graft {
     * components to the LSH candidate-pair graph at LINEAR edge count,
     * recall 1−(1−J^2)^8 per the banding closed form (matched to the
     * default thresholdBp 8000; precision = the banding, no per-pair
-    * verification). Same output shape either way. The graded fixtures
+    * verification). A NON-DEFAULT thresholdBp is NOT honored on the
+    * routed tier — the banding is fixed (8,2), so clusters merge near
+    * J≈0.8 whatever the caller asked; a caller needing its exact
+    * threshold at lethal density forces the exact tier (conf ≤0) and
+    * accepts that tier's cost. Same output shape either way. The graded fixtures
     * sit ~50× under the floor (sf0.1 ≈ 18.5k cand/doc) and keep the
     * exact contract; the 100×-salted smoke corpus (~1.8×10⁸ cand/doc)
     * routes and COMPLETES (ScaleSmoke `apidedup`, BASELINE.md r14)
@@ -194,30 +198,47 @@ object Graft {
     * floor and routed==[[minhashClusters]] above it. */
   def dedupClusters(df: DataFrame, idCol: String, textCol: String,
                     thresholdBp: Int = 8000): DataFrame = {
+    // validate UP FRONT: the routed path below returns before
+    // nearDupPairs' own require would run, and a bad threshold must
+    // fail loudly on every tier (round-14 review)
+    require(thresholdBp > 0 && thresholdBp <= 10000,
+      s"thresholdBp must be in (0, 10000], got $thresholdBp")
     val s = df.sparkSession
     val maxCandPerDoc = s.conf
       .getOption("spark.graft.dedupClusterMaxCandPerDoc")
       .map(_.toLong).getOrElse(1000000L)
     if (maxCandPerDoc > 0) {
       // the same tokenizer as nearDupPairs — the probe must price the
-      // join the exact tier would actually run
+      // join the exact tier would actually run. One explode scan for
+      // the token histogram; the doc count comes from the RAW table
+      // (no explode — marginally larger than the tokenized-doc count
+      // when some docs are all-empty, which only biases the gate
+      // TOWARD the exact tier).
       val dt = df.select(col(idCol).cast("long").as("doc_id"),
           explode(split(lower(col(textCol)), " ")).as("token"))
         .filter(col("token") =!= "").distinct()
       val probe = dt.groupBy("token").agg(count(lit(1)).as("c"))
-        .agg(sum(expr("c * (c - 1) div 2")).as("cand"),
-          sum(col("c")).as("postings")).head
+        .agg(sum(expr("c * (c - 1) div 2")).as("cand")).head
       val cand = if (probe.isNullAt(0)) 0L else probe.getLong(0)
-      val nDocs = dt.agg(countDistinct(col("doc_id"))).head.getLong(0)
+      val nDocs = df.agg(countDistinct(col(idCol))).head.getLong(0)
       if (nDocs > 0 && cand / nDocs > maxCandPerDoc) {
-        // breadcrumb for smokes/ops dashboards: WHICH tier ran, and at
-        // what measured density — the routed output is a different
-        // (probabilistic-recall) contract and that must be observable
+        // breadcrumb for smokes/ops dashboards: WHICH tier ran, at what
+        // measured density, and WHICH banding — the routed output is a
+        // different contract (fixed (8,2) LSH clustering, recall
+        // 1−(1−J²)⁸, NO per-pair verification: the caller's
+        // thresholdBp is not honored above the gate, docs merging near
+        // J≈0.8 regardless) and that must be observable. Callers
+        // needing the exact threshold at lethal density set the conf
+        // ≤0 and bring the disk.
         s.conf.set("spark.graft.lastDedupRoute",
-          s"sketch:candPerDoc=${cand / nDocs}")
+          s"sketch(8,2):candPerDoc=${cand / nDocs}")
+        // pin the band rows: bucketClusters folds them twice (bucket
+        // minima + the star join) and the MinHash signature aggregate
+        // is the routed tier's dominant cost (round-14 review)
         return Sketches.bucketClusters(s,
-          mhBandRows(df, idCol, textCol, 8, 2), Seq("band", "bkey"),
-          freshSlot("api_cc_gate"))
+          Text.pin(mhBandRows(df, idCol, textCol, 8, 2),
+            freshSlot("api_cc_gate_bands")),
+          Seq("band", "bkey"), freshSlot("api_cc_gate"))
           .withColumnRenamed("doc_id", idCol)
       }
       s.conf.set("spark.graft.lastDedupRoute",

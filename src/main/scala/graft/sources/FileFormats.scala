@@ -155,12 +155,11 @@ object FileFormats {
     * the cross-JVM overwrite race for leftover per-pid table copies —
     * without a sweep the warehouse grows by a few bucketed tables per
     * run forever). Runs once per JVM, before the first table write.
-    * Only graft-named dirs whose embedded pid no longer has a live
-    * process are touched: a LIVE concurrent JVM's tables are exactly
-    * the thing the pid scoping protects, and this JVM's own names are
-    * excluded by the pid check too. Dir names, not the catalog, are
-    * the source of truth — dead JVMs' in-memory catalogs died with
-    * them. */
+    * Only graft-named dirs with NO plausible live owner are touched: a
+    * LIVE concurrent JVM's tables are exactly the thing the pid
+    * scoping protects, and this JVM's own names are kept by the same
+    * test. Dir names, not the catalog, are the source of truth — dead
+    * JVMs' in-memory catalogs died with them. */
   private val swept = new java.util.concurrent.atomic.AtomicBoolean(false)
   private def sweepStaleWarehouse(s: SparkSession): Unit =
     if (swept.compareAndSet(false, true)) {
@@ -168,39 +167,35 @@ object FileFormats {
       val root =
         if (whUri.getScheme == "file") new java.io.File(whUri)
         else new java.io.File(whUri.getPath)
-      // Current names (dirTag + per-writer suffixes — extend this regex
-      // when a new saveAsTable site adds a shape):
-      //   graft_{orders,customer}_b<12hex>_<pid>
-      //   graft_bands_b<12hex>_<pid>_<bp>_<nb>
-      // Any OTHER graft_* dir is a legacy leftover (pre-pid naming:
-      // graft_orders_b<12hex>; graft_bands_b<12hex>_<bp>_<nb>) — no
-      // running JVM can reference those names, so they are reaped
-      // unconditionally. The old single catch-all regex misparsed the
-      // legacy bands form's bp field as a pid (round-13 advice): the dir
-      // was then kept or deleted based on an unrelated process's
-      // liveness.
-      val current = ("""graft_(?:orders|customer)_b[0-9a-f]{12}_(\d+)""" +
-        """|graft_bands_b[0-9a-f]{12}_(\d+)_\d+_\d+""").r
+      // Ownership test, shape-agnostic (round-14 self-review — the
+      // previous per-table-name regex was a trap: a future saveAsTable
+      // site that forgot to extend it would have its LIVE tables reaped
+      // as "legacy", and its pid-liveness check kept recycled-pid dirs
+      // forever while an mtime TTL could delete a genuinely long-lived
+      // JVM's tables mid-read). A dir is KEPT iff some digit run in its
+      // name plausibly identifies a live owner: our own pid, or a live
+      // pid whose process STARTED BEFORE the dir was last written (a
+      // process that started after the write cannot be the writer — the
+      // recycled-pid case — while the real writer always predates its
+      // own table). Every failure mode is in the safe direction:
+      // unknown start instant → keep; a legacy dir whose bp/nb field
+      // coincides with a live old pid → kept (leaked) until that pid
+      // dies, never a live table deleted. Legacy pre-pid names carry no
+      // owning digit run and are reaped.
       val mine = ProcessHandle.current().pid()
-      // mtime TTL fallback (round-13 advice): a crashed run whose pid
-      // gets recycled by a long-lived unrelated process would otherwise
-      // leave its warehouse copy unreclaimed forever — the liveness
-      // check sees a live (wrong) process. Any other-JVM dir untouched
-      // for this long is reaped regardless; our own writers are at most
-      // hours old in any real run.
-      val ttlMs = s.conf.getOption("spark.graft.warehouseTtlHours")
-        .map(_.toLong).getOrElse(168L) * 3600L * 1000L
-      val now = System.currentTimeMillis()
+      def mightOwn(tok: String, mtime: Long): Boolean =
+        tok.length <= 18 && {
+          val pid = tok.toLong
+          pid == mine || ProcessHandle.of(pid).map[Boolean] { h =>
+            h.info().startInstant().map[Boolean](si =>
+              si.toEpochMilli <= mtime + 60000L).orElse(true)
+          }.orElse(false)
+        }
       for (f <- Option(root.listFiles()).getOrElse(Array.empty)
            if f.isDirectory && f.getName.startsWith("graft_")) {
-        val stale = f.getName match {
-          case current(oc, bands) =>
-            val pid = (if (oc != null) oc else bands).toLong
-            pid != mine && (!ProcessHandle.of(pid).isPresent ||
-              now - f.lastModified() > ttlMs)
-          case _ => true // legacy naming: nothing live can reference it
-        }
-        if (stale) deleteTree(f)
+        val owned = """\d+""".r.findAllIn(f.getName)
+          .exists(mightOwn(_, f.lastModified()))
+        if (!owned) deleteTree(f)
       }
     }
 

@@ -60,6 +60,18 @@ class Round14GateSpec extends SparkSpec {
     })
   }
 
+  test("dedupClusters validates thresholdBp on EVERY tier") {
+    // the routed path returns before nearDupPairs' require would run;
+    // the up-front guard must fire even when the gate would route
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.dedupClusterMaxCandPerDoc", "1")
+    val e = intercept[IllegalArgumentException] {
+      Graft.dedupClusters(fixtureDocs(s2), "doc_id", "text",
+        thresholdBp = -5)
+    }
+    assert(e.getMessage.contains("thresholdBp"))
+  }
+
   // ---- incremental connected components (round-14 item 5) --------------
 
   test("ccIncremental == full recluster on a hand-built merge battery") {
