@@ -385,6 +385,69 @@ object Graft {
         .select("a_id", "b_id"), freshSlot("api_sh_cc"))
       .withColumnRenamed("doc_id", idCol)
 
+  // ---- classic text jobs (the reference genre's headline surface) -------
+
+  /** Word count over any text column — THE MapReduce-lab job, as one
+    * codegen'd explode + mergeable aggregate (map-side combine = the
+    * combiner, for free). Shared tokenizer (lowercase, single-space
+    * split, empties dropped), same as every graded text operator.
+    * Emits (token, n), unsorted. */
+  def wordcount(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(graft.ops.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+
+  /** Per-document top-k TF-IDF terms over any (id, text) table — the
+    * graded q_tfidf recipe (tf and df as two aggregates over ONE token
+    * stream, n_docs a broadcast scalar, the rank a single keyed
+    * window; the MR formulation chained three jobs) exposed
+    * parametrically. Emits (<idCol>, token, tf, df, tfidf ×10⁻⁴
+    * rounded), ties broken by token. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String,
+            topK: Int = 5): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val docs = df.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val tok = Text.tokDf(docs)
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nd = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_raw").desc, col("token").asc)
+    tf.join(dfr, "token").crossJoin(broadcast(nd))
+      .withColumn("tfidf_raw",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("doc_id").as(idCol), col("token"), col("tf"),
+        col("df"), round(col("tfidf_raw"), 4).as("tfidf"))
+  }
+
+  /** Bounded inverted index over any (id, text) table — the graded
+    * q_inverted_index shape: per token, document frequency, id range,
+    * and a size-capped posting sample via the BoundedMinK typed
+    * aggregate (O(maxPostings) state, map-side mergeable — no per-token
+    * window sort, no unbounded collect_list: a stopword's posting list
+    * is corpus-sized at 100 TB and must never materialize). Emits
+    * (token, df, first_doc, last_doc, postings). */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int = 10): DataFrame = {
+    require(maxPostings > 0,
+      s"maxPostings must be positive, got $maxPostings")
+    df.select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(graft.ops.tokens(col(textCol))))
+          .as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"),
+        graft.functions.BoundedMinK.minK(col("doc_id"), maxPostings)
+          .as("cap"))
+      .withColumn("postings",
+        array_join(expr("transform(cap, x -> CAST(x AS STRING))"), ","))
+      .drop("cap")
+  }
+
   // ---- text scoring ---------------------------------------------------------
 
   /** Okapi BM25 retrieval scores over any (id, text) table for a

@@ -453,6 +453,51 @@ class ApiSpec extends SparkSpec {
       labels.map(_._2).toSet, "one keep=true per cluster, at the min id")
   }
 
+  // -- classic text jobs --------------------------------------------------
+
+  test("wordcount matches a brute-force count on a custom schema") {
+    val posts = Seq((1L, "To be OR not to be"), (2L, "or  not"))
+      .toDF("pid", "body")
+    val got = Graft.wordcount(posts, "body")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // shared tokenizer: lowercase, single-space split, empties dropped —
+    // the double space yields one empty token, which must not count
+    assert(got == Map("to" -> 2, "be" -> 2, "or" -> 2, "not" -> 2))
+  }
+
+  test("wordcount / tfidf / invertedIndex delegate to the graded jobs") {
+    val docs = ops.t(spark, sf, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    assert(rows(Graft.wordcount(docs, "text")) ==
+      rows(SparkEntry.queries("q_wordcount")(spark, sf)))
+    val tfidfIn = docs.filter(col("lang") === "en" && col("doc_id") < 100)
+    assert(rows(Graft.tfidf(tfidfIn, "doc_id", "text", topK = 5)) ==
+      rows(SparkEntry.queries("q_tfidf")(spark, sf)))
+    assert(rows(Graft.invertedIndex(docs, "doc_id", "text",
+        maxPostings = 10)) ==
+      rows(SparkEntry.queries("q_inverted_index")(spark, sf)))
+  }
+
+  test("tfidf and invertedIndex hold their contracts on a custom schema") {
+    val posts = Seq((10L, "alpha beta beta"), (20L, "alpha gamma"),
+      (30L, "alpha alpha delta")).toDF("pid", "body")
+    val tf = Graft.tfidf(posts, "pid", "body", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // ≤ topK rows per doc; df counts documents, not occurrences; a
+    // term in every doc has tfidf 0 and never beats a distinctive term
+    assert(tf.groupBy(_._1).forall(_._2.length <= 2))
+    assert(tf.filter(_._2 == "alpha").forall(t => t._4 == 3 && t._5 == 0.0))
+    assert(tf.filter(_._1 == 10L).head._2 == "beta")
+    val inv = Graft.invertedIndex(posts, "pid", "body", maxPostings = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(inv("alpha") == (3L, 10L, 30L, "10,20"))
+    assert(inv("beta") == (1L, 10L, 10L, "10"))
+    assert(inv("delta") == (1L, 30L, 30L, "30"))
+  }
+
   // -- text scoring -----------------------------------------------------------
 
   test("bm25 matches a brute-force Okapi scorer on a custom schema") {
