@@ -85,6 +85,19 @@ object Oracles {
       s"""SELECT c_nationkey, count(*) AS n, ${dsum("o_totalprice")} AS total
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    // q_parquet_bloom: the roll-up reads graft's bloom-enabled lineitem
+    // COPY (full data, different layout) — the oracle reads the original
+    "q_parquet_bloom" ->
+      s"""SELECT l_partkey, count(*) AS n, ${dsum("l_extendedprice")} AS total
+         |FROM lineitem WHERE l_partkey IN (1, 2, 3)
+         |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    // q_join_spj: same relational result as q_join_bucketed — the kmod
+    // join column is derived (custkey % 8), so the (kmod, custkey) join
+    // through the key-grouped DSv2 catalog equals the plain custkey join
+    "q_join_spj" ->
+      s"""SELECT c_nationkey, count(*) AS n, ${dsum("o_totalprice")} AS total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY ALL""".stripMargin,
     "q_rank_bucketed" ->
       s"""WITH r AS (SELECT o_orderpriority, o_totalprice,
          |    row_number() OVER (PARTITION BY o_custkey

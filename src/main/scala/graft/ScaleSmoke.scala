@@ -55,6 +55,7 @@ object ScaleSmoke {
       case "top15" => top15(spark, args(1), args(2))
       case "apidedup" => apiDedup(spark, args(1))
       case "ccinc" => ccInc(spark, args(1))
+      case "dedupinc" => dedupInc(spark, args(1))
     }
     spark.stop()
   }
@@ -209,6 +210,44 @@ object ScaleSmoke {
     println(f"[ccinc] standing=$nStanding docs, batch=$nBatch docs: " +
       f"incremental $tInc%.2f s ($nInc rows) vs full recluster " +
       f"$tFull%.2f s ($nFull rows)")
+  }
+
+  /** Round-15 smoke for the COMPOSED one-call incremental dedup
+    * ([[graft.api.Graft.dedupIncremental]]) — the same
+    * cost-tracks-the-batch shape as [[ccInc]] but through the single
+    * entry point a daily-ingest user actually calls: ingest (untimed)
+    * builds the standing bands + labels once; the timed daily pass is
+    * ONE dedupIncremental call returning the updated (labels, bands)
+    * state. Compared against the timed full recluster it replaces. */
+  private def dedupInc(s: SparkSession, dir: String): Unit = {
+    import graft.api.Graft
+    val docs = Tables.table(s, dir, "documents")
+      .filter(col("lang") === "en").select("doc_id", "text")
+    val standingDocs = docs.filter(col("doc_id") % 10 =!= 7)
+    val batchDocs = docs.filter(col("doc_id") % 10 === 7)
+    val nStanding = standingDocs.count(); val nBatch = batchDocs.count()
+    // ingest (untimed): the standing state pair
+    val bands0 = Graft.minhashBandRows(standingDocs, "doc_id", "text")
+      .localCheckpoint(true)
+    val labels0 = Graft.minhashClusters(standingDocs, "doc_id", "text")
+      .localCheckpoint(true)
+    // timed daily pass: the one composed call; counting the labels
+    // forces the whole incremental update (the bands side is a lazy
+    // union — counted after the timer, it is corpus-sized but
+    // shuffle-free and not part of the daily label cost)
+    val t0 = System.nanoTime()
+    val (l1, b1) = Graft.dedupIncremental(labels0, bands0, batchDocs,
+      "doc_id", "text")
+    val nLabels = l1.count()
+    val tInc = (System.nanoTime() - t0) / 1e9
+    val nBands = b1.count()
+    // timed full recluster (the avoided cost)
+    val t1 = System.nanoTime()
+    val nFull = Graft.minhashClusters(docs, "doc_id", "text").count()
+    val tFull = (System.nanoTime() - t1) / 1e9
+    println(f"[dedupinc] standing=$nStanding docs, batch=$nBatch docs: " +
+      f"composed incremental $tInc%.2f s ($nLabels labels, " +
+      f"$nBands band rows) vs full recluster $tFull%.2f s ($nFull rows)")
   }
 
   private def gen(s: SparkSession, src: String, dst: String,

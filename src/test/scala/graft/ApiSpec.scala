@@ -1102,4 +1102,71 @@ class ApiSpec extends SparkSpec {
     assert(sessions == graded)
     assert(sessions.nonEmpty)
   }
+
+  // -- composed incremental dedup (round-15 item 1) ------------------------
+
+  private def labelSet(df: org.apache.spark.sql.DataFrame)
+      : Set[(Long, Long, Boolean)] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+  private def bandSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("dedupIncremental: two-day chain equals the full recluster") {
+    val docs = ops.t(spark, sf, "documents").filter(col("lang") === "en")
+      .select("doc_id", "text")
+    val day0 = docs.filter(col("doc_id") % 10 < 6)
+    val day1 = docs.filter(col("doc_id") % 10 === 7)
+    val day2 = docs.filter(col("doc_id") % 10 === 8)
+    val bands0 = Graft.minhashBandRows(day0, "doc_id", "text")
+    val labels0 = Graft.minhashClusters(day0, "doc_id", "text")
+    val (l1, b1) = Graft.dedupIncremental(labels0, bands0, day1,
+      "doc_id", "text")
+    // day 1 already equals its full recluster — both sides of the state
+    assert(labelSet(l1) == labelSet(
+      Graft.minhashClusters(day0.unionAll(day1), "doc_id", "text")))
+    assert(bandSet(b1) == bandSet(
+      Graft.minhashBandRows(day0.unionAll(day1), "doc_id", "text")))
+    // day 2 chains on day 1's RETURNED state — the feed-back contract
+    val (l2, b2) = Graft.dedupIncremental(l1, b1, day2, "doc_id", "text")
+    val union = day0.unionAll(day1).unionAll(day2)
+    assert(labelSet(l2) == labelSet(
+      Graft.minhashClusters(union, "doc_id", "text")))
+    assert(bandSet(b2) == bandSet(
+      Graft.minhashBandRows(union, "doc_id", "text")))
+    assert(labelSet(l2).nonEmpty)
+  }
+
+  test("dedupIncremental: batch-internal duplicates cluster without " +
+      "any standing match") {
+    // two brand-new near-identical docs sharing NO tokens with the
+    // standing corpus: the cross join alone would miss them — the
+    // batch self-join is what clusters them
+    val standing = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "qux quux corge grault"),
+      (11L, "qux quux corge grault")).toDF("doc_id", "text")
+    val (labels, bands) = Graft.dedupIncremental(
+      Graft.minhashClusters(standing, "doc_id", "text"),
+      Graft.minhashBandRows(standing, "doc_id", "text"),
+      batch, "doc_id", "text")
+    val m = labels.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(m(10L) == (10L, true) && m(11L) == (10L, false))
+    assert(bandSet(bands) == bandSet(Graft.minhashBandRows(
+      standing.unionAll(batch), "doc_id", "text")))
+  }
+
+  test("dedupIncremental: incompatible banding fails loudly") {
+    val standing = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val bands0 = Graft.minhashBandRows(standing, "doc_id", "text", 8, 2)
+    val labels0 = Graft.minhashClusters(standing, "doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Graft.dedupIncremental(labels0, bands0,
+        Seq((2L, "alpha beta")).toDF("doc_id", "text"),
+        "doc_id", "text", bands = 4, rowsPerBand = 4)
+    }
+    assert(e.getMessage.contains("rowsPerBand"))
+  }
 }

@@ -41,16 +41,27 @@ class Round14GateSpec extends SparkSpec {
 
   test("dedupClusters auto gate: above the floor routes to the sketch tier") {
     val s2 = spark.newSession()
-    // floor of 1 cand/doc: any corpus with shared tokens exceeds it
+    // floor of 1 cand/doc: any corpus with shared tokens exceeds it.
+    // The fixture's vocabulary is mask-group-sized, so the r15 tiny-dict
+    // carve-out would keep it exact at any floor — disable the bound so
+    // this test still exercises the ROUTING path (both tiers read the
+    // same conf, so the exact dispatch stays consistent).
     s2.conf.set("spark.graft.dedupClusterMaxCandPerDoc", "1")
+    s2.conf.set("spark.graft.maskGroupMaxDict", "0")
     val routed = labelSet(Graft.dedupClusters(fixtureDocs(s2),
       "doc_id", "text"))
-    // the explicit sketch-tier call on an ungated session: bucket-star
-    // CC components are set-identical to the LSH candidate-pair graph's
+    // the explicit sketch-tier call on an ungated session at the
+    // LADDER rung for the default 8000bp cut — (4,4), r15 item 2:
+    // bucket-star CC components are set-identical to the LSH
+    // candidate-pair graph's
+    val (b, r) = Graft.routedBandingFor(8000)
+    assert((b, r) == (4, 4))
     val sketch = labelSet(Graft.minhashClusters(fixtureDocs(spark),
-      "doc_id", "text"))
+      "doc_id", "text", b, r))
     assert(routed == sketch)
     assert(routed.nonEmpty)
+    assert(s2.conf.get("spark.graft.lastDedupRoute")
+      .startsWith("sketch(4,4):"))
     // output-contract invariants hold on the routed path too: the
     // cluster id is a member of its own cluster, and keep marks exactly
     // the min-id representative

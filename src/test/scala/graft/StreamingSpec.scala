@@ -197,4 +197,54 @@ class StreamingSpec extends SparkSpec {
         .getLong(0) == 2)
     } finally q.stop()
   }
+
+  test("foreachBatch incremental dedup converges to the full recluster") {
+    // Round-15 item 3: the daily-ingest loop as a true stream — each
+    // micro-batch of arriving documents flows through the ONE composed
+    // entry point (Graft.dedupIncremental), the returned (labels,
+    // bands) pair IS the standing state for the next batch, and after
+    // all batches the standing labels equal the batch-mode full
+    // recluster. The harness can't grade streams, so this is the
+    // unit-tier twin of the ApiSpec equivalence pin.
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.api.Graft
+    val docs = ops.t(s, sf, "documents")
+      .filter(col("lang") === "en").select("doc_id", "text")
+    val day0 = docs.filter(col("doc_id") % 10 < 6)
+    // standing state: labels + bands, materialized (localCheckpoint —
+    // the state must survive past each micro-batch's lifetime without
+    // re-deriving a lineage through the stream)
+    var state = (
+      Graft.minhashClusters(day0, "doc_id", "text").localCheckpoint(true),
+      Graft.minhashBandRows(day0, "doc_id", "text").localCheckpoint(true))
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (l, b) = Graft.dedupIncremental(state._1, state._2, batch,
+          "doc_id", "text")
+        state = (l.localCheckpoint(true), b.localCheckpoint(true))
+        ()
+      }.start()
+    try {
+      // two arrival days as two micro-batches
+      val arr = docs.filter(col("doc_id") % 10 === 7 ||
+          col("doc_id") % 10 === 8)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val (d1, d2) = arr.partition(_._1 % 10 == 7)
+      mem.addData(d1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(d2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = state._1.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val full = Graft.minhashClusters(
+        docs.filter(col("doc_id") % 10 < 6 || col("doc_id") % 10 === 7 ||
+          col("doc_id") % 10 === 8),
+        "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == full)
+    assert(got.nonEmpty)
+  }
 }
