@@ -85,6 +85,14 @@ object Oracles {
       s"""SELECT c_nationkey, count(*) AS n, ${dsum("o_totalprice")} AS total
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY 1 ORDER BY ALL""".stripMargin,
+    // q_agg_pushdown: the spark side answers from parquet footer stats
+    // (DSv2 aggregate pushdown); the oracle computes the same values the
+    // slow way over the rows
+    "q_agg_pushdown" ->
+      """SELECT count(*) AS n, min(l_quantity) AS qmin,
+        |       max(l_quantity) AS qmax, min(l_orderkey) AS okmin,
+        |       max(l_orderkey) AS okmax
+        |FROM lineitem ORDER BY ALL""".stripMargin,
     // q_parquet_bloom: the roll-up reads graft's bloom-enabled lineitem
     // COPY (full data, different layout) — the oracle reads the original
     "q_parquet_bloom" ->

@@ -26,6 +26,7 @@ object SparkEntry {
     "q_join_bucketed" -> graft.sources.FileFormats.qJoinBucketed _,
     "q_join_spj" -> graft.sources.FileFormats.qJoinSpj _,
     "q_parquet_bloom" -> graft.sources.FileFormats.qParquetBloom _,
+    "q_agg_pushdown" -> graft.sources.FileFormats.qAggPushdown _,
     "q_source_binary" -> graft.sources.FileFormats.qSourceBinary _,
     "q_source_xml" -> graft.sources.FileFormats.qSourceXml _,
     "q_source_text" -> graft.sources.FileFormats.qSourceText _,

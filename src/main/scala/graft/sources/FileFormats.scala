@@ -359,6 +359,33 @@ object FileFormats {
       .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total")))
   }
 
+  /** Parquet aggregate pushdown (§2.120 — the third storage-side
+    * mechanism next to §2.119's Bloom filter and q_scan_sorted's
+    * row-group skipping): a global COUNT/MIN/MAX answered from parquet
+    * FOOTER STATISTICS through the DSv2 read path
+    * (`spark.sql.parquet.aggregatePushdown`) — the scan reads zero
+    * data pages, so at 100 TB the whole aggregate costs one footer
+    * read per file. Needs the V2 parquet reader (a child session
+    * drops parquet from `useV1SourceList`, same scoping discipline as
+    * [[qJoinSpj]] — the graded sweep's other 519 queries keep the
+    * default V1 scan path) and holds only for null-free stats with no
+    * residual filter — exactly the footer-stat contract. Plan-asserted
+    * in Round15GateSpec (`PushedAggregation: [COUNT(*), MIN(...)`);
+    * the oracle computes the same three values the slow way. */
+  def qAggPushdown(sOuter: SparkSession, dir: String): DataFrame = {
+    val s = sOuter.newSession()
+    s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s.conf.set("spark.sql.sources.useV1SourceList",
+      "avro,csv,json,kafka,orc,text")
+    orderedAll(s.read.schema(graft.Tables.schemas("lineitem"))
+      .parquet(dir + "/lineitem.parquet")
+      .agg(count(lit(1)).as("n"),
+        min(col("l_quantity")).as("qmin"),
+        max(col("l_quantity")).as("qmax"),
+        min(col("l_orderkey")).as("okmin"),
+        max(col("l_orderkey")).as("okmax")))
+  }
+
   /** The bloom-enabled lineitem copy for `dir` — materialized once per
     * JVM; package-private so Round15GateSpec can open the SAME files'
     * footers and pin the written Bloom filter (presence + negative

@@ -201,6 +201,34 @@ class Round15GateSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  // ---- parquet aggregate pushdown (§2.120) ---------------------------------
+
+  test("q_agg_pushdown: COUNT/MIN/MAX answered from footer statistics") {
+    val df = graft.sources.FileFormats.qAggPushdown(spark, sf)
+    // the DSv2 scan must carry the pushed aggregation — otherwise the
+    // "footer-stats" claim silently degrades to a full row scan
+    val scans = flattenPlan(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        => b
+    }
+    assert(scans.nonEmpty, "aggregate-pushdown twin lost its DSv2 scan")
+    val scanStr = scans.head.toString
+    assert(scanStr.contains("PushedAggregation: [COUNT("),
+      s"aggregation not pushed: ${scanStr.take(300)}")
+    assert(scanStr.contains("MIN(l_quantity)") &&
+      scanStr.contains("MAX(l_orderkey)"), scanStr.take(300))
+    // and the footer answer equals the slow row-scan answer
+    val got = df.collect().head
+    val want = graft.ops.orderedAll(ops.t(spark, sf, "lineitem")
+      .agg(count(lit(1)).as("n"),
+        min(col("l_quantity")).as("qmin"),
+        max(col("l_quantity")).as("qmax"),
+        min(col("l_orderkey")).as("okmin"),
+        max(col("l_orderkey")).as("okmax"))).collect().head
+    assert(got == want)
+    assert(got.getLong(0) > 0)
+  }
+
   // ---- ccIncremental broadcast bound (round-14 advice) --------------------
 
   test("ccIncremental shuffle fallback equals the broadcast path") {
