@@ -56,6 +56,7 @@ object ScaleSmoke {
       case "apidedup" => apiDedup(spark, args(1))
       case "ccinc" => ccInc(spark, args(1))
       case "dedupinc" => dedupInc(spark, args(1))
+      case "dedupinc100" => dedupInc(spark, args(1), sketchIngest = true)
     }
     spark.stop()
   }
@@ -219,17 +220,28 @@ object ScaleSmoke {
     * builds the standing bands + labels once; the timed daily pass is
     * ONE dedupIncremental call returning the updated (labels, bands)
     * state. Compared against the timed full recluster it replaces. */
-  private def dedupInc(s: SparkSession, dir: String): Unit = {
+  private def dedupInc(s: SparkSession, dir: String,
+                       sketchIngest: Boolean = false): Unit = {
     import graft.api.Graft
     val docs = Tables.table(s, dir, "documents")
       .filter(col("lang") === "en").select("doc_id", "text")
     val standingDocs = docs.filter(col("doc_id") % 10 =!= 7)
     val batchDocs = docs.filter(col("doc_id") % 10 === 7)
     val nStanding = standingDocs.count(); val nBatch = batchDocs.count()
-    // ingest (untimed): the standing state pair
+    // ingest (untimed): the standing state pair. At 100×-salted density
+    // the candidate-pair full recluster is the documented disk-death
+    // class, so the `dedupinc100` variant builds the standing labels
+    // via the bucket-star CC over the SAME (8,2) band rows —
+    // set-identical components to minhashClusters (the Round14GateSpec
+    // pin) at linear edge count, preserving the min-id invariant
+    // dedupIncremental relies on; the full-recluster control is
+    // skipped for the same reason.
     val bands0 = Graft.minhashBandRows(standingDocs, "doc_id", "text")
       .localCheckpoint(true)
-    val labels0 = Graft.minhashClusters(standingDocs, "doc_id", "text")
+    val labels0 = (if (sketchIngest)
+        graft.ops.Sketches.bucketClusters(s, bands0, Seq("band", "bkey"),
+          s"smoke_dinc_ingest_${ProcessHandle.current().pid()}")
+      else Graft.minhashClusters(standingDocs, "doc_id", "text"))
       .localCheckpoint(true)
     // timed daily pass: the one composed call; counting the labels
     // forces the whole incremental update (the bands side is a lazy
@@ -241,6 +253,13 @@ object ScaleSmoke {
     val nLabels = l1.count()
     val tInc = (System.nanoTime() - t0) / 1e9
     val nBands = b1.count()
+    if (sketchIngest) {
+      println(f"[dedupinc] standing=$nStanding docs, batch=$nBatch " +
+        f"docs: composed incremental $tInc%.2f s ($nLabels labels, " +
+        f"$nBands band rows); full-recluster control skipped (the " +
+        "candidate-enumeration class at this density)")
+      return
+    }
     // timed full recluster (the avoided cost)
     val t1 = System.nanoTime()
     val nFull = Graft.minhashClusters(docs, "doc_id", "text").count()

@@ -419,17 +419,30 @@ object Graft {
     *
     * Row-for-row equal to the full recluster
     * [[minhashClusters]](corpus ∪ batch) (ApiSpec pins it on the
-    * fixture, including a two-day chain): the cross edges come from
-    * the banded batch-vs-corpus join, the batch-INTERNAL edges from
-    * the batch bands' self-join (two brand-new near-dup docs must
-    * cluster even when neither matches anything standing — the cross
-    * join alone would miss them), and the label update is the exact
-    * O(batch) merge of [[connectedComponentsIncremental]]. Cost per
-    * day: band the batch once (pinned), one exchange-free-on-the-
-    * corpus-side candidate join, one batch-sized self-join, one
-    * O(batch) CC — the corpus is never re-banded, re-shuffled, or
-    * re-clustered (ScaleSmoke `dedupinc` smokes cost-tracks-the-batch
-    * at 10×). */
+    * fixture, including a two-day chain; PropertySpec re-proves it on
+    * random corpora): cross AND batch-internal connectivity come from
+    * ONE bucket-star edge set — per (band, bkey) bucket the batch
+    * touches, every batch member plus the MIN standing member connect
+    * to the bucket minimum. This is exact, not an approximation: any
+    * two STANDING docs sharing a bucket are already in one standing
+    * component (the standing labels came from the same banding — a
+    * bucket collision IS a candidate edge there), so one edge into the
+    * bucket's standing minimum merges a batch doc with the whole
+    * group, and star edges within a bucket have the same closure as
+    * the clique. The pairwise spelling this replaces (round-15 first
+    * cut: batch×corpus candidate join + batch self-join) enumerated
+    * every collision — at a replica-dense corpus that is the
+    * documented candidate-enumeration class (measured: 4 648 s for a
+    * 19.8k-doc batch at the 100×-salted density; the star spelling
+    * emits O(batch band rows) edges at any density). The label update
+    * is the exact O(batch) merge of
+    * [[connectedComponentsIncremental]]. Cost per day: band the batch
+    * once (pinned), one corpus scan restricted to the touched buckets
+    * (batch-side broadcast under
+    * `spark.graft.dedupIncBroadcastMaxBandRows`, default 5 000 000;
+    * above it a shuffle join — the honest cost of a batch that big),
+    * one batch-scale star fold, one O(batch) CC — the corpus is never
+    * re-banded or re-clustered (ScaleSmoke `dedupinc`). */
   def dedupIncremental(standingLabels: DataFrame, standingBands: DataFrame,
                        batch: DataFrame, idCol: String, textCol: String,
                        bands: Int = 8, rowsPerBand: Int = 2)
@@ -443,19 +456,36 @@ object Graft {
             "be banded incompatibly and every candidate silently lost")
       case t => sys.error(s"standingBands.bkey must be a struct, got $t")
     }
+    val s = standingLabels.sparkSession
     val batchBands = Text.pin(
       mhBandRows(batch, idCol, textCol, bands, rowsPerBand),
       freshSlot("api_dinc_bands"))
-    val cross = minhashIncrementalBanded(standingBands, batchBands)
-    val intra = batchBands.as("x").join(batchBands.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
+    val bcMax = s.conf
+      .getOption("spark.graft.dedupIncBroadcastMaxBandRows")
+      .map(_.toLong).getOrElse(5000000L)
+    val bc: DataFrame => DataFrame =
+      if (bcMax > 0 && batchBands.count() <= bcMax) broadcast else identity
+    // min standing member per touched bucket: ONE corpus scan, output
+    // bounded by the batch's bucket count
+    val touched = batchBands.select("band", "bkey").distinct()
+    val standingMin = standingBands
+      .join(bc(touched), Seq("band", "bkey"))
+      .groupBy("band", "bkey").agg(min(col("doc_id")).as("doc_id"))
+    // bucket star over (batch members ∪ standing minimum): same
+    // connected components as the full collision clique (see scaladoc)
+    val members = batchBands.select(col("band"), col("bkey"),
+        col("doc_id"))
+      .unionAll(standingMin.select(col("band"), col("bkey"),
+        col("doc_id")))
+    val bmin = members.groupBy("band", "bkey")
+      .agg(min(col("doc_id")).as("rep"))
+    val edges = members.join(bmin, Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("new_id"), col("rep").as("old_id"))
       .distinct()
     val labels = connectedComponentsIncremental(
         standingLabels, idCol, "cluster_id",
-        cross.unionAll(intra), "new_id", "old_id")
+        edges, "new_id", "old_id")
       .select(col("node_id").as(idCol),
         col("component_id").as("cluster_id"), col("keep"))
     val newBands = standingBands

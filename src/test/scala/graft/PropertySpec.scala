@@ -138,4 +138,42 @@ class PropertySpec extends SparkSpec {
       got == want
     })
   }
+
+  test("dedupIncremental == full recluster on random corpora (round 15)") {
+    val s = spark; import s.implicits._
+    import graft.api.Graft
+    // random (id, text) corpora from a 12-token pool (guarantees band
+    // collisions AND batch-internal duplicate groups), ids unique, the
+    // standing/batch split disjoint by construction — the documented
+    // contract. 5 trials: each runs three CC engines (standing ingest,
+    // the incremental merge, the full-recluster truth).
+    val corpus = Gen.listOfN(24, Gen.zip(Gen.choose(0, 11),
+      Gen.choose(0, 11), Gen.choose(0, 11)))
+    val prop = forAll(corpus) { triples =>
+      val docs = triples.zipWithIndex.map { case ((a, b, c), i) =>
+        (i.toLong, s"t$a t$b t$c")
+      }
+      val standing = docs.filter(_._1 % 3 != 0)
+      val batch = docs.filter(_._1 % 3 == 0)
+      val labels0 = Graft.minhashClusters(
+        standing.toDF("doc_id", "text"), "doc_id", "text")
+      val bands0 = Graft.minhashBandRows(
+        standing.toDF("doc_id", "text"), "doc_id", "text")
+      val (l1, b1) = Graft.dedupIncremental(labels0, bands0,
+        batch.toDF("doc_id", "text"), "doc_id", "text")
+      val got = l1.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val want = Graft.minhashClusters(
+          docs.toDF("doc_id", "text"), "doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val wantBands = Graft.minhashBandRows(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(_.toString).toSet
+      got == want &&
+        b1.collect().map(_.toString).toSet == wantBands
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
