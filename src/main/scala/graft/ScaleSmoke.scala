@@ -253,6 +253,20 @@ object ScaleSmoke {
     val nLabels = l1.count()
     val tInc = (System.nanoTime() - t0) / 1e9
     val nBands = b1.count()
+    // round-16 append shape: the SAME daily pass with changedOnly=true
+    // returns batch-sized frames — the label DELTA + the batch's band
+    // rows — so the numbers printed here are the daily WRITE volume an
+    // O(batch) persist pays (vs the corpus-sized full-state return)
+    val t2 = System.nanoTime()
+    val (ld, bd) = Graft.dedupIncremental(labels0, bands0, batchDocs,
+      "doc_id", "text", changedOnly = true)
+    val nDelta = ld.count()
+    val tDelta = (System.nanoTime() - t2) / 1e9
+    val nBatchBands = bd.count()
+    println(f"[dedupinc] append shape (changedOnly): $tDelta%.2f s — " +
+      f"daily write volume $nDelta label-delta rows + $nBatchBands " +
+      f"batch band rows (vs full-state $nLabels labels + $nBands " +
+      "band rows)")
     if (sketchIngest) {
       println(f"[dedupinc] standing=$nStanding docs, batch=$nBatch " +
         f"docs: composed incremental $tInc%.2f s ($nLabels labels, " +

@@ -289,6 +289,35 @@ object Graft {
     }
   }
 
+  /** Resolve the (bands, rowsPerBand) a MinHash entry point should run
+    * with when it also accepts `thresholdBp` (round-16: the
+    * [[dedupClusters]] threshold mapping threaded through
+    * [[minhashClusters]] / [[dedupIncremental]] so the routed and
+    * incremental tiers can't be configured inconsistently).
+    * `thresholdBp = 0` means "unset — use the explicit banding";
+    * otherwise the [[routedBandingFor]] rung WINS, and passing a
+    * non-default explicit banding alongside it that disagrees with the
+    * rung fails loudly instead of silently banding at the wrong cut.
+    * (With default arguments an explicitly-passed (8, 2) is
+    * indistinguishable from the defaults, so that one pair is always
+    * accepted and the threshold's rung used — documented precedence.) */
+  private[graft] def resolveBanding(bands: Int, rowsPerBand: Int,
+                                    thresholdBp: Int): (Int, Int) = {
+    if (thresholdBp == 0) (bands, rowsPerBand)
+    else {
+      require(thresholdBp > 0 && thresholdBp <= 10000,
+        s"thresholdBp must be in (0, 10000] or 0 (unset), got $thresholdBp")
+      val (b, r) = routedBandingFor(thresholdBp)
+      require((bands, rowsPerBand) == (8, 2) ||
+          (bands, rowsPerBand) == (b, r),
+        s"incompatible banding: thresholdBp=$thresholdBp routes to " +
+          s"(bands=$b, rowsPerBand=$r) but (bands=$bands, " +
+          s"rowsPerBand=$rowsPerBand) was also requested — pass the " +
+          "threshold OR an explicit banding, not a disagreeing both")
+      (b, r)
+    }
+  }
+
   /** The (doc_id, band, bkey) MinHash band rows of any (id, text)
     * table — the banding shared by [[minhashCandidates]] (self-join)
     * and [[minhashIncremental]] (batch-vs-corpus join). PUBLIC so the
@@ -387,13 +416,20 @@ object Graft {
   /** Near-duplicate clusters from the [[minhashCandidates]] graph —
     * the production dedup contract at 100 TB (N rows out, never
     * Ω(pairs)); same CC engine as [[dedupClusters]], probabilistic
-    * recall per the banding closed form. */
+    * recall per the banding closed form. `thresholdBp > 0` derives the
+    * banding from the same [[routedBandingFor]] ladder
+    * [[dedupClusters]]' routed tier uses (round-16: the threshold
+    * contract threaded through this tier too — see [[resolveBanding]]
+    * for the explicit-banding precedence rule). */
   def minhashClusters(df: DataFrame, idCol: String, textCol: String,
-                      bands: Int = 8, rowsPerBand: Int = 2): DataFrame =
+                      bands: Int = 8, rowsPerBand: Int = 2,
+                      thresholdBp: Int = 0): DataFrame = {
+    val (b, r) = resolveBanding(bands, rowsPerBand, thresholdBp)
     Text.clusterLabels(df.sparkSession,
-      minhashCandidates(df, idCol, textCol, bands, rowsPerBand),
+      minhashCandidates(df, idCol, textCol, b, r),
       freshSlot("api_mh_cc"))
       .withColumnRenamed("doc_id", idCol)
+  }
 
   /** One-call incremental dedup (round-15 verdict item 1): fold an
     * arrival batch of NEW documents into a standing MinHash-dedup
@@ -413,9 +449,42 @@ object Graft {
     * candidate join never shuffles the corpus side; `batch` the
     * arrival (id, text) table. Batch ids MUST be new (disjoint from
     * the standing corpus — re-ingesting an id would duplicate its band
-    * rows); banding parameters must match the standing bands'
-    * `rowsPerBand` (checked against the bkey schema, the one piece of
-    * the banding the rows carry) and the original `bands` count.
+    * rows and, if the text changed, poison future merges with stale
+    * edges), and since round 16 that precondition is ENFORCED, not
+    * just documented: for batches under
+    * `spark.graft.dedupIncValidateMaxBatchRows` band rows (default
+    * 5 000 000; ≤ 0 disables) a replayed id fails loudly
+    * (broadcast-batch semi-join against the standing BANDS, the table
+    * that carries every tokenized standing doc — one corpus-scan-shaped
+    * probe, the price of not corrupting a 100 TB standing state
+    * silently). Banding parameters must match the
+    * standing bands' `rowsPerBand` (checked against the bkey schema)
+    * AND the original `bands` count — the latter is invisible in the
+    * per-row schema, so under the same validation gate the standing
+    * table's distinct band domain is checked against 0..bands-1 (a
+    * nonempty standing table built with ANY other band count has a
+    * different domain, because every doc carries every band): a
+    * mismatched `bands` no longer silently loses every candidate in
+    * the unmatched bands (round-15 advice).
+    *
+    * `changedOnly = true` is the 100 TB daily-persist shape (round-16:
+    * BOTH returned frames become batch-sized): labels come back as the
+    * [[connectedComponentsIncremental]] DELTA (only rows whose
+    * cluster_id changed, plus the batch's own rows) and bands come
+    * back as ONLY the batch's band rows. The caller MERGEs the label
+    * delta into its standing label table (replace rows by id, insert
+    * new ids) and APPENDs the band rows to its standing bucketed band
+    * table — each day's write is O(batch), never a corpus rewrite.
+    * With the default `false` both frames are the full updated state
+    * (standing ∪ batch), row-for-row what the next day may feed back —
+    * convenient at test scale, corpus-sized to persist. ApiSpec pins
+    * merge/append-then-read equal to the full-state return.
+    *
+    * `thresholdBp > 0` derives the banding from the
+    * [[routedBandingFor]] ladder exactly as [[dedupClusters]]'s routed
+    * tier does (see [[resolveBanding]]); the derived rowsPerBand must
+    * still match the standing bkey arity — a standing state banded at
+    * one threshold cannot be incrementally fed at another.
     *
     * Row-for-row equal to the full recluster
     * [[minhashClusters]](corpus ∪ batch) (ApiSpec pins it on the
@@ -445,26 +514,61 @@ object Graft {
     * re-banded or re-clustered (ScaleSmoke `dedupinc`). */
   def dedupIncremental(standingLabels: DataFrame, standingBands: DataFrame,
                        batch: DataFrame, idCol: String, textCol: String,
-                       bands: Int = 8, rowsPerBand: Int = 2)
+                       bands: Int = 8, rowsPerBand: Int = 2,
+                       changedOnly: Boolean = false, thresholdBp: Int = 0)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.StructType
+    val (nBands, nRows) = resolveBanding(bands, rowsPerBand, thresholdBp)
     standingBands.schema("bkey").dataType match {
       case st: StructType =>
-        require(st.fields.length == rowsPerBand,
+        require(st.fields.length == nRows,
           s"standingBands carry ${st.fields.length}-lane band keys but " +
-            s"rowsPerBand=$rowsPerBand was requested — the batch would " +
+            s"rowsPerBand=$nRows was requested — the batch would " +
             "be banded incompatibly and every candidate silently lost")
       case t => sys.error(s"standingBands.bkey must be a struct, got $t")
     }
     val s = standingLabels.sparkSession
     val batchBands = Text.pin(
-      mhBandRows(batch, idCol, textCol, bands, rowsPerBand),
+      mhBandRows(batch, idCol, textCol, nBands, nRows),
       freshSlot("api_dinc_bands"))
+    val nBatchBands = batchBands.count()
+    val valMax = s.conf
+      .getOption("spark.graft.dedupIncValidateMaxBatchRows")
+      .map(_.toLong).getOrElse(5000000L)
+    if (valMax > 0 && nBatchBands <= valMax) {
+      // (a) replay guard: a batch id the standing corpus already BANDED
+      // would append duplicate (possibly stale) band rows and corrupt
+      // every future merge — fail before touching the state. The probe
+      // runs against the standing BANDS, not the labels: the labels
+      // table only carries pair members (singletons have no cluster
+      // row), while every tokenized standing doc has band rows.
+      val replayed = standingBands
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .join(broadcast(batchBands.select("doc_id").distinct()),
+          Seq("doc_id"), "left_semi")
+        .limit(1).collect()
+      require(replayed.isEmpty,
+        s"dedupIncremental: batch id ${replayed.head.getLong(0)} is " +
+          "already in the standing bands — batch ids must be NEW " +
+          "(re-ingesting an id would duplicate its band rows); set " +
+          "spark.graft.dedupIncValidateMaxBatchRows <= 0 to disable " +
+          "this check")
+      // (b) band-domain guard: `bands` is invisible in the per-row
+      // schema; every doc carries every band, so any nonempty standing
+      // table's distinct band set must be exactly 0..bands-1
+      val dom = standingBands.select(col("band").cast("int"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      require(dom.isEmpty || dom == (0 until nBands).toSet,
+        s"standingBands carry band domain ${dom.toSeq.sorted.mkString(
+          "{", ",", "}")} but bands=$nBands (domain 0..${nBands - 1}) " +
+          "was requested — a mismatched band count would silently " +
+          "lose every candidate in the unmatched bands")
+    }
     val bcMax = s.conf
       .getOption("spark.graft.dedupIncBroadcastMaxBandRows")
       .map(_.toLong).getOrElse(5000000L)
     val bc: DataFrame => DataFrame =
-      if (bcMax > 0 && batchBands.count() <= bcMax) broadcast else identity
+      if (bcMax > 0 && nBatchBands <= bcMax) broadcast else identity
     // min standing member per touched bucket: ONE corpus scan, output
     // bounded by the batch's bucket count
     val touched = batchBands.select("band", "bkey").distinct()
@@ -485,12 +589,16 @@ object Graft {
       .distinct()
     val labels = connectedComponentsIncremental(
         standingLabels, idCol, "cluster_id",
-        edges, "new_id", "old_id")
+        edges, "new_id", "old_id", changedOnly = changedOnly)
       .select(col("node_id").as(idCol),
         col("component_id").as("cluster_id"), col("keep"))
-    val newBands = standingBands
-      .select(col("doc_id"), col("band"), col("bkey"))
-      .unionAll(batchBands.select(col("doc_id"), col("band"), col("bkey")))
+    val newBands =
+      if (changedOnly)
+        batchBands.select(col("doc_id"), col("band"), col("bkey"))
+      else standingBands
+        .select(col("doc_id"), col("band"), col("bkey"))
+        .unionAll(batchBands.select(col("doc_id"), col("band"),
+          col("bkey")))
     (labels, newBands)
   }
 

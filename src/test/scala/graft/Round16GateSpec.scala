@@ -1,0 +1,218 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.Graft
+
+/** Round-16 gate: (1) the append-shaped incremental-dedup state —
+  * `dedupIncremental(changedOnly = true)` returns BATCH-sized frames
+  * (label delta + batch band rows) whose merge/append reconstruction
+  * equals the full-state return and the full recluster (r15 verdict
+  * item 1); (2) the batch-id replay guard and the band-domain guard —
+  * the two documented-but-unchecked preconditions now fail loudly
+  * (verdict item 2 + r15 advice); (3) thresholdBp threaded through
+  * [[Graft.minhashClusters]] / [[Graft.dedupIncremental]] via the same
+  * routed ladder as dedupClusters (verdict item 5); (4) the SPJ ingest
+  * gate breadcrumb + conf re-keying (r15 advice); (5) the tag-less
+  * warehouse-dir mtime TTL (r15 advice). */
+class Round16GateSpec extends SparkSpec {
+
+  private def labelSet(df: org.apache.spark.sql.DataFrame)
+      : Set[(Long, Long, Boolean)] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+  private def bandSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  // ---- (1) append-shaped incremental state -------------------------------
+
+  test("dedupIncremental changedOnly: batch-sized delta reconstructs " +
+      "the full state") {
+    val docs = ops.t(spark, sf, "documents").filter(col("lang") === "en")
+      .select("doc_id", "text")
+    val day0 = docs.filter(col("doc_id") % 10 < 6)
+    val day1 = docs.filter(col("doc_id") % 10 === 7)
+    val labels0 = Graft.minhashClusters(day0, "doc_id", "text")
+    val bands0 = Graft.minhashBandRows(day0, "doc_id", "text")
+    val (lFull, bFull) = Graft.dedupIncremental(labels0, bands0, day1,
+      "doc_id", "text")
+    val (lDelta, bDelta) = Graft.dedupIncremental(labels0, bands0, day1,
+      "doc_id", "text", changedOnly = true)
+    // the bands side of the delta is EXACTLY the batch's band rows —
+    // the O(batch) append into the standing bucketed table
+    assert(bandSet(bDelta) ==
+      bandSet(Graft.minhashBandRows(day1, "doc_id", "text")))
+    // append-then-read == the full-state bands return
+    assert(bandSet(bands0) ++ bandSet(bDelta) == bandSet(bFull))
+    // the label delta MERGEd into the standing labels (replace rows by
+    // id, insert new ids) == the full-state labels return == the full
+    // recluster
+    val deltaIds = lDelta.select("doc_id")
+    val merged = labels0.join(deltaIds, Seq("doc_id"), "left_anti")
+      .unionAll(lDelta)
+    assert(labelSet(merged) == labelSet(lFull))
+    assert(labelSet(lFull) == labelSet(
+      Graft.minhashClusters(day0.unionAll(day1), "doc_id", "text")))
+    // the delta is a STRICT delta: no row it carries for a standing id
+    // repeats that id's standing label row (those are exactly the rows
+    // the merge may skip writing)
+    val standingRows = labelSet(labels0)
+    assert(labelSet(lDelta).forall(r => !standingRows.contains(r)))
+    // and it is genuinely batch-sized here: every standing row it
+    // touches changed cluster, so |delta| ≤ |changed| + |batch|
+    assert(lDelta.count() <= lFull.count())
+    assert(lDelta.count() > 0)
+  }
+
+  // ---- (2) the replay + band-domain guards --------------------------------
+
+  test("dedupIncremental: replayed batch id fails loudly (and the " +
+      "guard is conf-gated)") {
+    val s = spark; import s.implicits._
+    // note the guard probes the standing BANDS, not the labels: doc 3
+    // is a singleton (no near-dup, so no labels row) yet replaying it
+    // must still trip
+    val standing = Seq((1L, "alpha beta"), (2L, "alpha beta"),
+      (3L, "zeta eta theta")).toDF("doc_id", "text")
+    val labels0 = Graft.minhashClusters(standing, "doc_id", "text")
+    val bands0 = Graft.minhashBandRows(standing, "doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Graft.dedupIncremental(labels0, bands0,
+        Seq((3L, "zeta eta theta"), (9L, "alpha beta"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text")
+    }
+    assert(e.getMessage.contains("already in the standing bands"))
+    // conf ≤ 0 disables the guard (the documented big-batch escape
+    // hatch) — the call must go through again
+    s.conf.set("spark.graft.dedupIncValidateMaxBatchRows", "0")
+    try {
+      val (l, _) = Graft.dedupIncremental(labels0, bands0,
+        Seq((3L, "zeta eta theta"), (9L, "alpha beta"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text")
+      assert(l.count() > 0)
+    } finally s.conf.unset("spark.graft.dedupIncValidateMaxBatchRows")
+  }
+
+  test("dedupIncremental: mismatched bands count fails loudly (band " +
+      "domain)") {
+    val s = spark; import s.implicits._
+    val standing = Seq((1L, "alpha beta"), (2L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val labels0 = Graft.minhashClusters(standing, "doc_id", "text",
+      bands = 4, rowsPerBand = 2)
+    val bands0 = Graft.minhashBandRows(standing, "doc_id", "text",
+      bands = 4, rowsPerBand = 2)
+    // same rowsPerBand (the bkey arity check passes) but a different
+    // bands count: pre-r16 this silently lost every candidate in bands
+    // 4..7; now the standing band DOMAIN pins it
+    val e = intercept[IllegalArgumentException] {
+      Graft.dedupIncremental(labels0, bands0,
+        Seq((9L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text",
+        bands = 8, rowsPerBand = 2)
+    }
+    assert(e.getMessage.contains("band domain"))
+    // and the matching count still goes through and merges 9 into the
+    // standing cluster
+    val (l, _) = Graft.dedupIncremental(labels0, bands0,
+      Seq((9L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text",
+      bands = 4, rowsPerBand = 2)
+    assert(l.count() == 3)
+  }
+
+  // ---- (3) thresholdBp threaded through the incremental tier -------------
+
+  test("minhashClusters honors thresholdBp via the routed ladder") {
+    val docs = ops.t(spark, sf, "documents").filter(col("lang") === "en")
+      .select("doc_id", "text")
+    // 8000bp routes to the (4,4) rung (Round15GateSpec pins the map) —
+    // the threshold spelling must equal the explicit one
+    assert(labelSet(Graft.minhashClusters(docs, "doc_id", "text",
+        thresholdBp = 8000)) ==
+      labelSet(Graft.minhashClusters(docs, "doc_id", "text",
+        bands = 4, rowsPerBand = 4)))
+    // a disagreeing explicit banding alongside the threshold fails
+    val e = intercept[IllegalArgumentException] {
+      Graft.minhashClusters(docs, "doc_id", "text",
+        bands = 2, rowsPerBand = 8, thresholdBp = 8000)
+    }
+    assert(e.getMessage.contains("incompatible banding"))
+  }
+
+  test("dedupIncremental honors thresholdBp and pins it against the " +
+      "standing state's banding") {
+    val docs = ops.t(spark, sf, "documents").filter(col("lang") === "en")
+      .select("doc_id", "text")
+    val day0 = docs.filter(col("doc_id") % 10 < 6)
+    val day1 = docs.filter(col("doc_id") % 10 === 7)
+    // standing state banded at the 8000bp rung (4,4)
+    val labels0 = Graft.minhashClusters(day0, "doc_id", "text",
+      thresholdBp = 8000)
+    val bands0 = Graft.minhashBandRows(day0, "doc_id", "text",
+      bands = 4, rowsPerBand = 4)
+    val (lT, bT) = Graft.dedupIncremental(labels0, bands0, day1,
+      "doc_id", "text", thresholdBp = 8000)
+    val (lE, bE) = Graft.dedupIncremental(labels0, bands0, day1,
+      "doc_id", "text", bands = 4, rowsPerBand = 4)
+    assert(labelSet(lT) == labelSet(lE))
+    assert(bandSet(bT) == bandSet(bE))
+    // feeding a (8,2)-banded standing state at thresholdBp=8000 (rung
+    // (4,4)) trips the arity pin — a standing state banded at one
+    // threshold cannot be incrementally fed at another
+    val bands82 = Graft.minhashBandRows(day0, "doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Graft.dedupIncremental(labels0, bands82, day1, "doc_id", "text",
+        thresholdBp = 8000)
+    }
+    assert(e.getMessage.contains("rowsPerBand"))
+  }
+
+  // ---- (4) SPJ ingest-gate breadcrumb + re-keying -------------------------
+
+  test("q_join_spj: gate breadcrumb is recorded and a conf change " +
+      "re-registers instead of reading the frozen first ingest") {
+    val s = spark
+    def rows() = SparkEntry.queries("q_join_spj")(s, sf).collect()
+      .map(_.toString).toSet
+    val full = rows()
+    assert(s.conf.get("spark.graft.lastSpjGate") == "full")
+    try {
+      // a gate far under the fixture's orders count: the vehicle must
+      // RE-ingest under the new gate (pre-r16 the first registration
+      // was frozen per-JVM) and say loudly that the oracle no longer
+      // applies
+      s.conf.set("spark.graft.spjMaxRows", "10")
+      val sampled = rows()
+      assert(s.conf.get("spark.graft.lastSpjGate")
+        .startsWith("sampled_bp="))
+      assert(s.conf.get("spark.graft.lastSpjGate")
+        .contains("oracle cross-check NOT valid"))
+      assert(sampled != full, "a 10-row gate cannot reproduce the " +
+        "full join — the re-key did not take")
+    } finally s.conf.unset("spark.graft.spjMaxRows")
+    // back at the default gate the full result comes back (fresh
+    // registration under the default key, not the sampled leftover)
+    assert(rows() == full)
+    assert(s.conf.get("spark.graft.lastSpjGate") == "full")
+  }
+
+  // ---- (5) tag-less warehouse dirs: mtime TTL -----------------------------
+
+  test("sweepKeeps: tag-less graft_* dirs get a TTL, never instant " +
+      "reaping; dead-pid tags still reap") {
+    import graft.sources.FileFormats.sweepKeeps
+    val now = System.currentTimeMillis()
+    // a tag-less dir written just now: presumed live (the naming-drift
+    // safety margin) — pre-r16 this was reaped on sight
+    assert(sweepKeeps("graft_future_site_no_tag", now))
+    assert(sweepKeeps("graft_tmp", now - 3600000L))
+    // past the 6 h TTL it is débris and goes
+    assert(!sweepKeeps("graft_tmp", now - 7L * 3600000L))
+    // tagged names keep the pid-ownership test: our own pid keeps…
+    val mine = ProcessHandle.current().pid()
+    assert(sweepKeeps(s"graft_orders_b0123456789ab_$mine", now))
+    // …a pid that cannot exist reaps even when freshly written
+    assert(!sweepKeeps("graft_orders_b0123456789ab_99999999999", now))
+  }
+}
