@@ -477,8 +477,8 @@ object Graft {
     * table — each day's write is O(batch), never a corpus rewrite.
     * With the default `false` both frames are the full updated state
     * (standing ∪ batch), row-for-row what the next day may feed back —
-    * convenient at test scale, corpus-sized to persist. ApiSpec pins
-    * merge/append-then-read equal to the full-state return.
+    * convenient at test scale, corpus-sized to persist. Round16GateSpec
+    * pins merge/append-then-read equal to the full-state return.
     *
     * `thresholdBp > 0` derives the banding from the
     * [[routedBandingFor]] ladder exactly as [[dedupClusters]]'s routed
