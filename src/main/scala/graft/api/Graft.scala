@@ -328,8 +328,16 @@ object Graft {
     * each day's batch against the re-read table shuffling only the
     * batch. */
   def minhashBandRows(df: DataFrame, idCol: String, textCol: String,
-                      bands: Int = 8, rowsPerBand: Int = 2): DataFrame =
-    mhBandRows(df, idCol, textCol, bands, rowsPerBand)
+                      bands: Int = 8, rowsPerBand: Int = 2,
+                      thresholdBp: Int = 0): DataFrame = {
+    // thresholdBp accepted here too (round-16 review): the standing
+    // state a threshold-speaking pipeline persists must be banded at
+    // the SAME rung its minhashClusters / dedupIncremental calls
+    // derive, or the arity pin rejects the state later — so let the
+    // ingest side speak threshold as well instead of hand-translating
+    val (b, r) = resolveBanding(bands, rowsPerBand, thresholdBp)
+    mhBandRows(df, idCol, textCol, b, r)
+  }
 
   private def mhBandRows(df: DataFrame, idCol: String, textCol: String,
                          bands: Int, rowsPerBand: Int): DataFrame = {
@@ -536,34 +544,47 @@ object Graft {
       .getOption("spark.graft.dedupIncValidateMaxBatchRows")
       .map(_.toLong).getOrElse(5000000L)
     if (valMax > 0 && nBatchBands <= valMax) {
-      // (a) replay guard: a batch id the standing corpus already BANDED
-      // would append duplicate (possibly stale) band rows and corrupt
-      // every future merge — fail before touching the state. The probe
-      // runs against the standing BANDS, not the labels: the labels
-      // table only carries pair members (singletons have no cluster
-      // row), while every tokenized standing doc has band rows.
-      val replayed = standingBands
-        .select(col("doc_id").cast("long").as("doc_id"))
-        .join(broadcast(batchBands.select("doc_id").distinct()),
-          Seq("doc_id"), "left_semi")
-        .limit(1).collect()
-      require(replayed.isEmpty,
-        s"dedupIncremental: batch id ${replayed.head.getLong(0)} is " +
+      // ONE corpus scan validates BOTH documented preconditions
+      // (round-16 review: the first cut paid two): left-join the
+      // broadcast batch-id set onto the standing bands, then a single
+      // aggregate yields (a) an example replayed id, if any — the
+      // probe runs against the standing BANDS, not the labels, because
+      // the labels table only carries pair members (singletons have no
+      // cluster row) while every tokenized standing doc has band
+      // rows — and (b) the standing band DOMAIN: `bands` is invisible
+      // in the per-row schema, but every doc carries every band, so
+      // any nonempty standing table's distinct band set must be
+      // exactly 0..bands-1.
+      val batchIds = batchBands.select("doc_id").distinct()
+        .withColumn("replayed", lit(true))
+      val probe = standingBands
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("band").cast("int").as("band"))
+        .join(broadcast(batchIds), Seq("doc_id"), "left")
+        .agg(collect_set(col("band")).as("dom"),
+          max(when(col("replayed"), col("doc_id"))).as("replay_id"))
+        .collect()(0)
+      require(probe.isNullAt(1),
+        s"dedupIncremental: batch id ${probe.getLong(1)} is " +
           "already in the standing bands — batch ids must be NEW " +
           "(re-ingesting an id would duplicate its band rows); set " +
           "spark.graft.dedupIncValidateMaxBatchRows <= 0 to disable " +
           "this check")
-      // (b) band-domain guard: `bands` is invisible in the per-row
-      // schema; every doc carries every band, so any nonempty standing
-      // table's distinct band set must be exactly 0..bands-1
-      val dom = standingBands.select(col("band").cast("int"))
-        .distinct().collect().map(_.getInt(0)).toSet
+      val dom = probe.getSeq[Int](0).toSet
       require(dom.isEmpty || dom == (0 until nBands).toSet,
         s"standingBands carry band domain ${dom.toSeq.sorted.mkString(
           "{", ",", "}")} but bands=$nBands (domain 0..${nBands - 1}) " +
           "was requested — a mismatched band count would silently " +
           "lose every candidate in the unmatched bands")
-    }
+    } else if (valMax > 0)
+      // above the gate the guards are priced out, but never silently
+      // (round-16 review): a replayed id in an unvalidated batch is
+      // exactly the corruption the guard exists to catch
+      System.err.println("[graft] dedupIncremental: batch has " +
+        s"$nBatchBands band rows > validate gate $valMax — the replay " +
+        "and band-domain guards are SKIPPED for this call (raise " +
+        "spark.graft.dedupIncValidateMaxBatchRows to validate big " +
+        "batches; the probe costs one standing-bands scan)")
     val bcMax = s.conf
       .getOption("spark.graft.dedupIncBroadcastMaxBandRows")
       .map(_.toLong).getOrElse(5000000L)

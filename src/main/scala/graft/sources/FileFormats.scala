@@ -219,9 +219,12 @@ object FileFormats {
     * names are legacy débris — BUT a future saveAsTable site that
     * prefixes graft_ without naming through dirTag would land here too
     * (round-15 advice), so they get an mtime TTL instead of immediate
-    * reaping: anything written in the last 6 h is presumed live.
-    * Failure mode stays in the safe direction — naming drift costs
-    * disk for 6 h, never a live table. */
+    * reaping: anything written in the last 6 h is presumed live. This
+    * is a MARGIN, not a guarantee — a live JVM whose tag-less dir went
+    * unwritten for over 6 h would still lose it (naming through
+    * [[dirTag]] remains the real ownership contract); the TTL only
+    * converts reap-on-sight into a window wide enough for any current
+    * run to finish or touch its table. */
   private[graft] def sweepKeeps(name: String, mtime: Long): Boolean = {
     val mine = ProcessHandle.current().pid()
     def mightOwn(tok: String): Boolean =
@@ -442,15 +445,23 @@ object FileFormats {
     // advice): the first cut froze the sample at first per-JVM
     // registration, so a later spark.graft.spjMaxRows change was
     // silently ignored — now a changed gate re-registers under its own
-    // name (the superseded in-memory spec is dropped, not leaked)
+    // name
     val maxRows = s.conf.getOption("spark.graft.spjMaxRows")
       .map(_.toLong).getOrElse(2000000L)
-    val ot = s"orders_spj_${tag}_m$maxRows"
-    val ct = s"customer_spj_${tag}_m$maxRows"
+    // "off" rather than the raw value when <= 0: a negative number in
+    // the table name would not survive Spark's identifier parser (the
+    // unquoted '-' lexes as a minus sign), breaking the documented
+    // disable path (round-16 review)
+    val gateKey = if (maxRows > 0) s"m$maxRows" else "off"
+    val ot = s"orders_spj_${tag}_$gateKey"
+    val ct = s"customer_spj_${tag}_$gateKey"
     written.synchronized {
       if (!KeyGroupedMem.contains(ot)) {
-        KeyGroupedMem.dropWhere(_.startsWith(s"orders_spj_${tag}_"))
-        KeyGroupedMem.dropWhere(_.startsWith(s"customer_spj_${tag}_"))
+        // superseded gate values' specs are RETAINED, not dropped:
+        // another session in this JVM may hold an unexecuted lazy plan
+        // over the old name, and failing its scan mid-query is worse
+        // than the bounded leak (one in-memory spec per distinct
+        // spjMaxRows value the caller actually uses)
         val ordersAll = graft.Tables.table(s, dir, "orders")
         val n = if (maxRows > 0) ordersAll.count() else 0L
         val bp = if (maxRows > 0 && n > maxRows)

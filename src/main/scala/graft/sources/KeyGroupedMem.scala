@@ -44,12 +44,6 @@ object KeyGroupedMem {
 
   def register(name: String, spec: Spec): Unit = tables.put(name, spec)
   def contains(name: String): Boolean = tables.containsKey(name)
-  /** Drop every registered table whose name matches `p` — how a
-    * re-registration under a changed ingest gate (round-16:
-    * FileFormats.ensureSpjTables keys the table name on the conf-derived
-    * spjMaxRows) retires the superseded spec instead of leaking it. */
-  def dropWhere(p: String => Boolean): Unit =
-    tables.keySet().removeIf(k => p(k))
   private[sources] def get(name: String): Option[Spec] =
     Option(tables.get(name))
 }

@@ -146,11 +146,15 @@ class Round16GateSpec extends SparkSpec {
       .select("doc_id", "text")
     val day0 = docs.filter(col("doc_id") % 10 < 6)
     val day1 = docs.filter(col("doc_id") % 10 === 7)
-    // standing state banded at the 8000bp rung (4,4)
+    // standing state banded at the 8000bp rung (4,4) — BOTH halves
+    // speak threshold (minhashBandRows accepts it too, round-16
+    // review: the ingest side must not need a hand-translated rung)
     val labels0 = Graft.minhashClusters(day0, "doc_id", "text",
       thresholdBp = 8000)
     val bands0 = Graft.minhashBandRows(day0, "doc_id", "text",
-      bands = 4, rowsPerBand = 4)
+      thresholdBp = 8000)
+    assert(bandSet(bands0) == bandSet(Graft.minhashBandRows(
+      day0, "doc_id", "text", bands = 4, rowsPerBand = 4)))
     val (lT, bT) = Graft.dedupIncremental(labels0, bands0, day1,
       "doc_id", "text", thresholdBp = 8000)
     val (lE, bE) = Graft.dedupIncremental(labels0, bands0, day1,
@@ -195,6 +199,14 @@ class Round16GateSpec extends SparkSpec {
     // registration under the default key, not the sampled leftover)
     assert(rows() == full)
     assert(s.conf.get("spark.graft.lastSpjGate") == "full")
+    // the documented "<= 0 disables" path must also survive the
+    // re-keying (a raw negative number in the table name would not
+    // parse as an identifier — round-16 review)
+    try {
+      s.conf.set("spark.graft.spjMaxRows", "-1")
+      assert(rows() == full)
+      assert(s.conf.get("spark.graft.lastSpjGate") == "full")
+    } finally s.conf.unset("spark.graft.spjMaxRows")
   }
 
   // ---- (5) tag-less warehouse dirs: mtime TTL -----------------------------
