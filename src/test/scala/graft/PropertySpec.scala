@@ -176,4 +176,48 @@ class PropertySpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("dedupIncremental changedOnly: delta MERGE equals the full " +
+      "recluster on random corpora (round 16)") {
+    val s = spark; import s.implicits._
+    import graft.api.Graft
+    // same corpus family as the full-state property above; here the
+    // APPEND-SHAPED return is merged by hand exactly as a 100 TB
+    // caller would (replace standing label rows by id, insert new
+    // ids; append the batch band rows) and the reconstruction must
+    // equal the full recluster of standing UNION batch
+    val corpus = Gen.listOfN(24, Gen.zip(Gen.choose(0, 11),
+      Gen.choose(0, 11), Gen.choose(0, 11)))
+    val prop = forAll(corpus) { triples =>
+      val docs = triples.zipWithIndex.map { case ((a, b, c), i) =>
+        (i.toLong, s"t$a t$b t$c")
+      }
+      val standing = docs.filter(_._1 % 3 != 0)
+      val batch = docs.filter(_._1 % 3 == 0)
+      val labels0 = Graft.minhashClusters(
+        standing.toDF("doc_id", "text"), "doc_id", "text")
+      val bands0 = Graft.minhashBandRows(
+        standing.toDF("doc_id", "text"), "doc_id", "text")
+      val (ld, bd) = Graft.dedupIncremental(labels0, bands0,
+        batch.toDF("doc_id", "text"), "doc_id", "text",
+        changedOnly = true)
+      val merged = labels0
+        .join(ld.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionAll(ld)
+      val got = merged.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val want = Graft.minhashClusters(
+          docs.toDF("doc_id", "text"), "doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val appended = bands0.collect().map(_.toString).toSet ++
+        bd.collect().map(_.toString).toSet
+      val wantBands = Graft.minhashBandRows(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(_.toString).toSet
+      got == want && appended == wantBands
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

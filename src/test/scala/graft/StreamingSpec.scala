@@ -247,4 +247,58 @@ class StreamingSpec extends SparkSpec {
     assert(got == full)
     assert(got.nonEmpty)
   }
+
+  test("foreachBatch incremental dedup via the append-shaped delta " +
+      "converges to the full recluster") {
+    // Round-16 item 1, streaming twin: the SAME daily-ingest loop, but
+    // each micro-batch asks for `changedOnly = true` and the standing
+    // state advances by MERGE (replace label rows by id, insert new)
+    // + APPEND (batch band rows) — the O(batch)-write shape a 100 TB
+    // pipeline persists, proven equal to the full recluster across a
+    // two-batch stream.
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.api.Graft
+    val docs = ops.t(s, sf, "documents")
+      .filter(col("lang") === "en").select("doc_id", "text")
+    val day0 = docs.filter(col("doc_id") % 10 < 6)
+    var state = (
+      Graft.minhashClusters(day0, "doc_id", "text").localCheckpoint(true),
+      Graft.minhashBandRows(day0, "doc_id", "text").localCheckpoint(true))
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (ld, bd) = Graft.dedupIncremental(state._1, state._2, batch,
+          "doc_id", "text", changedOnly = true)
+        val mergedLabels = state._1
+          .join(ld.select("doc_id"), Seq("doc_id"), "left_anti")
+          .unionAll(ld)
+        val appendedBands = state._2.unionAll(bd)
+        state = (mergedLabels.localCheckpoint(true),
+          appendedBands.localCheckpoint(true))
+        ()
+      }.start()
+    try {
+      val arr = docs.filter(col("doc_id") % 10 === 7 ||
+          col("doc_id") % 10 === 8)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val (d1, d2) = arr.partition(_._1 % 10 == 7)
+      mem.addData(d1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(d2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val union = docs.filter(col("doc_id") % 10 < 6 ||
+      col("doc_id") % 10 === 7 || col("doc_id") % 10 === 8)
+    val got = state._1.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val full = Graft.minhashClusters(union, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == full)
+    // the band state the appends accumulated equals the full banding
+    assert(state._2.collect().map(_.toString).toSet ==
+      Graft.minhashBandRows(union, "doc_id", "text")
+        .collect().map(_.toString).toSet)
+    assert(got.nonEmpty)
+  }
 }
