@@ -64,6 +64,70 @@ class Round16GateSpec extends SparkSpec {
     assert(lDelta.count() > 0)
   }
 
+  test("changedOnly band rows APPEND into the standing bucketed table " +
+      "and the re-read state is exact and still joins exchange-free") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // the PHYSICAL half of the append contract: the in-memory
+    // merge/append reconstruction above is re-proven through a real
+    // bucketed parquet table — write day0's bands bucketed+sorted by
+    // the band key, APPEND the changedOnly return, and the re-read
+    // table must (a) equal the full banding and (b) keep the
+    // exchange-free corpus side for the next day's incremental join.
+    // Name follows the graft_<word>_b<12hex>_<pid> reaper convention.
+    val bt = s"graft_r16bands_b0123456789ab_${ProcessHandle.current().pid()}"
+    graft.sources.FileFormats.resetTable(spark, bt)
+    try {
+      val docs = ops.t(spark, sf, "documents").filter(col("lang") === "en")
+        .select("doc_id", "text")
+      val day0 = docs.filter(col("doc_id") % 10 < 6)
+      val day1 = docs.filter(col("doc_id") % 10 === 7)
+      val day2 = docs.filter(col("doc_id") % 10 === 8)
+      Graft.minhashBandRows(day0, "doc_id", "text", 4, 2)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(4, "band", "bkey").sortBy("band", "bkey")
+        .saveAsTable(bt)
+      val labels0 = Graft.minhashClusters(day0, "doc_id", "text", 4, 2)
+      val (ld, bd) = Graft.dedupIncremental(labels0, spark.table(bt),
+        day1, "doc_id", "text", bands = 4, rowsPerBand = 2,
+        changedOnly = true)
+      // evaluate BOTH returns before the append: their plans read the
+      // standing table, which the append is about to grow
+      val mergedLabels = labelSet(labels0
+        .join(ld.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionAll(ld))
+      val bdRows = bd.collect()
+      assert(mergedLabels == labelSet(Graft.minhashClusters(
+        day0.unionAll(day1), "doc_id", "text", 4, 2)))
+      // the O(batch) daily write: append ONLY the batch's band rows
+      spark.createDataFrame(
+          java.util.Arrays.asList(bdRows: _*), bd.schema)
+        .write.mode("append").format("parquet")
+        .bucketBy(4, "band", "bkey").sortBy("band", "bkey")
+        .saveAsTable(bt)
+      assert(bandSet(spark.table(bt)) == bandSet(Graft.minhashBandRows(
+        day0.unionAll(day1), "doc_id", "text", 4, 2)))
+      // next day's incremental join over the re-read appended table
+      // still plans exchange-free on the corpus side
+      val df = Graft.minhashIncrementalBanded(
+        spark.table(bt).hint("merge"),
+        Graft.minhashBandRows(day2, "doc_id", "text", 4, 2))
+      val smj = flattenPlan(df.queryExecution.executedPlan)
+        .collect { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, "banded incremental join lost its SMJ shape")
+      val corpusSide = smj.head.children.map(flattenPlan).find(_.exists {
+        case f: FileSourceScanExec => f.bucketedScan
+        case _ => false
+      })
+      assert(corpusSide.isDefined, "no bucketed scan under the join")
+      assert(corpusSide.get.collect {
+        case e: ShuffleExchangeExec => e
+      }.isEmpty, "corpus side paid an exchange after the append")
+      assert(df.count() > 0)
+    } finally graft.sources.FileFormats.resetTable(spark, bt)
+  }
+
   // ---- (2) the replay + band-domain guards --------------------------------
 
   test("dedupIncremental: replayed batch id fails loudly (and the " +
