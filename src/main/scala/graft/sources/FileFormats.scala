@@ -18,10 +18,6 @@ import graft.ops.{orderedAll, dsum}
 object FileFormats {
 
   private val written = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  // per-registered-SPJ-table ingest-gate note, so EVERY caller session
-  // (not just the registering one) gets the lastSpjGate breadcrumb
-  private val spjGateNote =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Materialize `df` at a deterministic tmp path once per JVM. The key is
     * recorded only AFTER the write succeeds — marking first would poison
@@ -152,7 +148,7 @@ object FileFormats {
     * other dir's bucketed rows; 48 bits of a cryptographic digest make
     * that practically impossible, and absolutizing first keeps
     * "./sf0.1" and "/root/testdata/sf0.1" on one table. */
-  private def dirTag(dir: String): String = {
+  private[graft] def dirTag(dir: String): String = {
     val abs = new java.io.File(dir).getAbsolutePath
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(abs.getBytes("UTF-8"))
@@ -323,12 +319,14 @@ object FileFormats {
     * join exchange-free at 100 TB, complementing q_join_bucketed's
     * builtin-bucketed-table proof of the same contract. The join is on
     * (kmod, custkey); kmod is derived from custkey, so the result
-    * equals the plain custkey join the oracle runs. The in-memory row
-    * store is the demonstration vehicle (a real connector streams
-    * partitions from storage); above `spark.graft.spjMaxRows` orders
-    * rows (default 2 000 000 — far over every graded SF; ≤0 disables)
-    * the ingest takes a deterministic custkey-hash sample on BOTH
-    * sides so the driver-side vehicle never OOMs at smoke scale. */
+    * equals the plain custkey join the oracle runs. STORAGE-BACKED
+    * since round 16: ingest is a distributed `partitionBy(kmod)`
+    * parquet write (one Hive directory per key group), the registry
+    * holds only the file listing, and each task STREAMS its key
+    * group's files record-by-record (KeyGroupedMem scaladoc) — no
+    * driver-side collect, exact at any scale, so the round-15
+    * `spjMaxRows` sample gate and its oracle caveat are deleted
+    * rather than widened. */
   def qJoinSpj(sOuter: SparkSession, dir: String): DataFrame = {
     val (ot, ct) = ensureSpjTables(sOuter, dir)
     // a CHILD session carries the SPJ confs so they cannot leak into
@@ -434,93 +432,60 @@ object FileFormats {
     }
 
   /** Register the (kmod-grouped) orders/customer specs for `dir` in the
-    * [[KeyGroupedMem]] registry once per JVM, and point the session's
-    * `graftmem` catalog at the plugin. Names are dir-tagged like every
-    * other materialized table. */
+    * [[KeyGroupedMem]] registry once per JVM. Storage-backed (round
+    * 16): ingest is a DISTRIBUTED `partitionBy(kmod)` parquet write
+    * through [[materialize]] (one Hive `kmod=<k>` directory per key
+    * group, pass-1 ingest like every other storage-twin layout); the
+    * registration then carries only each group's file listing — the
+    * driver never holds a row, so the vehicle is exact at any scale
+    * and the full-join oracle applies everywhere. Names are dir-tagged
+    * like every other materialized table. */
   private def ensureSpjTables(s: SparkSession, dir: String)
       : (String, String) = {
     import org.apache.spark.sql.types._
     val tag = dirTag(dir)
-    // the registration is keyed on the CONF-DERIVED gate too (round-15
-    // advice): the first cut froze the sample at first per-JVM
-    // registration, so a later spark.graft.spjMaxRows change was
-    // silently ignored — now a changed gate re-registers under its own
-    // name
-    val maxRows = s.conf.getOption("spark.graft.spjMaxRows")
-      .map(_.toLong).getOrElse(2000000L)
-    // "off" rather than the raw value when <= 0: a negative number in
-    // the table name would not survive Spark's identifier parser (the
-    // unquoted '-' lexes as a minus sign), breaking the documented
-    // disable path (round-16 review)
-    val gateKey = if (maxRows > 0) s"m$maxRows" else "off"
-    val ot = s"orders_spj_${tag}_$gateKey"
-    val ct = s"customer_spj_${tag}_$gateKey"
+    val ot = s"orders_spj_$tag"; val ct = s"customer_spj_$tag"
     written.synchronized {
       if (!KeyGroupedMem.contains(ot)) {
-        // superseded gate values' specs are RETAINED, not dropped:
-        // another session in this JVM may hold an unexecuted lazy plan
-        // over the old name, and failing its scan mid-query is worse
-        // than the bounded leak (one in-memory spec per distinct
-        // spjMaxRows value the caller actually uses)
-        val ordersAll = graft.Tables.table(s, dir, "orders")
-        val n = if (maxRows > 0) ordersAll.count() else 0L
-        val bp = if (maxRows > 0 && n > maxRows)
-          math.max(1L, maxRows * 10000L / n) else 10000L
-        // breadcrumb (round-15 advice): above the gate the in-memory
-        // vehicle holds a deterministic custkey-hash SAMPLE of both
-        // sides, so the full-join oracle CANNOT match (xxhash64 has no
-        // DuckDB twin) — record the divergence loudly instead of
-        // letting a hand-run big-dir Verify grade a silently different
-        // result. Every graded SF sits far under the 2 M default.
-        spjGateNote.put(ot,
-          if (bp >= 10000L) "full"
-          else s"sampled_bp=$bp (oracle cross-check NOT valid: the " +
-            "in-memory SPJ vehicle holds a hash-sample above " +
-            s"spark.graft.spjMaxRows=$maxRows)")
-        if (bp < 10000L)
-          System.err.println(s"[graft] q_join_spj: orders rows $n > " +
-            s"spjMaxRows=$maxRows — ingesting a deterministic " +
-            s"custkey-hash sample (bp=$bp/10000 per side); the " +
-            "full-join oracle SQL does not apply at this scale")
-        def gate(df: DataFrame, keyCol: String): DataFrame =
-          if (bp >= 10000L) df
-          else df.filter(pmod(xxhash64(col(keyCol)), lit(10000)) < bp)
-        val oRows = gate(ordersAll, "o_custkey")
-          .select(pmod(col("o_custkey"), lit(8)).cast("int").as("kmod"),
-            col("o_custkey"), col("o_totalprice"))
-          .collect()
-        val cRows = gate(graft.Tables.table(s, dir, "customer"),
-            "c_custkey")
-          .select(pmod(col("c_custkey"), lit(8)).cast("int").as("kmod"),
-            col("c_custkey"), col("c_nationkey"))
-          .collect()
-        def grouped(rows: Array[org.apache.spark.sql.Row],
-                    f: org.apache.spark.sql.Row => Array[Any])
-            : Array[(Int, Array[Array[Any]])] = {
-          val byK = rows.groupBy(_.getInt(0))
-          (0 until 8).map(k =>
-            (k, byK.getOrElse(k, Array.empty).map(f))).toArray
-        }
+        val oPath = materialize(
+          graft.Tables.table(s, dir, "orders")
+            .select(pmod(col("o_custkey"), lit(8)).cast("int").as("kmod"),
+              col("o_custkey"), col("o_totalprice")),
+          s"spj_orders:$dir") { (df, p) =>
+            df.write.mode("overwrite").partitionBy("kmod").parquet(p)
+          }
+        val cPath = materialize(
+          graft.Tables.table(s, dir, "customer")
+            .select(pmod(col("c_custkey"), lit(8)).cast("int").as("kmod"),
+              col("c_custkey"), col("c_nationkey")),
+          s"spj_customer:$dir") { (df, p) =>
+            df.write.mode("overwrite").partitionBy("kmod").parquet(p)
+          }
+        // per-key file listing — the ONLY thing the driver reads back.
+        // A key value with no rows has no directory (partitionBy skips
+        // it); it still gets an (empty) partition so both sides report
+        // the same 8 key groups and SPJ can align them.
+        def filesByK(path: String): Array[(Int, Array[String])] =
+          (0 until 8).map { k =>
+            val d = new java.io.File(path, s"kmod=$k")
+            (k, Option(d.listFiles()).getOrElse(Array.empty)
+              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+              .map(_.getAbsolutePath).sorted)
+          }.toArray
         // ct first: the guard above keys on ot, so ot must be the LAST
         // registration — a failure between the two then retries both
         KeyGroupedMem.register(ct, KeyGroupedMem.Spec(
           StructType(Seq(StructField("kmod", IntegerType, false),
             StructField("c_custkey", LongType, false),
             StructField("c_nationkey", IntegerType, false))),
-          "kmod",
-          grouped(cRows, r =>
-            Array[Any](r.getInt(0), r.getLong(1), r.getInt(2)))))
+          "kmod", filesByK(cPath)))
         KeyGroupedMem.register(ot, KeyGroupedMem.Spec(
           StructType(Seq(StructField("kmod", IntegerType, false),
             StructField("o_custkey", LongType, false),
             StructField("o_totalprice", DoubleType, false))),
-          "kmod",
-          grouped(oRows, r =>
-            Array[Any](r.getInt(0), r.getLong(1), r.getDouble(2)))))
+          "kmod", filesByK(oPath)))
       }
     }
-    Option(spjGateNote.get(ot)).foreach(
-      s.conf.set("spark.graft.lastSpjGate", _))
     (ot, ct)
   }
 

@@ -236,41 +236,46 @@ class Round16GateSpec extends SparkSpec {
     assert(e.getMessage.contains("rowsPerBand"))
   }
 
-  // ---- (4) SPJ ingest-gate breadcrumb + re-keying -------------------------
+  // ---- (4) the SPJ vehicle is storage-backed ------------------------------
 
-  test("q_join_spj: gate breadcrumb is recorded and a conf change " +
-      "re-registers instead of reading the frozen first ingest") {
-    val s = spark
-    def rows() = SparkEntry.queries("q_join_spj")(s, sf).collect()
+  test("q_join_spj: the DSv2 vehicle streams parquet files — the " +
+      "registry holds only listings, never rows") {
+    import graft.sources.{FileFormats, KeyGroupedMem}
+    val got = SparkEntry.queries("q_join_spj")(spark, sf).collect()
       .map(_.toString).toSet
-    val full = rows()
-    assert(s.conf.get("spark.graft.lastSpjGate") == "full")
-    try {
-      // a gate far under the fixture's orders count: the vehicle must
-      // RE-ingest under the new gate (pre-r16 the first registration
-      // was frozen per-JVM) and say loudly that the oracle no longer
-      // applies
-      s.conf.set("spark.graft.spjMaxRows", "10")
-      val sampled = rows()
-      assert(s.conf.get("spark.graft.lastSpjGate")
-        .startsWith("sampled_bp="))
-      assert(s.conf.get("spark.graft.lastSpjGate")
-        .contains("oracle cross-check NOT valid"))
-      assert(sampled != full, "a 10-row gate cannot reproduce the " +
-        "full join — the re-key did not take")
-    } finally s.conf.unset("spark.graft.spjMaxRows")
-    // back at the default gate the full result comes back (fresh
-    // registration under the default key, not the sampled leftover)
-    assert(rows() == full)
-    assert(s.conf.get("spark.graft.lastSpjGate") == "full")
-    // the documented "<= 0 disables" path must also survive the
-    // re-keying (a raw negative number in the table name would not
-    // parse as an identifier — round-16 review)
-    try {
-      s.conf.set("spark.graft.spjMaxRows", "-1")
-      assert(rows() == full)
-      assert(s.conf.get("spark.graft.lastSpjGate") == "full")
-    } finally s.conf.unset("spark.graft.spjMaxRows")
+    assert(got.nonEmpty)
+    // the registration the query just made: every key group of both
+    // tables is a list of parquet FILE PATHS under the materialized
+    // Hive layout — the driver-side footprint of the table is its
+    // file listing, not its rows (round-16: the spjMaxRows sample
+    // gate is gone because nothing is ever collected)
+    val tag = FileFormats.dirTag(sf)
+    for (t <- Seq(s"orders_spj_$tag", s"customer_spj_$tag")) {
+      val spec = KeyGroupedMem.get(t)
+      assert(spec.isDefined, s"$t not registered")
+      assert(spec.get.parts.length == 8)
+      val files = spec.get.parts.flatMap(_._2)
+      assert(files.nonEmpty)
+      assert(files.forall(f => f.endsWith(".parquet") &&
+        new java.io.File(f).isFile))
+      // each file belongs to the kmod=<k> directory of its key group
+      spec.get.parts.foreach { case (k, fs) =>
+        assert(fs.forall(_.contains(s"kmod=$k")))
+      }
+    }
+    // and the streamed result equals the plain custkey join computed
+    // by the engine directly on the source tables (the oracle's shape)
+    val o = graft.Tables.table(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+    val c = graft.Tables.table(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val twin = graft.ops.orderedAll(o.join(c,
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.dsum(col("o_totalprice")).as("total")))
+      .collect().map(_.toString).toSet
+    assert(got == twin)
   }
 
   // ---- (5) tag-less warehouse dirs: mtime TTL -----------------------------
