@@ -202,17 +202,33 @@ object CorpusStats {
     val sig0 = DedupAudit.auditSample(s, dir, Sketches.mdLaneSigs(s, dir))
     val bands = Sketches.mdBands(
       if (mod <= 1) sig0 else sig0.filter(col("doc_id") % mod === 0))
-    val cand = bands.as("x").join(bands.as("y"),
+    // Candidate pairs deliberately NOT .distinct()ed here: a pair that
+    // collides in several bands appears once per band, and the flag
+    // aggregate below dedups it in the same exchange that computes the
+    // truth/candidate intersection. r16 optimization: the old spelling
+    // evaluated the (expensive) truth subtree twice (semi-join probe +
+    // n_truth count) and the candidate self-join twice (semi-join build
+    // + n_cand count) — 314 physical operators, 148 Exchanges. One
+    // union + one (a_id, b_id) aggregate + one 1-row aggregate computes
+    // the identical three counts with each subtree evaluated ONCE
+    // (5.6 s → 2.9 s steady at sf0.1; the plan halves). count() over
+    // flag predicates (never sum) so an empty universe still yields
+    // 0s, exactly as the old count(lit(1)) aggregates did.
+    val candRaw = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
-    val tp = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
-      .agg(count(lit(1)).as("tp"))
-    orderedAll(truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
-      .crossJoin(broadcast(tp))
+    val flags = truth
+      .select(col("a_id"), col("b_id"), lit(1L).as("t"), lit(0L).as("c"))
+      .unionAll(candRaw
+        .select(col("a_id"), col("b_id"), lit(0L).as("t"), lit(1L).as("c")))
+      .groupBy("a_id", "b_id")
+      .agg(max(col("t")).as("t"), max(col("c")).as("c"))
+    orderedAll(flags.agg(
+        count(when(col("t") === 1L, true)).as("n_truth"),
+        count(when(col("c") === 1L, true)).as("n_cand"),
+        count(when(col("t") === 1L && col("c") === 1L, true)).as("tp"))
       .selectExpr("n_truth", "n_cand", "tp",
         "CASE WHEN n_cand > 0 THEN tp * 10000 div n_cand ELSE 0 END" +
           " AS precision_bp",

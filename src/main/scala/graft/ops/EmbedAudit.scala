@@ -97,21 +97,20 @@ object EmbedAudit {
     val lanes = base.withColumn("xu",
       expr("transform(embedding, v -> " +
         "CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT))"))
-    // i stops at 63: Spark's sequence(a, b) runs BACKWARDS when a > b,
-    // so sequence(65, 64) would mint a phantom j = 65.
-    val pairs = lanes.select(explode(expr(
-      """flatten(transform(sequence(1, 63), i ->
-        |  transform(sequence(i + 1, 64), j ->
-        |    struct(i AS i, j AS j, xu[i - 1] AS x, xu[j - 1] AS y))))"""
-        .stripMargin)).as("p"))
-      .select(col("p.i").cast("long").as("i"),
-        col("p.j").cast("long").as("j"), col("p.x").as("x"),
-        col("p.y").as("y"))
-      .groupBy("i", "j")
-      .agg(count(lit(1)).as("n"),
-        sum("x").as("sx"), sum("y").as("sy"),
-        sum(expr("x * x")).as("qx"), sum(expr("y * y")).as("qy"),
-        sum(expr("x * y")).as("sxy"))
+    // r16 optimization: the 2016-pair moment table used to come from an
+    // in-row pair explode (2016 struct rows PER embedding — a 2016× row
+    // blowup through a wide hash aggregate, 2.4 s steady at sf0.1).
+    // graft.functions.LaneMoments computes the identical (i, j, n, sx,
+    // sy, qx, qy, sxy) table in ONE mergeable pass — per-partition
+    // 33 KiB buffers, no row blowup (0.5 s at sf0.1); null/short-array
+    // lanes keep the explode's exact count/sum semantics (scaladoc).
+    val pairs = lanes
+      .agg(graft.functions.LaneMoments.moments(col("xu"), 64).as("ms"))
+      .select(explode(col("ms")).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.n").as("n"),
+        col("p.sx").as("sx"), col("p.sy").as("sy"),
+        col("p.qx").as("qx"), col("p.qy").as("qy"),
+        col("p.sxy").as("sxy"))
     val scored = pairs.withColumn("corr_milli", expr(
       "CASE WHEN n * qx - sx * sx = 0 OR n * qy - sy * sy = 0 THEN NULL " +
         "ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) * 1000 / " +

@@ -221,21 +221,24 @@ object Integrity {
     * profile of `orders` — row count, nulls, distinct values, min and
     * max rendered as strings under a FIXED per-type rendering (cents
     * BIGINT for money, DATE for timestamps) so both engines print the
-    * identical value. One pass: a single aggregate computes every
-    * column's stats side by side (count_distinct is a partial-merge
-    * aggregate per column), then stack() unpivots the 6-column report
-    * — no per-column rescans. */
+    * identical value. Two side-by-side aggregates over one cheap
+    * column-pruned scan each, then stack() unpivots the 6-column report
+    * — no per-column rescans. Split deliberately (r16 optimization):
+    * a min(string) agg buffer is not UnsafeRow-mutable, so folding
+    * min/max into the count_distinct aggregate forces the ENTIRE 7-way
+    * Expand (7× the row count) through SortAggregate — full sorts of
+    * the expanded set on both sides of the exchange (measured 3.8 s at
+    * sf0.1). Keeping the distinct-count Expand all-long keeps it
+    * HashAggregate; the string min/max ride a separate ZERO-KEY
+    * aggregate (no grouping → no sort at any scale), and the two
+    * 1-row results cross-join for the stack. Plan: SortAggregate×5 +
+    * Sort×2 over 7N rows → HashAggregate over 7N + sortless
+    * SortAggregate over N (0.5 s at sf0.1). */
   def qColProfile(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
       .withColumn("cents", expr(
         "CAST(round(o_totalprice * 100) AS BIGINT)"))
       .withColumn("odate", col("o_orderdate").cast("date"))
-    def stats(c: String, v: Column): Seq[Column] = Seq(
-      sum(when(v.isNull, 1L).otherwise(0L)).cast("long")
-        .as(s"${c}_nulls"),
-      countDistinct(v).as(s"${c}_dist"),
-      min(v).cast("string").as(s"${c}_min"),
-      max(v).cast("string").as(s"${c}_max"))
     val cols = Seq(
       "o_orderkey" -> col("o_orderkey"),
       "o_custkey" -> col("o_custkey"),
@@ -243,13 +246,20 @@ object Integrity {
       "o_totalprice_cents" -> col("cents"),
       "o_orderdate" -> col("odate"),
       "o_orderpriority" -> col("o_orderpriority"))
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap {
-      case (n, v) => stats(n, v)
+    val distAggs = count(lit(1)).as("n_rows") +: cols.map {
+      case (n, v) => countDistinct(v).as(s"${n}_dist")
+    }
+    val mmAggs = cols.flatMap { case (n, v) => Seq(
+      sum(when(v.isNull, 1L).otherwise(0L)).cast("long")
+        .as(s"${n}_nulls"),
+      min(v).cast("string").as(s"${n}_min"),
+      max(v).cast("string").as(s"${n}_max"))
     }
     val stackExpr = cols.map { case (n, _) =>
       s"'$n', ${n}_nulls, ${n}_dist, ${n}_min, ${n}_max"
     }.mkString(s"stack(${cols.size}, ", ", ", ")")
-    orderedAll(o.agg(aggs.head, aggs.tail: _*)
+    orderedAll(o.agg(distAggs.head, distAggs.tail: _*)
+      .crossJoin(broadcast(o.agg(mmAggs.head, mmAggs.tail: _*)))
       .selectExpr("n_rows",
         s"$stackExpr AS (col_name, n_nulls, n_distinct, min_v, max_v)")
       .select("col_name", "n_rows", "n_nulls", "n_distinct",
