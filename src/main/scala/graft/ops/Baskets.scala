@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
   * the qHhi overflow convention, since n_ab·N·10⁶ wraps a BIGINT at
   * warehouse order counts.
   *
-  * Scale shape: the pair generator is the DISTINCT (order, part)
-  * self-join on l_orderkey — per-order quadratic, bounded by order
-  * width (≤7 in the fixture, O(10) in any real basket), never by the
-  * catalog; marginals are broadcast-sized (parts, segments). This is
-  * the classic MR market-basket shape re-expressed as one shuffle on
-  * the order key.
+  * Scale shape: baskets collapse to per-order sorted DISTINCT part
+  * sets in one shuffle on the order key; pairs expand IN-ROW by array
+  * lambdas (r16 — formerly a pair-table self-join that shuffled the
+  * (order, part) table twice per query). Per-order quadratic, bounded
+  * by order width (≤7 in the fixture, O(10) in any real basket), never
+  * by the catalog; marginals are broadcast-sized (parts, segments).
+  * This is the classic MR market-basket shape re-expressed as one
+  * shuffle on the order key.
   */
 object Baskets {
 
@@ -36,16 +38,32 @@ object Baskets {
     * Fixture width ≤ 7: the graded plan is untouched unless the conf is
     * set, and Round10GateSpec forces W=64 equality + wide-order
     * exclusion on a crafted fixture. */
-  private def baskets(s: SparkSession, dir: String): DataFrame = {
-    val b = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      .distinct()
-    s.conf.getOption("spark.graft.basketMaxWidth").map(_.toInt) match {
-      case Some(w) if w > 0 =>
-        val wide = b.groupBy("l_orderkey").agg(count(lit(1)).as("__w"))
-          .filter(col("__w") > w).select("l_orderkey")
-        b.join(wide, Seq("l_orderkey"), "left_anti")
-      case _ => b
+  /** Per-order sorted DISTINCT part sets — the basket rows, one row per
+    * order (r16 optimization: the former spelling kept a DISTINCT
+    * (l_orderkey, l_partkey) pair table that every consumer self-joined
+    * on the order key — shuffling the pair table twice per query plus
+    * once per marginal. One groupBy(l_orderkey) + collect_set builds
+    * the same universe in a single exchange; pairs then expand IN-ROW
+    * by array lambdas, the q_brand_affinity / q_cooccur_pmi idiom).
+    * collect_set dedups exactly like the old DISTINCT; array_sort fixes
+    * the in-row pair order to p1 < p2. The width guard keeps its
+    * semantics: orders wider than W distinct parts leave the basket
+    * UNIVERSE entirely (pairs, marginals and N), now as a size() filter
+    * on the set instead of a count anti-join. When `pin` is set the
+    * table materializes once (Text.pin) for multi-consumer queries
+    * (pairs + marginals + N), exactly like q_brand_affinity's basket
+    * pin. */
+  private def basketArrays(s: SparkSession, dir: String,
+                           pin: Boolean): DataFrame = {
+    val g = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+    val filtered = s.conf.getOption("spark.graft.basketMaxWidth")
+      .map(_.toInt) match {
+      case Some(w) if w > 0 => g.filter(size(col("parts")) <= w)
+      case _ => g
     }
+    if (pin) Text.pin(filtered, "baskets_ob") else filtered
   }
 
   /** Part-pair co-occurrence with lift (§2.84): pairs of parts bought in
@@ -54,15 +72,17 @@ object Baskets {
     * N = total orders with any line. Support-filtered OUTPUT stays
     * sparse while the pair space stays per-order-bounded. */
   def qBasketPairs(s: SparkSession, dir: String): DataFrame = {
-    val b = baskets(s, dir)
-    val pairs = b.as("x").join(b.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .groupBy(col("x.l_partkey").as("p1"), col("y.l_partkey").as("p2"))
+    val g = basketArrays(s, dir, pin = true)
+    val pairs = g.select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)), y ->
+          |    struct(x AS p1, y AS p2))))""".stripMargin)).as("p"))
+      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 3)
-    val marg = b.groupBy("l_partkey").agg(count(lit(1)).as("n_p"))
-    val tot = b.select("l_orderkey").distinct().agg(count(lit(1)).as("n"))
+    val marg = g.select(explode(col("parts")).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_p"))
+    val tot = g.agg(count(lit(1)).as("n"))
     orderedAll(pairs
       .join(broadcast(marg.select(col("l_partkey").as("p1"),
         col("n_p").as("n_a"))), "p1")
@@ -78,14 +98,17 @@ object Baskets {
   /** Cross-sell top-3 (§2.84): for each anchor part, its 3 most
     * co-purchased parts (ties → smaller co-part id), co-count ≥ 2. The
     * rank window partitions by ANCHOR — parallel across the catalog,
-    * never a global sort. */
+    * never a global sort. Co-pairs expand in-row in BOTH directions
+    * (x, every y ≠ x of the same sorted distinct set) — identical to
+    * the old self-join's =!= condition. Single consumer → no pin. */
   def qCrossSell(s: SparkSession, dir: String): DataFrame = {
-    val b = baskets(s, dir)
-    val co = b.as("x").join(b.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") =!= col("y.l_partkey"))
-      .groupBy(col("x.l_partkey").as("anchor"),
-        col("y.l_partkey").as("co_part"))
+    val g = basketArrays(s, dir, pin = false)
+    val co = g.select(explode(expr(
+        """flatten(transform(parts, x ->
+          |  transform(filter(parts, y -> y != x), y ->
+          |    struct(x AS anchor, y AS co_part))))""".stripMargin)).as("p"))
+      .groupBy(col("p.anchor").as("anchor"),
+        col("p.co_part").as("co_part"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)
     val w = Window.partitionBy("anchor")
