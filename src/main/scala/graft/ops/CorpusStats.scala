@@ -196,9 +196,20 @@ object CorpusStats {
     // (DedupAudit.auditSample) composes with the legacy mod gate —
     // both sides restrict to the same induced doc subset, so
     // precision/recall stay unbiased estimates.
-    val d0 = DedupAudit.auditSample(s, dir, Sketches.enPostings(s, dir))
-    val d = if (mod <= 1) d0 else d0.filter(col("doc_id") % mod === 0)
-    val truth = Text.maskGroupPairs(d, 3, 1).select("a_id", "b_id")
+    // r16 optimization: at the default mod = 1 the truth side IS the
+    // loose (cMul=3, sMul=1 ⟺ J ≥ 0.5) exact pair set over the SAME
+    // sampled posting universe that q_dedup_sweep and q_minhash_accuracy
+    // fold — so consume the session-pinned [[DedupAudit.candPairs]]
+    // instead of re-deriving the whole mask-group/inverted pair tree per
+    // run (the same shared-pin family as the r9 mdLaneSigs fix; the
+    // audits now provably grade ONE truth set). The mod gate keeps its
+    // private derivation: a mod-filtered universe is not the pinned one.
+    val truth =
+      (if (mod <= 1) DedupAudit.candPairs(s, dir)
+       else Text.maskGroupPairs(
+         DedupAudit.auditSample(s, dir, Sketches.enPostings(s, dir))
+           .filter(col("doc_id") % mod === 0), 3, 1))
+        .select("a_id", "b_id")
     val sig0 = DedupAudit.auditSample(s, dir, Sketches.mdLaneSigs(s, dir))
     val bands = Sketches.mdBands(
       if (mod <= 1) sig0 else sig0.filter(col("doc_id") % mod === 0))

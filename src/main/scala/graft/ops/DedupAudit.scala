@@ -111,7 +111,7 @@ object DedupAudit {
         s"16, 10) AS BIGINT) * 10000 < ${bp.toLong} * 65536"))
   }
 
-  private def candPairs(s: SparkSession, dir: String): DataFrame =
+  private[ops] def candPairs(s: SparkSession, dir: String): DataFrame =
     candCache.computeIfAbsent(candKey(s, dir), _ => {
       val dt = auditSample(s, dir, Sketches.enPostings(s, dir))
       val dictN = dt.select("token").distinct().count()
