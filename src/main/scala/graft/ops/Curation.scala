@@ -256,7 +256,15 @@ object Curation {
         col("a.token") < col("b.token"))
       .select(col("a.token").as("ta"), col("b.token").as("tb"))
       .distinct()
-    val e = degreeOrientedEdges(und)
+    // r16 optimization: the wedge closure references the oriented edge
+    // set THREE times (e1/e2/e3) and the orientation itself reads the
+    // undirected set three more (edges + two degree marginals) — left
+    // as a lazy plan the whole posting self-join re-derived ~18× (7096
+    // physical-plan lines, 180 scans; 2.0 s steady at sf0.1). Pin the
+    // vocabulary-sized oriented edge set once (the q_brand_affinity
+    // multi-consumer pin idiom) so the 3-way join reads ONE
+    // materialization (121 lines, 1.2 s).
+    val e = Text.pin(degreeOrientedEdges(und), "tri_edges")
     val tri = wedgeClosure(e)
     orderedAll(tri.select(col("a").as("token"))
       .unionAll(tri.select(col("b").as("token")))

@@ -177,15 +177,26 @@ object Learning {
     val edges = graft.ops.Text.pin(und.unionAll(
       und.select(col("dst").as("src"), col("src").as("dst"))),
       DistRank.dirSlot("bfs_edges", dir))
-    val seed = dt.agg(min(col("token")).as("token"))
-      .withColumn("hops", lit(0L))
+    // r16 optimization: pin the SEED and each hop's frontier too (the
+    // full loop-pin discipline, not just the edge list). Left lazy,
+    // hop k's anti-join and the final union re-evaluated every earlier
+    // frontier — frontier 2 ran twice, frontier 1 three times, the
+    // corpus-scan seed aggregate four times (1916 plan lines, 66
+    // scans; at scale each re-evaluation re-joins the big edge list).
+    // Pinned, every hop runs exactly once (212 lines, 1.2 -> 0.8 s
+    // steady at sf0.1); frontiers are vocabulary-sized, so the pins
+    // are trivial.
+    val seed = graft.ops.Text.pin(
+      dt.agg(min(col("token")).as("token")).withColumn("hops", lit(0L)),
+      DistRank.dirSlot("bfs_seed", dir))
     var visited = seed
     var frontier = seed.select("token")
     for (k <- 1 to 3) {
-      frontier = edges
+      frontier = graft.ops.Text.pin(edges
         .join(frontier.withColumnRenamed("token", "src"), "src")
         .select(col("dst").as("token")).distinct()
-        .join(visited.select("token"), Seq("token"), "left_anti")
+        .join(visited.select("token"), Seq("token"), "left_anti"),
+        DistRank.dirSlot(s"bfs_f$k", dir))
       visited = visited.unionAll(
         frontier.withColumn("hops", lit(k.toLong)))
     }

@@ -969,7 +969,12 @@ object Text {
       .withColumn("tok_id",
         row_number().over(Window.orderBy(col("token"))).cast("int") - 1)
     val words = (dict.count() / 64 + 1).toInt
-    val bitmaps = dt.join(broadcast(dict), "token")
+    // r16 optimization: the bitmap table has two direct consumers and
+    // three more through `sets` — lazy, the posting join + in-row
+    // bitmap fold re-derived five times (809 plan lines, 16 scans).
+    // Pin it once per call (multi-consumer pin idiom); 1.5 s -> 1.0 s
+    // steady at sf0.1.
+    val bitmaps = Text.pin(dt.join(broadcast(dict), "token")
       .groupBy("doc_id")
       .agg(collect_list(col("tok_id")).as("tids"), count(lit(1)).as("nt"))
       .withColumn("bm", expr(
@@ -978,7 +983,7 @@ object Text {
            |    IF(i = CAST(t div 64 AS INT),
            |       x | shiftleft(CAST(1 AS BIGINT), CAST(t % 64 AS INT)),
            |       x)))""".stripMargin))
-      .select("doc_id", "bm", "nt")
+      .select("doc_id", "bm", "nt"), "containment_bm")
     val sets = bitmaps.groupBy("bm", "nt")
       .agg(count(lit(1)).as("g"))
     val x = sets.select(col("bm").as("bx"), col("nt").as("nx"),
