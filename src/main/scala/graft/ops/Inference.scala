@@ -40,11 +40,18 @@ object Inference {
     * box-level, not a plan shift; this plan is the one that ships,
     * pinned in Round14PlanSpec (2 windows, fixture-only scans). */
   def qSpearman(s: SparkSession, dir: String): DataFrame = {
-    val cells = t(s, dir, "lineitem")
+    // r16 optimization: `cells` has three consumers (both marginal
+    // histograms + the midrank join) — lazy, the lineitem scan +
+    // (flag, x, y) aggregate ran three times. Pin it once per call
+    // (multi-consumer pin idiom); the Round14PlanSpec pin is updated
+    // accordingly (2 windows unchanged; the lineitem fixture is now
+    // scanned exactly once, the other scans read the cells slot).
+    val cells = Text.pin(t(s, dir, "lineitem")
       .select(col("l_returnflag").as("flag"),
         expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
-      .groupBy("flag", "x", "y").agg(count(lit(1)).as("c"))
+      .groupBy("flag", "x", "y").agg(count(lit(1)).as("c")),
+      DistRank.dirSlot("spearman_cells", dir))
     def withCum(h: DataFrame, key: String, cnt: String): DataFrame = {
       val w = Window.partitionBy("flag").orderBy(key)
         .rowsBetween(Window.unboundedPreceding, -1)

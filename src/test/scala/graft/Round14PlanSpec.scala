@@ -18,20 +18,26 @@ import org.apache.spark.sql.execution.window.WindowExec
   * checkpoint/slot scan appearing here would mean the gate engaged). */
 class Round14PlanSpec extends SparkSpec {
 
-  test("q_spearman plan: two serial midrank windows, fixture-only scans") {
+  test("q_spearman plan: two serial midrank windows, cells-pin scans") {
     val df = SparkEntry.queries("q_spearman")(spark, sf)
     val plan = df.queryExecution.sparkPlan
     val windows = plan.collect { case w: WindowExec => w }
     assert(windows.size == 2,
       s"expected the 2 serial per-flag midrank windows, got " +
         s"${windows.size} — the DistRank gate flipped or the shape drifted")
-    val scans = plan.collect { case f: FileSourceScanExec => f }
-    assert(scans.nonEmpty)
-    val offFixture = scans.filterNot(
-      _.relation.location.rootPaths.mkString(",").contains("lineitem"))
-    assert(offFixture.isEmpty,
-      s"non-fixture scan in the q_spearman plan (checkpoint slot?): " +
-        s"${offFixture.map(_.relation.location.rootPaths.mkString(","))}")
+    // r16: `cells` is pinned once (it has three consumers), so the
+    // plan's scans read the pin (ExistingRDD under localCheckpoint, or
+    // the spearman_cells slot under reliable checkpointing) instead of
+    // re-scanning lineitem per consumer. Any OTHER file scan appearing
+    // here would mean the shape drifted.
+    val offPin = plan.collect { case f: FileSourceScanExec => f }
+      .filterNot { f =>
+        val p = f.relation.location.rootPaths.mkString(",")
+        p.contains("lineitem") || p.contains("spearman_cells")
+      }
+    assert(offPin.isEmpty,
+      s"unexpected scan in the q_spearman plan: " +
+        s"${offPin.map(_.relation.location.rootPaths.mkString(","))}")
   }
 
   test("q_shuffle_coalesce: AQE merges tiny reducer slices at runtime") {
