@@ -494,12 +494,24 @@ object Curation {
           |                     toks[i+3], ' ', toks[i+4], ' ', toks[i+5],
           |                     ' ', toks[i+6], ' ', toks[i+7]) END),
           |  g -> g IS NOT NULL)""".stripMargin)).as("span"))
-    val df = spans.groupBy("span")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-    orderedAll(spans.join(df, "span")
+    // r16 optimization: the old spelling joined the INSTANCE table back
+    // onto its span doc-frequencies — every 8-gram instance shuffled by
+    // its span string just to pick up nd. The (span, source) aggregate
+    // carries instance counts AND per-source distinct-doc counts (a doc
+    // has exactly one source, so nd = Σ_source ndocs exactly), making
+    // the join span-scale, never instance-scale (1.9 s -> 1.3 s steady
+    // at sf0.1; at 100 TB the join side shrinks from corpus-instances
+    // to the span vocabulary). Deliberately NOT pinned: materializing
+    // the span×source string table measured costlier than the second
+    // explode evaluation it would save.
+    val g1 = spans.groupBy("span", "source")
+      .agg(count(lit(1)).as("inst"),
+        countDistinct(col("doc_id")).as("ndocs"))
+    val nd = g1.groupBy("span").agg(sum(col("ndocs")).as("nd"))
+    orderedAll(g1.join(nd, "span")
       .groupBy("source")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).cast("long")
+      .agg(sum(col("inst")).cast("long").as("n_spans"),
+        sum(when(col("nd") >= 2, col("inst")).otherwise(0L)).cast("long")
           .as("dup_spans"))
       .withColumn("dup_bp", expr("dup_spans * 10000 div n_spans")))
   }
