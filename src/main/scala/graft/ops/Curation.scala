@@ -356,21 +356,29 @@ object Curation {
     }
     if (s.conf.getOption("spark.graft.entityMatchGeneral").contains("true"))
       return qEntityMatchGeneral(c0)
-    val c = c0
-      // digits 4-6 and 7-9 of the 9-digit suffix (chars 13-15 / 16-18).
-      .withColumn("seg1", substring(col("name"), 13, 3))
-      .withColumn("seg2", substring(col("name"), 16, 3))
-    val a = c.select(col("key").as("a_key"), col("name").as("a_name"),
-      col("seg1").as("a_s1"), col("seg2").as("a_s2"))
-    val b = c.select(col("key").as("b_key"), col("name").as("b_name"),
-      col("seg1").as("b_s1"), col("seg2").as("b_s2"))
-    val cand = a.join(b, col("a_s1") === col("b_s1") &&
+    // r16 optimization: the two segment blocks used to be two separate
+    // equi-joins unioned (each re-deriving the filtered name table on
+    // both sides — four corpus passes). Posting each name under BOTH
+    // (segno, segval) block keys turns them into ONE equi-join feeding
+    // the same distinct — identical candidate set (the union of the
+    // two blockings), half the join/exchange count. Neutral at sf0.1
+    // (the query is per-query-overhead-bound there: ~2.1 s either
+    // way); at scale the blocked side is read twice, not four times.
+    // digits 4-6 and 7-9 of the 9-digit suffix (chars 13-15 / 16-18).
+    val posts = c0.select(col("key"), col("name"), explode(expr(
+        "array(struct(1 AS segno, substring(name, 13, 3) AS segval), " +
+          "struct(2 AS segno, substring(name, 16, 3) AS segval))"))
+        .as("g"))
+      .select(col("key"), col("name"),
+        col("g.segno").as("segno"), col("g.segval").as("segval"))
+    val a = posts.select(col("key").as("a_key"), col("name").as("a_name"),
+      col("segno"), col("segval"))
+    val b = posts.select(col("key").as("b_key"), col("name").as("b_name"),
+      col("segno").as("b_segno"), col("segval").as("b_segval"))
+    val cand = a.join(b, col("segno") === col("b_segno") &&
+        col("segval") === col("b_segval") &&
         col("a_key") < col("b_key"))
       .select("a_key", "b_key", "a_name", "b_name")
-      .unionAll(
-        a.join(b, col("a_s2") === col("b_s2") &&
-            col("a_key") < col("b_key"))
-          .select("a_key", "b_key", "a_name", "b_name"))
       .distinct()
     orderedAll(cand
       .withColumn("d", levenshtein(col("a_name"), col("b_name")).cast("long"))

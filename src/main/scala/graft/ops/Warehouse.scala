@@ -396,15 +396,23 @@ object Warehouse {
       DistRank.dirSlot("wmed_auto", dir))
     val w = Window.partitionBy("event_type").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // r16: totals from full-partition window sums in the serial branch
+    // (same exchange/sort as the cumulative window — no second
+    // histogram evaluation + broadcast join); the DistRank branch keeps
+    // the join, exactly as in qWeightedQuantile (see there).
     val cum =
       if (b <= 0) g.withColumn("cum", sum("gw").over(w))
+        .withColumn("tot_w",
+          sum("gw").over(Window.partitionBy("event_type")))
+        .withColumn("n", sum("gn").over(Window.partitionBy("event_type")))
       else DistRank.withPrefixSumBy(g, Seq("event_type"),
         col("cents"), col("cents"), col("gw"), b, "cum_before")
         .withColumn("cum", col("cum_before") + col("gw"))
-    val tot = g.groupBy("event_type")
-      .agg(sum("gw").as("tot_w"), sum("gn").as("n"))
+        .join(broadcast(g.groupBy(col("event_type").as("et2"))
+          .agg(sum("gw").as("tot_w"), sum("gn").as("n"))),
+          col("event_type") === col("et2"))
+        .drop("et2")
     orderedAll(cum
-      .join(broadcast(tot), "event_type")
       .filter(col("cum") * 2 >= col("tot_w"))
       .groupBy("event_type", "n", "tot_w")
       .agg(min("cents").as("wmedian_cents"))
@@ -516,16 +524,28 @@ object Warehouse {
       DistRank.dirSlot("wq_auto", dir))
     val wc = Window.partitionBy("l_returnflag").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // r16 optimization (serial branch only): the per-flag total used to
+    // be a SEPARATE aggregate of g broadcast-joined back — re-evaluating
+    // the whole histogram subtree. The cumulative window already
+    // partitions by flag, so the total is one more window function over
+    // the SAME sort/exchange (an unordered full-partition sum — exact
+    // for any sign). The DistRank branch keeps the join: at scale a
+    // full-partition window over a fact-scale histogram is precisely
+    // what the bucketed prefix-sum path exists to avoid, and there the
+    // g re-evaluation is amortized.
     val cum =
       if (b <= 0) g.withColumn("cum", sum("gw").over(wc))
+        .withColumn("tot_w",
+          sum("gw").over(Window.partitionBy("l_returnflag")))
       else DistRank.withPrefixSumBy(g, Seq("l_returnflag"),
         col("cents"), col("cents"), col("gw"), b, "cum_before")
         .withColumn("cum", col("cum_before") + col("gw"))
-    val tot = g.groupBy(col("l_returnflag").as("f2"))
-      .agg(sum("gw").as("tot_w"))
+        .join(broadcast(g.groupBy(col("l_returnflag").as("f2"))
+          .agg(sum("gw").as("tot_w"))),
+          col("l_returnflag") === col("f2"))
+        .drop("f2")
     val ps = Seq(25L, 50L, 75L, 90L).toDF("p")
     orderedAll(cum
-      .join(broadcast(tot), col("l_returnflag") === col("f2"))
       .crossJoin(broadcast(ps))
       .filter(col("cum") * 100 >= col("tot_w") * col("p"))
       .groupBy("l_returnflag", "p", "tot_w")
